@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** The reference's analytics surface — 7 queries (5 notebook SQL cells,
+  * the README clustering benchmark, and the two evidencias-only queries),
+  * re-expressed Spark-first over the driver testdata star schema
+  * (taxi→TPC-H role mapping in FIXTURES.md §3).
+  *
+  * Reference shapes (SURVEY §2.4, §3 E3): every query is
+  * `fact [⨝ dim] → filter → groupBy.agg → (having) → orderBy → (limit)`.
+  *
+  * Scale design:
+  *  - Dim joins (`nation`, `region`, `customer` at dim-role) are
+  *    broadcast — no shuffle of the fact side (J1/J2/J4 were all
+  *    broadcast-sized in the reference: 4018/266/7 rows).
+  *  - Aggregations are plain `groupBy.agg` → Catalyst plans partial
+  *    (map-side) + final HashAggregate; the only fact shuffle is on the
+  *    grouping keys, sized by spark.sql.shuffle.partitions / AQE.
+  *  - Top-k uses orderBy+limit → `TakeOrderedAndProject` (no full sort).
+  *  - Double aggregates go through [[graft.functions.Exact]] so results
+  *    are order-independent (bit-identical under any partitioning).
+  */
+object Analytics {
+
+  /** Flagship: the README clustering-benchmark query (BASELINE.md;
+    * reference README.md:89-96) — monthly aggregation over one year.
+    * Taxi roles: service_type→l_returnflag, pickup_date→l_shipdate,
+    * trip_distance→l_quantity, total_amount→l_extendedprice.
+    * Filter + month-trunc reach the parquet scan (predicate pushdown);
+    * see also ClusteredLayout for the 16× pruning reproduction. */
+  def monthlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate".between(
+        lit("2000-01-01").cast("timestamp"), lit("2000-12-31").cast("timestamp")))
+      .groupBy(
+        $"l_returnflag".as("service_type"),
+        date_trunc("month", $"l_shipdate").cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("trips"),
+        avgExact($"l_quantity").as("avg_distance"),
+        avgExact($"l_extendedprice").as("avg_amount"))
+      .orderBy($"month", $"service_type")
+  }
+
+  val monthlyAggSql: String =
+    s"""SELECT l_returnflag AS service_type,
+       |       CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+       |       COUNT(*) AS trips,
+       |       ${avgExactSql("l_quantity")} AS avg_distance,
+       |       ${avgExactSql("l_extendedprice")} AS avg_amount
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '2000-01-01' AND TIMESTAMP '2000-12-31'
+       |GROUP BY 1, 2
+       |ORDER BY month, service_type""".stripMargin
+
+  /** nb cell1 (evidencias/demandaxzona.csv): demand by zone, top-20.
+    * Taxi roles: zone→nation, borough→region, trips→orders.
+    *
+    * Scale shape: `customer` is fact-sized at 100 TB, so it is NOT
+    * broadcast — instead orders are pre-aggregated to (custkey, year)
+    * before the shuffle join (map-side reduction shrinks the join input
+    * from |orders| to |distinct keys|), then counts are re-summed after
+    * the broadcast dim joins. AQE still auto-broadcasts customer at
+    * small SF; at large SF this is a key-partitioned shuffle join. */
+  def demandByZone(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perCustYear = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", year($"o_orderdate").as("trip_year"))
+      .agg(count(lit(1)).as("n_trips"))
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    perCustYear
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .filter($"n_name" =!= "Unknown")
+      .groupBy($"n_name".as("zone_name"), $"r_name".as("borough"), $"trip_year")
+      .agg(sum($"n_trips").as("total_trips"))
+      .orderBy($"total_trips".desc, $"trip_year", $"zone_name")
+      .limit(20)
+  }
+
+  val demandByZoneSql: String =
+    """SELECT n_name AS zone_name, r_name AS borough,
+      |       CAST(year(o_orderdate) AS INTEGER) AS trip_year,
+      |       COUNT(*) AS total_trips
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE n_name != 'Unknown'
+      |GROUP BY 1, 2, 3
+      |ORDER BY total_trips DESC, trip_year, zone_name
+      |LIMIT 20""".stripMargin
+
+  /** nb cell2 (evidencias/ingresos_propinas.csv): revenue & tip%
+    * by (borough, year). Tip% analog: l_tax/l_extendedprice, with the
+    * reference's guarded-division CASE (F3) and range predicate (P7). */
+  def revenueTips(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount", $"l_tax")
+    val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    val tipPct = when($"l_extendedprice" > 0, $"l_tax" / $"l_extendedprice" * 100)
+      .otherwise(lit(0.0))
+    // tip filter depends only on lineitem columns → applied before the
+    // fact-fact join (Catalyst would push it down anyway; explicit here).
+    // customer is NOT broadcast (fact-sized at scale); nation/region are.
+    li.withColumn("tip_percentage", tipPct)
+      .filter($"tip_percentage" > 0 && $"tip_percentage" < 100)
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name".as("borough"), year($"o_orderdate").as("trip_year"))
+      .agg(
+        sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"),
+        avgExact($"tip_percentage").as("avg_tip_pct"),
+        count(lit(1)).as("total_trips"))
+      .orderBy($"trip_year", $"borough")
+  }
+
+  val revenueTipsSql: String =
+    s"""WITH base AS (
+       |  SELECT r_name AS borough,
+       |         CAST(year(o_orderdate) AS INTEGER) AS trip_year,
+       |         l_extendedprice * (1.0 - l_discount) AS net_revenue,
+       |         CASE WHEN l_extendedprice > 0
+       |              THEN l_tax / l_extendedprice * 100 ELSE 0.0 END AS tip_percentage
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey)
+       |SELECT borough, trip_year,
+       |       ${sumExactSql("net_revenue")} AS total_revenue,
+       |       ${avgExactSql("tip_percentage")} AS avg_tip_pct,
+       |       COUNT(*) AS total_trips
+       |FROM base
+       |WHERE tip_percentage > 0 AND tip_percentage < 100
+       |GROUP BY 1, 2
+       |ORDER BY trip_year, borough""".stripMargin
+
+  /** nb cell4 (evidencias/duracion_percentiles.csv): exact interpolated
+    * p50/p90 trip duration per zone, HAVING count filter, top-20 (A5/A6).
+    * Duration analog: hours between o_orderdate (pickup) and l_shipdate
+    * (dropoff), reference F2 `DATEDIFF(SECOND,..)/3600.0`.
+    * Exact percentiles (not approx) — the reference values are exact. */
+  def durationPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
+    val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir)
+    li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .withColumn("trip_duration_hours",
+        (unix_timestamp($"l_shipdate") - unix_timestamp($"o_orderdate")) / 3600.0)
+      .filter($"trip_duration_hours" > 0 && $"trip_duration_hours" < 24 * 365)
+      .groupBy($"n_name".as("zone_name"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY trip_duration_hours)").as("p50_duration"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY trip_duration_hours)").as("p90_duration"),
+        avgExact($"trip_duration_hours").as("avg_duration"))
+      .filter($"total_trips" > 200)
+      .orderBy($"total_trips".desc, $"zone_name")
+      .limit(20)
+  }
+
+  val durationPercentilesSql: String =
+    s"""WITH base AS (
+       |  SELECT n_name AS zone_name,
+       |         (epoch(l_shipdate) - epoch(o_orderdate)) / 3600.0 AS trip_duration_hours
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey)
+       |SELECT zone_name, COUNT(*) AS total_trips,
+       |       percentile_cont(0.5) WITHIN GROUP (ORDER BY trip_duration_hours) AS p50_duration,
+       |       percentile_cont(0.9) WITHIN GROUP (ORDER BY trip_duration_hours) AS p90_duration,
+       |       ${avgExactSql("trip_duration_hours")} AS avg_duration
+       |FROM base
+       |WHERE trip_duration_hours > 0 AND trip_duration_hours < 24 * 365
+       |GROUP BY 1
+       |HAVING COUNT(*) > 200
+       |ORDER BY total_trips DESC, zone_name
+       |LIMIT 20""".stripMargin
+
+  /** nb cell5 (evidencias/elasticidad.csv): (year, hour) demand matrix
+    * with avg fare (A3). Events table plays the timestamped fact. */
+  def hourlyMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(
+        year($"ts").as("trip_year"), hour($"ts").as("pickup_hour"))
+      .agg(count(lit(1)).as("total_trips"), avgExact($"value").as("avg_amount"))
+      .orderBy($"trip_year", $"pickup_hour")
+  }
+
+  val hourlyMatrixSql: String =
+    s"""SELECT CAST(year(ts) AS INTEGER) AS trip_year,
+       |       CAST(hour(ts) AS INTEGER) AS pickup_hour,
+       |       COUNT(*) AS total_trips,
+       |       ${avgExactSql("value")} AS avg_amount
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY trip_year, pickup_hour""".stripMargin
+
+  /** evidencias/velocidad_franja.csv: hour-band CASE decode (F16) +
+    * group-by — avg value per (type, hour, Nocturno/Diurno band). */
+  def speedBand(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = hour($"ts")
+    Tables.events(spark, sfDir)
+      .withColumn("pickup_hour", h.cast("int"))
+      .withColumn("franja",
+        when(h < 6 || h >= 22, lit("Nocturno"))
+          .when(h >= 6 && h < 12, lit("Manana"))
+          .when(h >= 12 && h < 18, lit("Tarde"))
+          .otherwise(lit("Noche")))
+      .groupBy($"event_type", $"pickup_hour", $"franja")
+      .agg(avgExact($"value").as("avg_speed"), count(lit(1)).as("total_trips"))
+      .orderBy($"event_type", $"pickup_hour")
+  }
+
+  val speedBandSql: String =
+    s"""SELECT event_type, CAST(hour(ts) AS INTEGER) AS pickup_hour,
+       |       CASE WHEN hour(ts) < 6 OR hour(ts) >= 22 THEN 'Nocturno'
+       |            WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'Manana'
+       |            WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 'Tarde'
+       |            ELSE 'Noche' END AS franja,
+       |       ${avgExactSql("value")} AS avg_speed,
+       |       COUNT(*) AS total_trips
+       |FROM events
+       |GROUP BY 1, 2, 3
+       |ORDER BY event_type, pickup_hour""".stripMargin
+
+  /** evidencias/matriz-cobertura.csv: per (year, month, service) coverage
+    * with COUNT/SUM/MIN/MAX (A7) — the loader-manifest analog. */
+  def coverageMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy(
+        year($"l_shipdate").as("trip_year"),
+        month($"l_shipdate").as("trip_month"),
+        $"l_returnflag".as("service_type"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        sumExact($"l_quantity").as("total_miles"),
+        sumExact($"l_extendedprice").as("total_revenue"),
+        min($"l_shipdate".cast("date")).as("first_trip"),
+        max($"l_shipdate".cast("date")).as("last_trip"))
+      .orderBy($"trip_year", $"trip_month", $"service_type")
+  }
+
+  val coverageMatrixSql: String =
+    s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS trip_year,
+       |       CAST(month(l_shipdate) AS INTEGER) AS trip_month,
+       |       l_returnflag AS service_type,
+       |       COUNT(*) AS total_trips,
+       |       ${sumExactSql("l_quantity")} AS total_miles,
+       |       ${sumExactSql("l_extendedprice")} AS total_revenue,
+       |       MIN(CAST(l_shipdate AS DATE)) AS first_trip,
+       |       MAX(CAST(l_shipdate AS DATE)) AS last_trip
+       |FROM lineitem
+       |GROUP BY 1, 2, 3
+       |ORDER BY trip_year, trip_month, service_type""".stripMargin
+}
