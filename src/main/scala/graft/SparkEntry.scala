@@ -22,6 +22,13 @@ object SparkEntry {
     "q_hourly_matrix" -> (Analytics.hourlyMatrix _),
     "q_speed_band" -> (Analytics.speedBand _),
     "q_coverage_matrix" -> (Analytics.coverageMatrix _),
+    "q_silver_union" -> (Silver.silverUnion _),
+    "q_dim_date" -> ((s: SparkSession, _: String) => GoldDims.dimDate(s)),
+    "q_dim_zone" -> (GoldDims.dimZone _),
+    "q_dim_payment_type" -> ((s: SparkSession, _: String) => GoldDims.dimPaymentType(s)),
+    "q_dim_rate_code" -> ((s: SparkSession, _: String) => GoldDims.dimRateCode(s)),
+    "q_fct_trips" -> (GoldFact.fctTrips _),
+    "q_quality_report" -> (Quality.report _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -33,5 +40,12 @@ object SparkEntry {
     "q_hourly_matrix" -> Analytics.hourlyMatrixSql,
     "q_speed_band" -> Analytics.speedBandSql,
     "q_coverage_matrix" -> Analytics.coverageMatrixSql,
+    "q_silver_union" -> Silver.silverUnionSql,
+    "q_dim_date" -> GoldDims.dimDateSql,
+    "q_dim_zone" -> GoldDims.dimZoneSql,
+    "q_dim_payment_type" -> GoldDims.dimPaymentTypeSql,
+    "q_dim_rate_code" -> GoldDims.dimRateCodeSql,
+    "q_fct_trips" -> GoldFact.fctTripsSql,
+    "q_quality_report" -> Quality.reportSql,
   )
 }

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Gold fact — the reference's `fct_trips` model
+  * (reference: scheduler_data/dbt_nyc_taxi/models/gold/fct_trips.sql):
+  * silver rows enriched with derived metrics (F1-F15), resolved against
+  * the dims via LEFT broadcast equi-joins with expression join keys
+  * (J1/J2: `DATE(ts) = date_actual`), unmatched keys defaulted to the
+  * sentinel SK 0 via COALESCE (J3, paired with the dim's Unknown row).
+  *
+  * Scale design:
+  *  - silver ⨝ orders is the one genuinely large join (fact-to-fact at
+  *    100 TB). It is an equi-join on order_key → Catalyst plans
+  *    sort-merge with AQE; at cluster scale both sides should be
+  *    bucketed/co-partitioned on order_key to eliminate the shuffle
+  *    (the write path in ClusteredLayout demonstrates the layout).
+  *  - orders ⨝ customer: shuffle join on o_custkey (customer is NOT
+  *    broadcast — it is fact-sized at scale). AQE converts it to
+  *    broadcast automatically at small SF.
+  *  - dim_date (2.6k rows), dim_zone (26), status/priority dims (4/6):
+  *    explicit `broadcast()` — four joins, zero additional shuffles of
+  *    the fact (same as the reference's 4 broadcast-sized dim joins).
+  *  - All derived metrics are `functions._` column expressions → one
+  *    WholeStageCodegen span over the scan; no UDFs in the hot path.
+  *
+  * The audit column `dbt_loaded_at = current_timestamp()` (F14) exists
+  * on the model but is excluded from the verified query (nondeterministic).
+  */
+object GoldFact {
+
+  /** F1 hazard: the MD5 surrogate key concatenates timestamps — the
+    * timestamp→string rendering must match the oracle exactly, so both
+    * sides format explicitly ('yyyy-MM-dd HH:mm:ss' / '%Y-%m-%d %H:%M:%S')
+    * rather than relying on engine-default casts (fct_trips.sql:10). */
+  private def tripId(orderKey: Column, lineNumber: Column,
+      pickup: Column, dropoff: Column): Column =
+    md5(concat_ws("|",
+      orderKey.cast("string"), lineNumber.cast("string"),
+      date_format(pickup, "yyyy-MM-dd HH:mm:ss"),
+      date_format(dropoff, "yyyy-MM-dd HH:mm:ss")))
+
+  /** The full fact model (with audit column). */
+  def build(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val silver = Silver.build(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate".as("pickup_ts"),
+        $"o_orderstatus", $"o_orderpriority")
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val dimDate = GoldDims.dimDate(spark)
+    val dimZone = GoldDims.dimZone(spark, sfDir)
+    val dimStatus = GoldDims.dimPaymentType(spark)
+    val dimPrio = GoldDims.dimRateCode(spark)
+
+    val enriched = silver
+      .join(orders, $"order_key" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .withColumnRenamed("ship_ts", "dropoff_ts")
+      // F2: Snowflake DATEDIFF(SECOND)/3600.0 workaround analog
+      .withColumn("trip_duration_hours",
+        (unix_timestamp($"dropoff_ts") - unix_timestamp($"pickup_ts")) / 3600.0)
+      // F3: guarded divisions
+      .withColumn("avg_speed_mph",
+        when($"quantity" > 0 && $"dropoff_ts" > $"pickup_ts",
+          $"quantity" / (( unix_timestamp($"dropoff_ts") - unix_timestamp($"pickup_ts")) / 3600.0))
+          .otherwise(lit(0.0)))
+      .withColumn("tip_percentage",
+        when($"extended_price" > 0, $"tax" / $"extended_price" * 100)
+          .otherwise(lit(0.0)))
+      // F4 + F15: additive metric with COALESCE'd surcharges
+      .withColumn("base_charges",
+        $"extended_price" + coalesce($"ehail_fee", lit(0.0)) +
+          coalesce($"airport_fee", lit(0.0)))
+      // F5/F6: date parts
+      .withColumn("pickup_date", to_date($"pickup_ts"))
+      .withColumn("dropoff_date", to_date($"dropoff_ts"))
+      .withColumn("pickup_hour", hour($"pickup_ts"))
+      .withColumn("pickup_year", year($"pickup_ts"))
+      .withColumn("pickup_month", month($"pickup_ts"))
+      // F11: rush-hour flag, and the reference's always-false night-trip
+      // predicate replicated as written (fct_trips.sql:78 — HOUR BETWEEN
+      // 22 AND 6 is vacuously false; both engines agree)
+      .withColumn("is_rush_hour",
+        $"pickup_hour".between(6, 10) || $"pickup_hour".between(16, 20))
+      .withColumn("is_night_trip", $"pickup_hour".between(22, 6))
+      // F12: data-quality flag
+      .withColumn("has_data_quality_issue",
+        $"quantity" <= 0 || $"extended_price" <= 0 ||
+          $"dropoff_ts" <= $"pickup_ts")
+      // F1: MD5 surrogate key
+      .withColumn("trip_id",
+        tripId($"order_key", $"line_number", $"pickup_ts", $"dropoff_ts"))
+
+    enriched
+      // J1: date-SK resolution, same dim joined twice under aliases
+      .join(broadcast(dimDate.select($"date_sk".as("pickup_date_sk"),
+        $"date_actual".as("pd_date"))), $"pickup_date" === $"pd_date", "left")
+      .join(broadcast(dimDate.select($"date_sk".as("dropoff_date_sk"),
+        $"date_actual".as("dd_date"))), $"dropoff_date" === $"dd_date", "left")
+      // J2: zone-SK resolution via the customer's nation
+      .join(broadcast(dimZone.select($"zone_sk", $"locationid")),
+        $"c_nationkey" === $"locationid", "left")
+      .join(broadcast(dimStatus.select($"status_code", $"status_desc")),
+        $"o_orderstatus" === $"status_code", "left")
+      .join(broadcast(dimPrio.select($"priority_code", $"priority_desc")),
+        $"o_orderpriority" === $"priority_code", "left")
+      // J3: sentinel SK 0 (the dims' Unknown row) for unmatched keys
+      .withColumn("pickup_date_sk", coalesce($"pickup_date_sk", lit(0)))
+      .withColumn("dropoff_date_sk", coalesce($"dropoff_date_sk", lit(0)))
+      .withColumn("pickup_zone_sk", coalesce($"zone_sk", lit(0)))
+      .withColumn("status_desc", coalesce($"status_desc", lit("Unknown")))
+      .withColumn("priority_desc", coalesce($"priority_desc", lit("Unknown")))
+      // P4: date-range predicate on both timestamps (fct_trips.sql:112-115)
+      .filter($"pickup_ts".between(
+          lit("1995-01-01").cast("timestamp"), lit("2001-12-31").cast("timestamp")) &&
+        $"dropoff_ts".between(
+          lit("1995-01-01").cast("timestamp"), lit("2001-12-31").cast("timestamp")))
+      // F14: audit column — excluded from the verified projection
+      .withColumn("dbt_loaded_at", current_timestamp())
+  }
+
+  /** Verified query: deterministic projection of the fact, total-ordered. */
+  def fctTrips(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    build(spark, sfDir).select(
+      $"trip_id", $"service_type", $"order_key", $"line_number",
+      $"pickup_date_sk", $"dropoff_date_sk", $"pickup_zone_sk",
+      $"status_desc", $"priority_desc",
+      $"quantity", $"extended_price", $"base_charges",
+      $"trip_duration_hours", $"avg_speed_mph", $"tip_percentage",
+      $"pickup_hour", $"pickup_year", $"pickup_month",
+      $"is_rush_hour", $"is_night_trip", $"has_data_quality_issue")
+      .orderBy($"order_key", $"line_number")
+  }
+
+  val fctTripsSql: String =
+    """WITH silver AS (
+      |  SELECT 'yellow' AS service_type, l_orderkey AS order_key,
+      |         l_linenumber AS line_number, l_quantity AS quantity,
+      |         l_extendedprice AS extended_price, l_tax AS tax,
+      |         l_shipdate AS dropoff_ts,
+      |         CAST(NULL AS DOUBLE) AS ehail_fee,
+      |         CAST(l_tax * 0.5 AS DOUBLE) AS airport_fee
+      |  FROM lineitem WHERE l_linestatus = 'O'
+      |    AND l_shipdate IS NOT NULL AND l_quantity >= 0
+      |    AND l_extendedprice >= 0 AND l_tax >= 0
+      |  UNION ALL
+      |  SELECT 'green', l_orderkey, l_linenumber, l_quantity,
+      |         l_extendedprice, l_tax, l_shipdate,
+      |         CAST(l_tax * 0.5 AS DOUBLE), CAST(NULL AS DOUBLE)
+      |  FROM lineitem WHERE l_linestatus = 'F'
+      |    AND l_shipdate IS NOT NULL AND l_quantity >= 0
+      |    AND l_extendedprice >= 0 AND l_tax >= 0),
+      |dim_date AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS date_sk,
+      |         CAST(d AS DATE) AS date_actual
+      |  FROM (SELECT generate_series AS d
+      |        FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY))),
+      |dim_zone AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INTEGER) AS zone_sk,
+      |         n_nationkey AS locationid
+      |  FROM nation),
+      |dim_status AS (
+      |  SELECT * FROM (VALUES ('O','Open'), ('F','Fulfilled'), ('P','Pending'))
+      |    t(status_code, status_desc)),
+      |dim_prio AS (
+      |  SELECT * FROM (VALUES ('1-URGENT','Urgent priority'), ('2-HIGH','High priority'),
+      |    ('3-MEDIUM','Medium priority'), ('4-NOT SPECIFIED','Unspecified priority'),
+      |    ('5-LOW','Low priority')) t(priority_code, priority_desc)),
+      |enriched AS (
+      |  SELECT s.*, o.o_orderdate AS pickup_ts, o.o_orderstatus,
+      |         o.o_orderpriority, c.c_nationkey,
+      |         (epoch(s.dropoff_ts) - epoch(o.o_orderdate)) / 3600.0 AS trip_duration_hours
+      |  FROM silver s
+      |  JOIN orders o ON s.order_key = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT md5(concat_ws('|', CAST(order_key AS VARCHAR),
+      |         CAST(line_number AS VARCHAR),
+      |         strftime(pickup_ts, '%Y-%m-%d %H:%M:%S'),
+      |         strftime(dropoff_ts, '%Y-%m-%d %H:%M:%S'))) AS trip_id,
+      |       service_type, order_key, line_number,
+      |       coalesce(pd.date_sk, 0) AS pickup_date_sk,
+      |       coalesce(dd.date_sk, 0) AS dropoff_date_sk,
+      |       coalesce(z.zone_sk, 0) AS pickup_zone_sk,
+      |       coalesce(st.status_desc, 'Unknown') AS status_desc,
+      |       coalesce(pr.priority_desc, 'Unknown') AS priority_desc,
+      |       quantity, extended_price,
+      |       extended_price + coalesce(ehail_fee, 0.0) + coalesce(airport_fee, 0.0) AS base_charges,
+      |       trip_duration_hours,
+      |       CASE WHEN quantity > 0 AND dropoff_ts > pickup_ts
+      |            THEN quantity / trip_duration_hours ELSE 0.0 END AS avg_speed_mph,
+      |       CASE WHEN extended_price > 0 THEN tax / extended_price * 100
+      |            ELSE 0.0 END AS tip_percentage,
+      |       CAST(hour(pickup_ts) AS INTEGER) AS pickup_hour,
+      |       CAST(year(pickup_ts) AS INTEGER) AS pickup_year,
+      |       CAST(month(pickup_ts) AS INTEGER) AS pickup_month,
+      |       hour(pickup_ts) BETWEEN 6 AND 10 OR hour(pickup_ts) BETWEEN 16 AND 20 AS is_rush_hour,
+      |       hour(pickup_ts) BETWEEN 22 AND 6 AS is_night_trip,
+      |       quantity <= 0 OR extended_price <= 0 OR dropoff_ts <= pickup_ts AS has_data_quality_issue
+      |FROM enriched
+      |LEFT JOIN dim_date pd ON CAST(pickup_ts AS DATE) = pd.date_actual
+      |LEFT JOIN dim_date dd ON CAST(dropoff_ts AS DATE) = dd.date_actual
+      |LEFT JOIN dim_zone z ON c_nationkey = z.locationid
+      |LEFT JOIN dim_status st ON o_orderstatus = st.status_code
+      |LEFT JOIN dim_prio pr ON o_orderpriority = pr.priority_code
+      |WHERE pickup_ts BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31'
+      |  AND dropoff_ts BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31'
+      |ORDER BY order_key, line_number""".stripMargin
+}
