@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -29,6 +30,21 @@ object SparkEntry {
     "q_dim_rate_code" -> ((s: SparkSession, _: String) => GoldDims.dimRateCode(s)),
     "q_fct_trips" -> (GoldFact.fctTrips _),
     "q_quality_report" -> (Quality.report _),
+    // training-data pipeline ops (documents / embeddings tables)
+    "q_dedup_exact" -> (Dedup.exactDedup _),
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q_minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashDupPairs(s, d)),
+    "q_simhash" -> (Dedup.simhash _),
+    "q_token_counts" -> (TextAnalysis.tokenCounts _),
+    "q_quality_score" -> (TextAnalysis.qualityScore _),
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_knn_bruteforce" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
+    "q_media_features" -> (Multimodal.mediaFeatures _),
+    // approximate / binary-plumbing ops: rows-only check (no SQL oracle)
+    "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
+    "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -47,5 +63,16 @@ object SparkEntry {
     "q_dim_rate_code" -> GoldDims.dimRateCodeSql,
     "q_fct_trips" -> GoldFact.fctTripsSql,
     "q_quality_report" -> Quality.reportSql,
+    "q_dedup_exact" -> Dedup.exactDedupSql,
+    "q_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "q_minhash_dedup" -> Dedup.minhashDupSql(),
+    "q_simhash" -> Dedup.simhashSql,
+    "q_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q_quality_score" -> TextAnalysis.qualityScoreSql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
+    "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_knn_bruteforce" -> Similarity.knnBruteForceSql(),
+    "q_cosine_neardup" -> Similarity.cosineNearDupSql(),
+    "q_media_features" -> Multimodal.mediaFeaturesSql,
   )
 }

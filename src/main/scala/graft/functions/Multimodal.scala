@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus batch decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake ([[FakeCodec]]); everything around
+  * it — schema (binary payload + metadata struct), partition-parallel
+  * batch processing via `mapPartitions` over a typed Dataset (the Scala
+  * analog of `mapInPandas`: one iterator per partition, amortized
+  * per-batch setup), output schema, and the oracle-checked metadata
+  * projection — is real Spark plumbing as it would ship.
+  *
+  * Scale: payloads stay opaque bytes end-to-end (no driver collect, no
+  * row-by-row codec spin-up); decode parallelism = partition count, and
+  * a `repartition(n)` before the map is the knob for codec-bound stages.
+  */
+object Multimodal {
+
+  /** One media row: payload is the raw bytes of the asset. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded features per asset (width/height/frames are fake-decoded). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+    width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** STUB — deterministic fake codec. A real deployment replaces this
+    * object (only this object) with e.g. a JNI image decoder; the
+    * surrounding Dataset plumbing is unchanged. The fake derives
+    * "decoded" properties from the bytes so tests are reproducible. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      val w = 64 + ((n * 7919) % 960)      // fake width  ∈ [64, 1024)
+      val h = 64 + ((n * 104729) % 704)    // fake height ∈ [64, 768)
+      val frames = 1 + (n % 16)            // fake frame count
+      (w.toInt, h.toInt, frames.toInt)
+    }
+    /** Fake resize: keeps aspect via integer scaling — pure function. */
+    def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+      val side = math.max(w, h)
+      if (side <= maxSide) (w, h)
+      else (w * maxSide / side, h * maxSide / side)
+    }
+  }
+
+  /** Build the media table from documents: text bytes stand in for the
+    * binary asset (the only corpus in the testdata); kind cycles through
+    * the three modalities to exercise per-kind paths. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id".as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+      encode($"text", "UTF-8").as("payload"))
+  }
+
+  /** The mapInPandas-analog stage: partition-iterator batch decode.
+    * Runs the codec once per row but amortizes any heavy setup (a real
+    * codec context) once per PARTITION — the point of mapPartitions. */
+  def decodeFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+      // per-partition setup would go here (codec context, model handle)
+      rows.map { r =>
+        val (w, h, f) = FakeCodec.decode(r.payload)
+        val checksum = r.payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, checksum)
+      }
+    }
+  }
+
+  /** Oracle-checked projection: everything about the binary plumbing
+    * that SQL can independently recompute (sizes, fake-decode geometry,
+    * resize, frame sampling counts). The mapPartitions path computes the
+    * same values through [[FakeCodec]]; ScalaTest asserts both agree. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nBytes = octet_length(encode($"text", "UTF-8"))
+    val w = lit(64) + pmod(nBytes.cast("long") * 7919, lit(960))
+    val h = lit(64) + pmod(nBytes.cast("long") * 104729, lit(704))
+    val side = greatest(w, h)
+    Tables.documents(spark, sfDir).select(
+      $"doc_id".as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+      nBytes.as("n_bytes"),
+      w.cast("int").as("width"),
+      h.cast("int").as("height"),
+      (lit(1) + pmod(nBytes, lit(16))).cast("int").as("n_frames"),
+      when(side <= 256, w).otherwise(floor(w * 256 / side)).cast("int").as("resized_w"),
+      when(side <= 256, h).otherwise(floor(h * 256 / side)).cast("int").as("resized_h"))
+      .orderBy($"media_id")
+  }
+
+  val mediaFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         ['image', 'audio', 'video'][CAST(media_id % 3 AS INTEGER) + 1] AS kind,
+      |         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+      |  FROM documents),
+      |g AS (
+      |  SELECT media_id, kind, n_bytes,
+      |         64 + (n_bytes * 7919) % 960 AS width,
+      |         64 + (n_bytes * 104729) % 704 AS height
+      |  FROM m)
+      |SELECT media_id, kind, n_bytes,
+      |       CAST(width AS INTEGER) AS width,
+      |       CAST(height AS INTEGER) AS height,
+      |       CAST(1 + n_bytes % 16 AS INTEGER) AS n_frames,
+      |       CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+      |                 ELSE width * 256 // greatest(width, height) END AS INTEGER) AS resized_w,
+      |       CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+      |                 ELSE height * 256 // greatest(width, height) END AS INTEGER) AS resized_h
+      |FROM g
+      |ORDER BY media_id""".stripMargin
+
+  /** Frame-sample stage: every asset yields ceil(n_frames / stride)
+    * sampled "frames" as byte slices — the explode-shaped stage of a
+    * video pipeline (one input row → n output rows), kept as pure
+    * column expressions so it stays in codegen. */
+  def frameSample(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir)
+      .withColumn("n_frames", (lit(1) + pmod(octet_length($"payload"), lit(16))).cast("int"))
+    media
+      .select($"media_id", $"kind", $"payload", $"n_frames",
+        explode(sequence(lit(0),
+          floor(($"n_frames" - 1) / lit(stride)).cast("int"))).as("sample_idx"))
+      .withColumn("frame_offset", $"sample_idx" * stride)
+      .withColumn("frame_bytes",
+        substring($"payload", ($"frame_offset" * 8 + 1).cast("int"), lit(8)))
+      .drop("payload")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-dim):
+  * brute-force cosine top-k as the exact baseline, LSH-bucketed
+  * (random-hyperplane signs) as the scale path, plus threshold near-dup
+  * pairs.
+  *
+  * Numeric parity: every element is cast to DOUBLE before arithmetic and
+  * the fold is `aggregate` (strict left-to-right), so Spark and the
+  * DuckDB oracle (list comprehension + list_sum over the same doubles)
+  * accumulate in the same order; cosines are rounded to 6 dp in the
+  * output to absorb any last-ulp drift.
+  *
+  * Scale design:
+  *  - brute force is O(|queries|·|corpus|): correct baseline, used with
+  *    a broadcast query set so the corpus never shuffles. Per-query
+  *    top-k via window row_number partitioned by query — the partition
+  *    count equals |queries|, never a single global sort.
+  *  - the LSH path buckets by hyperplane-sign signature; candidate set
+  *    per query is one bucket (+ documented multi-probe extension), so
+  *    cost is O(|queries|·bucket) — the 1000-executor shape: bucket by
+  *    signature, co-partition corpus once, reuse across query batches.
+  */
+object Similarity {
+
+  val dim = 64
+
+  /** Elementwise-double dot product with a strict left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** SQL fragment computing the identical cosine (1-based list indexing;
+    * same double casts, same summation order). */
+  def cosineSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) FOR i IN range(1, $dim + 1)])"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  /** Exact top-k neighbors (cosine) for each query vector (vec_id <
+    * nQueries), excluding self. Query set is broadcast; ranking ties
+    * break on neighbor id. */
+  def knnBruteForce(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"q_emb", $"embedding"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  def knnBruteForceSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("q.q_emb", "e.embedding")} AS cos
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+       |         round(cos, 6) AS cosine
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** All pairs above a cosine threshold — embedding near-dup detection.
+    * Brute-force here (exact baseline); the banded variant below is the
+    * corpus-scale path. */
+  def cosineNearDupPairs(spark: SparkSession, sfDir: String,
+      minCos: Double = 0.45): DataFrame = {
+    import spark.implicits._
+    val a = Tables.embeddings(spark, sfDir).select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = Tables.embeddings(spark, sfDir).select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    a.crossJoin(b).filter($"vec_a" < $"vec_b")
+      .withColumn("cos", cosine($"emb_a", $"emb_b"))
+      .filter($"cos" >= minCos)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def cosineNearDupSql(minCos: Double = 0.45): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- LSH-bucketed ANN (scale path; verified in ScalaTest, not by the
+  // SQL oracle — approximate results are recall-bounded, not equal) -----
+
+  /** Deterministic pseudo-random hyperplanes: component h[p][i] derived
+    * from a hash of (p, i), mapped to ±1 — reproducible with no RNG. */
+  private def planeComponent(p: Int, i: Int): Double =
+    if (((p * 1315423911L + i * 2654435761L) >>> 7) % 2 == 0) 1.0 else -1.0
+
+  val numPlanes = 12
+
+  /** Sign signature: bit p = sign(dot(v, plane_p)). Buckets cluster
+    * cosine-similar vectors; expected per-bucket size n/2^12. */
+  def signSignature(v: Column): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v,
+          array((0 until dim).map(i => lit(planeComponent(p, i))): _*),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: candidates share the query's sign-bucket; exact cosine +
+    * ranking within the candidate set. Recall measured against
+    * [[knnBruteForce]] in the test suite. */
+  def knnLsh(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", signSignature($"embedding"))
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+    val cands = emb.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"q_emb", $"embedding"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+}

@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + a BPE-ish regex), quality scoring (length / punctuation
+  * / stopword ratios), n-gram-heuristic language ID, and document
+  * fingerprinting.
+  *
+  * All computations are per-row `functions._` expressions — a single
+  * narrow projection over the scan, no shuffle, fully codegen'd; at
+  * 100 TB this stage is embarrassingly parallel and IO-bound, exactly
+  * as a corpus-preprocessing pass should be.
+  *
+  * Regex dialect note: every pattern used here ('\\s+', explicit char
+  * classes) behaves identically in Java regex (Spark) and RE2-ish
+  * (DuckDB) — no lookarounds, no POSIX classes, no unicode props.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  // ---- token counting ----------------------------------------------------
+
+  /** Whitespace tokens + BPE-ish subword-boundary tokens (alnum runs and
+    * single non-alnum-non-space marks — the standard pre-tokenizer shape). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      size(toks($"text")).as("ws_tokens"),
+      size(regexp_extract_all($"text", lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("bpe_ish_tokens"),
+      length($"text").as("n_chars_actual"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens,
+      |       CAST(length(text) AS INTEGER) AS n_chars_actual
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- quality scoring ---------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "this", "was", "for", "on", "with")
+
+  /** Heuristic quality signals: mean token length, punctuation density,
+    * stopword ratio, and a composite [0,1] score. The score formula is
+    * plain arithmetic so the oracle reproduces it exactly. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val nTok = size(t)
+    val nChar = length($"text")
+    val punct = nChar - length(regexp_replace($"text", "[.,!?;:]", ""))
+    val stops = size(filter(t, tk => tk.isInCollection(stopwords)))
+    val avgTokLen = when(nTok > 0, nChar.cast("double") / nTok).otherwise(0.0)
+    val punctRatio = when(nChar > 0, punct.cast("double") / nChar).otherwise(0.0)
+    val stopRatio = when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+    // composite: long-enough docs with some stopwords and sane
+    // punctuation score high; each clause clamped to [0,1]
+    val score =
+      least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      round(avgTokLen, 6).as("avg_token_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality_score"),
+      (score >= 0.5).as("is_high_quality"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS t,
+       |         length(text) AS n_char,
+       |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) > 0 THEN CAST(n_char AS DOUBLE) / len(t) ELSE 0.0 END AS avg_token_len,
+       |         CASE WHEN n_char > 0 THEN CAST(punct AS DOUBLE) / n_char ELSE 0.0 END AS punct_ratio,
+       |         CASE WHEN len(t) > 0
+       |              THEN CAST(len(list_filter(t, tk -> list_contains($stopList, tk))) AS DOUBLE) / len(t)
+       |              ELSE 0.0 END AS stopword_ratio,
+       |         len(t) AS n_tok
+       |  FROM base)
+       |SELECT doc_id,
+       |       round(avg_token_len, 6) AS avg_token_len,
+       |       round(punct_ratio, 6) AS punct_ratio,
+       |       round(stopword_ratio, 6) AS stopword_ratio,
+       |       round(least(n_tok / 100.0, 1.0) * 0.4
+       |             + least(stopword_ratio * 5.0, 1.0) * 0.4
+       |             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score,
+       |       least(n_tok / 100.0, 1.0) * 0.4
+       |         + least(stopword_ratio * 5.0, 1.0) * 0.4
+       |         + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 >= 0.5 AS is_high_quality
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- language ID -------------------------------------------------------
+
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "是", "不", "我", "在", "了", "有"))
+
+  /** Function-word-hit language ID (the classic cheap heuristic): count
+    * tokens hitting each language's top function words, argmax with a
+    * deterministic tiebreak (declaration order), 'und' (undetermined)
+    * when nothing hits. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val hitCols = langWords.map { case (lang, words) =>
+      size(filter(t, tk => tk.isInCollection(words))).as(s"hits_$lang")
+    }
+    // chained CASE in declaration order: first language whose hits are
+    // positive and >= all others wins — ties resolve to the earlier
+    // language, identically in both engines (CASE is order-defined).
+    val best = langWords.map(_._1).foldRight(lit("und"): Column) {
+      case (lang, acc) =>
+        val cond = langWords.map(_._1).filter(_ != lang)
+          .map(o => col(s"hits_$lang") >= col(s"hits_$o"))
+          .reduce(_ && _) && col(s"hits_$lang") > 0
+        when(cond, lit(lang)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(($"doc_id" +: $"lang".as("lang_labeled") +: hitCols): _*)
+      .withColumn("lang_pred", best)
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val hits = langWords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(t, tk -> list_contains($lst, tk))) AS INTEGER) AS hits_$lang"
+    }.mkString(",\n         ")
+    val langs = langWords.map(_._1)
+    val cases = langs.map { lang =>
+      val geAll = langs.filter(_ != lang).map(o => s"hits_$lang >= hits_$o")
+      val conds = (geAll :+ s"hits_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n            ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang AS lang_labeled,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang_labeled,
+       |         $hits
+       |  FROM base)
+       |SELECT doc_id, lang_labeled, hits_en, hits_es, hits_de, hits_fr, hits_zh,
+       |       CASE $cases
+       |            ELSE 'und' END AS lang_pred
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- fingerprinting ----------------------------------------------------
+
+  /** Content fingerprint of whitespace-normalized lower text (md5 +
+    * 16-char prefix bucket), plus a 60-bit rolling-style numeric
+    * fingerprint derived from the hash — the join key for fast
+    * exact-dup detection across shards. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      md5(norm).as("fp_md5"),
+      substring(md5(norm), 1, 16).as("fp_bucket"),
+      conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp_num"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+      |       substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fp_bucket,
+      |       CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp_num
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

