@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line with per-query
+  * seconds over SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology:
+  *  - one un-timed warm-up action first, so the first timed query does
+  *    not absorb session/codegen/JIT warm-up (~3 s otherwise);
+  *  - `maxPartitionBytes` lowered to 8 MB: the sf0.1 tables are single
+  *    small files and would otherwise plan 1-task scans on a 32-core
+  *    local session (at real cluster scale the 128 MB default is right);
+  *  - AQE on (runtime re-plan, broadcast conversion, skew splitting);
+  *  - the reference's clustering experiment (BASELINE.md: 1500 ms → 92 ms,
+  *    16.3×) reproduced as two extra entries: the README query on the
+  *    raw layout vs on the year-partitioned, date-sorted layout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,15 +22,70 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warm-up: exercises scan + shuffle + codegen paths once, un-timed
+    SparkEntry.entry(spark).count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      results(name) = time {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+
+    // clustering experiment (the BASELINE.md 16.3× reproduction). At
+    // sf0.1 the scan is a few MB so WALL-CLOCK gains are noise-level —
+    // the pruning evidence is the files-read counter (the clustered
+    // layout reads only the ship_year=2000 directory; at 100 TB that IS
+    // the 16× effect). Both are reported.
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE presents materialized stages as LEAF QueryStageExec nodes —
+      // the scans live inside them, so walk through explicitly
+      def walk(p: SparkPlan): Long = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+        case other => other.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    try {
+      val clusteredDir = s"/tmp/graft_clustered_${new java.io.File(sfDir).getName}"
+      operators.ClusteredLayout.writeClustered(spark, sfDir, clusteredDir)
+      // collect() (36 rows) rather than count(): count() spawns its own
+      // QueryExecution, whose scan metrics would not be visible here
+      val rawQ = operators.ClusteredLayout.monthlyAggOn(
+        graft.sources.Tables.lineitem(spark, sfDir))
+      results("bench_monthly_agg_raw") = time(rawQ.collect())
+      results("bench_raw_files_read") = filesRead(rawQ).toDouble
+      val clusQ = operators.ClusteredLayout.monthlyAggOn(
+        operators.ClusteredLayout.readClustered(spark, clusteredDir))
+      results("bench_monthly_agg_clustered") = time(clusQ.collect())
+      results("bench_clustered_files_read") = filesRead(clusQ).toDouble
+      // same layout WITHOUT the partition predicate: reads every year
+      // directory — the delta against bench_clustered_files_read is the
+      // partition-pruning effect itself, layout held constant
+      val unprunedQ = operators.ClusteredLayout.monthlyAggOn(
+        spark.read.parquet(clusteredDir))
+      results("bench_monthly_agg_clustered_unpruned") = time(unprunedQ.collect())
+      results("bench_clustered_unpruned_files_read") = filesRead(unprunedQ).toDouble
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] clustering experiment failed: ${e.getMessage}")
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -32,7 +32,7 @@ object SparkEntry {
     "q_quality_report" -> (Quality.report _),
     // training-data pipeline ops (documents / embeddings tables)
     "q_dedup_exact" -> (Dedup.exactDedup _),
-    "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d, 0.8)),
     "q_minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashDupPairs(s, d)),
     "q_simhash" -> (Dedup.simhash _),
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
@@ -45,6 +45,9 @@ object SparkEntry {
     // approximate / binary-plumbing ops: rows-only check (no SQL oracle)
     "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // ingestion manifest + streaming batch-twin
+    "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),
+    "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -64,7 +67,7 @@ object SparkEntry {
     "q_fct_trips" -> GoldFact.fctTripsSql,
     "q_quality_report" -> Quality.reportSql,
     "q_dedup_exact" -> Dedup.exactDedupSql,
-    "q_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "q_ngram_jaccard" -> Dedup.ngramJaccardSql(0.8),
     "q_minhash_dedup" -> Dedup.minhashDupSql(),
     "q_simhash" -> Dedup.simhashSql,
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
@@ -74,5 +77,7 @@ object SparkEntry {
     "q_knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "q_cosine_neardup" -> Similarity.cosineNearDupSql(),
     "q_media_features" -> Multimodal.mediaFeaturesSql,
+    "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,
+    "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
   )
 }

@@ -43,15 +43,21 @@ object Dedup {
   /** Whitespace tokens of lower-cased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Distinct 3-token shingles (n-gram units for Jaccard/MinHash).
+  /** Distinct 3-token shingles from an already-materialized TOKEN ARRAY
+    * column. Taking tokens (not raw text) matters twice over: the
+    * `transform` lambda is interpreted, so if `t` were the split
+    * expression inline it would re-split the text on every element_at —
+    * O(shingles × text) per row; as an attribute it is one array read.
     * Guarded for <3 tokens: Spark's `sequence(1, 0)` counts DOWN
     * (auto-negative step), so the empty case must short-circuit. */
-  def shingles(text: Column): Column = {
-    val t = tokens(text)
+  def shinglesFromTokens(t: Column): Column = {
     val grams = transform(sequence(lit(1), size(t) - 2),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
     array_distinct(when(size(t) < 3, lit(Array.empty[String])).otherwise(grams))
   }
+
+  /** Convenience form over raw text (small inputs / tests). */
+  def shingles(text: Column): Column = shinglesFromTokens(tokens(text))
 
   /** 60-bit token hash both engines can compute: parse the first 15 hex
     * chars of md5 — fits a signed 64-bit exactly, no overflow ambiguity.
@@ -82,27 +88,92 @@ object Dedup {
 
   // ---- exact n-gram Jaccard (sparse join, the brute-force truth) ---------
 
-  /** (doc_id, shingle) posting list. */
-  private def postings(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, sh) with the shingle set ASCENDING-SORTED — the contract
+    * [[verifyPairsExact]]'s merge-intersection relies on; sorting costs
+    * O(n log n) once per doc instead of per pair. */
+  private def sortedShingleDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Three deliberate plan choices, each measured at sf0.1:
+    //  1. the documents parquet is one small file = ONE input partition;
+    //     the repartition spreads the CPU-heavy shingle construction
+    //     across all cores (and the exchange stops CollapseProject from
+    //     inlining the token split into the per-element lambda, which
+    //     would re-split the text per element access);
+    //  2. the empty-doc filter runs on size(tokens) BEFORE the shingle
+    //     projection — filtering on size(shingles) afterwards makes
+    //     PushDownPredicates substitute the whole higher-order shingle
+    //     expression into a non-codegen Filter (measured 30× slower);
+    //  3. docs with ≥3 tokens always have ≥1 shingle, so the filters
+    //     are equivalent.
     Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(shingles($"text")).as("shingle"))
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", sort_array(shinglesFromTokens($"t")).as("sh"))
   }
 
-  /** All pairs with exact 3-gram Jaccard ≥ minJac, via the sparse
-    * shingle self-join (only docs sharing a shingle ever meet). */
+  /** All pairs with exact 3-gram Jaccard ≥ minJac.
+    *
+    * Algorithm: PPJoin-style prefix filtering. Shingles get a canonical
+    * rarity order (global doc-frequency, ties by value); each doc joins
+    * only on its first `n - ceil(t·n) + 1` shingles. The prefix-filter
+    * lemma guarantees any pair with J ≥ t shares a prefix shingle, so
+    * the candidate set is complete — results are EXACT (verified per
+    * pair on the full shingle arrays), the filter only prunes the join.
+    * This is the difference between joining every hot stop-shingle
+    * (quadratic fan-out) and joining mostly-rare shingles: at corpus
+    * scale it is the standard all-pairs similarity-join shape.
+    * Equality with the naive sparse join is asserted in DedupSpec. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, minJac: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val sh = postings(spark, sfDir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    import org.apache.spark.sql.expressions.Window
+    val docs = sortedShingleDocs(spark, sfDir).cache()
+    docs.count() // eager pin: the plan fans out into 4+ concurrent
+    // stages (dfreq, prefix, two verify joins) that would otherwise
+    // race to compute the un-materialized shingle arrays in parallel
+    val sh = docs.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n" - ceil(lit(minJac) * $"n") + 1)
+      .select($"doc_id", $"shingle")
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select($"doc_id", $"n".as("n_a")), $"doc_a" === $"doc_id").drop("doc_id")
-      .join(sizes.select($"doc_id", $"n".as("n_b")), $"doc_b" === $"doc_id").drop("doc_id")
-      .withColumn("jaccard", $"n_common" / ($"n_a" + $"n_b" - $"n_common"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairsExact(candidates, docs, minJac)
+  }
+
+  /** Naive variant (full sparse self-join, no prefix filter) — the
+    * completeness oracle for the prefix-filtered path in tests. */
+  def ngramJaccardPairsNaive(spark: SparkSession, sfDir: String, minJac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val docs = sortedShingleDocs(spark, sfDir).cache()
+    docs.count() // eager pin (see ngramJaccardPairs)
+    val sh = docs.select($"doc_id", explode($"sh").as("shingle"))
+    val candidates = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairsExact(candidates, docs, minJac)
+  }
+
+  /** Exact per-pair Jaccard on full shingle arrays, shared by every
+    * candidate generator (prefix, naive, MinHash-LSH). Docs must carry
+    * the `sh` arrays SORTED (see the cached doc frames): intersection
+    * is a codegen'd zero-allocation merge ([[graft.plans.SortedIntersectSize]])
+    * and |A∪B| = |A|+|B|−|A∩B| needs no union array. */
+  private[functions] def verifyPairsExact(candidates: DataFrame, docs: DataFrame,
+      minJac: Double): DataFrame = {
+    import candidates.sparkSession.implicits._
+    candidates
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("n_common",
+        graft.plans.ArrayExpressions.sortedIntersectSize($"sh_a", $"sh_b"))
+      .withColumn("jaccard",
+        $"n_common".cast("double") / (size($"sh_a") + size($"sh_b") - $"n_common"))
       .filter($"jaccard" >= minJac)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -135,13 +206,16 @@ object Dedup {
   val numHashes = 64
   val numBands = 16 // × 4 rows per band
 
-  /** MinHash signature: k independent permutation-minima approximated by
-    * k seeded hashes; sig[i] = min over shingles of xxhash64(shingle, i)
-    * (fast, codegen'd; signatures never need oracle parity since LSH
-    * candidates are re-verified with exact Jaccard). */
+  /** MinHash signature: ONE higher-order pass string-hashes the
+    * shingles (xxhash64), then the custom codegen expression
+    * [[graft.plans.MinHashSignature]] computes all k affine-permutation
+    * minima in a single primitive loop. The k-separate-`array_min`
+    * formulation re-walked the array k times in interpreted mode and
+    * was the bench bottleneck. Signatures never need oracle parity —
+    * LSH candidates are re-verified with exact Jaccard. */
   def minhashSignature(shingleCol: Column): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+    graft.plans.MinHashExpression.minhashSig(
+      transform(shingleCol, s => xxhash64(s)), numHashes)
 
   /** Near-duplicate pairs via banded MinHash-LSH, then EXACT Jaccard
     * verification of the candidates (so output precision is 1.0; recall
@@ -149,9 +223,13 @@ object Dedup {
     * Output is deterministic for a fixed corpus: seeds are constants. */
   def minhashDupPairs(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id", shingles($"text").as("sh"))
-      .filter(size($"sh") > 0)
+    // cache the shingle arrays: Catalyst's CollapseProject would inline
+    // the shingle expression into all 64 minhash columns (64× rebuild of
+    // the n-gram array per row) and into both sides of the candidate
+    // join — materializing once turns the signature stage into 64
+    // array_min passes over an in-memory column
+    val docs = sortedShingleDocs(spark, sfDir).cache()
+    docs.count() // eager pin (see ngramJaccardPairs)
     val sigs = docs.select($"doc_id", minhashSignature($"sh").as("sig"))
     // band keys: hash of each 4-slice of the signature
     val banded = sigs.select($"doc_id", posexplode(expr(
@@ -169,15 +247,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify on the (small) candidate set via per-pair array ops
-    candidates
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")))
-      .filter($"jaccard" >= minJac)
-      .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    verifyPairsExact(candidates, docs, minJac)
   }
 
   /** Oracle for the LSH pipeline: the exact ≥ 0.9 pairs. Valid because

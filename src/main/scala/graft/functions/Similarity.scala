@@ -29,11 +29,14 @@ object Similarity {
 
   val dim = 64
 
-  /** Elementwise-double dot product with a strict left fold. */
+  /** Elementwise-double dot product. Implemented as a custom codegen'd
+    * Catalyst expression ([[graft.plans.DotProduct]]) — the higher-order
+    * `aggregate(zip_with(...))` formulation is interpreted per element
+    * and was the bench bottleneck; the custom expression emits a
+    * primitive loop with the SAME left-to-right IEEE accumulation, so
+    * results (and the oracle hash) are bit-identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -54,12 +57,15 @@ object Similarity {
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // norms are computed ONCE per vector on each side of the join (not
+    // per pair): |corpus|+|queries| norm evaluations instead of 2×|pairs|
     val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("e_norm"))
     val queries = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"e_norm".as("q_norm"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", cosine($"q_emb", $"embedding"))
+      .withColumn("cos", dot($"q_emb", $"embedding") / ($"q_norm" * $"e_norm"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored
       .withColumn("rank", row_number().over(w))
@@ -94,10 +100,12 @@ object Similarity {
   def cosineNearDupPairs(spark: SparkSession, sfDir: String,
       minCos: Double = 0.45): DataFrame = {
     import spark.implicits._
-    val a = Tables.embeddings(spark, sfDir).select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
-    val b = Tables.embeddings(spark, sfDir).select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    val withNorm = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val a = withNorm.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("norm_a"))
+    val b = withNorm.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("norm_b"))
     a.crossJoin(b).filter($"vec_a" < $"vec_b")
-      .withColumn("cos", cosine($"emb_a", $"emb_b"))
+      .withColumn("cos", dot($"emb_a", $"emb_b") / ($"norm_a" * $"norm_b"))
       .filter($"cos" >= minCos)
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cosine"))
       .orderBy($"vec_a", $"vec_b")

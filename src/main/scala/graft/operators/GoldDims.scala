@@ -43,11 +43,17 @@ object GoldDims {
       .withColumn("week_of_year", weekofyear($"date_actual"))
       .withColumn("day_of_week", isoDow($"date_actual"))
       .withColumn("date_str", date_format($"date_actual", "yyyy-MM-dd"))
+      // F9: TO_CHAR name formats — 'EEEE'/'MMMM' ↔ strftime %A/%B (both
+      // English; Snowflake's 9-char blank padding is NOT replicated —
+      // trimmed names chosen and encoded in the oracle)
+      .withColumn("day_name", date_format($"date_actual", "EEEE"))
+      .withColumn("month_name", date_format($"date_actual", "MMMM"))
       .withColumn("is_weekend", isoDow($"date_actual") >= 6)
       .withColumn("fiscal_quarter",
         concat(lit("Q"), quarter($"date_actual").cast("string")))
       .select("date_sk", "date_actual", "year", "month", "day", "quarter",
-        "week_of_year", "day_of_week", "date_str", "is_weekend", "fiscal_quarter")
+        "week_of_year", "day_of_week", "date_str", "day_name", "month_name",
+        "is_weekend", "fiscal_quarter")
   }
 
   val dimDateSql: String =
@@ -60,6 +66,8 @@ object GoldDims {
       |       CAST(weekofyear(date_actual) AS INTEGER) AS week_of_year,
       |       CAST(isodow(date_actual) AS INTEGER) AS day_of_week,
       |       strftime(date_actual, '%Y-%m-%d') AS date_str,
+      |       strftime(date_actual, '%A') AS day_name,
+      |       strftime(date_actual, '%B') AS month_name,
       |       isodow(date_actual) >= 6 AS is_weekend,
       |       'Q' || CAST(quarter(date_actual) AS VARCHAR) AS fiscal_quarter
       |FROM (SELECT CAST(generate_series AS DATE) AS date_actual

@@ -28,8 +28,14 @@ object Quality {
   /** One row per check: (check_name, violations). */
   def report(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the fact feeds three independent checks (uniqueness + two FK
+    // anti-joins) — materialize it ONCE, but only the three columns the
+    // checks read: caching the full fact (md5 keys, every derived
+    // metric) measured slower than recomputing it
     val silver = Silver.build(spark, sfDir)
     val fact = GoldFact.build(spark, sfDir)
+      .select("trip_id", "pickup_zone_sk", "pickup_date_sk")
+      .cache()
     val dimZone = GoldDims.dimZone(spark, sfDir)
     val dimDate = GoldDims.dimDate(spark)
 

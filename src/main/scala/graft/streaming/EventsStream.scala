@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Tables
+
+/** Structured Streaming over the events table.
+  *
+  * The reference itself has no streaming operators (SURVEY §2.10) — its
+  * ingestion is a monthly batch backfill loop. This module is the
+  * Spark-native analog of that incremental pattern, built the way the
+  * same pipeline would run continuously: file-source `readStream` →
+  * event-time watermark → tumbling-window aggregation →
+  * `Trigger.AvailableNow` (process the backlog, then stop — exactly the
+  * scheduled-backfill semantics of the reference's Mage loop).
+  *
+  * Scale: windowed aggregation state is keyed by (window, event_type);
+  * the 10-minute watermark bounds state retention, so a 100 TB backlog
+  * streams through with O(active windows) memory per executor. The
+  * batch query [[hourlyBatch]] is the semantic twin used as the oracle —
+  * the test suite asserts stream == batch.
+  */
+object EventsStream {
+
+  /** Batch-semantics twin: tumbling 1-hour windows via `window()`. */
+  def hourlyBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.sumExact($"value").as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+        $"n_events", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val hourlyBatchSql: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |       COUNT(*) AS n_events,
+       |       ${graft.functions.Exact.sumExactSql("value")} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
+  /** The streaming pipeline, run to completion over the existing files
+    * (AvailableNow) and materialized via the memory sink. Returns the
+    * final result table with the same schema as [[hourlyBatch]]. */
+  def runHourlyStream(spark: SparkSession, sfDir: String,
+      queryName: String = "events_hourly"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory: stream the sf dir, glob-limited
+    // to the events table (in production this is the landing directory
+    // new files arrive into — the reference's monthly-download target)
+    val stream = spark.readStream
+      .schema(Tables.eventsRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.sumExact($"value").as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+        $"n_events", $"total_value")
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .orderBy($"window_start", $"event_type")
+  }
+}

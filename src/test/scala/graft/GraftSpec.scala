@@ -77,6 +77,14 @@ class DedupSpec extends SparkSuite {
     assert(sizes == Seq(0, 0, 0, 1, 2))
   }
 
+  test("prefix-filtered jaccard join equals the naive sparse join (completeness)") {
+    val fast = Dedup.ngramJaccardPairs(spark, "/root/testdata/sf0.01", 0.5)
+    val naive = Dedup.ngramJaccardPairsNaive(spark, "/root/testdata/sf0.01", 0.5)
+    assert(fast.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(fast).count() == 0)
+    assert(naive.count() > 0)
+  }
+
   test("minhash-LSH finds the engineered near-dups with exact-verified precision") {
     val lsh = Dedup.minhashDupPairs(spark, "/root/testdata/sf0.01", 0.9)
     val exact = Dedup.ngramJaccardPairs(spark, "/root/testdata/sf0.01", 0.9)
@@ -142,6 +150,33 @@ class MultimodalSpec extends SparkSuite {
       .agg(count(lit(1)).as("n_samples"))
       .filter(col("n_samples") =!= floor((col("n_frames") - 1) / 4) + 1)
     assert(bad.count() == 0)
+  }
+}
+
+class StreamingSpec extends SparkSuite {
+
+  test("structured stream (AvailableNow) equals the batch twin") {
+    val streamed = graft.streaming.EventsStream
+      .runHourlyStream(spark, "/root/testdata/sf0.001", "t_events_hourly")
+    val batch = graft.streaming.EventsStream.hourlyBatch(spark, "/root/testdata/sf0.001")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+}
+
+class IngestSpec extends SparkSuite {
+
+  test("manifest: every table loaded with declared width") {
+    val m = graft.sources.Ingest.manifest(spark, sf).cache()
+    assert(m.count() == 10)
+    assert(m.filter(col("status") =!= "loaded").count() == 0)
+    assert(m.filter(col("row_count") <= 0).count() == 0)
+    m.unpersist()
+  }
+
+  test("missing source becomes a brecha row, not a failure") {
+    assert(!graft.sources.Ingest.available("/root/testdata/sf0.001/nope.parquet"))
   }
 }
 
