@@ -48,6 +48,9 @@ object SparkEntry {
     // ingestion manifest + streaming batch-twin
     "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),
     "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
+    // window-function surface (frames, lag/lead, sessionization)
+    "q_running_totals" -> (WindowOps.runningTotals _),
+    "q_sessionize" -> ((s: SparkSession, d: String) => WindowOps.sessionize(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -79,5 +82,7 @@ object SparkEntry {
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
+    "q_running_totals" -> WindowOps.runningTotalsSql,
+    "q_sessionize" -> WindowOps.sessionizeSql(),
   )
 }

@@ -82,7 +82,10 @@ object GoldDims {
     import spark.implicits._
     val nat = graft.sources.Tables.nation(spark, sfDir)
     val reg = graft.sources.Tables.region(spark, sfDir)
-    val zones = nat.join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+    val zones = nat
+      // P5: null-key filter before SK assignment (dim_zone.sql:56)
+      .filter($"n_nationkey".isNotNull)
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .select(
         $"n_nationkey".as("locationid"),
         regexp_replace(trim($"n_name"), "_", " ").as("zone_name"),

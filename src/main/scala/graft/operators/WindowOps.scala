@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Window-function surface beyond the reference's two `row_number` SKs
+  * (SURVEY §2.5 notes the reference uses nothing else): running
+  * aggregates with explicit frames, lag/lead, rank, and gap-based
+  * sessionization — the analytics any engine user of this library would
+  * expect, each with a DuckDB oracle.
+  *
+  * Scale: every window here is PARTITIONED (by customer / user) — state
+  * per partition key, shuffled once on the partition key, no global
+  * ordering anywhere. The unpartitioned-window trap (all rows through
+  * one task) is reserved for dim-scale SK assignment only (GoldDims).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreaker
+  * (orderkey / event_id) so frame contents — and therefore running
+  * decimal sums — are identical across engines and partitionings.
+  */
+object WindowOps {
+
+  /** Per-customer order history: running lifetime revenue (explicit
+    * ROWS frame), order sequence number, gap in days since the previous
+    * order (lag), and next-order date (lead). */
+  def runningTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_revenue",
+        sum($"o_totalprice".cast("decimal(27,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("days_since_prev",
+        datediff(to_date($"o_orderdate"), to_date(lag($"o_orderdate", 1).over(w))))
+      .withColumn("next_order_date", to_date(lead($"o_orderdate", 1).over(w)))
+      .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").as("order_date"),
+        $"order_seq", $"running_revenue", $"days_since_prev", $"next_order_date")
+      .orderBy($"o_custkey", $"order_seq")
+  }
+
+  val runningTotalsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(o_orderdate AS DATE) AS order_date,
+      |       CAST(row_number() OVER w AS INTEGER) AS order_seq,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER
+      |            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_revenue,
+      |       CAST(date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+      |                      CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+      |       CAST(lead(o_orderdate, 1) OVER w AS DATE) AS next_order_date
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** Gap-based sessionization of the event stream: a >30-minute silence
+    * starts a new session (the lag → flag → running-sum idiom); output
+    * is one row per (user, session) with span and value totals. */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("is_new_session",
+        ($"prev_ts".isNull ||
+          (unix_timestamp($"ts") - unix_timestamp($"prev_ts")) > gapMinutes * 60L).cast("int"))
+      .withColumn("session_id",
+        sum($"is_new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("duration_sec"),
+        graft.functions.Exact.sumExact($"value").as("total_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  def sessionizeSql(gapMinutes: Int = 30): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         -- floor(epoch()) matches Spark's unix_timestamp second
+       |         -- truncation; raw epoch() is fractional for these
+       |         -- microsecond timestamps and would flip gap decisions
+       |         CASE WHEN lag(ts, 1) OVER w IS NULL
+       |                OR CAST(floor(epoch(ts)) AS BIGINT)
+       |                   - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > $gapMinutes * 60
+       |              THEN 1 ELSE 0 END AS is_new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |         CAST(sum(is_new_session) OVER
+       |           (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id,
+       |       COUNT(*) AS n_events,
+       |       min(ts) AS session_start,
+       |       max(ts) AS session_end,
+       |       CAST(floor(epoch(max(ts))) AS BIGINT)
+       |         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       |       ${graft.functions.Exact.sumExactSql("value")} AS total_value
+       |FROM sessions
+       |GROUP BY 1, 2
+       |ORDER BY user_id, session_id""".stripMargin
+}

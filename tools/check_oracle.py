@@ -21,6 +21,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def cell(v):
     import datetime
+    try:
+        if v is None or pd.isna(v):  # None, float NaN, pandas NaT
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays etc. — not null
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
