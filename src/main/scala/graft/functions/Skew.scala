@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys.
+  *
+  * AQE's skew-join splitting handles most cases at runtime
+  * (`spark.sql.adaptive.skewJoin.enabled`); these are the explicit
+  * tools for the two shapes AQE does not cover:
+  *
+  *  - [[saltedAggregate]]: two-phase aggregation when a handful of
+  *    grouping keys dominate (one reducer receives a large share of all
+  *    rows). Phase 1 aggregates on (key, salt) — the hot key's rows
+  *    spread over `salts` reducers — phase 2 merges the partials.
+  *    Works for any algebraic aggregate (sum/count/min/max here).
+  *  - [[saltedJoinKeys]]: explode the small side × salts, salt the big
+  *    side's key, equi-join on (key, salt) — classic broadcast-defeating
+  *    hot-key join repair when the small side is too big to broadcast.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts) derived from stable row content —
+    * NOT random: reproducible across retries/engines. */
+  def salt(on: Column, salts: Int): Column = pmod(xxhash64(on), lit(salts))
+
+  /** Two-phase sum/count aggregation over a skew-prone key.
+    * Result is identical to `df.groupBy(key).agg(sum, count)` — decimal
+    * partials make the re-merge order-independent. */
+  def saltedAggregate(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("_salt", salt(col(valueCol), salts))
+      .groupBy(col(key), $"_salt")
+      .agg(
+        sum(col(valueCol).cast("decimal(27,6)")).as("_psum"),
+        count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(
+        sum($"_psum").cast("double").as(s"sum_$valueCol"),
+        sum($"_pcnt").as("n_rows"))
+  }
+
+  /** (bigWithSaltedKey, smallExplodedOverSalts) ready to equi-join on
+    * (key, "_salt"). */
+  def saltedJoinKeys(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): (DataFrame, DataFrame) = {
+    val bigSalted = big.withColumn("_salt", salt(col(key), salts))
+    // long-typed sequence: a generator cannot be nested under a Cast,
+    // and the big side's pmod(xxhash64) salt is long
+    val smallExploded = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    (bigSalted, smallExploded)
+  }
+}

@@ -42,10 +42,15 @@ object GoldFact {
       date_format(pickup, "yyyy-MM-dd HH:mm:ss"),
       date_format(dropoff, "yyyy-MM-dd HH:mm:ss")))
 
-  /** The full fact model (with audit column). */
-  def build(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The full fact model (with audit column), deriving silver inline. */
+  def build(spark: SparkSession, sfDir: String): DataFrame =
+    buildFrom(spark, sfDir, Silver.build(spark, sfDir))
+
+  /** Fact from an externally-supplied silver relation — the
+    * PipelineRunner path, where silver is already MATERIALIZED and the
+    * fact reads the table instead of re-deriving the union. */
+  def buildFrom(spark: SparkSession, sfDir: String, silver: DataFrame): DataFrame = {
     import spark.implicits._
-    val silver = Silver.build(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate".as("pickup_ts"),
         $"o_orderstatus", $"o_orderpriority")

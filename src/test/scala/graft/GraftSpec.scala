@@ -67,6 +67,29 @@ class PipelineSpec extends SparkSuite {
   }
 }
 
+class PipelineRunnerSpec extends SparkSuite {
+
+  test("dbt-run analog: DAG materializes in dependency order, replace semantics") {
+    val out = "/tmp/graft_pipeline_run"
+    val counts = PipelineRunner.run(spark, sf, out)
+    assert(counts("fct_trips") > 0)
+    assert(counts("dim_date") == 2557)
+    assert(counts.keySet == Set("stg_trips_unified", "dim_date", "dim_zone",
+      "dim_payment_type", "dim_rate_code", "fct_trips"))
+    // rerun = replace, not append
+    val counts2 = PipelineRunner.run(spark, sf, out)
+    assert(counts2 == counts)
+    // fct read back from the materialized table
+    assert(spark.read.parquet(s"$out/fct_trips").columns.contains("trip_id"))
+  }
+
+  test("topo order puts fct last and respects declared deps") {
+    val order = PipelineRunner.topoOrder(PipelineRunner.models).map(_.name)
+    assert(order.last == "fct_trips")
+    assert(order.indexOf("stg_trips_unified") < order.indexOf("fct_trips"))
+  }
+}
+
 class DedupSpec extends SparkSuite {
   import spark.implicits._
 

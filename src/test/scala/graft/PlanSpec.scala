@@ -82,6 +82,61 @@ class PlanSpec extends SparkSuite {
   }
 }
 
+class ScaleToolsSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("co-bucketed join plans with NO shuffle exchange (the 100TB fact-fact shape)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Tables.lineitem(spark, sf)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      graft.sources.Tables.orders(spark, sf)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(900)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted aggregate equals the direct aggregate (skew repair, exact)") {
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(27,6)")).cast("double").as("sum_l_quantity"),
+        count(lit(1)).as("n_rows"))
+    val salted = graft.functions.Skew.saltedAggregate(
+      graft.sources.Tables.lineitem(spark, sf), "l_returnflag", "l_quantity")
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
+  test("salted join equals the plain join") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    val o = graft.sources.Tables.orders(spark, sf).select($"o_orderkey", $"o_orderpriority")
+    val plain = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    val (bigS, smallS) = graft.functions.Skew.saltedJoinKeys(
+      li.withColumnRenamed("l_orderkey", "k"), o.withColumnRenamed("o_orderkey", "k"), "k")
+    val saltedJoin = bigS.join(smallS.withColumnRenamed("k", "k2").withColumnRenamed("_salt", "_salt2"),
+        bigS("k") === col("k2") && bigS("_salt") === col("_salt2"))
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(saltedJoin.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(saltedJoin).count() == 0)
+  }
+}
+
 class CsvSourceSpec extends SparkSuite {
 
   test("CSV source: header + uppercase normalization round-trip (S5)") {
