@@ -87,7 +87,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // *_files_read entries are pruning evidence (file counts), not
+    // seconds — excluded from the headline total
+    val total = results.collect {
+      case (k, v) if !k.endsWith("_files_read") => v
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -13,11 +13,12 @@ import graft.sources.Tables
   * A8 in SURVEY §2.4); everything beyond that is the scale path a 100 TB
   * corpus needs: near-dup detection without O(n²) comparisons.
   *
-  * Everything is `functions._` column expressions (codegen'd, no UDFs):
-  * token hashes via md5-prefix parsing (cross-engine reproducible — the
-  * DuckDB oracle computes the identical 60-bit integers), minhash via
-  * `array_min(transform(...))`, SimHash bit votes via 60 conditional
-  * sums in one aggregate pass.
+  * No UDFs anywhere: oracle-facing hashes use md5-prefix parsing
+  * (cross-engine reproducible — DuckDB computes the identical 60-bit
+  * integers); hot loops use the custom codegen expressions in
+  * `graft.plans` (MinHashSignature one-pass signatures,
+  * SortedIntersectSize merge intersections); SimHash bit votes are 60
+  * conditional sums in one aggregate pass.
   *
   * Scale design:
   *  - exact dedup: one shuffle on the text hash; map-side partial agg.

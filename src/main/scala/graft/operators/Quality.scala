@@ -36,6 +36,8 @@ object Quality {
     val fact = GoldFact.build(spark, sfDir)
       .select("trip_id", "pickup_zone_sk", "pickup_date_sk")
       .cache()
+    fact.count() // eager pin — three checks would otherwise race to
+    // compute the un-materialized join chain concurrently
     val dimZone = GoldDims.dimZone(spark, sfDir)
     val dimDate = GoldDims.dimDate(spark)
 
