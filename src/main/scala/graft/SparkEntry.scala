@@ -44,6 +44,7 @@ object SparkEntry {
     "q_media_features" -> (Multimodal.mediaFeatures _),
     // approximate / binary-plumbing ops: rows-only check (no SQL oracle)
     "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // ingestion manifest + streaming batch-twin
     "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),
@@ -51,6 +52,8 @@ object SparkEntry {
     // window-function surface (frames, lag/lead, sessionization)
     "q_running_totals" -> (WindowOps.runningTotals _),
     "q_sessionize" -> ((s: SparkSession, d: String) => WindowOps.sessionize(s, d)),
+    "q_rollup_revenue" -> (Analytics.rollupRevenue _),
+    "q_distinct_counts" -> (Analytics.distinctCounts _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -84,5 +87,7 @@ object SparkEntry {
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
     "q_running_totals" -> WindowOps.runningTotalsSql,
     "q_sessionize" -> WindowOps.sessionizeSql(),
+    "q_rollup_revenue" -> Analytics.rollupRevenueSql,
+    "q_distinct_counts" -> Analytics.distinctCountsSql,
   )
 }

@@ -140,6 +140,49 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into cells by
+    * nearest centroid; a query probes only its `nProbes` closest cells
+    * and ranks that candidate subset exactly.
+    *
+    * Centroid choice is deterministic (the `nCells` lowest corpus ids
+    * outside the query range) — a real deployment would k-means these;
+    * the cell-assignment / probe plumbing is identical either way.
+    *
+    * Scale shape: assignment is a broadcast join (centroids are tiny) +
+    * one shuffle on cell id to co-locate each cell's vectors; each
+    * query then touches |corpus|·nProbes/nCells candidates instead of
+    * |corpus| — the standard IVF cost model. */
+  def knnIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbes: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("e_norm"))
+    val centroids = emb.filter($"vec_id" >= nQueries && $"vec_id" < nQueries + nCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("c_emb"), $"e_norm".as("c_norm"))
+    def nearestCells(vecs: org.apache.spark.sql.DataFrame, n: Int, idCol: String) = {
+      val w = Window.partitionBy(col(idCol)).orderBy($"c_cos".desc, $"cell_id")
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", dot($"embedding", $"c_emb") / ($"e_norm" * $"c_norm"))
+        .withColumn("c_rank", row_number().over(w))
+        .filter($"c_rank" <= n)
+        .drop("c_emb", "c_norm", "c_cos", "c_rank")
+    }
+    val corpusCells = nearestCells(emb, 1, "vec_id")
+    val queryCells = nearestCells(emb.filter($"vec_id" < nQueries), nProbes, "vec_id")
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"e_norm".as("q_norm"), $"cell_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    corpusCells.join(queryCells, Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"q_emb", $"embedding") / ($"q_norm" * $"e_norm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** ANN top-k: candidates share the query's sign-bucket; exact cosine +
     * ranking within the candidate set. Recall measured against
     * [[knnBruteForce]] in the test suite. */

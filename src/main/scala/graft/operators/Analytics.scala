@@ -246,6 +246,51 @@ object Analytics {
        |GROUP BY 1, 2, 3
        |ORDER BY event_type, pickup_hour""".stripMargin
 
+  /** Hierarchical subtotals via ROLLUP — engine surface beyond the
+    * reference (SURVEY §2.4 notes grouping sets absent there); one
+    * shuffle, subtotal rows synthesized by the aggregation.
+    * NULLS-order hazard: Spark ASC sorts nulls FIRST, DuckDB LAST — the
+    * oracle pins NULLS FIRST explicitly. */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag".as("service_type"), $"l_linestatus".as("line_status"))
+      .agg(count(lit(1)).as("trips"), sumExact($"l_extendedprice").as("total_revenue"))
+      .orderBy($"service_type", $"line_status")
+  }
+
+  val rollupRevenueSql: String =
+    s"""SELECT l_returnflag AS service_type, l_linestatus AS line_status,
+       |       COUNT(*) AS trips,
+       |       ${sumExactSql("l_extendedprice")} AS total_revenue
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY service_type NULLS FIRST, line_status NULLS FIRST""".stripMargin
+
+  /** Exact distinct cardinalities per group (engine surface; the scale
+    * path for approximate needs is `approx_count_distinct`, not
+    * oracle-comparable by construction). Two-level shuffle: distinct
+    * expansion then final merge — Catalyst's expand-based plan. */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag".as("service_type"))
+      .agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_suppliers"),
+        count(lit(1)).as("trips"))
+      .orderBy($"service_type")
+  }
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag AS service_type,
+      |       COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |       COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+      |       COUNT(*) AS trips
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY service_type""".stripMargin
+
   /** evidencias/matriz-cobertura.csv: per (year, month, service) coverage
     * with COUNT/SUM/MIN/MAX (A7) — the loader-manifest analog. */
   def coverageMatrix(spark: SparkSession, sfDir: String): DataFrame = {

@@ -43,6 +43,67 @@ object EventsStream {
        |GROUP BY 1, 2
        |ORDER BY window_start, event_type""".stripMargin
 
+  /** Per-user rollup state for the stateful-operator path. All fields
+    * are order-independent (count/min/max), so the stream result is
+    * deterministic regardless of shuffle arrival order. */
+  case class UserRollup(user_id: Long, n_events: Long,
+    first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Custom streaming state via `mapGroupsWithState` — the
+    * KeyValueGroupedDataset path for semantics windows can't express.
+    * Here: per-user lifetime rollups, updated as batches arrive; with
+    * AvailableNow the backlog drains and the final state equals the
+    * batch groupBy (asserted in StreamingSpec).
+    *
+    * Scale: state is one small record per user key, partitioned by the
+    * grouping key across executors; timeouts (GroupStateTimeout) are
+    * the retention knob when keys churn. */
+  def runStatefulUserRollup(spark: SparkSession, sfDir: String,
+      queryName: String = "user_rollup"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(Tables.eventsRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select($"user_id", $"ts")
+      .as[(Long, java.sql.Timestamp)]
+    def update(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[UserRollup]): UserRollup = {
+      val prev = state.getOption.getOrElse(
+        UserRollup(user, 0L, null, null))
+      val merged = rows.foldLeft(prev) { case (acc, (_, ts)) =>
+        UserRollup(user, acc.n_events + 1,
+          if (acc.first_ts == null || ts.before(acc.first_ts)) ts else acc.first_ts,
+          if (acc.last_ts == null || ts.after(acc.last_ts)) ts else acc.last_ts)
+      }
+      state.update(merged)
+      merged
+    }
+    val q = events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy($"user_id")
+  }
+
+  /** Batch twin of the stateful rollup. */
+  def userRollupBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   /** The streaming pipeline, run to completion over the existing files
     * (AvailableNow) and materialized via the memory sink. Returns the
     * final result table with the same schema as [[hourlyBatch]]. */

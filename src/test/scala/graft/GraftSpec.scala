@@ -138,6 +138,19 @@ class SimilaritySpec extends SparkSuite {
     knn.unpersist()
   }
 
+  test("knn-IVF: probes nProbes cells, k results per query, decent recall") {
+    val bf = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, "/root/testdata/sf0.01", 10, 5)
+    val pairs = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    val perQuery = ivf.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.forall(_ <= 5))
+    val recall = (bf intersect pairs).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
+  }
+
   test("knn-LSH: candidates only from the query's bucket; recall@5 sane on clustered data") {
     val bf = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", 10, 5)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -177,6 +190,15 @@ class MultimodalSpec extends SparkSuite {
 }
 
 class StreamingSpec extends SparkSuite {
+
+  test("mapGroupsWithState rollup equals the batch groupBy") {
+    val streamed = graft.streaming.EventsStream
+      .runStatefulUserRollup(spark, "/root/testdata/sf0.001", "t_user_rollup")
+    val batch = graft.streaming.EventsStream.userRollupBatch(spark, "/root/testdata/sf0.001")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
 
   test("structured stream (AvailableNow) equals the batch twin") {
     val streamed = graft.streaming.EventsStream
