@@ -221,8 +221,16 @@ object Dedup {
   /** Near-duplicate pairs via banded MinHash-LSH, then EXACT Jaccard
     * verification of the candidates (so output precision is 1.0; recall
     * is the LSH band guarantee — ≥ 1-(1-j^4)^16, ≈ 1 for j ≥ 0.9).
-    * Output is deterministic for a fixed corpus: seeds are constants. */
-  def minhashDupPairs(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame = {
+    * Output is deterministic for a fixed corpus: seeds are constants.
+    *
+    * `bucketCap`: optional skew guard. A bucket of n near-identical
+    * docs fans out n²/2 candidate pairs; capping drops such buckets at
+    * the cost of RECALL on giant duplicate clusters. The oracle-checked
+    * default is None (lossless — the exact-join oracle could not match
+    * a lossy variant); at corpus scale pass Some(cap) and handle
+    * over-cap buckets by keeping one representative per bucket. */
+  def minhashDupPairs(spark: SparkSession, sfDir: String, minJac: Double = 0.9,
+      bucketCap: Option[Int] = None): DataFrame = {
     import spark.implicits._
     // cache the shingle arrays: Catalyst's CollapseProject would inline
     // the shingle expression into all 64 minhash columns (64× rebuild of
@@ -236,10 +244,12 @@ object Dedup {
     val banded = sigs.select($"doc_id", posexplode(expr(
       s"transform(sequence(0, ${numBands - 1}), b -> hash(slice(sig, b * 4 + 1, 4)))")))
       .toDF("doc_id", "band_idx", "band_hash")
-    // skew guard: drop pathological buckets before the self-join
+    // skew guard (optional, lossy — see scaladoc): drop pathological
+    // buckets before the self-join
     val bucketSizes = banded.groupBy($"band_idx", $"band_hash")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter($"bucket_n" > 1 && $"bucket_n" <= hotShingleCap)
+      .filter($"bucket_n" > 1 &&
+        bucketCap.map(c => $"bucket_n" <= c).getOrElse(lit(true)))
     val active = banded.join(bucketSizes, Seq("band_idx", "band_hash"))
     val candidates = active.as("a").join(active.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

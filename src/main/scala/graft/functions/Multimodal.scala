@@ -35,10 +35,12 @@ object Multimodal {
     * "decoded" properties from the bytes so tests are reproducible. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      val n = payload.length
-      val w = 64 + ((n * 7919) % 960)      // fake width  ∈ [64, 1024)
-      val h = 64 + ((n * 104729) % 704)    // fake height ∈ [64, 768)
-      val frames = 1 + (n % 16)            // fake frame count
+      // Long arithmetic: n * 104729 overflows Int at ~20.5 KB payloads,
+      // which would diverge from the Long-typed SQL/expression path
+      val n = payload.length.toLong
+      val w = 64L + ((n * 7919L) % 960L)    // fake width  ∈ [64, 1024)
+      val h = 64L + ((n * 104729L) % 704L)  // fake height ∈ [64, 768)
+      val frames = 1L + (n % 16L)           // fake frame count
       (w.toInt, h.toInt, frames.toInt)
     }
     /** Fake resize: keeps aspect via integer scaling — pure function. */

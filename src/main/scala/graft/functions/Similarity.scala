@@ -192,11 +192,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("bucket", signSignature($"embedding"))
+      .withColumn("e_norm", norm($"embedding")) // once per vector, not per pair
     val queries = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"e_norm".as("q_norm"), $"bucket")
     val cands = emb.join(broadcast(queries), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", cosine($"q_emb", $"embedding"))
+      .withColumn("cos", dot($"q_emb", $"embedding") / ($"q_norm" * $"e_norm"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     cands
       .withColumn("rank", row_number().over(w))

@@ -42,10 +42,15 @@ object Skew {
   }
 
   /** (bigWithSaltedKey, smallExplodedOverSalts) ready to equi-join on
-    * (key, "_salt"). */
+    * (key, "_salt"). The big side's salt must NOT derive from the join
+    * key (all rows of the hot key would share one salt — a no-op);
+    * a per-row counter spreads each key's rows across all salts. Join
+    * results are identical for any salt assignment: each big row meets
+    * exactly the one small-side copy carrying its salt. */
   def saltedJoinKeys(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): (DataFrame, DataFrame) = {
-    val bigSalted = big.withColumn("_salt", salt(col(key), salts))
+    val bigSalted = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     // long-typed sequence: a generator cannot be nested under a Cast,
     // and the big side's pmod(xxhash64) salt is long
     val smallExploded = small.withColumn("_salt",

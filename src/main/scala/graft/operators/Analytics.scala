@@ -32,10 +32,16 @@ object Analytics {
     * trip_distance→l_quantity, total_amount→l_extendedprice.
     * Filter + month-trunc reach the parquet scan (predicate pushdown);
     * see also ClusteredLayout for the 16× pruning reproduction. */
-  def monthlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, sfDir)
-      .filter($"l_shipdate".between(
+  def monthlyAgg(spark: SparkSession, sfDir: String): DataFrame =
+    monthlyAggOn(Tables.lineitem(spark, sfDir))
+
+  /** The benchmark query shape over an arbitrary lineitem-schema frame —
+    * single definition shared by the oracle query AND the Bench
+    * clustering experiment (ClusteredLayout), so they can never
+    * measure different queries. */
+  def monthlyAggOn(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.filter($"l_shipdate".between(
         lit("2000-01-01").cast("timestamp"), lit("2000-12-31").cast("timestamp")))
       .groupBy(
         $"l_returnflag".as("service_type"),
@@ -181,7 +187,10 @@ object Analytics {
   val durationPercentilesSql: String =
     s"""WITH base AS (
        |  SELECT n_name AS zone_name,
-       |         (epoch(l_shipdate) - epoch(o_orderdate)) / 3600.0 AS trip_duration_hours
+       |         -- floor(epoch()) matches Spark unix_timestamp's second
+       |         -- truncation (DuckDB epoch() is fractional)
+       |         (CAST(floor(epoch(l_shipdate)) AS BIGINT)
+       |          - CAST(floor(epoch(o_orderdate)) AS BIGINT)) / 3600.0 AS trip_duration_hours
        |  FROM lineitem
        |  JOIN orders ON l_orderkey = o_orderkey
        |  JOIN customer ON o_custkey = c_custkey

@@ -37,18 +37,10 @@ object ClusteredLayout {
   }
 
   /** The README benchmark query shape over an arbitrary lineitem frame
-    * (raw or clustered): one-year monthly aggregation. */
-  def monthlyAggOn(df: DataFrame): DataFrame = {
-    import df.sparkSession.implicits._
-    df.filter($"l_shipdate".between(
-        lit("2000-01-01").cast("timestamp"), lit("2000-12-31").cast("timestamp")))
-      .groupBy($"l_returnflag".as("service_type"),
-        date_trunc("month", $"l_shipdate").cast("date").as("month"))
-      .agg(count(lit(1)).as("trips"),
-        graft.functions.Exact.avgExact($"l_quantity").as("avg_distance"),
-        graft.functions.Exact.avgExact($"l_extendedprice").as("avg_amount"))
-      .orderBy($"month", $"service_type")
-  }
+    * (raw or clustered) — delegates to the single definition in
+    * [[Analytics.monthlyAggOn]] so the experiment and the oracle query
+    * can never drift apart. */
+  def monthlyAggOn(df: DataFrame): DataFrame = Analytics.monthlyAggOn(df)
 
   /** Read back the clustered layout with the partition column available
     * for pruning (`ship_year = 2000` prunes at directory level). */

@@ -178,7 +178,8 @@ object GoldFact {
       |enriched AS (
       |  SELECT s.*, o.o_orderdate AS pickup_ts, o.o_orderstatus,
       |         o.o_orderpriority, c.c_nationkey,
-      |         (epoch(s.dropoff_ts) - epoch(o.o_orderdate)) / 3600.0 AS trip_duration_hours
+      |         (CAST(floor(epoch(s.dropoff_ts)) AS BIGINT)
+      |          - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) / 3600.0 AS trip_duration_hours
       |  FROM silver s
       |  JOIN orders o ON s.order_key = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey)

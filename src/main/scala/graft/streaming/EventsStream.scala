@@ -91,7 +91,17 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName).orderBy($"user_id")
+    // Update mode appends one row per (user, micro-batch) to the memory
+    // sink; when the backlog spans multiple batches (maxFilesPerTrigger)
+    // a user appears once per batch. The FINAL state is the row with the
+    // largest n_events — the counter is monotone across updates.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"n_events".desc)
+    spark.table(queryName)
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .drop("_rn")
+      .orderBy($"user_id")
   }
 
   /** Batch twin of the stateful rollup. */
