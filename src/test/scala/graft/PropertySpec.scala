@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Exact}
+
+/** Property-style checks on the semantics-hazard expressions (SURVEY §5:
+  * hash stability, order-independence, custom-vs-builtin equivalence).
+  * Seeded generation (fixed seed → reproducible failures); each case
+  * materializes one small DataFrame. */
+class PropertySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("sumExact is bit-identical under any partitioning (order independence)") {
+    (1 to 5).foreach { _ =>
+      val xs = List.fill(200)(math.rint(rnd.between(-1e6, 1e6) * 1e4) / 1e4)
+      val df = xs.toDF("v")
+      val a = df.repartition(1).agg(Exact.sumExact($"v")).collect().head.getDouble(0)
+      val b = df.repartition(13).agg(Exact.sumExact($"v")).collect().head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b))
+    }
+  }
+
+  test("DotProduct equals the higher-order aggregate/zip_with formulation bit-for-bit") {
+    (1 to 8).foreach { _ =>
+      val a = Array.fill(16)(rnd.between(-10.0f, 10.0f))
+      val b = Array.fill(16)(rnd.between(-10.0f, 10.0f))
+      val df = Seq((a, b)).toDF("a", "b")
+      val custom = df.select(graft.plans.VectorExpressions.dotProduct($"a", $"b"))
+        .collect().head.getDouble(0)
+      val hof = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)).collect().head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(custom) == java.lang.Double.doubleToLongBits(hof))
+    }
+  }
+
+  test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
+    (1 to 8).foreach { _ =>
+      def arr() = List.fill(rnd.nextInt(20))(
+        List.fill(rnd.nextInt(5) + 1)(('a' + rnd.nextInt(4)).toChar).mkString)
+        .distinct.sorted.toArray
+      val (a, b) = (arr(), arr())
+      val df = Seq((a, b)).toDF("a", "b")
+      val custom = df.select(graft.plans.ArrayExpressions.sortedIntersectSize($"a", $"b"))
+        .collect().head.getInt(0)
+      val builtin = df.select(size(array_intersect($"a", $"b"))).collect().head.getInt(0)
+      assert(custom == builtin, s"a=${a.toList} b=${b.toList}")
+    }
+  }
+
+  test("shingles: count == max(0, tokens-2) for distinct tokens; hash60 in [0, 2^60)") {
+    (0 to 8).foreach { n =>
+      // n distinct tokens → exactly max(0, n-2) distinct shingles
+      val words = (0 until n).map(i => s"w$i")
+      val text = words.mkString(" ")
+      val df = Seq(text).toDF("text")
+      val sh = df.select(size(Dedup.shingles($"text"))).collect().head.getInt(0)
+      assert(sh == math.max(0, n - 2), s"n=$n")
+      val h = df.select(Dedup.hash60(lit("x" + text))).collect().head.getLong(0)
+      assert(h >= 0L && h < (1L << 60))
+    }
+  }
+
+  test("MinHashSignature: componentwise min under concatenation (mergeability)") {
+    (1 to 5).foreach { _ =>
+      val xs = Array.fill(12)(rnd.nextLong())
+      val ys = Array.fill(12)(rnd.nextLong())
+      def sig(zs: Array[Long]): Seq[Long] =
+        Seq(zs).toDF("h")
+          .select(graft.plans.MinHashExpression.minhashSig($"h", 16))
+          .collect().head.getSeq[Long](0)
+      val merged = sig(xs ++ ys)
+      val piecewise = sig(xs).zip(sig(ys)).map { case (p, q) => math.min(p, q) }
+      assert(merged == piecewise) // the property LSH banding relies on
+    }
+  }
+}
