@@ -54,6 +54,7 @@ object SparkEntry {
     "q_sessionize" -> ((s: SparkSession, d: String) => WindowOps.sessionize(s, d)),
     "q_rollup_revenue" -> (Analytics.rollupRevenue _),
     "q_distinct_counts" -> (Analytics.distinctCounts _),
+    "q_event_props" -> (Analytics.eventProps _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -89,5 +90,6 @@ object SparkEntry {
     "q_sessionize" -> WindowOps.sessionizeSql(),
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,
     "q_distinct_counts" -> Analytics.distinctCountsSql,
+    "q_event_props" -> Analytics.eventPropsSql,
   )
 }

@@ -300,6 +300,33 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY service_type""".stripMargin
 
+  /** Semi-structured column surface: the events table carries a JSON
+    * `props` string (engine breadth — the reference has no JSON, SURVEY
+    * §2.8, but pipeline users do). Extraction stays codegen'd
+    * (`get_json_object`); at scale prefer `from_json` with a declared
+    * schema once per column rather than repeated path extraction. */
+  def eventProps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        avgExact($"k").as("avg_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val eventPropsSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |       ${avgExactSql("CAST(json_extract_string(props, '$.k') AS INTEGER)")} AS avg_k,
+       |       MIN(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS min_k,
+       |       MAX(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS max_k
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
+
   /** evidencias/matriz-cobertura.csv: per (year, month, service) coverage
     * with COUNT/SUM/MIN/MAX (A7) — the loader-manifest analog. */
   def coverageMatrix(spark: SparkSession, sfDir: String): DataFrame = {
