@@ -41,6 +41,10 @@ object Bench {
       results(name) = time {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+      // isolation: query builders cache intermediates (shingle arrays,
+      // fact projections) — drop them so no query is timed against
+      // another query's warm cache and storage memory stays flat
+      spark.catalog.clearCache()
     }
 
     // clustering experiment (the BASELINE.md 16.3× reproduction). At

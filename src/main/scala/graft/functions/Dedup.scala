@@ -135,12 +135,16 @@ object Dedup {
     val sh = docs.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
+    // candidate join on the shingle HASH, not the string: smaller
+    // shuffle rows and long-compare joins. A hash collision can only
+    // ADD candidates (still a superset of true pairs); the exact
+    // verification below filters them, so correctness is unaffected.
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(minJac) * $"n") + 1)
-      .select($"doc_id", $"shingle")
+      .select($"doc_id", xxhash64($"shingle").as("sh_h"))
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairsExact(candidates, docs, minJac)
