@@ -45,6 +45,7 @@ object SparkEntry {
     // approximate / binary-plumbing ops: rows-only check (no SQL oracle)
     "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    "q_approx_stats" -> (Analytics.approxStats _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // ingestion manifest + streaming batch-twin
     "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),

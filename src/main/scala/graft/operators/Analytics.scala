@@ -327,6 +327,23 @@ object Analytics {
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
 
+  /** Sketch-path statistics — the 100 TB variants of A5/COUNT DISTINCT:
+    * approx_percentile (single-pass, mergeable, bounded error instead
+    * of percentile_cont's full per-group sort) and
+    * approx_count_distinct (HLL++, constant memory per group).
+    * Deterministic for fixed input but engine-specific — no DuckDB
+    * oracle; the test suite bounds them against the exact values. */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag".as("service_type"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_price_approx"),
+        approx_count_distinct($"l_partkey").as("distinct_parts_approx"),
+        count(lit(1)).as("trips"))
+      .orderBy($"service_type")
+  }
+
   /** evidencias/matriz-cobertura.csv: per (year, month, service) coverage
     * with COUNT/SUM/MIN/MAX (A7) — the loader-manifest analog. */
   def coverageMatrix(spark: SparkSession, sfDir: String): DataFrame = {

@@ -90,6 +90,22 @@ class PipelineRunnerSpec extends SparkSuite {
   }
 }
 
+class ApproxSpec extends SparkSuite {
+
+  test("sketch aggregates land within error bounds of the exact values") {
+    import spark.implicits._
+    val approx = Analytics.approxStats(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val exact = Analytics.distinctCounts(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, distinctParts) =>
+      val (_, approxParts) = approx(flag)
+      val relErr = math.abs(approxParts - distinctParts).toDouble / distinctParts
+      assert(relErr < 0.1, s"$flag: HLL rel err $relErr")
+    }
+  }
+}
+
 class DedupSpec extends SparkSuite {
   import spark.implicits._
 

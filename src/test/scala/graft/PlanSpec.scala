@@ -63,6 +63,34 @@ class PlanSpec extends SparkSuite {
       s"dotproduct not inside a codegen stage:\n${scoringLines.mkString("\n")}")
   }
 
+  test("shuffle budget: flagship agg = 1 exchange; demand query <= 3") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // structural count of DISTINCT shuffle nodes (the plan-string form
+    // renders stages repeatedly and over-counts)
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      def walk(p: SparkPlan): Unit = if (seen.add(p)) p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.count(_.isInstanceOf[ShuffleExchangeLike])
+    }
+    // monthly agg: scan → partial agg → ONE shuffle → final agg
+    // (+ at most a result-sort exchange on the 36-row output)
+    val flag = shuffles(Analytics.monthlyAgg(spark, sf))
+    assert(flag <= 2, s"flagship should shuffle once (+result sort), saw $flag")
+    // demand: pre-agg shuffle + customer join + re-agg; dims broadcast
+    val demand = shuffles(Analytics.demandByZone(spark, sf))
+    assert(demand <= 5, s"demand query exchange budget blown: $demand")
+  }
+
   test("clustered layout: partition pruning reads only the filtered year") {
     val dir = "/tmp/graft_plan_spec_clustered"
     ClusteredLayout.writeClustered(spark, sf, dir)
