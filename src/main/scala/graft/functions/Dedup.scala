@@ -26,17 +26,21 @@ import graft.sources.Tables
   *    sparse (only co-occurring docs meet), but hot shingles fan out
   *    quadratically; [[hotShingleCap]] documents the mitigation used by
   *    the LSH path (prune shingles/buckets above a doc-frequency cap).
-  *  - MinHash-LSH: cost is b bucket-joins instead of n²; bucket sizes
-  *    are capped (skew guard) so no reducer sees a quadratic blowup.
+  *  - MinHash-LSH: cost is b bucket-joins instead of n²; an OPT-IN
+  *    bucket cap ([[hotShingleCap]] is the suggested value) guards
+  *    reducers against giant-duplicate-cluster blowup — opt-in, not
+  *    default, because the cap trades recall and the correctness
+  *    oracle demands the lossless variant.
   *  - SimHash: near-dup candidates via 4×15-bit band keys → equi-join,
   *    the standard way to find hamming-distance≤k pairs without n².
   */
 object Dedup {
 
-  /** Buckets/shingles seen in more than this many docs are dropped in
-    * the LSH candidate stage — a hot shingle (stop-phrase) pairs every
-    * doc containing it with every other, which is quadratic at corpus
-    * scale and contributes no discriminative signal. */
+  /** Suggested `bucketCap` for [[minhashDupPairs]] at corpus scale:
+    * buckets above this size are dropped (a hot bucket pairs every doc
+    * in it with every other — quadratic — and near-always represents a
+    * boilerplate cluster better handled by keeping one representative).
+    * Opt-in: the default path is lossless (see minhashDupPairs). */
   val hotShingleCap = 1000
 
   // ---- shared text primitives -------------------------------------------
@@ -231,8 +235,8 @@ object Dedup {
     * docs fans out n²/2 candidate pairs; capping drops such buckets at
     * the cost of RECALL on giant duplicate clusters. The oracle-checked
     * default is None (lossless — the exact-join oracle could not match
-    * a lossy variant); at corpus scale pass Some(cap) and handle
-    * over-cap buckets by keeping one representative per bucket. */
+    * a lossy variant); at corpus scale pass Some(hotShingleCap) and
+    * handle over-cap buckets by keeping one representative per bucket. */
   def minhashDupPairs(spark: SparkSession, sfDir: String, minJac: Double = 0.9,
       bucketCap: Option[Int] = None): DataFrame = {
     import spark.implicits._

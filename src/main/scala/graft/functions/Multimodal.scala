@@ -108,9 +108,11 @@ object Multimodal {
       |         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
       |  FROM documents),
       |g AS (
+      |  -- BIGINT arithmetic: INT32 n_bytes * 104729 overflows DuckDB at
+      |  -- ~20.5 KB payloads (the Scala FakeCodec fix has the same rationale)
       |  SELECT media_id, kind, n_bytes,
-      |         64 + (n_bytes * 7919) % 960 AS width,
-      |         64 + (n_bytes * 104729) % 704 AS height
+      |         64 + (CAST(n_bytes AS BIGINT) * 7919) % 960 AS width,
+      |         64 + (CAST(n_bytes AS BIGINT) * 104729) % 704 AS height
       |  FROM m)
       |SELECT media_id, kind, n_bytes,
       |       CAST(width AS INTEGER) AS width,

@@ -26,11 +26,15 @@ object Skew {
 
   /** Two-phase sum/count aggregation over a skew-prone key.
     * Result is identical to `df.groupBy(key).agg(sum, count)` — decimal
-    * partials make the re-merge order-independent. */
+    * partials make the re-merge order-independent (so ANY salt
+    * assignment yields the same answer). The salt is a per-row counter,
+    * NOT a hash of row values: hashing the value column degenerates to
+    * one salt when a hot key carries a constant/null measure — exactly
+    * the data shape that produces hot keys. */
   def saltedAggregate(df: DataFrame, key: String, valueCol: String,
       salts: Int = 16): DataFrame = {
     import df.sparkSession.implicits._
-    df.withColumn("_salt", salt(col(valueCol), salts))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
       .groupBy(col(key), $"_salt")
       .agg(
         sum(col(valueCol).cast("decimal(27,6)")).as("_psum"),
@@ -52,7 +56,7 @@ object Skew {
     val bigSalted = big.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)))
     // long-typed sequence: a generator cannot be nested under a Cast,
-    // and the big side's pmod(xxhash64) salt is long
+    // and the big side's counter-based salt is long
     val smallExploded = small.withColumn("_salt",
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     (bigSalted, smallExploded)

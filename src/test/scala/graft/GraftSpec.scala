@@ -94,14 +94,21 @@ class ApproxSpec extends SparkSuite {
 
   test("sketch aggregates land within error bounds of the exact values") {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     val approx = Analytics.approxStats(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    val exact = Analytics.distinctCounts(spark, "/root/testdata/sf0.01")
+    val exactDistinct = Analytics.distinctCounts(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (flag, distinctParts) =>
-      val (_, approxParts) = approx(flag)
-      val relErr = math.abs(approxParts - distinctParts).toDouble / distinctParts
-      assert(relErr < 0.1, s"$flag: HLL rel err $relErr")
+    val exactP50 = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exactDistinct.foreach { case (flag, distinctParts) =>
+      val (approxP50, approxParts) = approx(flag)
+      val hllErr = math.abs(approxParts - distinctParts).toDouble / distinctParts
+      assert(hllErr < 0.1, s"$flag: HLL rel err $hllErr")
+      val p50Err = math.abs(approxP50 - exactP50(flag)) / exactP50(flag)
+      assert(p50Err < 0.05, s"$flag: approx_percentile rel err $p50Err")
     }
   }
 }

@@ -63,7 +63,7 @@ class PlanSpec extends SparkSuite {
       s"dotproduct not inside a codegen stage:\n${scoringLines.mkString("\n")}")
   }
 
-  test("shuffle budget: flagship agg = 1 exchange; demand query <= 3") {
+  test("shuffle budget: flagship agg <= 2 exchanges; demand query <= 5") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
