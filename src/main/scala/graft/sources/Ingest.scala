@@ -71,10 +71,17 @@ object Ingest {
   }
 
   /** S6/S9: replace-semantics materialization (exporter_taxi.py:26-32,
-    * dbt `materialized='table'`): overwrite parquet, return the re-read
-    * frame (the "table" downstream layers consume). */
-  def writeBronze(df: DataFrame, dir: String): DataFrame = {
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
-    df.sparkSession.read.parquet(dir)
+    * dbt `materialized='table'`): overwrite, return the re-read frame
+    * (the "table" downstream layers consume). Format-agnostic —
+    * parquet default; orc/json/csv for interop sinks. Schema is
+    * re-applied on read for the text formats (json/csv do not preserve
+    * types by themselves). */
+  def writeBronze(df: DataFrame, dir: String, format: String = "parquet"): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).format(format).save(dir)
+    val reader = df.sparkSession.read.format(format)
+    (format match {
+      case "json" | "csv" => reader.schema(df.schema)
+      case _ => reader
+    }).load(dir)
   }
 }

@@ -200,6 +200,25 @@ class SqlSurfaceSpec extends SparkSuite {
   }
 }
 
+class SourceFormatsSpec extends SparkSuite {
+
+  test("bronze round-trips through parquet, orc, json with identical contents") {
+    val src = graft.sources.Tables.nation(spark, sf)
+    Seq("parquet", "orc", "json").foreach { fmt =>
+      val back = graft.sources.Ingest.writeBronze(src, s"/tmp/graft_fmt_$fmt", fmt)
+      assert(back.exceptAll(src).count() == 0, fmt)
+      assert(src.exceptAll(back).count() == 0, fmt)
+    }
+  }
+
+  test("text source reads raw lines") {
+    import spark.implicits._
+    graft.sources.Tables.region(spark, sf).select($"r_name")
+      .coalesce(1).write.mode("overwrite").text("/tmp/graft_fmt_text")
+    assert(spark.read.text("/tmp/graft_fmt_text").count() == 5)
+  }
+}
+
 class CsvSourceSpec extends SparkSuite {
 
   test("CSV source: header + uppercase normalization round-trip (S5)") {
