@@ -56,6 +56,8 @@ object SparkEntry {
     "q_rollup_revenue" -> (Analytics.rollupRevenue _),
     "q_distinct_counts" -> (Analytics.distinctCounts _),
     "q_event_props" -> (Analytics.eventProps _),
+    "q_set_ops" -> (Analytics.setOps _),
+    "q_pivot_status" -> (Analytics.pivotStatus _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -92,5 +94,7 @@ object SparkEntry {
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,
     "q_distinct_counts" -> Analytics.distinctCountsSql,
     "q_event_props" -> Analytics.eventPropsSql,
+    "q_set_ops" -> Analytics.setOpsSql,
+    "q_pivot_status" -> Analytics.pivotStatusSql,
   )
 }

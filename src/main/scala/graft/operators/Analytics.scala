@@ -300,6 +300,51 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY service_type""".stripMargin
 
+  /** Set operations (INTERSECT / EXCEPT — absent from the reference,
+    * SURVEY §2.7, present for engine completeness): customers active in
+    * 1995 AND 1996, minus those active in 1997. Both are shuffle
+    * dedup-joins on the full key; at scale prefer left_semi/left_anti
+    * joins on pre-aggregated keys (same result, join-planned). */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def activeIn(y: Int) = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === y).select($"o_custkey")
+    activeIn(1995).intersect(activeIn(1996))
+      .except(activeIn(1997))
+      .orderBy($"o_custkey")
+  }
+
+  val setOpsSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Pivot (long→wide) — trips per service across line statuses as
+    * columns. Spark plans pivot as a single-pass conditional
+    * aggregation; the oracle states that form explicitly (engine-
+    * portable and identical). */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag".as("service_type"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("F", "n_fulfilled")
+      .withColumnRenamed("O", "n_open")
+      .orderBy($"service_type")
+  }
+
+  val pivotStatusSql: String =
+    """SELECT l_returnflag AS service_type,
+      |       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_fulfilled,
+      |       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY service_type""".stripMargin
+
   /** Semi-structured column surface: the events table carries a JSON
     * `props` string (engine breadth — the reference has no JSON, SURVEY
     * §2.8, but pipeline users do). Extraction stays codegen'd

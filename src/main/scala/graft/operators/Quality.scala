@@ -25,6 +25,24 @@ import graft.sources.Tables
   */
 object Quality {
 
+  /** `dbt test` CLI analog: print the report, exit non-zero if any
+    * check has violations (README.md:119-123 — "32 PASS" run shape).
+    * Usage: `runMain graft.operators.Quality <sfDir>` */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.local(appName = "graft-quality")
+    try {
+      val rows = report(spark, sfDir).collect()
+      rows.foreach { r =>
+        val status = if (r.getLong(1) == 0L) "PASS" else "FAIL"
+        println(f"$status%-5s ${r.getString(0)}%-40s violations=${r.getLong(1)}")
+      }
+      val failed = rows.count(_.getLong(1) > 0)
+      println(s"${rows.length - failed} PASS / $failed FAIL")
+      if (failed > 0) sys.exit(1)
+    } finally spark.stop()
+  }
+
   /** One row per check: (check_name, violations). */
   def report(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
