@@ -58,6 +58,7 @@ object SparkEntry {
     "q_event_props" -> (Analytics.eventProps _),
     "q_set_ops" -> (Analytics.setOps _),
     "q_pivot_status" -> (Analytics.pivotStatus _),
+    "q_frame_index" -> ((s: SparkSession, d: String) => Multimodal.frameIndex(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -96,5 +97,6 @@ object SparkEntry {
     "q_event_props" -> Analytics.eventPropsSql,
     "q_set_ops" -> Analytics.setOpsSql,
     "q_pivot_status" -> Analytics.pivotStatusSql,
+    "q_frame_index" -> Multimodal.frameIndexSql(),
   )
 }

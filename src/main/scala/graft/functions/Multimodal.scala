@@ -125,6 +125,28 @@ object Multimodal {
       |FROM g
       |ORDER BY media_id""".stripMargin
 
+  /** Oracle-checked view of the frame-sampling INDEX math (everything
+    * in [[frameSample]] except the byte slices, which SQL cannot
+    * recompute from a BLOB it can't md5): one row per sampled frame. */
+  def frameIndex(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    frameSample(spark, sfDir, stride)
+      .select($"media_id", $"kind", $"n_frames", $"sample_idx", $"frame_offset")
+      .orderBy($"media_id", $"sample_idx")
+  }
+
+  def frameIndexSql(stride: Int = 4): String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         ['image', 'audio', 'video'][CAST(media_id % 3 AS INTEGER) + 1] AS kind,
+       |         CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INTEGER) AS n_frames
+       |  FROM documents)
+       |SELECT media_id, kind, n_frames,
+       |       CAST(unnest(range(0, (n_frames - 1) // $stride + 1)) AS INTEGER) AS sample_idx,
+       |       CAST(unnest(range(0, (n_frames - 1) // $stride + 1)) * $stride AS INTEGER) AS frame_offset
+       |FROM m
+       |ORDER BY media_id, sample_idx""".stripMargin
+
   /** Frame-sample stage: every asset yields ceil(n_frames / stride)
     * sampled "frames" as byte slices — the explode-shaped stage of a
     * video pipeline (one input row → n output rows), kept as pure
