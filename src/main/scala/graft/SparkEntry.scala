@@ -59,6 +59,7 @@ object SparkEntry {
     "q_set_ops" -> (Analytics.setOps _),
     "q_pivot_status" -> (Analytics.pivotStatus _),
     "q_frame_index" -> ((s: SparkSession, d: String) => Multimodal.frameIndex(s, d)),
+    "q_asof_join" -> (AsOfJoin.eventsAsOfDaily _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -98,5 +99,6 @@ object SparkEntry {
     "q_set_ops" -> Analytics.setOpsSql,
     "q_pivot_status" -> Analytics.pivotStatusSql,
     "q_frame_index" -> Multimodal.frameIndexSql(),
+    "q_asof_join" -> AsOfJoin.eventsAsOfDailySql,
   )
 }
