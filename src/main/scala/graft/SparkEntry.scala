@@ -60,6 +60,8 @@ object SparkEntry {
     "q_pivot_status" -> (Analytics.pivotStatus _),
     "q_frame_index" -> ((s: SparkSession, d: String) => Multimodal.frameIndex(s, d)),
     "q_asof_join" -> (AsOfJoin.eventsAsOfDaily _),
+    "q_range_join" -> (AsOfJoin.eventsRangeJoin _),
+    "q_label_norms" -> (Similarity.labelNorms _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -100,5 +102,7 @@ object SparkEntry {
     "q_pivot_status" -> Analytics.pivotStatusSql,
     "q_frame_index" -> Multimodal.frameIndexSql(),
     "q_asof_join" -> AsOfJoin.eventsAsOfDailySql,
+    "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
+    "q_label_norms" -> Similarity.labelNormsSql,
   )
 }

@@ -118,6 +118,27 @@ object Similarity {
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Array-column analytics: per-label vector statistics (count, mean
+    * L2 norm) — the corpus-health profile an embedding pipeline runs
+    * before indexing. One narrow pass + one group-count shuffle. */
+  def labelNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"label", norm($"embedding").as("nrm"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.functions.Exact.avgExact($"nrm").as("avg_norm"))
+      .orderBy($"label")
+  }
+
+  val labelNormsSql: String =
+    s"""SELECT label, COUNT(*) AS n_vectors,
+       |       ${graft.functions.Exact.avgExactSql(
+            s"sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) FOR i IN range(1, $dim + 1)]))")} AS avg_norm
+       |FROM embeddings
+       |GROUP BY 1
+       |ORDER BY label""".stripMargin
+
   // ---- LSH-bucketed ANN (scale path; verified in ScalaTest, not by the
   // SQL oracle — approximate results are recall-bounded, not equal) -----
 

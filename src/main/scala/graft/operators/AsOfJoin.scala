@@ -50,6 +50,36 @@ object AsOfJoin {
       .orderBy($"event_id")
   }
 
+  /** Range (interval) join — each event matched to the value band
+    * containing it (non-equi predicate `lo <= v < hi`). The band table
+    * is broadcast, so the fact side never shuffles: a BroadcastNestedLoop
+    * on a 4-row build side is O(|events| × 4) predicate evaluations —
+    * the right plan when the interval side is small; a large interval
+    * side would want interval bucketing (equi-join on overlapping
+    * bucket keys + residual filter), same shape as the LSH candidates. */
+  def eventsRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 25.0), ("mid", 25.0, 50.0),
+      ("high", 50.0, 75.0), ("top", 75.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.events(spark, sfDir)
+      .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_events"), Exact.avgExact($"value").as("avg_value"))
+      .orderBy($"band")
+  }
+
+  val eventsRangeJoinSql: String =
+    s"""WITH bands(band, lo, hi) AS (VALUES
+       |  ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+       |  ('high', 50.0, 75.0), ('top', 75.0, 1e9))
+       |SELECT band, COUNT(*) AS n_events,
+       |       ${Exact.avgExactSql("value")} AS avg_value
+       |FROM events JOIN bands ON value >= lo AND value < hi
+       |GROUP BY 1
+       |ORDER BY band""".stripMargin
+
   val eventsAsOfDailySql: String =
     s"""WITH daily AS (
        |  SELECT user_id, CAST(ts AS DATE) AS day,
