@@ -62,6 +62,7 @@ object SparkEntry {
     "q_asof_join" -> (AsOfJoin.eventsAsOfDaily _),
     "q_range_join" -> (AsOfJoin.eventsRangeJoin _),
     "q_label_norms" -> (Similarity.labelNorms _),
+    "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -104,5 +105,6 @@ object SparkEntry {
     "q_asof_join" -> AsOfJoin.eventsAsOfDailySql,
     "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
     "q_label_norms" -> Similarity.labelNormsSql,
+    "q_dup_clusters" -> Dedup.dupClustersSql(),
   )
 }

@@ -274,6 +274,74 @@ object Dedup {
     * deterministic on the fixed corpus (validated by check_oracle). */
   def minhashDupSql(minJac: Double = 0.9): String = ngramJaccardSql(minJac)
 
+  // ---- duplicate clusters (connected components) -------------------------
+
+  /** Transitive duplicate clusters: near-dup PAIRS (A~B, B~C) become
+    * components ({A,B,C} → keeper = min doc_id) — what a dedup pipeline
+    * actually ships (drop all but the keeper of each cluster).
+    *
+    * Algorithm: iterative min-label propagation over the pair graph —
+    * each round every node takes the min of its own and its neighbors'
+    * labels; converges in O(component diameter) rounds. Driver-side
+    * loop with localCheckpoint per round (breaks lineage; iterative
+    * algorithms legitimately coordinate rounds at the driver — the DATA
+    * never leaves executors). At corpus scale this is the standard
+    * large-star/small-star connected-components shape.
+    *
+    * Oracle: DuckDB recursive CTE computing the same transitive
+    * closure over the exact-Jaccard pairs — an independent algorithm
+    * (fixpoint recursion vs label propagation) reaching the same
+    * components. */
+  def dupClusters(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashDupPairs(spark, sfDir, minJac)
+      .select($"doc_a", $"doc_b")
+    // undirected edges, both directions
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, $"dst" === $"doc_id")
+        .groupBy($"src").agg(min($"label").as("n_min"))
+      val next = labels
+        .join(neighborMin, $"doc_id" === $"src", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"n_min", $"label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" =!= $"old").isEmpty
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select($"doc_id", $"label".as("cluster_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  def dupClustersSql(minJac: Double = 0.9): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardSql(minJac)}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach AS (
+       |  -- transitive closure: every (node, reachable-node) pair
+       |  SELECT doc_id, doc_id AS reach FROM nodes
+       |  UNION
+       |  SELECT r.doc_id, e.dst
+       |  FROM reach r JOIN edges e ON e.src = r.reach)
+       |SELECT doc_id, min(reach) AS cluster_keeper
+       |FROM reach
+       |GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
   // ---- SimHash -----------------------------------------------------------
 
   val simhashBits = 60 // md5-prefix parsing yields 60 cross-engine-safe bits

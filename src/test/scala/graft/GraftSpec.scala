@@ -140,6 +140,21 @@ class DedupSpec extends SparkSuite {
     assert(e.nonEmpty)
   }
 
+  test("dup clusters: keeper is the min member; every paired doc is labeled") {
+    val clusters = Dedup.dupClusters(spark, "/root/testdata/sf0.01", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccardPairs(spark, "/root/testdata/sf0.01", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    // keeper is itself a member of the cluster
+    clusters.values.foreach(k => assert(clusters(k) == k))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val sh = Dedup.simhash(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
