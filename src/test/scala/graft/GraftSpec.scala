@@ -287,6 +287,27 @@ class IngestSpec extends SparkSuite {
   }
 }
 
+class TypedAggSpec extends SparkSuite {
+
+  test("typed VectorMean aggregator matches the expression-path mean per dim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val typed = graft.functions.TypedAggs.labelCentroids(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExpr = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      .agg(avg($"col".cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    typed.foreach { case (label, centroid) =>
+      centroid.zipWithIndex.foreach { case (v, i) =>
+        assert(math.abs(v - viaExpr((label, i))) < 1e-9, s"label=$label dim=$i")
+      }
+    }
+    assert(typed.size == 10)
+  }
+}
+
 class TextAnalysisSpec extends SparkSuite {
 
   test("lang_id: predictions are deterministic and from the closed label set") {
