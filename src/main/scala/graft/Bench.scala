@@ -85,6 +85,16 @@ object Bench {
         spark.read.parquet(clusteredDir))
       results("bench_monthly_agg_clustered_unpruned") = time(unprunedQ.collect())
       results("bench_clustered_unpruned_files_read") = filesRead(unprunedQ).toDouble
+      // HOT timings: second run of the identical query — codegen classes
+      // compiled, footer metadata cached. Cold-vs-hot separates fixed
+      // JVM/planning overhead (irreducible in local mode, amortized on a
+      // long-lived cluster session) from per-query execution cost.
+      results("bench_monthly_agg_raw_hot") = time(
+        operators.ClusteredLayout.monthlyAggOn(
+          graft.sources.Tables.lineitem(spark, sfDir)).collect())
+      results("bench_monthly_agg_clustered_hot") = time(
+        operators.ClusteredLayout.monthlyAggOn(
+          operators.ClusteredLayout.readClustered(spark, clusteredDir)).collect())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] clustering experiment failed: ${e.getMessage}")
     }

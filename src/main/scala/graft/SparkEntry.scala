@@ -63,6 +63,7 @@ object SparkEntry {
     "q_range_join" -> (AsOfJoin.eventsRangeJoin _),
     "q_label_norms" -> (Similarity.labelNorms _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
+    "q_deduped_corpus" -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -106,5 +107,6 @@ object SparkEntry {
     "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
+    "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),
   )
 }

@@ -342,6 +342,39 @@ object Dedup {
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
+  /** The deduplicated corpus: every document except non-keeper members
+    * of duplicate clusters — the final "drop the dups" step, via a
+    * broadcast anti-join of the (tiny) non-keeper set against the
+    * corpus. */
+  def dedupedCorpus(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val dropList = dupClusters(spark, sfDir, minJac)
+      .filter($"doc_id" =!= $"cluster_keeper")
+      .select($"doc_id")
+    Tables.documents(spark, sfDir)
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  def dedupedCorpusSql(minJac: Double = 0.9): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardSql(minJac)}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS reach FROM nodes
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reach),
+       |clusters AS (
+       |  SELECT doc_id, min(reach) AS keeper FROM reach GROUP BY 1),
+       |drop_list AS (SELECT doc_id FROM clusters WHERE doc_id != keeper)
+       |SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- SimHash -----------------------------------------------------------
 
   val simhashBits = 60 // md5-prefix parsing yields 60 cross-engine-safe bits
