@@ -101,10 +101,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // *_files_read entries are pruning evidence (file counts), not
-    // seconds — excluded from the headline total
+    // *_files_read entries are pruning evidence (file counts), and
+    // *_hot entries are duplicate re-runs of already-timed queries —
+    // both excluded from the headline seconds total
     val total = results.collect {
-      case (k, v) if !k.endsWith("_files_read") => v
+      case (k, v) if !k.endsWith("_files_read") && !k.endsWith("_hot") => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -320,6 +320,11 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // loud failure beats silently-wrong clusters: a component with
+    // diameter > rounds would exit unconverged with non-minimal labels
+    require(converged,
+      s"dup-cluster label propagation did not converge in $rounds rounds " +
+        "(component diameter exceeds the cap — raise the round limit)")
     edges.unpersist()
     labels.select($"doc_id", $"label".as("cluster_keeper"))
       .orderBy($"doc_id")

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object TypedAggs {
 
-  val dim = 64
+  /** Single source of truth for the embedding width. */
+  val dim: Int = Similarity.dim
 
   /** Mean vector aggregator; `extract` adapts any row type. */
   class VectorMean[IN](extract: IN => Array[Float])
@@ -29,9 +30,12 @@ object TypedAggs {
     override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
     override def reduce(b: (Array[Double], Long), row: IN): (Array[Double], Long) = {
       val v = extract(row)
+      // loud on malformed input: silently zero-padding a short vector
+      // while counting the row drags the centroid toward 0
+      require(v.length == dim, s"expected $dim-dim vector, got ${v.length}")
       val (sums, n) = b
       var i = 0
-      while (i < math.min(dim, v.length)) { sums(i) += v(i); i += 1 }
+      while (i < dim) { sums(i) += v(i); i += 1 }
       (sums, n + 1)
     }
     override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {

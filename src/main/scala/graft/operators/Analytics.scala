@@ -334,6 +334,9 @@ object Analytics {
       .agg(count(lit(1)))
       .withColumnRenamed("F", "n_fulfilled")
       .withColumnRenamed("O", "n_open")
+      // pivot emits NULL (not 0) for absent (group, value) combos; the
+      // conditional-aggregation oracle counts 0 — align explicitly
+      .na.fill(0L, Seq("n_fulfilled", "n_open"))
       .orderBy($"service_type")
   }
 

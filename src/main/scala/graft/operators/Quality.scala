@@ -65,7 +65,9 @@ object Quality {
       "quantity", "extended_price", "ship_ts")
     val notNull = silver.select(
       notNullCols.map(c =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)).toIndexedSeq: _*)
+        // coalesce: sum over an EMPTY silver is NULL, which would NPE
+        // the CLI's getLong — an empty table has zero violations
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c)).toIndexedSeq: _*)
       .selectExpr(s"stack(${notNullCols.size}, " +
         notNullCols.map(c => s"'not_null_silver_$c', $c").mkString(", ") +
         ") as (check_name, violations)")

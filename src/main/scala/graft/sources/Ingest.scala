@@ -73,9 +73,10 @@ object Ingest {
   /** S6/S9: replace-semantics materialization (exporter_taxi.py:26-32,
     * dbt `materialized='table'`): overwrite, return the re-read frame
     * (the "table" downstream layers consume). Format-agnostic —
-    * parquet default; orc/json/csv for interop sinks. Schema is
-    * re-applied on read for the text formats (json/csv do not preserve
-    * types by themselves). */
+    * parquet default; orc/json for interop sinks (csv deliberately NOT
+    * claimed here: Spark's csv writer renders empty string and null
+    * identically, so the round-trip is lossy). Schema is re-applied on
+    * read for json, which does not preserve types by itself. */
   def writeBronze(df: DataFrame, dir: String, format: String = "parquet"): DataFrame = {
     df.write.mode(SaveMode.Overwrite).format(format).save(dir)
     val reader = df.sparkSession.read.format(format)

@@ -113,10 +113,19 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** THE single copy of the nanos-read recipe (batch + streaming call
+    * through here): enable the legacy long-read of TIMESTAMP(NANOS)
+    * and floor-divide to micros — DuckDB's truncation exactly. */
+  def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  def decodeEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    decodeEventTs(spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet"))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

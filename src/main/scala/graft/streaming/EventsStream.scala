@@ -56,13 +56,12 @@ object EventsStream {
     * executors drain a backlog in parallel with no duplicate loads. */
   def incrementalIngest(spark: SparkSession, landingDir: String,
       bronzeDir: String, checkpointDir: String): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosAsLong(spark)
     // glob: each arrival is a directory of part-files (a "month" in
     // reference terms) — the glob makes new directories discoverable
-    val q = spark.readStream
-      .schema(Tables.eventsRaw)
-      .parquet(s"$landingDir/*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Tables.decodeEventTs(spark.readStream
+        .schema(Tables.eventsRaw)
+        .parquet(s"$landingDir/*"))
       .writeStream
       .format("parquet")
       .option("path", bronzeDir)
@@ -93,12 +92,11 @@ object EventsStream {
       queryName: String = "user_rollup"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(Tables.eventsRaw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.enableNanosAsLong(spark)
+    val events = Tables.decodeEventTs(spark.readStream
+        .schema(Tables.eventsRaw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
       .select($"user_id", $"ts")
       .as[(Long, java.sql.Timestamp)]
     def update(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
@@ -151,15 +149,14 @@ object EventsStream {
   def runHourlyStream(spark: SparkSession, sfDir: String,
       queryName: String = "events_hourly"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosAsLong(spark)
     // FileStreamSource wants a directory: stream the sf dir, glob-limited
     // to the events table (in production this is the landing directory
     // new files arrive into — the reference's monthly-download target)
-    val stream = spark.readStream
-      .schema(Tables.eventsRaw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.decodeEventTs(spark.readStream
+        .schema(Tables.eventsRaw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
