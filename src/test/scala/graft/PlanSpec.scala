@@ -165,6 +165,42 @@ class ScaleToolsSpec extends SparkSuite {
   }
 }
 
+class AsOfExecSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("custom AsOfJoinExec equals the composition (differential oracle)") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.01"
+    val left = graft.sources.Tables.events(spark, sfd)
+      .select($"event_id", $"user_id", $"ts")
+    val right = graft.sources.Tables.events(spark, sfd)
+      .groupBy($"user_id".as("d_user"), date_trunc("day", $"ts").as("day_ts"))
+      .agg(graft.functions.Exact.sumExact($"value").as("day_value"))
+    val native = graft.plans.AsOfJoinNative.asofJoin(
+        left, right, "user_id", "d_user", "ts", "day_ts")
+      .select($"event_id", $"user_id", to_date($"day_ts").as("matched_day"), $"day_value")
+    val composed = graft.operators.AsOfJoin.eventsAsOfDaily(spark, sfd)
+      .select($"event_id", $"user_id", $"matched_day", $"day_value")
+    assert(native.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(native).count() == 0)
+    assert(composed.count() > 0)
+  }
+
+  test("AsOfJoinExec plan: merge-walk node present, sorted inputs, no window/blow-up join") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    val left = graft.sources.Tables.events(spark, sfd).select($"event_id", $"user_id", $"ts")
+    val right = graft.sources.Tables.events(spark, sfd)
+      .groupBy($"user_id".as("d_user"), date_trunc("day", $"ts").as("day_ts"))
+      .agg(count(lit(1)).as("n"))
+    val df = graft.plans.AsOfJoinNative.asofJoin(
+      left, right, "user_id", "d_user", "ts", "day_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+    assert(!plan.contains("Window"), "native path must not fall back to the window composition")
+  }
+}
+
 class SqlSurfaceSpec extends SparkSuite {
 
   test("custom expressions callable from spark.sql after registration") {
