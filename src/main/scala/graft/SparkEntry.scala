@@ -60,6 +60,7 @@ object SparkEntry {
     "q_pivot_status" -> (Analytics.pivotStatus _),
     "q_frame_index" -> ((s: SparkSession, d: String) => Multimodal.frameIndex(s, d)),
     "q_asof_join" -> (AsOfJoin.eventsAsOfDaily _),
+    "q_asof_join_native" -> (AsOfJoin.eventsAsOfDailyNative _),
     "q_range_join" -> (AsOfJoin.eventsRangeJoin _),
     "q_label_norms" -> (Similarity.labelNorms _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_pivot_status" -> Analytics.pivotStatusSql,
     "q_frame_index" -> Multimodal.frameIndexSql(),
     "q_asof_join" -> AsOfJoin.eventsAsOfDailySql,
+    "q_asof_join_native" -> AsOfJoin.eventsAsOfDailySql,
     "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),

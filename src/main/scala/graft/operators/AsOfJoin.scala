@@ -80,6 +80,24 @@ object AsOfJoin {
        |GROUP BY 1
        |ORDER BY band""".stripMargin
 
+  /** The same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]]) — oracle-gated against DuckDB's
+    * native ASOF JOIN like the composition, so the custom exec has an
+    * independent cross-engine gate, not only the differential test. */
+  def eventsAsOfDailyNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val left = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val right = dailyRollup(spark, sfDir)
+      .select($"user_id".as("d_user"),
+        $"day".cast("timestamp").as("day_ts"), $"day_value")
+    graft.plans.AsOfJoinNative.asofJoin(
+        left, right, "user_id", "d_user", "ts", "day_ts")
+      .select($"event_id", $"user_id", to_date($"ts").as("event_day"),
+        to_date($"day_ts").as("matched_day"), $"day_value")
+      .orderBy($"event_id")
+  }
+
   val eventsAsOfDailySql: String =
     s"""WITH daily AS (
        |  SELECT user_id, CAST(ts AS DATE) AS day,
