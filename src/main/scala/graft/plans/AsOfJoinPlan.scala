@@ -1,14 +1,13 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, Ascending}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.graftbridge.DatasetBridge
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** As-of join as a FULL custom operator — the (c) rung of the
@@ -23,7 +22,9 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * EnsureRequirements plans the exchanges/sorts — then ONE merge walk
   * per partition keeps a single "latest right row ≤ current left time"
   * per key: O(|left| + |right|) with O(1) state, no intermediate
-  * blow-up. Left-outer semantics (unmatched left rows keep nulls).
+  * blow-up. INNER semantics — unmatched or null-keyed left rows are
+  * dropped, matching both oracles (the window composition's equi-join
+  * and DuckDB's ASOF JOIN are inner).
   *
   * v1 scope (asserted at construction): key LongType, time
   * TimestampType — the shapes the engine's tables use. The
@@ -33,8 +34,7 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
-  override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+  override def output: Seq[Attribute] = left.output ++ right.output
   override lazy val resolved: Boolean = childrenResolved
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -45,8 +45,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // output stays clustered on the join key — downstream key-based
+  // operators must not re-shuffle (same propagation SortMergeJoin does)
+  override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -64,36 +67,58 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeyOrd = right.output.indexOf(rightKey)
     val rTimeOrd = right.output.indexOf(rightTime)
     require(lKeyOrd >= 0 && lTimeOrd >= 0 && rKeyOrd >= 0 && rTimeOrd >= 0)
-    val rWidth = right.output.length
+    val outputAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val nullRight = new GenericInternalRow(rWidth)
       val joined = new JoinedRow
+      // downstream operators assume UnsafeRow (executeCollect, sorts,
+      // shuffles all cast) — project like SortMergeJoin's resultProj
+      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
       new Iterator[InternalRow] {
-        private var rNext: InternalRow =
-          if (rIter.hasNext) rIter.next().copy() else null
+        // null keys/times never match (SQL semantics; getLong on a null
+        // slot would silently read 0) — skip such rows on both sides
+        private def advanceRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(rKeyOrd) && !r.isNullAt(rTimeOrd)) return r.copy()
+          }
+          null
+        }
+        private var rNext: InternalRow = advanceRight()
         private var lastMatch: InternalRow = null
         private var lastMatchKey: Long = 0L
-        override def hasNext: Boolean = lIter.hasNext
-        override def next(): InternalRow = {
-          val l = lIter.next()
-          val lk = l.getLong(lKeyOrd)
-          val lt = l.getLong(lTimeOrd) // timestamp = micros as long
-          // advance the right side while it is still "at or before" the
-          // current left position in (key, time) order
-          while (rNext != null && {
-            val rk = rNext.getLong(rKeyOrd)
-            rk < lk || (rk == lk && rNext.getLong(rTimeOrd) <= lt)
-          }) {
-            if (rNext.getLong(rKeyOrd) == lk) {
-              lastMatch = rNext // already copied on ingest
-              lastMatchKey = lk
+        private var ready: InternalRow = null
+        private def computeNext(): InternalRow = {
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            if (!l.isNullAt(lKeyOrd) && !l.isNullAt(lTimeOrd)) {
+              val lk = l.getLong(lKeyOrd)
+              val lt = l.getLong(lTimeOrd) // timestamp = micros as long
+              // advance the right side while it is still "at or before"
+              // the current left position in (key, time) order
+              while (rNext != null && {
+                val rk = rNext.getLong(rKeyOrd)
+                rk < lk || (rk == lk && rNext.getLong(rTimeOrd) <= lt)
+              }) {
+                if (rNext.getLong(rKeyOrd) == lk) {
+                  lastMatch = rNext // already copied on ingest
+                  lastMatchKey = lk
+                }
+                rNext = advanceRight()
+              }
+              if (lastMatch != null && lastMatchKey == lk) {
+                return resultProj(joined(l, lastMatch))
+              } // else: inner join — drop the unmatched left row
             }
-            rNext = if (rIter.hasNext) rIter.next().copy() else null
           }
-          if (lastMatch != null && lastMatchKey == lk)
-            joined(l, lastMatch)
-          else
-            joined(l, nullRight)
+          null
+        }
+        override def hasNext: Boolean = {
+          if (ready == null) ready = computeNext()
+          ready != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = ready; ready = null; r
         }
       }
     }
@@ -105,7 +130,6 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 }
 
 object AsOfStrategy extends SparkStrategy {
-  import org.apache.spark.sql.execution.SparkPlan
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
@@ -115,9 +139,9 @@ object AsOfStrategy extends SparkStrategy {
 
 object AsOfJoinNative {
 
-  /** left-outer as-of join: for each left row, the latest right row of
-    * the same key with time ≤ left time. Registers [[AsOfStrategy]] on
-    * the session (idempotent). */
+  /** INNER as-of join: each left row paired with the latest right row
+    * of the same key with time ≤ left time; unmatched left rows drop.
+    * Registers [[AsOfStrategy]] on the session (idempotent). */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
@@ -126,10 +150,13 @@ object AsOfJoinNative {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
     }
-    def attr(df: DataFrame, name: String): Attribute =
-      df.queryExecution.analyzed.output
-        .find(_.name == name)
-        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    def attr(df: DataFrame, name: String): Attribute = {
+      val matches = df.queryExecution.analyzed.output.filter(_.name == name)
+      require(matches.nonEmpty, s"no column $name")
+      require(matches.size == 1,
+        s"ambiguous column $name (${matches.size} matches) — rename before joining")
+      matches.head
+    }
     val (lk, lt) = (attr(leftDf, leftKey), attr(leftDf, leftTime))
     val (rk, rt) = (attr(rightDf, rightKey), attr(rightDf, rightTime))
     require(lk.dataType == LongType && rk.dataType == LongType,

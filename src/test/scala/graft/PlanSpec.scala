@@ -186,6 +186,26 @@ class AsOfExecSpec extends SparkSuite {
     assert(composed.count() > 0)
   }
 
+  test("AsOfJoinExec: direct collect works (UnsafeRow contract) and null keys drop") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    val base = graft.sources.Tables.events(spark, sfd).select($"event_id", $"user_id", $"ts")
+    val right = graft.sources.Tables.events(spark, sfd)
+      .groupBy($"user_id".as("d_user"), date_trunc("day", $"ts").as("day_ts"))
+      .agg(count(lit(1)).as("n"))
+    // no projection between the exec and collect — exercises the
+    // operator's own UnsafeRow output path
+    val direct = graft.plans.AsOfJoinNative.asofJoin(
+      base, right, "user_id", "d_user", "ts", "day_ts").collect()
+    assert(direct.length == base.count())
+    // null-keyed left rows are dropped (inner semantics, both oracles agree)
+    val withNulls = base.withColumn("user_id",
+      when($"event_id" % 10 === 0, lit(null).cast("long")).otherwise($"user_id"))
+    val n = graft.plans.AsOfJoinNative.asofJoin(
+      withNulls, right, "user_id", "d_user", "ts", "day_ts").count()
+    assert(n == withNulls.filter($"user_id".isNotNull).count())
+  }
+
   test("AsOfJoinExec plan: merge-walk node present, sorted inputs, no window/blow-up join") {
     import spark.implicits._
     val sfd = "/root/testdata/sf0.001"
