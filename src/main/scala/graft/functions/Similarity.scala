@@ -150,15 +150,17 @@ object Similarity {
   val numPlanes = 12
 
   /** Sign signature: bit p = sign(dot(v, plane_p)). Buckets cluster
-    * cosine-similar vectors; expected per-bucket size n/2^12. */
+    * cosine-similar vectors; expected per-bucket size n/2^12.
+    *
+    * Each projection is the codegen'd [[graft.plans.DotProduct]] against
+    * a CONSTANT plane array — the `aggregate(zip_with(...))` HOF
+    * formulation this replaces ran 12 interpreted per-element passes per
+    * row (the exact cliff DotProduct was built to remove; same
+    * left-to-right accumulation, so bucket assignments are unchanged). */
   def signSignature(v: Column): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v,
-          array((0 until dim).map(i => lit(planeComponent(p, i))): _*),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = lit((0 until dim).map(i => planeComponent(p, i)).toArray)
+      when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into cells by
