@@ -55,6 +55,7 @@ object GoldFact {
       .select($"o_orderkey", $"o_custkey", $"o_orderdate".as("pickup_ts"),
         $"o_orderstatus", $"o_orderpriority")
     val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
     val dimDate = GoldDims.dimDate(spark)
     val dimZone = GoldDims.dimZone(spark, sfDir)
     val dimStatus = GoldDims.dimPaymentType(spark)
@@ -63,6 +64,11 @@ object GoldFact {
     val enriched = silver
       .join(orders, $"order_key" === $"o_orderkey")
       .join(cust, $"o_custkey" === $"c_custkey")
+      // dropoff zone comes from the line's supplier nation — the
+      // PU/DOLocationID pair analog (reference fct_trips.sql pickup AND
+      // dropoff zone SKs). supplier is customer-sized: same shuffle-join
+      // treatment (AQE broadcasts it at small SF)
+      .join(supp, $"supp_key" === $"s_suppkey")
       .withColumnRenamed("ship_ts", "dropoff_ts")
       // F2: Snowflake DATEDIFF(SECOND)/3600.0 workaround analog
       .withColumn("trip_duration_hours",
@@ -105,9 +111,13 @@ object GoldFact {
         $"date_actual".as("pd_date"))), $"pickup_date" === $"pd_date", "left")
       .join(broadcast(dimDate.select($"date_sk".as("dropoff_date_sk"),
         $"date_actual".as("dd_date"))), $"dropoff_date" === $"dd_date", "left")
-      // J2: zone-SK resolution via the customer's nation
+      // J2: zone-SK resolution via the customer's nation (pickup) and
+      // the supplier's nation (dropoff) — same dim, two aliased joins
       .join(broadcast(dimZone.select($"zone_sk", $"locationid")),
         $"c_nationkey" === $"locationid", "left")
+      .join(broadcast(dimZone.select($"zone_sk".as("do_zone_sk"),
+        $"locationid".as("do_locationid"))),
+        $"s_nationkey" === $"do_locationid", "left")
       .join(broadcast(dimStatus.select($"status_code", $"status_desc")),
         $"o_orderstatus" === $"status_code", "left")
       .join(broadcast(dimPrio.select($"priority_code", $"priority_desc")),
@@ -116,6 +126,7 @@ object GoldFact {
       .withColumn("pickup_date_sk", coalesce($"pickup_date_sk", lit(0)))
       .withColumn("dropoff_date_sk", coalesce($"dropoff_date_sk", lit(0)))
       .withColumn("pickup_zone_sk", coalesce($"zone_sk", lit(0)))
+      .withColumn("dropoff_zone_sk", coalesce($"do_zone_sk", lit(0)))
       .withColumn("status_desc", coalesce($"status_desc", lit("Unknown")))
       .withColumn("priority_desc", coalesce($"priority_desc", lit("Unknown")))
       // P4: date-range predicate on both timestamps (fct_trips.sql:112-115)
@@ -133,7 +144,7 @@ object GoldFact {
     build(spark, sfDir).select(
       $"trip_id", $"service_type", $"order_key", $"line_number",
       $"pickup_date_sk", $"dropoff_date_sk", $"pickup_zone_sk",
-      $"status_desc", $"priority_desc",
+      $"dropoff_zone_sk", $"status_desc", $"priority_desc",
       $"quantity", $"extended_price", $"base_charges",
       $"trip_duration_hours", $"avg_speed_mph", $"tip_percentage",
       $"pickup_hour", $"pickup_year", $"pickup_month",
@@ -144,7 +155,8 @@ object GoldFact {
   val fctTripsSql: String =
     """WITH silver AS (
       |  SELECT 'yellow' AS service_type, l_orderkey AS order_key,
-      |         l_linenumber AS line_number, l_quantity AS quantity,
+      |         l_linenumber AS line_number, l_suppkey AS supp_key,
+      |         l_quantity AS quantity,
       |         l_extendedprice AS extended_price, l_tax AS tax,
       |         l_shipdate AS dropoff_ts,
       |         CAST(NULL AS DOUBLE) AS ehail_fee,
@@ -153,7 +165,7 @@ object GoldFact {
       |    AND l_shipdate IS NOT NULL AND l_quantity >= 0
       |    AND l_extendedprice >= 0 AND l_tax >= 0
       |  UNION ALL
-      |  SELECT 'green', l_orderkey, l_linenumber, l_quantity,
+      |  SELECT 'green', l_orderkey, l_linenumber, l_suppkey, l_quantity,
       |         l_extendedprice, l_tax, l_shipdate,
       |         CAST(l_tax * 0.5 AS DOUBLE), CAST(NULL AS DOUBLE)
       |  FROM lineitem WHERE l_linestatus = 'F'
@@ -177,12 +189,13 @@ object GoldFact {
       |    ('5-LOW','Low priority')) t(priority_code, priority_desc)),
       |enriched AS (
       |  SELECT s.*, o.o_orderdate AS pickup_ts, o.o_orderstatus,
-      |         o.o_orderpriority, c.c_nationkey,
+      |         o.o_orderpriority, c.c_nationkey, sup.s_nationkey,
       |         (CAST(floor(epoch(s.dropoff_ts)) AS BIGINT)
       |          - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) / 3600.0 AS trip_duration_hours
       |  FROM silver s
       |  JOIN orders o ON s.order_key = o.o_orderkey
-      |  JOIN customer c ON o.o_custkey = c.c_custkey)
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier sup ON s.supp_key = sup.s_suppkey)
       |SELECT md5(concat_ws('|', CAST(order_key AS VARCHAR),
       |         CAST(line_number AS VARCHAR),
       |         strftime(pickup_ts, '%Y-%m-%d %H:%M:%S'),
@@ -191,6 +204,7 @@ object GoldFact {
       |       coalesce(pd.date_sk, 0) AS pickup_date_sk,
       |       coalesce(dd.date_sk, 0) AS dropoff_date_sk,
       |       coalesce(z.zone_sk, 0) AS pickup_zone_sk,
+      |       coalesce(dz.zone_sk, 0) AS dropoff_zone_sk,
       |       coalesce(st.status_desc, 'Unknown') AS status_desc,
       |       coalesce(pr.priority_desc, 'Unknown') AS priority_desc,
       |       quantity, extended_price,
@@ -210,6 +224,7 @@ object GoldFact {
       |LEFT JOIN dim_date pd ON CAST(pickup_ts AS DATE) = pd.date_actual
       |LEFT JOIN dim_date dd ON CAST(dropoff_ts AS DATE) = dd.date_actual
       |LEFT JOIN dim_zone z ON c_nationkey = z.locationid
+      |LEFT JOIN dim_zone dz ON s_nationkey = dz.locationid
       |LEFT JOIN dim_status st ON o_orderstatus = st.status_code
       |LEFT JOIN dim_prio pr ON o_orderpriority = pr.priority_code
       |WHERE pickup_ts BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31'

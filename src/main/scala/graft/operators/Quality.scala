@@ -1,27 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
 
-/** Data-quality module — the reference's 32 declarative dbt tests
+/** Data-quality module — the reference's 32 declarative dbt tests,
+  * reproduced check-for-check
   * (reference: scheduler_data/dbt_nyc_taxi/models/gold/schema.yml:1-107,
   * models/silver/schema.yml:1-43; README.md:101-123 "32 PASS").
   *
+  * Inventory (matches the reference's schema.yml line by line):
+  *  - silver staging: 7 not_null + 1 accepted_values            =  8
+  *  - fct_trips: 8 not_null + 1 accepted_values + 4 relationships = 13
+  *  - dim_date: date_sk / date_actual, each not_null + unique    =  4
+  *  - dim_zone: zone_sk not_null + unique, locationid not_null   =  3
+  *  - dim_payment_type: key not_null + unique                    =  2
+  *  - dim_rate_code: key not_null + unique                       =  2
+  * total 32 = 21 not_null, 5 unique, 4 relationships, 2 accepted_values.
+  *
   * Each check family maps to a DataFrame pattern (SURVEY §2):
-  *  - `not_null`       → filter(col.isNull).count
-  *  - `unique` (A9)    → groupBy(key).count.filter(count > 1)
+  *  - `not_null`           → conditional-sum over one scan
+  *  - `unique` (A9)        → groupBy(key).count.filter(count > 1)
   *  - `relationships` (J5) → LEFT ANTI join fact→dim (broadcast)
-  *  - `accepted_values` (A10) → filter(!col.isin(domain))
+  *  - `accepted_values` (A10) → conditional-sum (non-null, out-of-domain)
   *
   * The report is one row per check with its violation count — asserted
   * all-zero in ScalaTest, and exposed as an oracle-verified query
   * (violation *counts* are deterministic; violating *rows* may not be).
   *
-  * Scale: every check is a single scan + partial-agg (count) or a
-  * broadcast anti-join — no fact-sized shuffles; checks over the same
-  * table could share one pass via conditional aggregation, which is how
-  * `notNullChecks` batches its column list.
+  * Scale: all same-table checks share ONE scan via conditional
+  * aggregation (silver's 8 checks = one pass; the fact's 9 non-FK checks
+  * = one pass over a 8-column cached projection); each relationship is a
+  * broadcast anti-join — no fact-sized shuffles anywhere.
   */
 object Quality {
 
@@ -35,7 +44,7 @@ object Quality {
       val rows = report(spark, sfDir).collect()
       rows.foreach { r =>
         val status = if (r.getLong(1) == 0L) "PASS" else "FAIL"
-        println(f"$status%-5s ${r.getString(0)}%-40s violations=${r.getLong(1)}")
+        println(f"$status%-5s ${r.getString(0)}%-45s violations=${r.getLong(1)}")
       }
       val failed = rows.count(_.getLong(1) > 0)
       println(s"${rows.length - failed} PASS / $failed FAIL")
@@ -43,140 +52,172 @@ object Quality {
     } finally spark.stop()
   }
 
-  /** One row per check: (check_name, violations). */
+  /** Batched same-table checks: every (name, violation-predicate) pair
+    * becomes one conditional sum, all evaluated in a SINGLE scan, then
+    * stacked to (check_name, violations) rows. `coalesce(..., 0)`:
+    * a sum over an empty table is NULL, and an empty table has zero
+    * violations, not unknown. */
+  private def condChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case ((_, viol), i) =>
+      coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(s"c$i")
+    }
+    df.select(aggs.toIndexedSeq: _*).selectExpr(
+      s"stack(${checks.size}, " +
+        checks.zipWithIndex.map { case ((n, _), i) => s"'$n', c$i" }.mkString(", ") +
+        ") as (check_name, violations)")
+  }
+
+  /** One row per check: (check_name, violations) — 32 rows, sorted. */
   def report(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // the fact feeds three independent checks (uniqueness + two FK
-    // anti-joins) — materialize it ONCE, but only the three columns the
-    // checks read: caching the full fact (md5 keys, every derived
-    // metric) measured slower than recomputing it
-    val silver = Silver.build(spark, sfDir)
-    val fact = GoldFact.build(spark, sfDir)
-      .select("trip_id", "pickup_zone_sk", "pickup_date_sk")
-      .cache()
-    fact.count() // eager pin — three checks would otherwise race to
-    // compute the un-materialized join chain concurrently
-    val dimZone = GoldDims.dimZone(spark, sfDir)
-    val dimDate = GoldDims.dimDate(spark)
 
-    // not_null ×6 on silver criticals (silver/schema.yml analog) —
-    // batched into ONE pass via conditional aggregation.
-    val notNullCols = Seq("service_type", "order_key", "line_number",
-      "quantity", "extended_price", "ship_ts")
-    val notNull = silver.select(
-      notNullCols.map(c =>
-        // coalesce: sum over an EMPTY silver is NULL, which would NPE
-        // the CLI's getLong — an empty table has zero violations
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c)).toIndexedSeq: _*)
-      .selectExpr(s"stack(${notNullCols.size}, " +
-        notNullCols.map(c => s"'not_null_silver_$c', $c").mkString(", ") +
-        ") as (check_name, violations)")
-
-    // unique ×3 on dim SKs (A9)
     def uniqueCheck(df: DataFrame, key: String, name: String): DataFrame =
       df.groupBy(col(key)).agg(count(lit(1)).as("n"))
         .filter($"n" > 1)
         .agg(coalesce(count(lit(1)), lit(0L)).as("violations"))
         .select(lit(name).as("check_name"), $"violations")
 
-    val uniques =
-      uniqueCheck(dimZone, "zone_sk", "unique_dim_zone_zone_sk")
-        .unionByName(uniqueCheck(dimDate, "date_sk", "unique_dim_date_date_sk"))
-        .unionByName(uniqueCheck(fact, "trip_id", "unique_fct_trips_trip_id"))
-
-    // relationships ×2 (J5): every fact FK resolves in its dim
-    def fkCheck(fk: String, dim: DataFrame, dimKey: String, name: String): DataFrame =
-      fact.select(col(fk)).join(broadcast(dim.select(col(dimKey))),
+    def fkCheck(child: DataFrame, fk: String, dim: DataFrame, dimKey: String,
+        name: String): DataFrame =
+      child.select(col(fk)).join(broadcast(dim.select(col(dimKey))),
           col(fk) === col(dimKey), "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), $"violations")
 
+    // ---- silver staging: 7 not_null + 1 accepted_values, ONE pass ----
+    val silver = Silver.build(spark, sfDir)
+    val silverNnCols = Seq("service_type", "order_key", "line_number",
+      "quantity", "extended_price", "tax", "ship_ts")
+    val silverChecks = condChecks(silver,
+      silverNnCols.map(c => s"not_null_silver_$c" -> col(c).isNull) :+
+        // dbt accepted_values semantics: NULLs are not violations here
+        // (they are the not_null test's job); isin is null-safe that way
+        ("accepted_values_silver_service_type" ->
+          !$"service_type".isin("yellow", "green")))
+
+    // ---- fct_trips: 8 not_null + 1 accepted_values + 4 relationships --
+    // the fact feeds 5 independent consumers (one conditional-agg pass +
+    // four FK anti-joins) — materialize ONCE, but only the 8 columns the
+    // checks read: caching the full fact (md5 keys, every derived
+    // metric) measured slower than recomputing it
+    val fact = GoldFact.build(spark, sfDir)
+      .select("trip_id", "service_type", "pickup_date_sk", "dropoff_date_sk",
+        "pickup_zone_sk", "dropoff_zone_sk", "quantity", "extended_price")
+      .cache()
+    fact.count() // eager pin — the five consumers would otherwise race
+    // to compute the un-materialized join chain concurrently
+    val factNnCols = Seq("trip_id", "service_type", "pickup_date_sk",
+      "dropoff_date_sk", "pickup_zone_sk", "dropoff_zone_sk",
+      "quantity", "extended_price")
+    val factChecks = condChecks(fact,
+      factNnCols.map(c => s"not_null_fct_$c" -> col(c).isNull) :+
+        ("accepted_values_fct_service_type" ->
+          !$"service_type".isin("yellow", "green")))
+
+    val dimZone = GoldDims.dimZone(spark, sfDir)
+    val dimDate = GoldDims.dimDate(spark)
+    val dimPayment = GoldDims.dimPaymentType(spark)
+    val dimRate = GoldDims.dimRateCode(spark)
+
+    // relationships ×4 (J5): both date SKs resolve in dim_date, both
+    // zone SKs in dim_zone — the reference's exact same-dim-twice shape
     val fks =
-      fkCheck("pickup_zone_sk", dimZone, "zone_sk", "relationships_fct_pickup_zone_sk")
-        .unionByName(fkCheck("pickup_date_sk", dimDate, "date_sk", "relationships_fct_pickup_date_sk"))
+      fkCheck(fact, "pickup_date_sk", dimDate, "date_sk", "relationships_fct_pickup_date_sk")
+        .unionByName(fkCheck(fact, "dropoff_date_sk", dimDate, "date_sk", "relationships_fct_dropoff_date_sk"))
+        .unionByName(fkCheck(fact, "pickup_zone_sk", dimZone, "zone_sk", "relationships_fct_pickup_zone_sk"))
+        .unionByName(fkCheck(fact, "dropoff_zone_sk", dimZone, "zone_sk", "relationships_fct_dropoff_zone_sk"))
 
-    // accepted_values ×1 (A10)
-    val accepted = silver
-      .filter(!$"service_type".isin("yellow", "green"))
-      .agg(count(lit(1)).as("violations"))
-      .select(lit("accepted_values_service_type").as("check_name"), $"violations")
+    // ---- dims: not_null batched per dim (one tiny pass), unique ×5 ----
+    val dimNn =
+      condChecks(dimDate, Seq(
+        "not_null_dim_date_date_sk" -> $"date_sk".isNull,
+        "not_null_dim_date_date_actual" -> $"date_actual".isNull))
+        .unionByName(condChecks(dimZone, Seq(
+          "not_null_dim_zone_zone_sk" -> $"zone_sk".isNull,
+          "not_null_dim_zone_locationid" -> $"locationid".isNull)))
+        .unionByName(condChecks(dimPayment, Seq(
+          "not_null_dim_payment_type_status_code" -> $"status_code".isNull)))
+        .unionByName(condChecks(dimRate, Seq(
+          "not_null_dim_rate_code_priority_code" -> $"priority_code".isNull)))
 
-    notNull.select($"check_name", $"violations".cast("long"))
-      .unionByName(uniques).unionByName(fks).unionByName(accepted)
+    val uniques =
+      uniqueCheck(dimDate, "date_sk", "unique_dim_date_date_sk")
+        .unionByName(uniqueCheck(dimDate, "date_actual", "unique_dim_date_date_actual"))
+        .unionByName(uniqueCheck(dimZone, "zone_sk", "unique_dim_zone_zone_sk"))
+        .unionByName(uniqueCheck(dimPayment, "status_code", "unique_dim_payment_type_status_code"))
+        .unionByName(uniqueCheck(dimRate, "priority_code", "unique_dim_rate_code_priority_code"))
+
+    silverChecks.select($"check_name", $"violations".cast("long"))
+      .unionByName(factChecks.select($"check_name", $"violations".cast("long")))
+      .unionByName(fks).unionByName(dimNn.select($"check_name", $"violations".cast("long")))
+      .unionByName(uniques)
       .orderBy($"check_name")
   }
 
-  val reportSql: String =
-    """WITH silver AS (
-      |  SELECT 'yellow' AS service_type, l_orderkey AS order_key,
-      |         l_linenumber AS line_number, l_quantity AS quantity,
-      |         l_extendedprice AS extended_price, l_shipdate AS ship_ts
-      |  FROM lineitem WHERE l_linestatus = 'O'
-      |    AND l_shipdate IS NOT NULL AND l_quantity >= 0
-      |    AND l_extendedprice >= 0 AND l_tax >= 0
-      |  UNION ALL
-      |  SELECT 'green', l_orderkey, l_linenumber, l_quantity,
-      |         l_extendedprice, l_shipdate
-      |  FROM lineitem WHERE l_linestatus = 'F'
-      |    AND l_shipdate IS NOT NULL AND l_quantity >= 0
-      |    AND l_extendedprice >= 0 AND l_tax >= 0),
-      |fact_keys AS (
-      |  SELECT md5(concat_ws('|', CAST(s.order_key AS VARCHAR),
-      |           CAST(s.line_number AS VARCHAR),
-      |           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S'),
-      |           strftime(s.ship_ts, '%Y-%m-%d %H:%M:%S'))) AS trip_id,
-      |         coalesce(z.zone_sk, 0) AS pickup_zone_sk,
-      |         coalesce(dd.date_sk, 0) AS pickup_date_sk
-      |  FROM silver s
-      |  JOIN orders o ON s.order_key = o.o_orderkey
-      |  JOIN customer c ON o.o_custkey = c.c_custkey
-      |  LEFT JOIN (SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INTEGER) AS zone_sk,
-      |                    n_nationkey AS locationid FROM nation) z
-      |    ON c.c_nationkey = z.locationid
-      |  LEFT JOIN (SELECT CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS date_sk,
-      |                    CAST(d AS DATE) AS date_actual
-      |             FROM (SELECT generate_series AS d
-      |                   FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY))) dd
-      |    ON CAST(o.o_orderdate AS DATE) = dd.date_actual
-      |  WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31'
-      |    AND s.ship_ts BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31'),
-      |dim_zone_full AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INTEGER) AS zone_sk FROM nation
-      |  UNION ALL SELECT 0),
-      |dim_date_full AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY generate_series) AS INTEGER) AS date_sk
-      |  FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY))
-      |SELECT check_name, violations FROM (
-      |  SELECT 'not_null_silver_service_type' AS check_name,
-      |         CAST(sum(CASE WHEN service_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM silver
-      |  UNION ALL SELECT 'not_null_silver_order_key',
-      |         CAST(sum(CASE WHEN order_key IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM silver
-      |  UNION ALL SELECT 'not_null_silver_line_number',
-      |         CAST(sum(CASE WHEN line_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM silver
-      |  UNION ALL SELECT 'not_null_silver_quantity',
-      |         CAST(sum(CASE WHEN quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM silver
-      |  UNION ALL SELECT 'not_null_silver_extended_price',
-      |         CAST(sum(CASE WHEN extended_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM silver
-      |  UNION ALL SELECT 'not_null_silver_ship_ts',
-      |         CAST(sum(CASE WHEN ship_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM silver
-      |  UNION ALL SELECT 'unique_dim_zone_zone_sk',
-      |         CAST(count(*) AS BIGINT) FROM (
-      |           SELECT zone_sk FROM (SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INTEGER) AS zone_sk
-      |                                FROM nation UNION ALL SELECT 0) t
-      |           GROUP BY zone_sk HAVING count(*) > 1)
-      |  UNION ALL SELECT 'unique_dim_date_date_sk',
-      |         CAST(count(*) AS BIGINT) FROM (
-      |           SELECT date_sk FROM dim_date_full GROUP BY date_sk HAVING count(*) > 1)
-      |  UNION ALL SELECT 'unique_fct_trips_trip_id',
-      |         CAST(count(*) AS BIGINT) FROM (
-      |           SELECT trip_id FROM fact_keys GROUP BY trip_id HAVING count(*) > 1)
-      |  UNION ALL SELECT 'relationships_fct_pickup_zone_sk',
-      |         CAST(count(*) AS BIGINT) FROM fact_keys
-      |         WHERE pickup_zone_sk NOT IN (SELECT zone_sk FROM dim_zone_full)
-      |  UNION ALL SELECT 'relationships_fct_pickup_date_sk',
-      |         CAST(count(*) AS BIGINT) FROM fact_keys
-      |         WHERE pickup_date_sk NOT IN (SELECT date_sk FROM dim_date_full)
-      |  UNION ALL SELECT 'accepted_values_service_type',
-      |         CAST(sum(CASE WHEN service_type NOT IN ('yellow','green') THEN 1 ELSE 0 END) AS BIGINT) FROM silver)
-      |ORDER BY check_name""".stripMargin
+  // ---- oracle --------------------------------------------------------
+
+  /** Strip a trailing top-level ORDER BY so a verified-query SQL can be
+    * embedded as a CTE body. */
+  private def noOrder(sql: String): String =
+    sql.replaceAll("(?s)\nORDER BY [^\n]*$", "")
+
+  private def nnSql(cte: String, table: String, c: String): String =
+    s"""SELECT 'not_null_${table}_$c' AS check_name,
+       |       CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+       |FROM $cte""".stripMargin
+
+  private def uqSql(cte: String, table: String, c: String): String =
+    s"""SELECT 'unique_${table}_$c', CAST(count(*) AS BIGINT)
+       |FROM (SELECT $c FROM $cte GROUP BY $c HAVING count(*) > 1)""".stripMargin
+
+  private def accSql(cte: String, table: String, c: String): String =
+    s"""SELECT 'accepted_values_${table}_$c',
+       |       CAST(coalesce(sum(CASE WHEN $c NOT IN ('yellow','green') THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |FROM $cte""".stripMargin
+
+  private def relSql(fk: String, dimCte: String, dimKey: String): String =
+    s"""SELECT 'relationships_fct_$fk', CAST(count(*) AS BIGINT)
+       |FROM q_fact WHERE $fk NOT IN (SELECT $dimKey FROM $dimCte)""".stripMargin
+
+  /** The 32 checks in DuckDB SQL. The fact / silver / dim CTE bodies are
+    * the SAME strings the individual verified queries use (embedded via
+    * [[noOrder]]), so the check oracle can never drift from the model
+    * oracles. */
+  val reportSql: String = {
+    val silverNn = Seq("service_type", "order_key", "line_number",
+      "quantity", "extended_price", "tax", "ship_ts")
+      .map(nnSql("q_silver", "silver", _))
+    val factNn = Seq("trip_id", "service_type", "pickup_date_sk",
+      "dropoff_date_sk", "pickup_zone_sk", "dropoff_zone_sk",
+      "quantity", "extended_price")
+      .map(nnSql("q_fact", "fct", _))
+    val checks: Seq[String] =
+      silverNn :+ accSql("q_silver", "silver", "service_type")
+    val all: Seq[String] = checks ++ factNn ++ Seq(
+      accSql("q_fact", "fct", "service_type"),
+      relSql("pickup_date_sk", "q_date", "date_sk"),
+      relSql("dropoff_date_sk", "q_date", "date_sk"),
+      relSql("pickup_zone_sk", "q_zone", "zone_sk"),
+      relSql("dropoff_zone_sk", "q_zone", "zone_sk"),
+      nnSql("q_date", "dim_date", "date_sk"),
+      nnSql("q_date", "dim_date", "date_actual"),
+      nnSql("q_zone", "dim_zone", "zone_sk"),
+      nnSql("q_zone", "dim_zone", "locationid"),
+      nnSql("q_payment", "dim_payment_type", "status_code"),
+      nnSql("q_rate", "dim_rate_code", "priority_code"),
+      uqSql("q_date", "dim_date", "date_sk"),
+      uqSql("q_date", "dim_date", "date_actual"),
+      uqSql("q_zone", "dim_zone", "zone_sk"),
+      uqSql("q_payment", "dim_payment_type", "status_code"),
+      uqSql("q_rate", "dim_rate_code", "priority_code"))
+    s"""WITH q_silver AS (${noOrder(Silver.silverUnionSql)}),
+       |q_fact AS (${noOrder(GoldFact.fctTripsSql)}),
+       |q_date AS (${noOrder(GoldDims.dimDateSql)}),
+       |q_zone AS (${noOrder(GoldDims.dimZoneSql)}),
+       |q_payment AS (${noOrder(GoldDims.dimPaymentTypeSql)}),
+       |q_rate AS (${noOrder(GoldDims.dimRateCodeSql)})
+       |SELECT check_name, violations FROM (
+       |${all.mkString("\nUNION ALL\n")})
+       |ORDER BY check_name""".stripMargin
+  }
 }

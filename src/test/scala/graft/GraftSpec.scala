@@ -61,9 +61,19 @@ class PipelineSpec extends SparkSuite {
     f.unpersist()
   }
 
-  test("quality report: all checks green (the 32-PASS analog)") {
-    val bad = Quality.report(spark, sf).filter(col("violations") > 0).collect()
+  test("quality report: all 32 checks green, family counts match the reference suite") {
+    val rows = Quality.report(spark, sf).collect()
+    val bad = rows.filter(_.getLong(1) > 0)
     assert(bad.isEmpty, s"violating checks: ${bad.mkString(",")}")
+    // the reference's dbt suite: 32 tests = 21 not_null + 5 unique +
+    // 4 relationships + 2 accepted_values (models/gold/schema.yml,
+    // models/silver/schema.yml; README "32 PASS")
+    assert(rows.length == 32, s"expected 32 checks, got ${rows.length}")
+    def fam(p: String) = rows.count(_.getString(0).startsWith(p))
+    assert(fam("not_null_") == 21)
+    assert(fam("unique_") == 5)
+    assert(fam("relationships_") == 4)
+    assert(fam("accepted_values_") == 2)
   }
 }
 

@@ -63,6 +63,19 @@ class PlanSpec extends SparkSuite {
       s"dotproduct not inside a codegen stage:\n${scoringLines.mkString("\n")}")
   }
 
+  test("LSH sign-signature plan: codegen dot products, no interpreted HOFs") {
+    // the bucket assignment used to be aggregate(zip_with(...)) — an
+    // interpreted per-element lambda per plane (the measured 20-55×
+    // cliff). It must stay expressed as the codegen DotProduct.
+    val plan = planOf(graft.functions.Similarity.knnLsh(spark, "/root/testdata/sf0.01", 5, 3))
+    assert(!plan.contains("aggregate("), "interpreted HOF found in knn_lsh plan")
+    assert(!plan.contains("zip_with"), "interpreted HOF found in knn_lsh plan")
+    val sigLines = plan.split("\n").filter(_.contains("dotproduct"))
+    assert(sigLines.nonEmpty, plan.take(1200))
+    assert(sigLines.exists(_.contains("*(")),
+      s"sign-signature dotproduct not inside a codegen stage:\n${sigLines.take(3).mkString("\n")}")
+  }
+
   test("shuffle budget: flagship agg <= 2 exchanges; demand query <= 5") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
