@@ -11,24 +11,107 @@ import org.apache.spark.sql.functions._
   * replace-semantics sinks (S6/S9).
   *
   * The reference's HEAD-probe / monthly-download loop is driver-side
-  * Python; here the equivalents are driver-side Scala (availability
-  * check) plus Spark reads. The 3–6M-row batched bulk load (S7,
-  * README.md:44) needs no analog: a partitioned parquet read is
-  * inherently batched, `spark.sql.files.maxPartitionBytes` is the knob.
+  * Python; here the equivalents are driver-side Scala — a real
+  * `java.net.http` HEAD probe + streamed GET for http(s) sources, with
+  * local-path fallback so tests stay hermetic — plus Spark reads. The
+  * 3–6M-row batched bulk load (S7, README.md:44) needs no analog: a
+  * partitioned parquet read is inherently batched,
+  * `spark.sql.files.maxPartitionBytes` is the knob.
   *
   * Scale: the manifest is tiny (one row per source file) and built from
-  * parquet FOOTER metadata (`count()` resolves from row-group statistics
-  * — no data scan), so ingestion bookkeeping stays O(files), not O(rows).
+  * a TRUE parquet footer read (Hadoop `ParquetFileReader` — row count,
+  * schema width, compressed data bytes; no column data touched), so
+  * ingestion bookkeeping stays O(files), not O(rows).
   */
 object Ingest {
 
+  private def isHttp(s: String) =
+    s.startsWith("http://") || s.startsWith("https://")
+
+  private def stripFileScheme(s: String) = s.stripPrefix("file://")
+
+  private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+
   /** S1: availability probe before load; missing sources become
     * `brecha` (gap) rows in the manifest rather than job failures
-    * (loader_yellow_green.py:13-19,56-61 behavior). */
-  def available(path: String): Boolean = new java.io.File(path).exists()
+    * (loader_yellow_green.py:13-19,56-61 behavior). http(s) sources get
+    * the reference's HEAD probe — 200 = available, anything else
+    * (including connect/timeout errors) = gap, never an exception;
+    * local / file:// paths fall back to an existence check so tests and
+    * air-gapped runs stay hermetic. */
+  def available(source: String): Boolean =
+    if (isHttp(source)) {
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(source))
+          .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody())
+          .timeout(java.time.Duration.ofSeconds(10)).build()
+        http.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+          .statusCode() == 200
+      } catch { case _: Exception => false }
+    } else new java.io.File(stripFileScheme(source)).exists()
+
+  /** S1/S5: resolve a source to a local file Spark can scan — http(s)
+    * sources are streamed to `localDir` (skipped if already present:
+    * loader_yellow_green.py:63-70's re-run idempotence), local / file://
+    * paths pass through. The download is atomic (temp file + move) so a
+    * crashed run never leaves a torn file that the skip-if-exists check
+    * would then trust. */
+  def fetch(source: String, localDir: String = "/tmp"): String =
+    if (!isHttp(source)) stripFileScheme(source)
+    else {
+      val name = source.substring(source.lastIndexOf('/') + 1)
+      val target = java.nio.file.Paths.get(localDir, name)
+      if (!java.nio.file.Files.exists(target)) {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(source))
+          .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+        val tmp = java.nio.file.Files.createTempFile(
+          java.nio.file.Paths.get(localDir), s".$name.", ".part")
+        try {
+          val resp = http.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofFile(tmp))
+          if (resp.statusCode() != 200)
+            throw new java.io.IOException(s"GET $source -> ${resp.statusCode()}")
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+      target.toString
+    }
+
+  /** S3: TRUE parquet footer read (loader_yellow_green.py:72-76's
+    * pyarrow ParquetFile.metadata analog) — row count, column count and
+    * compressed data bytes come from the footer alone; no column data
+    * is scanned. `dataBytes` is the sum of row-group compressed sizes,
+    * the engine-independent size measure (DuckDB computes the identical
+    * number from parquet_metadata(), which the manifest oracle pins). */
+  final case class FooterMeta(rows: Long, nCols: Int, dataBytes: Long,
+      fileBytes: Long)
+
+  def footerMeta(spark: SparkSession, path: String): FooterMeta = {
+    import scala.jdk.CollectionConverters._
+    val p = stripFileScheme(path)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val footer = reader.getFooter
+      FooterMeta(
+        rows = reader.getRecordCount,
+        nCols = footer.getFileMetaData.getSchema.getFieldCount,
+        dataBytes = footer.getBlocks.asScala.map(_.getCompressedSize).sum,
+        fileBytes = java.nio.file.Files.size(java.nio.file.Paths.get(p)))
+    } finally reader.close()
+  }
 
   /** S4+S3: one manifest row per source table of an sf directory —
-    * status, row count (footer-only), column count, bytes. */
+    * status, row count, column count, footer data bytes. All metadata
+    * comes from [[footerMeta]]: the manifest costs O(files), not
+    * O(rows), exactly like the reference's pyarrow-footer loop. */
   def manifest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tables = Seq("region", "nation", "customer", "supplier", "part",
@@ -36,19 +119,20 @@ object Ingest {
     val rows = tables.map { t =>
       val path = s"$sfDir/$t.parquet"
       if (available(path)) {
-        val df = Tables.load(spark, sfDir, t)
-        // count() on a bare parquet scan is answered from row-group
-        // statistics (no column data read) — the S3 metadata-scan analog
-        (t, "loaded", df.count(), df.columns.length)
-      } else (t, "brecha", 0L, 0)
+        val m = footerMeta(spark, path)
+        (t, "loaded", m.rows, m.nCols, m.dataBytes)
+      } else (t, "brecha", 0L, 0, 0L)
     }
-    rows.toDF("table_name", "status", "row_count", "n_cols")
+    rows.toDF("table_name", "status", "row_count", "n_cols", "n_bytes")
       .orderBy($"table_name")
   }
 
   /** Oracle: counts recomputed independently; n_cols pinned to the
     * declared contract (sources.yml analog — the oracle asserts the
-    * declared width, catching schema drift). */
+    * declared width, catching schema drift); n_bytes recomputed from
+    * DuckDB's own footer reader (`parquet_metadata()` — `{SF_DIR}` is
+    * substituted with the concrete data directory when Verify dumps
+    * oracle_sql.json). */
   val manifestSql: String = {
     val expected = Seq(
       ("customer", 5), ("documents", 5), ("embeddings", 3), ("events", 6),
@@ -57,7 +141,9 @@ object Ingest {
     expected.map { case (t, nc) =>
       s"""SELECT '$t' AS table_name, 'loaded' AS status,
          |       (SELECT count(*) FROM $t) AS row_count,
-         |       CAST($nc AS INTEGER) AS n_cols""".stripMargin
+         |       CAST($nc AS INTEGER) AS n_cols,
+         |       (SELECT CAST(sum(total_compressed_size) AS BIGINT)
+         |        FROM parquet_metadata('{SF_DIR}/$t.parquet')) AS n_bytes""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 

@@ -295,6 +295,59 @@ class IngestSpec extends SparkSuite {
   test("missing source becomes a brecha row, not a failure") {
     assert(!graft.sources.Ingest.available("/root/testdata/sf0.001/nope.parquet"))
   }
+
+  test("footer metadata: rows/cols/bytes from the footer alone (S3)") {
+    val m = graft.sources.Ingest.footerMeta(spark, "/root/testdata/sf0.001/nation.parquet")
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    assert(m.rows == df.count())
+    assert(m.nCols == df.columns.length)
+    assert(m.dataBytes > 0 && m.dataBytes < m.fileBytes,
+      "compressed data bytes must be positive and smaller than the file (footer excluded)")
+  }
+
+  test("HTTP ingestion: HEAD probe hit / miss->brecha, streamed URL fetch (S1/S5)") {
+    // hermetic in-process HTTP server — the reference's CloudFront
+    // endpoint shape (HEAD probe, then streamed GET) without egress
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val payload = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/nation.parquet"))
+    server.createContext("/data/nation.parquet",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        if (ex.getRequestMethod == "HEAD") {
+          ex.getResponseHeaders.add("Content-Length", payload.length.toString)
+          ex.sendResponseHeaders(200, -1)
+        } else {
+          ex.sendResponseHeaders(200, payload.length)
+          ex.getResponseBody.write(payload)
+        }
+        ex.close()
+      })
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // S1: probe hit and probe miss (the brecha branch), no exceptions
+      assert(graft.sources.Ingest.available(s"$base/data/nation.parquet"))
+      assert(!graft.sources.Ingest.available(s"$base/data/missing_2099-01.parquet"))
+      // S5: fetch streams to local, is idempotent, and the result scans
+      val dir = java.nio.file.Files.createTempDirectory("graft_fetch_").toString
+      val local = graft.sources.Ingest.fetch(s"$base/data/nation.parquet", dir)
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(local)) == payload.length)
+      val again = graft.sources.Ingest.fetch(s"$base/data/nation.parquet", dir)
+      assert(again == local, "re-fetch must reuse the downloaded file")
+      assert(spark.read.parquet(local).count() ==
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count())
+      // a failed GET must not leave a torn file behind
+      intercept[java.io.IOException] {
+        graft.sources.Ingest.fetch(s"$base/data/missing_2099-01.parquet", dir)
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "missing_2099-01.parquet")))
+    } finally server.stop(0)
+  }
 }
 
 class TypedAggSpec extends SparkSuite {
