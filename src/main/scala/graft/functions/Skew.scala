@@ -47,16 +47,28 @@ object Skew {
 
   /** (bigWithSaltedKey, smallExplodedOverSalts) ready to equi-join on
     * (key, "_salt"). The big side's salt must NOT derive from the join
-    * key (all rows of the hot key would share one salt — a no-op);
-    * a per-row counter spreads each key's rows across all salts. Join
-    * results are identical for any salt assignment: each big row meets
-    * exactly the one small-side copy carrying its salt. */
+    * key alone (all rows of the hot key would share one salt — a no-op);
+    * it hashes the FULL row (or `saltOn`, when given), which spreads a
+    * hot key's rows across salts whenever anything else in the row
+    * varies. Join results are identical for any salt assignment: each
+    * big row meets exactly the one small-side copy carrying its salt.
+    *
+    * Why a content hash and not `monotonically_increasing_id`: the
+    * counter depends on partition/row order, so if the big side sits
+    * downstream of a shuffle, a fetch-failure recompute could re-salt
+    * rows differently and the partially-recomputed shuffle would drop or
+    * duplicate join rows (the classic nondeterministic-mapper hazard).
+    * A row-content hash is stable under any recompute. Degenerate case:
+    * rows that are FULLY identical (every column) land on one salt —
+    * if such duplicates dominate a hot key, pass `saltOn` naming a
+    * disambiguating column (an event id, a line number). */
   def saltedJoinKeys(big: DataFrame, small: DataFrame, key: String,
-      salts: Int = 16): (DataFrame, DataFrame) = {
+      salts: Int = 16, saltOn: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val hashCols = (if (saltOn.nonEmpty) saltOn else big.columns.toSeq).map(col)
     val bigSalted = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(hashCols: _*), lit(salts.toLong)))
     // long-typed sequence: a generator cannot be nested under a Cast,
-    // and the big side's counter-based salt is long
+    // and the big side's hash-based salt is long
     val smallExploded = small.withColumn("_salt",
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     (bigSalted, smallExploded)

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * array once per document (cached) lets every pair be scored with a
   * zero-allocation O(|a|+|b|) merge inside WholeStageCodegen.
   *
-  * Contract: both inputs ascending-sorted, deduplicated, no null
-  * elements (the shingle builder guarantees all three). Jaccard then
-  * needs no union array: |A∪B| = |A|+|B|−|A∩B|.
+  * Contract: both inputs ascending-sorted and deduplicated (the shingle
+  * builder guarantees both; `sort_array` sorts nulls FIRST, matching the
+  * merge below). NULL elements never match (SQL `null != null`) and are
+  * skipped — the expression is registered for spark.sql users, who can
+  * pass arrays the internal builder never produces. Jaccard then needs
+  * no union array: |A∪B| = |A|+|B|−|A∩B|.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,10 +42,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val (na, nb) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -57,9 +64,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $nb = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $na && $j < $nb) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -4,11 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.graftbridge.DatasetBridge
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampType}
 
 /** As-of join as a FULL custom operator — the (c) rung of the
   * custom-operator ladder (LogicalPlan + Strategy + SparkPlan), for the
@@ -22,19 +22,30 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * EnsureRequirements plans the exchanges/sorts — then ONE merge walk
   * per partition keeps a single "latest right row ≤ current left time"
   * per key: O(|left| + |right|) with O(1) state, no intermediate
-  * blow-up. INNER semantics — unmatched or null-keyed left rows are
-  * dropped, matching both oracles (the window composition's equi-join
-  * and DuckDB's ASOF JOIN are inner).
+  * blow-up.
   *
-  * v1 scope (asserted at construction): key LongType, time
-  * TimestampType — the shapes the engine's tables use. The
-  * (a)-composition is this operator's differential oracle in
-  * AsOfJoinExecSpec.
+  * Semantics:
+  *  - INNER (default): unmatched or null-keyed left rows are dropped,
+  *    matching both oracles (the window composition's equi-join and
+  *    DuckDB's ASOF JOIN are inner).
+  *  - LEFT OUTER: unmatched left rows (including null-keyed ones, per
+  *    SQL outer-join semantics) are emitted with a null right side.
+  *  - Duplicate (key, time) rows on the RIGHT: the surviving match is
+  *    whichever sorts last, and the sort is only on (key, time) — the
+  *    payload of the match is therefore NOT deterministic across runs
+  *    for such inputs (same caveat as DuckDB's ASOF JOIN). Deduplicate
+  *    the right side first if its (key, time) pairs are not unique.
+  *
+  * Supported shapes (asserted at construction): key Int or Long, time
+  * Timestamp, Date, or Long — both sides must agree on each type.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    leftTime: Attribute, rightTime: Attribute,
+    isLeftOuter: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override lazy val resolved: Boolean = childrenResolved
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -43,9 +54,12 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    leftTime: Attribute, rightTime: Attribute,
+    isLeftOuter: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   // output stays clustered on the join key — downstream key-based
   // operators must not re-shuffle (same propagation SortMergeJoin does)
@@ -61,21 +75,40 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  /** Physical accessor for the supported key/time types, normalized to
+    * Long (Int/Date are day- or key-width ints; Timestamp is micros as
+    * long) — ordering is preserved by the widening, which is all the
+    * merge walk needs. */
+  private def longGetter(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case LongType | TimestampType => (r, i) => r.getLong(i)
+    case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+    case other => throw new IllegalStateException(
+      s"AsOfJoinExec: unsupported physical type $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyOrd = left.output.indexOf(leftKey)
     val lTimeOrd = left.output.indexOf(leftTime)
     val rKeyOrd = right.output.indexOf(rightKey)
     val rTimeOrd = right.output.indexOf(rightTime)
     require(lKeyOrd >= 0 && lTimeOrd >= 0 && rKeyOrd >= 0 && rTimeOrd >= 0)
+    val keyGet = longGetter(leftKey.dataType)
+    val timeGet = longGetter(leftTime.dataType)
     val outputAttrs = output
+    val outer = isLeftOuter
+    val rightArity = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
+      // all-null right side for outer no-match rows (GenericInternalRow
+      // initializes to nulls; the projection below null-checks per field)
+      val nullRight = new GenericInternalRow(rightArity)
       // downstream operators assume UnsafeRow (executeCollect, sorts,
       // shuffles all cast) — project like SortMergeJoin's resultProj
       val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
       new Iterator[InternalRow] {
-        // null keys/times never match (SQL semantics; getLong on a null
-        // slot would silently read 0) — skip such rows on both sides
+        // null keys/times never MATCH (SQL semantics; a primitive read
+        // on a null slot would silently yield 0) — inner drops such
+        // rows, outer emits them with a null right side
         private def advanceRight(): InternalRow = {
           while (rIter.hasNext) {
             val r = rIter.next()
@@ -90,16 +123,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private def computeNext(): InternalRow = {
           while (lIter.hasNext) {
             val l = lIter.next()
-            if (!l.isNullAt(lKeyOrd) && !l.isNullAt(lTimeOrd)) {
-              val lk = l.getLong(lKeyOrd)
-              val lt = l.getLong(lTimeOrd) // timestamp = micros as long
+            if (l.isNullAt(lKeyOrd) || l.isNullAt(lTimeOrd)) {
+              if (outer) return resultProj(joined(l, nullRight))
+              // else: inner — skip
+            } else {
+              val lk = keyGet(l, lKeyOrd)
+              val lt = timeGet(l, lTimeOrd)
               // advance the right side while it is still "at or before"
               // the current left position in (key, time) order
               while (rNext != null && {
-                val rk = rNext.getLong(rKeyOrd)
-                rk < lk || (rk == lk && rNext.getLong(rTimeOrd) <= lt)
+                val rk = keyGet(rNext, rKeyOrd)
+                rk < lk || (rk == lk && timeGet(rNext, rTimeOrd) <= lt)
               }) {
-                if (rNext.getLong(rKeyOrd) == lk) {
+                if (keyGet(rNext, rKeyOrd) == lk) {
                   lastMatch = rNext // already copied on ingest
                   lastMatchKey = lk
                 }
@@ -107,6 +143,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               }
               if (lastMatch != null && lastMatchKey == lk) {
                 return resultProj(joined(l, lastMatch))
+              } else if (outer) {
+                return resultProj(joined(l, nullRight))
               } // else: inner join — drop the unmatched left row
             }
           }
@@ -131,20 +169,35 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoinNative {
 
-  /** INNER as-of join: each left row paired with the latest right row
-    * of the same key with time ≤ left time; unmatched left rows drop.
-    * Registers [[AsOfStrategy]] on the session (idempotent). */
+  private val keyTypes: Set[DataType] = Set(IntegerType, LongType)
+  private val timeTypes: Set[DataType] = Set(TimestampType, DateType, LongType)
+
+  /** As-of join: each left row paired with the latest right row of the
+    * same key with time ≤ left time. `joinType` "inner" (default, drops
+    * unmatched left rows) or "left_outer" (keeps them, null right side).
+    * Registers [[AsOfStrategy]] on the session (idempotent).
+    *
+    * Right-side rows with duplicate (key, time): see [[AsOfJoinPlan]] —
+    * the matched payload is unstable under such duplicates; dedupe first
+    * if they can occur. */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      joinType: String = "inner"): DataFrame = {
+    val isLeftOuter = joinType match {
+      case "inner" => false
+      case "left_outer" | "left" => true
+      case other => throw new IllegalArgumentException(
+        s"asofJoin supports inner | left_outer, got $other")
+    }
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
       spark.experimental.extraStrategies =
@@ -157,14 +210,25 @@ object AsOfJoinNative {
         s"ambiguous column $name (${matches.size} matches) — rename before joining")
       matches.head
     }
+    val leftPlan = leftDf.queryExecution.analyzed
+    val rightPlan = rightDf.queryExecution.analyzed
+    // self-joins / shared lineage: duplicate exprIds across sides would
+    // make the output projection silently read left values for right
+    // columns (binding is by exprId). Refuse loudly; aliasing re-ids.
+    val sharedIds = leftPlan.output.map(_.exprId).toSet
+      .intersect(rightPlan.output.map(_.exprId).toSet)
+    require(sharedIds.isEmpty,
+      s"left and right sides share ${sharedIds.size} attribute id(s) " +
+        "(self-join or common lineage) — re-alias one side, e.g. " +
+        "df.select(df.columns.map(c => col(c).as(c + \"_r\")): _*), before asofJoin")
     val (lk, lt) = (attr(leftDf, leftKey), attr(leftDf, leftTime))
     val (rk, rt) = (attr(rightDf, rightKey), attr(rightDf, rightTime))
-    require(lk.dataType == LongType && rk.dataType == LongType,
-      s"v1 supports Long keys, got ${lk.dataType}/${rk.dataType}")
-    require(lt.dataType == TimestampType && rt.dataType == TimestampType,
-      s"v1 supports Timestamp times, got ${lt.dataType}/${rt.dataType}")
+    require(keyTypes.contains(lk.dataType) && lk.dataType == rk.dataType,
+      s"asofJoin keys must both be Int or Long, got ${lk.dataType}/${rk.dataType}")
+    require(timeTypes.contains(lt.dataType) && lt.dataType == rt.dataType,
+      s"asofJoin times must both be Timestamp, Date, or Long, got " +
+        s"${lt.dataType}/${rt.dataType}")
     DatasetBridge.ofRows(spark, AsOfJoinPlan(
-      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
-      lk, rk, lt, rt))
+      leftPlan, rightPlan, lk, rk, lt, rt, isLeftOuter))
   }
 }

@@ -219,6 +219,76 @@ class AsOfExecSpec extends SparkSuite {
     assert(n == withNulls.filter($"user_id".isNotNull).count())
   }
 
+  test("AsOfJoinExec left_outer: unmatched and null-keyed left rows kept with null right") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    val base = graft.sources.Tables.events(spark, sfd).select($"event_id", $"user_id", $"ts")
+    // right side restricted to half the users — the rest must survive
+    // as unmatched left rows with a null payload
+    val right = graft.sources.Tables.events(spark, sfd)
+      .filter($"user_id" % 2 === 0)
+      .groupBy($"user_id".as("d_user"), date_trunc("day", $"ts").as("day_ts"))
+      .agg(count(lit(1)).as("n"))
+    val withNulls = base.withColumn("user_id",
+      when($"event_id" % 10 === 0, lit(null).cast("long")).otherwise($"user_id"))
+    val outer = graft.plans.AsOfJoinNative.asofJoin(
+      withNulls, right, "user_id", "d_user", "ts", "day_ts", "left_outer")
+    // every left row appears exactly once (outer totality)
+    assert(outer.count() == withNulls.count())
+    // null-keyed left rows carry a null right side
+    assert(outer.filter($"user_id".isNull && $"d_user".isNotNull).count() == 0)
+    // odd users never match; even users always do (their own day rollup)
+    assert(outer.filter($"user_id" % 2 === 1 && $"d_user".isNotNull).count() == 0)
+    assert(outer.filter($"user_id" % 2 === 0 && $"d_user".isNull).count() == 0)
+    // matched subset == the inner result (outer only ADDS null rows)
+    val inner = graft.plans.AsOfJoinNative.asofJoin(
+      withNulls, right, "user_id", "d_user", "ts", "day_ts")
+    val matched = outer.filter($"d_user".isNotNull)
+    assert(matched.exceptAll(inner).count() == 0)
+    assert(inner.exceptAll(matched).count() == 0)
+  }
+
+  test("AsOfJoinExec (Int key, Date time): differential vs window composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // synthetic frames with Int keys and Date times, unique (key, time)
+    // on the right (the operator's determinism contract)
+    val left = (1 to 200).map(i =>
+        (i, i % 7, java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d")))
+      .toDF("id", "k", "t")
+    val right = (0 until 7).flatMap(k => Seq(5, 12, 20).map(d =>
+        (k, java.sql.Date.valueOf(f"2024-01-$d%02d"), k * 100 + d)))
+      .toDF("rk", "rt", "payload")
+    val native = graft.plans.AsOfJoinNative.asofJoin(
+        left, right, "k", "rk", "t", "rt")
+      .select($"id", $"k", $"rt", $"payload")
+    val w = Window.partitionBy($"id").orderBy($"rt".desc)
+    val composed = left.join(right, $"k" === $"rk" && $"rt" <= $"t")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"id", $"k", $"rt", $"payload")
+    assert(native.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(native).count() == 0)
+    assert(native.count() > 0)
+    // left_outer on the same shape: total, matched subset identical
+    val outer = graft.plans.AsOfJoinNative.asofJoin(
+      left, right, "k", "rk", "t", "rt", "left_outer")
+    assert(outer.count() == left.count())
+    assert(outer.filter($"rk".isNotNull).count() == native.count())
+  }
+
+  test("AsOfJoinExec refuses shared lineage (duplicate exprIds across sides)") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    val base = graft.sources.Tables.events(spark, sfd).select($"event_id", $"user_id", $"ts")
+    // same analyzed attributes on both sides — the output projection
+    // would silently read left values for right columns if allowed
+    val ex = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asofJoin(
+        base, base.filter($"event_id" > 0), "user_id", "user_id", "ts", "ts")
+    }
+    assert(ex.getMessage.contains("re-alias"))
+  }
+
   test("AsOfJoinExec plan: merge-walk node present, sorted inputs, no window/blow-up join") {
     import spark.implicits._
     val sfd = "/root/testdata/sf0.001"
