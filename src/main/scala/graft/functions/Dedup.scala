@@ -117,7 +117,10 @@ object Dedup {
       .select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= 3)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select($"doc_id", sort_array(shinglesFromTokens($"t")).as("sh"))
+      // fused codegen expression (one pass: build + sort + dedup);
+      // byte-identical to sort_array(shinglesFromTokens(t)) — the HOF
+      // chain remains as this expression's differential oracle in tests
+      .select($"doc_id", graft.plans.ShingleExpression.sortedShingles($"t").as("sh"))
   }
 
   /** All pairs with exact 3-gram Jaccard ≥ minJac.
@@ -147,10 +150,14 @@ object Dedup {
     // shuffle rows and long-compare joins. A hash collision can only
     // ADD candidates (still a superset of true pairs); the exact
     // verification below filters them, so correctness is unaffected.
+    // CACHED + pinned: both sides of the candidate self-join read this —
+    // uncached, the dfreq aggregation + window would run twice
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(minJac) * $"n") + 1)
       .select($"doc_id", xxhash64($"shingle").as("sh_h"))
+      .cache()
+    prefix.count()
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -271,10 +278,15 @@ object Dedup {
       // once per band (16×64 hash passes per row instead of 64).
       // A narrow (doc_id, 64-long sig) shuffle is orders cheaper.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    // band keys: hash of each 4-slice of the signature
+    // band keys: hash of each 4-slice of the signature. CACHED + pinned:
+    // three consumers (bucket sizing, both self-join sides) would each
+    // recompute the full signature stage otherwise — banded is tiny
+    // (numBands smallint rows per doc), the signatures are not
     val banded = sigs.select($"doc_id", posexplode(expr(
       s"transform(sequence(0, ${numBands - 1}), b -> hash(slice(sig, b * 4 + 1, 4)))")))
       .toDF("doc_id", "band_idx", "band_hash")
+      .cache()
+    banded.count() // eager pin: concurrent stages must not race the cache
     // skew guard (optional, lossy — see scaladoc): drop pathological
     // buckets before the self-join
     val bucketSizes = banded.groupBy($"band_idx", $"band_hash")

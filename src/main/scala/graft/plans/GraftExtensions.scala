@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `dot_product(array<float|double>, array<float|double>) → double`
   *  - `minhash_sig(array<bigint>) → array<bigint>` (64 hashes)
   *  - `sorted_intersect_size(array<string>, array<string>) → int`
+  *  - `sorted_shingles(array<string>) → array<string>` (3-gram, sorted, distinct)
   *
   * Two registration paths, matching how Spark libraries ship:
   * [[GraftFunctions.register]] for an existing session (temp
@@ -22,7 +23,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", es => DotProduct(es(0), es(1))),
     ("minhash_sig", es => MinHashSignature(es.head, 64)),
-    ("sorted_intersect_size", es => SortedIntersectSize(es(0), es(1))))
+    ("sorted_intersect_size", es => SortedIntersectSize(es(0), es(1))),
+    ("sorted_shingles", es => SortedShingles(es.head)))
 
   /** Register as session temp functions (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -43,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       es => SortedIntersectSize(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("sorted_shingles"),
+      new ExpressionInfo(classOf[SortedShingles].getName, "sorted_shingles"),
+      es => SortedShingles(es.head)))
   }
 }

@@ -133,6 +133,26 @@ class DedupSpec extends SparkSuite {
     assert(sizes == Seq(0, 0, 0, 1, 2))
   }
 
+  test("sorted_shingles expression equals the composable HOF chain, byte for byte") {
+    // the fused codegen expression vs its differential oracle
+    // (sort_array(array_distinct(transform(...)))) over the real corpus
+    // — including empty/short docs and every engineered near-dup
+    val toks = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select($"doc_id", Dedup.tokens($"text").as("t"))
+    val fused = toks.select($"doc_id",
+      graft.plans.ShingleExpression.sortedShingles($"t").as("sh"))
+    val hof = toks.select($"doc_id",
+      sort_array(Dedup.shinglesFromTokens($"t")).as("sh"))
+    assert(fused.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(fused).count() == 0)
+    assert(fused.count() == 500)
+    // and via spark.sql after registration
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT sorted_shingles(array('a','b','c','a','b','c','x')) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(viaSql == Seq("a b c", "b c a", "b c x", "c a b").sorted)
+  }
+
   test("prefix-filtered jaccard join equals the naive sparse join (completeness)") {
     val fast = Dedup.ngramJaccardPairs(spark, "/root/testdata/sf0.01", 0.5)
     val naive = Dedup.ngramJaccardPairsNaive(spark, "/root/testdata/sf0.01", 0.5)
