@@ -48,11 +48,23 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // caches are dropped before EVERY run, not just between queries:
+    // several builders cache-and-pin intermediates (jaccard prefix,
+    // quality fact, cluster edges), and an un-cleared second run would
+    // read them back and report a warm-cache minimum instead of the
+    // plan's real cost. Staged parquet artifacts survive by design —
+    // they are materialized tables, not caches.
     def minOf(n: Int)(f: => Unit): Double =
-      (1 to n).map(_ => time(f)).min
+      (1 to n).map { _ => spark.catalog.clearCache(); time(f) }.min
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // JSON-safe: quotes, backslashes, and EVERY control char (Spark
+    // exception messages embed schemas/plans with tabs and newlines —
+    // any of them would corrupt the single-line JSON contract)
+    def sanitize(e: Throwable): String =
+      (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
+        .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
 
     // shared dedup DAG stage, timed once, explicitly (single run: the
     // artifact persists, so a second run would measure nothing)
@@ -65,13 +77,8 @@ object Bench {
       } catch {
         case e: Throwable =>
           results(name) = -1.0
-          errors(name) = e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").replaceAll("[\"\\n\\r\\\\]", " ").take(200)
+          errors(name) = sanitize(e)
       }
-      // isolation: query builders cache intermediates — drop them so no
-      // query is timed against another query's warm cache and storage
-      // memory stays flat (staged parquet artifacts survive by design)
-      spark.catalog.clearCache()
     }
 
     // clustering experiment (the BASELINE.md 16.3× reproduction). At
@@ -142,8 +149,7 @@ object Bench {
       results("bench_rowgroup_raw_rows_scanned") =
         scanMetric(rawM, "numOutputRows").toDouble
     } catch { case e: Throwable =>
-      errors("bench_clustering_experiment") = e.getClass.getSimpleName + ": " +
-        Option(e.getMessage).getOrElse("").replaceAll("[\"\\n\\r\\\\]", " ").take(200)
+      errors("bench_clustering_experiment") = sanitize(e)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -50,7 +50,13 @@ object DedupStage {
     spark.read.parquet(path)
   }
 
-  private def sfKey(sfDir: String) = new java.io.File(sfDir).getName
+  /** Corpus key: basename for readability PLUS a hash of the full
+    * canonical path — two corpora whose directories merely share a
+    * basename (…/a/sf0.01 vs …/b/sf0.01) must never collide. */
+  private def sfKey(sfDir: String) = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    f"${new java.io.File(sfDir).getName}_${canonical.hashCode & 0xffffffffL}%08x"
+  }
 
   /** Stage 1: (doc_id, sh) with ascending-sorted distinct 3-gram
     * shingle arrays — the input to every candidate generator. Written

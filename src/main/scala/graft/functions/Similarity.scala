@@ -155,8 +155,12 @@ object Similarity {
     * Each projection is the codegen'd [[graft.plans.DotProduct]] against
     * a CONSTANT plane array — the `aggregate(zip_with(...))` HOF
     * formulation this replaces ran 12 interpreted per-element passes per
-    * row (the exact cliff DotProduct was built to remove; same
-    * left-to-right accumulation, so bucket assignments are unchanged). */
+    * row (the exact cliff DotProduct was built to remove). Same
+    * left-to-right accumulation, so bucket assignments are unchanged for
+    * `dim`-length vectors (the embeddings contract). Ragged vectors are
+    * now WELL-DEFINED rather than degenerate: the projection runs over
+    * min(|v|, dim) elements, where the old zip_with null-padded and
+    * collapsed every ragged vector into bucket 0. */
   def signSignature(v: Column): Column =
     (0 until numPlanes).map { p =>
       val plane = lit((0 until dim).map(i => planeComponent(p, i)).toArray)

@@ -61,12 +61,18 @@ object Skew {
     * A row-content hash is stable under any recompute. Degenerate case:
     * rows that are FULLY identical (every column) land on one salt —
     * if such duplicates dominate a hot key, pass `saltOn` naming a
-    * disambiguating column (an event id, a line number). */
+    * disambiguating column (an event id, a line number), or — ONLY when
+    * the big side is a deterministic scan (no shuffle/nondeterminism
+    * upstream, so recomputes replay identically) — set
+    * `counterSalt = true` to spread even perfect duplicates with a
+    * per-row counter. */
   def saltedJoinKeys(big: DataFrame, small: DataFrame, key: String,
-      salts: Int = 16, saltOn: Seq[String] = Nil): (DataFrame, DataFrame) = {
+      salts: Int = 16, saltOn: Seq[String] = Nil,
+      counterSalt: Boolean = false): (DataFrame, DataFrame) = {
     val hashCols = (if (saltOn.nonEmpty) saltOn else big.columns.toSeq).map(col)
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(hashCols: _*), lit(salts.toLong)))
+      if (counterSalt) pmod(monotonically_increasing_id(), lit(salts.toLong))
+      else pmod(xxhash64(hashCols: _*), lit(salts.toLong)))
     // long-typed sequence: a generator cannot be nested under a Cast,
     // and the big side's hash-based salt is long
     val smallExploded = small.withColumn("_salt",

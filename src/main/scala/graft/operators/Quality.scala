@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   *  - dim_zone: zone_sk not_null + unique, locationid not_null   =  3
   *  - dim_payment_type: key not_null + unique                    =  2
   *  - dim_rate_code: key not_null + unique                       =  2
-  * total 32 = 21 not_null, 5 unique, 4 relationships, 2 accepted_values.
+  * total 32 = 21 not_null, 5 unique, 4 relationships, 2 accepted_values
+  * (counted directly from models/gold/schema.yml + models/silver/
+  * schema.yml; an 18/8/4/2 split is sometimes quoted for this suite but
+  * does not match the yml — e.g. only the five dim keys carry `unique`).
+  * Note the reference deliberately has NO unique test on fct trip_id
+  * ("may have duplicates for identical trips", gold/schema.yml:8) — the
+  * engine's stronger invariant that OUR key construction is in fact
+  * unique on the testdata lives in PipelineSpec, not in this suite.
   *
   * Each check family maps to a DataFrame pattern (SURVEY §2):
   *  - `not_null`           → conditional-sum over one scan

@@ -65,8 +65,14 @@ object Ingest {
       val name = source.substring(source.lastIndexOf('/') + 1)
       val target = java.nio.file.Paths.get(localDir, name)
       if (!java.nio.file.Files.exists(target)) {
+        // no whole-request timeout: HttpRequest.timeout spans the FULL
+        // body transfer with ofFile, and source files are arbitrarily
+        // large — a fixed budget would fail every realistically-sized
+        // download partway through. Stalls are bounded by the client's
+        // 10 s connect timeout + TCP keepalive, matching the streaming
+        // semantics of the reference loader.
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(source))
-          .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+          .GET().build()
         val tmp = java.nio.file.Files.createTempFile(
           java.nio.file.Paths.get(localDir), s".$name.", ".part")
         try {
