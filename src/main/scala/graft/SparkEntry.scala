@@ -50,6 +50,7 @@ object SparkEntry {
     // ingestion manifest + streaming batch-twin
     "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),
     "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
+    "q_stream_dedup" -> (graft.streaming.EventsStream.streamDedupQuery _),
     // window-function surface (frames, lag/lead, sessionization)
     "q_running_totals" -> (WindowOps.runningTotals _),
     "q_sessionize" -> ((s: SparkSession, d: String) => WindowOps.sessionize(s, d)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
+    "q_stream_dedup" -> graft.streaming.EventsStream.streamDedupSql,
     "q_running_totals" -> WindowOps.runningTotalsSql,
     "q_sessionize" -> WindowOps.sessionizeSql(),
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,

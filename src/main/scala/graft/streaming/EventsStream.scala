@@ -143,6 +143,70 @@ object EventsStream {
       .orderBy($"user_id")
   }
 
+  /** Streaming EXACT DEDUP — the A8 hash-dedup of the batch surface as
+    * a continuous operator, the shape a training-data pipeline needs
+    * when documents arrive as a stream and duplicates (retries, source
+    * overlap, the reference's re-downloaded months) must be dropped
+    * online: `dropDuplicatesWithinWatermark` keeps one row per key and
+    * EXPIRES key state once the event-time watermark passes it.
+    *
+    * Scale: state is O(distinct keys within the watermark horizon), not
+    * O(all keys ever seen) — the unbounded-state trap of plain
+    * streaming dropDuplicates. Emission is append-mode immediate (first
+    * arrival wins), so downstream consumes with no watermark latency.
+    * Exactly-once across restarts via the checkpoint, like
+    * [[incrementalIngest]]. Batch twin = `dropDuplicates(key)`,
+    * asserted stream == batch in StreamingSpec over an input with
+    * engineered duplicate files. */
+  def runStreamingDedup(spark: SparkSession, landingDir: String,
+      queryName: String = "events_deduped"): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    val q = Tables.decodeEventTs(spark.readStream
+        .schema(Tables.eventsRaw)
+        .parquet(s"$landingDir/*"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy($"event_id")
+  }
+
+  /** Oracle-gated form of the streaming dedup: the events table is
+    * delivered TWICE into a temp landing dir (every event_id arrives
+    * exactly two times — the re-downloaded-month shape), streamed
+    * through [[runStreamingDedup]], and projected to a deterministic
+    * surface. Both arrivals are byte-identical, so whichever copy wins
+    * the first-arrival race yields the same row — the output equals the
+    * events table itself, which is what the DuckDB oracle pins.
+    * (ts is floored to epoch seconds on both sides: the raw column is
+    * nanos in the file and micros in Spark.) */
+  def streamDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup_").toString
+    val raw = spark.read.schema(Tables.eventsRaw)
+      .parquet(s"$sfDir/events.parquet")
+    raw.write.parquet(s"$landing/arrival1")
+    raw.write.parquet(s"$landing/arrival2")
+    runStreamingDedup(spark, landing, s"stream_dedup_${System.nanoTime()}")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
+      .orderBy($"event_id")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value, props
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** The streaming pipeline, run to completion over the existing files
     * (AvailableNow) and materialized via the memory sink. Returns the
     * final result table with the same schema as [[hourlyBatch]]. */

@@ -300,6 +300,28 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
     assert(batch.count() > 0)
   }
+
+  test("streaming dedup collapses duplicated arrivals to the batch-distinct result") {
+    import spark.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("graft_dedup_stream_").toString
+    // the same RAW source delivered twice (a re-downloaded month /
+    // retried batch — every event_id arrives exactly two times)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.schema(graft.sources.Tables.eventsRaw)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.parquet(s"$landing/arrival1")
+    src.write.parquet(s"$landing/arrival2")
+    val deduped = graft.streaming.EventsStream
+      .runStreamingDedup(spark, landing, "t_events_deduped")
+    val n = src.count()
+    assert(deduped.count() == n,
+      s"expected $n deduped rows from ${2 * n} arrivals, got ${deduped.count()}")
+    // key set identical to the batch-distinct twin
+    val streamIds = deduped.select($"event_id")
+    val batchIds = src.select($"event_id").distinct()
+    assert(streamIds.exceptAll(batchIds).count() == 0)
+    assert(batchIds.exceptAll(streamIds).count() == 0)
+  }
 }
 
 class IngestSpec extends SparkSuite {
