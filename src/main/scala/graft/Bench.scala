@@ -66,10 +66,12 @@ object Bench {
       (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
         .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
 
-    // shared dedup DAG stage, timed once, explicitly (single run: the
+    // shared DAG stages, each timed once, explicitly (single run: the
     // artifact persists, so a second run would measure nothing)
     results("bench_dedup_stage_build") =
       time(graft.functions.DedupStage.prebuild(spark, sfDir))
+    results("bench_fact_stage_build") =
+      time { operators.GoldStage.fact(spark, sfDir).count(); () }
 
     SparkEntry.queries.foreach { case (name, fn) =>
       try {

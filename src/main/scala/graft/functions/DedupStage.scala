@@ -32,31 +32,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DedupStage {
 
-  private val staged = scala.collection.mutable.HashMap[String, String]()
-  private lazy val stageRoot =
-    java.nio.file.Files.createTempDirectory("graft_dedup_stage_").toString
-
-  /** Compute-once-then-read-parquet. Synchronized: concurrent test
-    * suites must not race to build the same artifact. */
   private def materialize(key: String, spark: SparkSession)
-      (build: => DataFrame): DataFrame = {
-    val path = staged.synchronized {
-      staged.getOrElseUpdate(key, {
-        val p = s"$stageRoot/$key"
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
-    }
-    spark.read.parquet(path)
-  }
+      (build: => DataFrame): DataFrame =
+    Staged.materialize(s"dedup_$key", spark)(build)
 
-  /** Corpus key: basename for readability PLUS a hash of the full
-    * canonical path — two corpora whose directories merely share a
-    * basename (…/a/sf0.01 vs …/b/sf0.01) must never collide. */
-  private def sfKey(sfDir: String) = {
-    val canonical = new java.io.File(sfDir).getCanonicalPath
-    f"${new java.io.File(sfDir).getName}_${canonical.hashCode & 0xffffffffL}%08x"
-  }
+  private def sfKey(sfDir: String) = Staged.sfKey(sfDir)
 
   /** Stage 1: (doc_id, sh) with ascending-sorted distinct 3-gram
     * shingle arrays — the input to every candidate generator. Written
@@ -89,7 +69,4 @@ object DedupStage {
     ()
   }
 
-  /** Test hook: drop all staged artifacts so a suite can measure or
-    * re-exercise the build path deterministically. */
-  private[graft] def reset(): Unit = staged.synchronized { staged.clear() }
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Compute-once-per-JVM materialized artifacts: the generic machinery
+  * behind [[DedupStage]] and [[graft.operators.GoldStage]].
+  *
+  * A dbt-style pipeline materializes each model as a TABLE and every
+  * downstream consumer (queries, tests) reads the artifact — it never
+  * re-derives the model per consumer. This helper is that semantic for
+  * an in-process engine: first request for a key computes + writes
+  * parquet under a per-process temp dir, later requests read it. The
+  * temp dir is per-JVM, so a fresh process always rebuilds from current
+  * inputs (no cross-run staleness), and keys embed a hash of the
+  * canonical data directory so distinct corpora can never collide.
+  */
+object Staged {
+
+  private val staged = scala.collection.mutable.HashMap[String, String]()
+  private lazy val stageRoot =
+    java.nio.file.Files.createTempDirectory("graft_stage_").toString
+
+  /** Compute-once-then-read-parquet. Synchronized: concurrent test
+    * suites must not race to build the same artifact. */
+  def materialize(key: String, spark: SparkSession)
+      (build: => DataFrame): DataFrame = {
+    val path = staged.synchronized {
+      staged.getOrElseUpdate(key, {
+        val p = s"$stageRoot/$key"
+        build.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Corpus key piece: basename for readability PLUS a hash of the full
+    * canonical path — two data dirs that merely share a basename
+    * (…/a/sf0.01 vs …/b/sf0.01) must never collide. */
+  def sfKey(sfDir: String): String = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    f"${new java.io.File(sfDir).getName}_${canonical.hashCode & 0xffffffffL}%08x"
+  }
+
+  /** Test hook: drop all staged artifacts so a suite can measure or
+    * re-exercise the build path deterministically. */
+  private[graft] def reset(): Unit = staged.synchronized { staged.clear() }
+}

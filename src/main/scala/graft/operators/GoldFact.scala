@@ -138,17 +138,27 @@ object GoldFact {
       .withColumn("dbt_loaded_at", current_timestamp())
   }
 
-  /** Verified query: deterministic projection of the fact, total-ordered. */
+  /** The fact's deterministic public column set — what the verified
+    * query emits and what [[GoldStage.fact]] materializes (build
+    * intermediates like raw join keys and the nondeterministic audit
+    * timestamp stay out of the artifact). Includes every column the
+    * quality suite's 13 fct checks read. */
+  val verifiedColumns: Seq[String] = Seq(
+    "trip_id", "service_type", "order_key", "line_number",
+    "pickup_date_sk", "dropoff_date_sk", "pickup_zone_sk",
+    "dropoff_zone_sk", "status_desc", "priority_desc",
+    "quantity", "extended_price", "base_charges",
+    "trip_duration_hours", "avg_speed_mph", "tip_percentage",
+    "pickup_hour", "pickup_year", "pickup_month",
+    "is_rush_hour", "is_night_trip", "has_data_quality_issue")
+
+  /** Verified query: deterministic projection of the fact, total-ordered.
+    * Reads the MATERIALIZED fact ([[GoldStage.fact]]) — the dbt
+    * table-read semantic, shared with the quality suite; the join-chain
+    * plan itself is asserted on [[build]] in PlanSpec. */
   def fctTrips(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    build(spark, sfDir).select(
-      $"trip_id", $"service_type", $"order_key", $"line_number",
-      $"pickup_date_sk", $"dropoff_date_sk", $"pickup_zone_sk",
-      $"dropoff_zone_sk", $"status_desc", $"priority_desc",
-      $"quantity", $"extended_price", $"base_charges",
-      $"trip_duration_hours", $"avg_speed_mph", $"tip_percentage",
-      $"pickup_hour", $"pickup_year", $"pickup_month",
-      $"is_rush_hour", $"is_night_trip", $"has_data_quality_issue")
+    GoldStage.fact(spark, sfDir)
       .orderBy($"order_key", $"line_number")
   }
 

@@ -104,15 +104,13 @@ object Quality {
 
     // ---- fct_trips: 8 not_null + 1 accepted_values + 4 relationships --
     // the fact feeds 5 independent consumers (one conditional-agg pass +
-    // four FK anti-joins) — materialize ONCE, but only the 8 columns the
-    // checks read: caching the full fact (md5 keys, every derived
-    // metric) measured slower than recomputing it
-    val fact = GoldFact.build(spark, sfDir)
+    // four FK anti-joins): read the MATERIALIZED fact table, projected
+    // to only the 8 columns the checks touch (parquet column pruning) —
+    // exactly how dbt test runs against the materialized model rather
+    // than re-deriving the join chain per test
+    val fact = GoldStage.fact(spark, sfDir)
       .select("trip_id", "service_type", "pickup_date_sk", "dropoff_date_sk",
         "pickup_zone_sk", "dropoff_zone_sk", "quantity", "extended_price")
-      .cache()
-    fact.count() // eager pin — the five consumers would otherwise race
-    // to compute the un-materialized join chain concurrently
     val factNnCols = Seq("trip_id", "service_type", "pickup_date_sk",
       "dropoff_date_sk", "pickup_zone_sk", "dropoff_zone_sk",
       "quantity", "extended_price")
