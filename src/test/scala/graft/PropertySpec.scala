@@ -77,4 +77,38 @@ class PropertySpec extends SparkSuite {
       assert(merged == piecewise) // the property LSH banding relies on
     }
   }
+
+  test("AsOfJoinExec: randomized differential vs window composition, inner and outer") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed key space (key 0 is hot) + duplicate left times + keys with
+    // an empty right side — the shapes the merge walk must survive.
+    // Right (key, time) pairs are made UNIQUE (the operator's
+    // determinism contract).
+    (1 to 4).foreach { round =>
+      val nL = 150 + rnd.nextInt(100)
+      val left = (0 until nL).map { i =>
+        val k = if (rnd.nextBoolean()) 0L else rnd.nextInt(8).toLong
+        (i.toLong, k, rnd.nextInt(1000).toLong)
+      }.toDF("id", "k", "t")
+      val right = rnd.shuffle((0 until 6).flatMap(k =>
+          (1 to 10).map(_ => rnd.nextInt(1000))).distinct.map(t =>
+          (rnd.nextInt(6).toLong, t.toLong)))
+        .distinct.map { case (k, t) => (k, t, k * 10000 + t) }
+        .toDF("rk", "rt", "payload")
+        .groupBy("rk", "rt").agg(min($"payload").as("payload")) // unique (rk, rt)
+      val native = graft.plans.AsOfJoinNative.asofJoin(
+        left, right, "k", "rk", "t", "rt").select($"id", $"rt", $"payload")
+      val w = Window.partitionBy($"id").orderBy($"rt".desc)
+      val composed = left.join(right, $"k" === $"rk" && $"rt" <= $"t")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"id", $"rt", $"payload")
+      assert(native.exceptAll(composed).count() == 0, s"round $round: extra rows")
+      assert(composed.exceptAll(native).count() == 0, s"round $round: missing rows")
+      // outer: total on the left, matched subset == inner
+      val outer = graft.plans.AsOfJoinNative.asofJoin(
+        left, right, "k", "rk", "t", "rt", "left_outer")
+      assert(outer.count() == left.count(), s"round $round: outer not total")
+      assert(outer.filter($"rk".isNotNull).count() == native.count(), s"round $round")
+    }
+  }
 }
