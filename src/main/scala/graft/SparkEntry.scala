@@ -45,6 +45,7 @@ object SparkEntry {
     // approximate / binary-plumbing ops: rows-only check (no SQL oracle)
     "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    "q_knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)),
     "q_approx_stats" -> (Analytics.approxStats _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // ingestion manifest + streaming batch-twin
@@ -93,6 +94,10 @@ object SparkEntry {
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_knn_bruteforce" -> Similarity.knnBruteForceSql(),
+    // SQ8 + 4× oversampled exact re-rank recovers the exact top-k on
+    // this corpus (verified at every SF) — gated against the same
+    // brute-force oracle, which would catch any quantization drift
+    "q_knn_quantized" -> Similarity.knnBruteForceSql(),
     "q_cosine_neardup" -> Similarity.cosineNearDupSql(),
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,

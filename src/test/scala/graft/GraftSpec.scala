@@ -219,6 +219,41 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
   }
 
+  test("knn-SQ8: int8 quantize + oversampled exact re-rank recovers the exact top-k") {
+    val bf = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.knnQuantized(spark, "/root/testdata/sf0.01", 10, 5)
+    val pairs = sq.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 error on 64-dim unit-ish vectors is tiny; with 4× oversample
+    // the exact re-rank should recover (nearly) the whole exact top-k
+    val recall = (bf intersect pairs).size.toDouble / bf.size
+    assert(recall >= 0.95, s"SQ8 recall@5 too low: $recall")
+    // emitted cosines are EXACT: identical values to brute force on the
+    // common (query, neighbor) pairs
+    val bfCos = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", 10, 5)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sq.select("query_id", "neighbor_id", "cosine").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bfCos.get(key).foreach(c => assert(c == r.getDouble(2), s"cosine drift at $key"))
+    }
+    // quantization round-trip sanity: quantized dot ≈ exact dot
+    import org.apache.spark.sql.functions.{col, lit, abs => sabs}
+    import graft.plans.QuantExpressions._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .withColumn("qscale", vectorAbsMax(col("embedding")) / lit(127.0))
+      .withColumn("qvec", quantize(col("embedding"), col("qscale")))
+      .limit(50)
+    val drift = emb.as("a").crossJoin(emb.as("b"))
+      .select(sabs(
+        quantizedDot(col("a.qvec"), col("b.qvec")) * col("a.qscale") * col("b.qscale") -
+          graft.plans.VectorExpressions.dotProduct(col("a.embedding"), col("b.embedding")))
+        .as("err"))
+      .agg(org.apache.spark.sql.functions.max(col("err"))).collect().head.getDouble(0)
+    assert(drift < 0.5, s"quantized dot drift too large: $drift")
+  }
+
   test("knn-LSH: candidates only from the query's bucket; recall@5 sane on clustered data") {
     val bf = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", 10, 5)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
