@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -67,6 +67,11 @@ object SparkEntry {
     "q_label_norms" -> (Similarity.labelNorms _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q_deduped_corpus" -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
+    // deterministic data-mixing ops (hash-bucket sampling, exact membership)
+    "q_stratified_sample" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.stratifiedSample(s, d, Sampling.defaultRates)),
+    "q_train_val_test" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.trainValTest(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -117,5 +122,7 @@ object SparkEntry {
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),
+    "q_stratified_sample" -> graft.functions.Sampling.stratifiedSampleSql(Sampling.defaultRates),
+    "q_train_val_test" -> graft.functions.Sampling.trainValTestSql(),
   )
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic sampling and splitting — the data-mixing operators a
+  * training pipeline runs after dedup/quality filtering: down-sample
+  * over-represented strata, hold out validation/test slices, and do it
+  * REPRODUCIBLY (the same row lands in the same split on every run, on
+  * any cluster, regardless of partitioning).
+  *
+  * Spark's `sample()`/`randomSplit()` are seeded per-partition and not
+  * stable under repartitioning — a recompute or layout change moves
+  * rows between splits, which silently contaminates held-out data.
+  * Content-hash bucketing fixes that: bucket = hash(key ⊕ salt) mod N
+  * depends only on the ROW, so membership is a pure function of the
+  * data. The hash is the engine's cross-engine [[Dedup.hash60]]
+  * (md5-prefix), so DuckDB computes identical buckets and the oracle
+  * verifies exact membership, not just rates.
+  *
+  * Scale: both operators are one narrow codegen'd filter/projection on
+  * the scan — no shuffle, no state; the sampled output feeds directly
+  * into downstream stages with pushdown intact.
+  */
+object Sampling {
+
+  val buckets = 1000
+
+  /** The verified-query mix: halve the dominant language, keep 80% of
+    * the mid strata, everything else untouched — the classic
+    * rebalancing move on this corpus's en-heavy distribution. */
+  val defaultRates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.8)
+
+  /** Stable per-row bucket in [0, buckets): hash of (key, salt). The
+    * salt decorrelates different sampling decisions over the same keys
+    * (a row sampled INTO a 10% slice under one salt is independent of
+    * its membership under another). */
+  def bucket(key: Column, salt: String): Column =
+    pmod(Dedup.hash60(concat_ws("|", key.cast("string"), lit(salt))),
+      lit(buckets.toLong))
+
+  def bucketSql(keyExpr: String, salt: String): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '|' || '$salt'), 1, 15)) AS BIGINT) % $buckets"
+
+  /** Per-stratum deterministic down-sampling: keep `rate(lang)` of each
+    * language's documents (the corpus-mixing move: cap the dominant
+    * language, keep the tail). Unlisted strata keep everything. */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      rates: Map[String, Double], salt: String = "mix_v1"): DataFrame = {
+    import spark.implicits._
+    val keepBuckets = rates.foldLeft(lit(buckets.toLong)) { case (acc, (lang, r)) =>
+      when($"lang" === lang, lit((r * buckets).toLong)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .filter(bucket($"doc_id", salt) < keepBuckets)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  def stratifiedSampleSql(rates: Map[String, Double], salt: String = "mix_v1"): String = {
+    val cases = rates.map { case (lang, r) =>
+      s"WHEN lang = '$lang' THEN ${(r * buckets).toLong}"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE ${bucketSql("doc_id", salt)} < (CASE $cases ELSE $buckets END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Reproducible train/val/test assignment (98/1/1 by default), plus
+    * the per-(lang, split) count matrix a pipeline reports before
+    * training. Assignment is per-document content hash — adding or
+    * removing OTHER documents never moves an existing document across
+    * splits (the property random row-numbering schemes lack). */
+  def trainValTest(spark: SparkSession, sfDir: String,
+      valPct: Int = 1, testPct: Int = 1, salt: String = "split_v1"): DataFrame = {
+    import spark.implicits._
+    val b = bucket($"doc_id", salt)
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(b < testPct * buckets / 100, "test")
+          .when(b < (testPct + valPct) * buckets / 100, "val")
+          .otherwise("train"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang", $"split")
+  }
+
+  def trainValTestSql(valPct: Int = 1, testPct: Int = 1,
+      salt: String = "split_v1"): String =
+    s"""SELECT lang,
+       |       CASE WHEN ${bucketSql("doc_id", salt)} < ${testPct * buckets / 100} THEN 'test'
+       |            WHEN ${bucketSql("doc_id", salt)} < ${(testPct + valPct) * buckets / 100} THEN 'val'
+       |            ELSE 'train' END AS split,
+       |       COUNT(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY lang, split""".stripMargin
+}

@@ -448,6 +448,44 @@ class TypedAggSpec extends SparkSuite {
   }
 }
 
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hash-bucket sampling: reproducible, partition-independent, rate-accurate") {
+    val rates = Map("en" -> 0.5, "zh" -> 0.8)
+    val s1 = functions.Sampling.stratifiedSample(spark, sf, rates)
+    val s2 = functions.Sampling.stratifiedSample(spark, sf, rates)
+    // bitwise repeatable (no RNG, no partition dependence)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // per-stratum rates within binomial noise; unlisted strata untouched
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (lang, r) =>
+      val frac = kept(lang).toDouble / total(lang)
+      assert(math.abs(frac - r) < 0.15, s"$lang kept $frac, wanted ~$r")
+    }
+    Seq("es", "de", "fr").foreach(l => assert(kept(l) == total(l), s"$l must be untouched"))
+  }
+
+  test("train/val/test: membership is per-document, stable under corpus changes") {
+    val full = graft.sources.Tables.documents(spark, sf)
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("b", functions.Sampling.bucket($"doc_id", "split_v1"))
+      .withColumn("split", when($"b" < 10, "test").when($"b" < 20, "val").otherwise("train"))
+      .select($"doc_id", $"split")
+    val whole = assign(full).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // removing half the corpus must not move any surviving document
+    val half = assign(full.filter($"doc_id" % 2 === 0)).collect()
+    half.foreach { r => assert(whole(r.getLong(0)) == r.getString(1)) }
+    // the reported matrix covers every (lang, split) with sane counts
+    val matrix = functions.Sampling.trainValTest(spark, sf)
+    val n = matrix.agg(sum($"n_docs")).collect().head.getLong(0)
+    assert(n == full.count())
+  }
+}
+
 class TextAnalysisSpec extends SparkSuite {
 
   test("lang_id: predictions are deterministic and from the closed label set") {
