@@ -195,4 +195,51 @@ object TextAnalysis {
       |       CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp_num
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---- document chunking (the pre-embedding window step) -----------------
+
+  /** Fixed-size token windows with overlap — how a pipeline slices
+    * documents before embedding / context-window packing. Chunk i
+    * covers tokens [i·stride, i·stride + chunkSize); the final chunk is
+    * short rather than padded; `ceil(max(n − chunkSize, 0) / stride) + 1`
+    * chunks per non-empty document, so every token is covered and
+    * consecutive chunks overlap by `chunkSize − stride` tokens.
+    *
+    * Scale: one narrow projection + generator per row — no shuffle; the
+    * explode's fan-out is bounded by n/stride per document, and the
+    * chunk rows feed the embedding stage with doc lineage
+    * (doc_id, chunk_idx) intact. */
+  def chunkDocuments(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    import spark.implicits._
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got $stride/$chunkSize")
+    val nChunks = (ceil(greatest(size($"t") - chunkSize, lit(0)) /
+      lit(stride.toDouble)) + 1).cast("int")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", Dedup.tokens($"text").as("t"))
+      .filter(size($"t") > 0)
+      .select($"doc_id", $"t", posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice($"t", i * stride + 1, lit(chunkSize))))))
+      .select($"doc_id", $"pos".as("chunk_idx"), $"col".as("chunk"),
+        (least($"pos" * stride + chunkSize, size($"t")) - $"pos" * stride)
+          .cast("int").as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  def chunkDocumentsSql(chunkSize: Int = 64, stride: Int = 48): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+       |idx AS (
+       |  SELECT doc_id, t, n,
+       |         unnest(range(0, CAST(ceil(greatest(n - $chunkSize, 0)
+       |                / CAST($stride AS DOUBLE)) AS BIGINT) + 1)) AS i
+       |  FROM sized)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |       array_to_string(t[(i * $stride + 1):(i * $stride + $chunkSize)], ' ') AS chunk,
+       |       CAST(least(i * $stride + $chunkSize, n) - i * $stride AS INTEGER) AS n_tokens
+       |FROM idx
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

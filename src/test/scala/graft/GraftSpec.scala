@@ -488,6 +488,27 @@ class SamplingSpec extends SparkSuite {
 
 class TextAnalysisSpec extends SparkSuite {
 
+  test("chunking: every token covered exactly once per stride, chunks bounded") {
+    import spark.implicits._
+    val cs = 64; val st = 48
+    val chunks = TextAnalysis.chunkDocuments(spark, sf, cs, st).cache()
+    assert(chunks.filter($"n_tokens" <= 0 || $"n_tokens" > cs).count() == 0)
+    // last chunk ends exactly at the document's token count:
+    // max(chunk_idx)·stride + its n_tokens == n tokens of the doc
+    val perDoc = chunks.groupBy($"doc_id")
+      .agg(max($"chunk_idx").as("last_idx"),
+        max(struct($"chunk_idx", $"n_tokens")).as("last"))
+      .select($"doc_id", ($"last_idx" * st + $"last.n_tokens").as("covered"))
+    val docTokens = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.Dedup.tokens($"text")).as("n"))
+      .filter($"n" > 0)
+    val mismatched = perDoc.join(docTokens, "doc_id")
+      .filter($"covered" =!= $"n").count()
+    assert(mismatched == 0, "chunk coverage must end exactly at the last token")
+    assert(chunks.select($"doc_id").distinct().count() == docTokens.count())
+    chunks.unpersist()
+  }
+
   test("lang_id: predictions are deterministic and from the closed label set") {
     val preds = TextAnalysis.langId(spark, sf).select("lang_pred")
       .distinct().collect().map(_.getString(0)).toSet
