@@ -49,8 +49,10 @@ object Sampling {
   def stratifiedSample(spark: SparkSession, sfDir: String,
       rates: Map[String, Double], salt: String = "mix_v1"): DataFrame = {
     import spark.implicits._
+    // round, don't truncate: 0.29 * 1000 is 289.999… in doubles, and
+    // toLong would silently keep one bucket too few
     val keepBuckets = rates.foldLeft(lit(buckets.toLong)) { case (acc, (lang, r)) =>
-      when($"lang" === lang, lit((r * buckets).toLong)).otherwise(acc)
+      when($"lang" === lang, lit(math.round(r * buckets))).otherwise(acc)
     }
     Tables.documents(spark, sfDir)
       .filter(bucket($"doc_id", salt) < keepBuckets)
@@ -60,7 +62,7 @@ object Sampling {
 
   def stratifiedSampleSql(rates: Map[String, Double], salt: String = "mix_v1"): String = {
     val cases = rates.map { case (lang, r) =>
-      s"WHEN lang = '$lang' THEN ${(r * buckets).toLong}"
+      s"WHEN lang = '$lang' THEN ${math.round(r * buckets)}"
     }.mkString(" ")
     s"""SELECT doc_id, lang, source, n_chars
        |FROM documents

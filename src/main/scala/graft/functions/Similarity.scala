@@ -236,10 +236,16 @@ object Similarity {
       .withColumn("qscale", vectorAbsMax($"embedding") / lit(127.0))
       .withColumn("qvec", quantize($"embedding", $"qscale"))
       .withColumn("e_norm", norm($"embedding"))
+    // the approx pass carries ONLY the quantized representation
+    // (int8 vector + 2 scalars per row) — shipping the float32
+    // embedding through the candidate scoring and its window shuffle
+    // would forfeit the byte reduction that motivates SQ8
+    val corpusQ = emb.select($"vec_id", $"qvec", $"qscale", $"e_norm")
     val queries = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         $"qvec".as("q_qvec"), $"qscale".as("q_qscale"), $"e_norm".as("q_norm"))
-    val approx = emb.crossJoin(broadcast(queries))
+    val approx = corpusQ.crossJoin(broadcast(
+        queries.select($"query_id", $"q_qvec", $"q_qscale", $"q_norm")))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("approx_cos",
         quantizedDot($"q_qvec", $"qvec") * $"q_qscale" * $"qscale" /
@@ -248,8 +254,14 @@ object Similarity {
     val survivors = approx
       .withColumn("arank", row_number().over(wApprox))
       .filter($"arank" <= k * oversample)
+      .select($"query_id", $"vec_id", $"e_norm")
+    // exact re-rank touches k·oversample rows per query: broadcast the
+    // tiny survivor set back against the corpus for the float vectors,
+    // and pick the query vector up from the (broadcast-sized) query set
     val wExact = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    survivors
+    broadcast(survivors)
+      .join(Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(queries.select($"query_id", $"q_emb", $"q_norm")), "query_id")
       .withColumn("cos", dot($"q_emb", $"embedding") / ($"q_norm" * $"e_norm"))
       .withColumn("rank", row_number().over(wExact))
       .filter($"rank" <= k)

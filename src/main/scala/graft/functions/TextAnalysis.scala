@@ -219,6 +219,10 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .select($"doc_id", Dedup.tokens($"text").as("t"))
       .filter(size($"t") > 0)
+      // single-small-file input = one scan partition; spread the
+      // CPU-heavy chunk construction across cores (the same measured
+      // trap the shingle builder documents)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select($"doc_id", $"t", posexplode(transform(sequence(lit(0), nChunks - 1),
         i => concat_ws(" ", slice($"t", i * stride + 1, lit(chunkSize))))))
       .select($"doc_id", $"pos".as("chunk_idx"), $"col".as("chunk"),

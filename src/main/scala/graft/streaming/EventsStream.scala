@@ -154,15 +154,22 @@ object EventsStream {
     * O(all keys ever seen) — the unbounded-state trap of plain
     * streaming dropDuplicates. Emission is append-mode immediate (first
     * arrival wins), so downstream consumes with no watermark latency.
-    * Exactly-once across restarts via the checkpoint, like
-    * [[incrementalIngest]]. Batch twin = `dropDuplicates(key)`,
-    * asserted stream == batch in StreamingSpec over an input with
-    * engineered duplicate files. */
+    * Pass `checkpointDir` for exactly-once across restarts (the
+    * [[incrementalIngest]] production shape); the default is a
+    * per-run temporary checkpoint — right for the memory-sink
+    * inspection path, which is itself per-run. Batch twin =
+    * `dropDuplicates(key)`, asserted stream == batch in StreamingSpec
+    * over an input with engineered duplicate files. */
   def runStreamingDedup(spark: SparkSession, landingDir: String,
-      queryName: String = "events_deduped"): DataFrame = {
+      queryName: String = "events_deduped",
+      checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     Tables.enableNanosAsLong(spark)
-    val q = Tables.decodeEventTs(spark.readStream
+    // a memory-sink table is pinned in driver memory until dropped —
+    // replace any previous run's table of the same name instead of
+    // accumulating one copy per invocation
+    spark.catalog.dropTempView(queryName)
+    val writer = Tables.decodeEventTs(spark.readStream
         .schema(Tables.eventsRaw)
         .parquet(s"$landingDir/*"))
       .withWatermark("ts", "1 hour")
@@ -172,6 +179,9 @@ object EventsStream {
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
+    val q = checkpointDir
+      .map(c => writer.option("checkpointLocation", c))
+      .getOrElse(writer)
       .start()
     q.awaitTermination()
     spark.table(queryName).orderBy($"event_id")
@@ -191,14 +201,23 @@ object EventsStream {
     Tables.enableNanosAsLong(spark)
     val landing = java.nio.file.Files
       .createTempDirectory("graft_stream_dedup_").toString
-    val raw = spark.read.schema(Tables.eventsRaw)
-      .parquet(s"$sfDir/events.parquet")
-    raw.write.parquet(s"$landing/arrival1")
-    raw.write.parquet(s"$landing/arrival2")
-    runStreamingDedup(spark, landing, s"stream_dedup_${System.nanoTime()}")
-      .select($"event_id", $"user_id", $"event_type",
-        unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
-      .orderBy($"event_id")
+    try {
+      val raw = spark.read.schema(Tables.eventsRaw)
+        .parquet(s"$sfDir/events.parquet")
+      raw.write.parquet(s"$landing/arrival1")
+      raw.write.parquet(s"$landing/arrival2")
+      // fixed query name: runStreamingDedup drops the previous run's
+      // memory table, so repeated invocations hold at most one copy
+      runStreamingDedup(spark, landing, "q_stream_dedup_result")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
+        .orderBy($"event_id")
+    } finally {
+      // the stream has fully drained (AvailableNow + awaitTermination):
+      // the duplicated landing copies are dead weight from here on
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(landing))
+      ()
+    }
   }
 
   val streamDedupSql: String =

@@ -225,10 +225,11 @@ class SimilaritySpec extends SparkSuite {
     val sq = Similarity.knnQuantized(spark, "/root/testdata/sf0.01", 10, 5)
     val pairs = sq.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // int8 error on 64-dim unit-ish vectors is tiny; with 4× oversample
-    // the exact re-rank should recover (nearly) the whole exact top-k
-    val recall = (bf intersect pairs).size.toDouble / bf.size
-    assert(recall >= 0.95, s"SQ8 recall@5 too low: $recall")
+    // the spec must be EXACTLY as strong as the driver gate: the query
+    // is oracle-compared row-for-row against brute force, so anything
+    // short of full equality here would let CI pass a failing gate
+    assert(pairs == bf, s"SQ8 top-k != exact top-k: missing=${(bf diff pairs).size} " +
+      s"extra=${(pairs diff bf).size}")
     // emitted cosines are EXACT: identical values to brute force on the
     // common (query, neighbor) pairs
     val bfCos = Similarity.knnBruteForce(spark, "/root/testdata/sf0.01", 10, 5)
@@ -300,7 +301,7 @@ class StreamingSpec extends SparkSuite {
     val base = "/tmp/graft_incremental"
     val (landing, bronze, ckpt) = (s"$base/landing", s"$base/bronze", s"$base/ckpt")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.enableNanosAsLong(spark)
     val src = spark.read.schema(graft.sources.Tables.eventsRaw)
       .parquet("/root/testdata/sf0.001/events.parquet")
     val n = src.count()
@@ -341,7 +342,7 @@ class StreamingSpec extends SparkSuite {
     val landing = java.nio.file.Files.createTempDirectory("graft_dedup_stream_").toString
     // the same RAW source delivered twice (a re-downloaded month /
     // retried batch — every event_id arrives exactly two times)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.enableNanosAsLong(spark)
     val src = spark.read.schema(graft.sources.Tables.eventsRaw)
       .parquet("/root/testdata/sf0.001/events.parquet")
     src.write.parquet(s"$landing/arrival1")

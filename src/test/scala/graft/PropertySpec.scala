@@ -88,12 +88,17 @@ class PropertySpec extends SparkSuite {
       val nL = 150 + rnd.nextInt(100)
       val left = (0 until nL).map { i =>
         val k = if (rnd.nextBoolean()) 0L else rnd.nextInt(8).toLong
-        (i.toLong, k, rnd.nextInt(1000).toLong)
+        // same small range as the right side: exercises exact-equality
+        // boundaries (t == rt) and left-of-all-matches rows
+        (i.toLong, k, rnd.nextInt(60).toLong)
       }.toDF("id", "k", "t")
-      val right = rnd.shuffle((0 until 6).flatMap(k =>
-          (1 to 10).map(_ => rnd.nextInt(1000))).distinct.map(t =>
-          (rnd.nextInt(6).toLong, t.toLong)))
-        .distinct.map { case (k, t) => (k, t, k * 10000 + t) }
+      // times drawn from a SMALL pool so equal timestamps occur across
+      // adjacent keys in the sorted right side (the merge walk's tie
+      // path), and per-key duplicates occur (made unique by the
+      // groupBy, which is therefore live, not decorative)
+      val right = (0 until 6).flatMap(k =>
+          List.fill(15)((k.toLong, rnd.nextInt(50).toLong)))
+        .map { case (k, t) => (k, t, k * 10000 + t) }
         .toDF("rk", "rt", "payload")
         .groupBy("rk", "rt").agg(min($"payload").as("payload")) // unique (rk, rt)
       val native = graft.plans.AsOfJoinNative.asofJoin(
