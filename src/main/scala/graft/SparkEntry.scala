@@ -40,6 +40,7 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
+    "q_sequence_pack" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
     "q_media_features" -> (Multimodal.mediaFeatures _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_chunking" -> TextAnalysis.chunkDocumentsSql(),
+    "q_sequence_pack" -> TextAnalysis.packChunksSql(),
     "q_knn_bruteforce" -> Similarity.knnBruteForceSql(),
     // SQ8 + 4× oversampled exact re-rank recovers the exact top-k on
     // this corpus (verified at every SF) — gated against the same

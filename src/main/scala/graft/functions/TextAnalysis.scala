@@ -231,6 +231,60 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Sequence packing — the step after chunking in a pretraining
+    * pipeline: concatenate the token stream and cut it into fixed
+    * `windowTokens` training sequences. A chunk belongs to the pack
+    * where its FIRST token lands (concatenative pack-and-cut).
+    *
+    * Scale: a single global running sum would funnel the corpus
+    * through one partition (the unpartitioned-window trap), so packing
+    * is SHARDED — documents hash into `nShards` independent streams,
+    * each packed in parallel with its own running sum, exactly how a
+    * multi-worker packing job shards in practice. The shard hash is
+    * the cross-engine [[Dedup.hash60]], so the DuckDB oracle reproduces
+    * pack membership bit-for-bit.
+    *
+    * Output: one row per (shard, pack_id) with its chunk count and
+    * token count — the pack manifest a trainer consumes. */
+  def packChunks(spark: SparkSession, sfDir: String, windowTokens: Int = 512,
+      chunkSize: Int = 64, stride: Int = 48, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunkDocuments(spark, sfDir, chunkSize, stride)
+      .withColumn("shard",
+        pmod(Dedup.hash60(concat_ws("|", $"doc_id".cast("string"), lit("pack_v1"))),
+          lit(nShards.toLong)))
+    val w = Window.partitionBy($"shard").orderBy($"doc_id", $"chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("pack_id",
+        floor(($"cum" - $"n_tokens") / windowTokens).cast("long"))
+      .groupBy($"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"n_tokens").cast("long").as("pack_tokens"))
+      .orderBy($"shard", $"pack_id")
+  }
+
+  def packChunksSql(windowTokens: Int = 512, chunkSize: Int = 64,
+      stride: Int = 48, nShards: Int = 8): String =
+    s"""WITH chunks AS (${chunkDocumentsSql(chunkSize, stride)
+          .replaceAll("(?s)\nORDER BY [^\n]*$", "")}),
+       |sharded AS (
+       |  SELECT *,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'pack_v1'), 1, 15)) AS BIGINT) % $nShards AS shard
+       |  FROM chunks),
+       |cum AS (
+       |  SELECT shard, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sharded)
+       |SELECT shard, CAST(floor((cum - n_tokens) * 1.0 / $windowTokens) AS BIGINT) AS pack_id,
+       |       COUNT(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+       |FROM cum
+       |GROUP BY 1, 2
+       |ORDER BY shard, pack_id""".stripMargin
+
   def chunkDocumentsSql(chunkSize: Int = 64, stride: Int = 48): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t

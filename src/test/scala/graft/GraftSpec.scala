@@ -510,6 +510,25 @@ class TextAnalysisSpec extends SparkSuite {
     chunks.unpersist()
   }
 
+  test("sequence packing: token-conserving, contiguous pack ids per shard") {
+    import spark.implicits._
+    val packs = TextAnalysis.packChunks(spark, sf, windowTokens = 256).cache()
+    val chunkTokens = TextAnalysis.chunkDocuments(spark, sf)
+      .agg(sum($"n_tokens")).collect().head.getLong(0)
+    // conservation: every chunk's tokens land in exactly one pack
+    assert(packs.agg(sum($"pack_tokens")).collect().head.getLong(0) == chunkTokens)
+    // per shard: pack ids are 0..max with no holes (the cut is contiguous)
+    packs.groupBy($"shard")
+      .agg(min($"pack_id").as("lo"), max($"pack_id").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == 0L, s"shard ${r.getLong(0)}: first pack not 0")
+        assert(r.getLong(3) == r.getLong(2) + 1,
+          s"shard ${r.getLong(0)}: pack ids not contiguous")
+      }
+    packs.unpersist()
+  }
+
   test("lang_id: predictions are deterministic and from the closed label set") {
     val preds = TextAnalysis.langId(spark, sf).select("lang_pred")
       .distinct().collect().map(_.getString(0)).toSet
