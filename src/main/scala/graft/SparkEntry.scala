@@ -74,6 +74,8 @@ object SparkEntry {
       graft.functions.Sampling.stratifiedSample(s, d, Sampling.defaultRates)),
     "q_train_val_test" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.trainValTest(s, d)),
+    "q_split_leakage" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.splitLeakage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -128,5 +130,6 @@ object SparkEntry {
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),
     "q_stratified_sample" -> graft.functions.Sampling.stratifiedSampleSql(Sampling.defaultRates),
     "q_train_val_test" -> graft.functions.Sampling.trainValTestSql(),
+    "q_split_leakage" -> graft.functions.Sampling.splitLeakageSql(),
   )
 }

