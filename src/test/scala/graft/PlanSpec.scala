@@ -76,6 +76,26 @@ class PlanSpec extends SparkSuite {
       s"sign-signature dotproduct not inside a codegen stage:\n${sigLines.take(3).mkString("\n")}")
   }
 
+  test("sampling filters evaluate on the scan; packing window is shard-partitioned") {
+    // sampling: a narrow filter pipeline — no shuffle at all before the
+    // final presentation sort
+    val sample = graft.functions.Sampling.stratifiedSample(
+      spark, "/root/testdata/sf0.01", Map("en" -> 0.5))
+    val sPlan = planOf(sample.limit(5))
+    assert(sPlan.contains("FileScan"), sPlan.take(400))
+    // packing: the running sum must be partitioned by shard — an
+    // unpartitioned window would funnel the corpus through one task
+    val pack = graft.functions.TextAnalysis.packChunks(spark, "/root/testdata/sf0.01")
+    val pPlan = planOf(pack.limit(5))
+    assert(pPlan.contains("Window"), pPlan.take(400))
+    // Window prints as `windowspecdefinition(shard#N, ...)`, and the
+    // node's partition spec is the first bracketed list after the
+    // projection: `], [shard#13L], [doc_id ...`
+    assert(pPlan.contains("windowspecdefinition(shard"),
+      "packing window must be partitioned by shard:\n" +
+        pPlan.split("\n").filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("shuffle budget: flagship agg <= 2 exchanges; demand query <= 5") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
