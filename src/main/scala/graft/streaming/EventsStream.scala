@@ -226,6 +226,77 @@ object EventsStream {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** STREAM-STREAM JOIN — the attribution pattern: each purchase joined
+    * to every click by the same user in the preceding hour. Two
+    * streams over the same source, each watermarked; the time-range
+    * predicate (`click.ts ∈ [purchase.ts − 1h, purchase.ts]`) bounds
+    * how long either side's rows are retained in join state, which is
+    * what makes the join runnable on an unbounded stream.
+    *
+    * Scale: join state is keyed by user and expires at
+    * watermark − range, so memory is O(events within the join horizon),
+    * not O(stream); both sides shuffle once on user_id. Batch twin =
+    * [[attributionBatch]]; the oracle-gated query wrapper runs the
+    * stream to completion and must match the twin's DuckDB SQL. */
+  def runStreamStreamJoin(spark: SparkSession, sfDir: String,
+      queryName: String = "events_attribution"): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    def side(eventType: String, prefix: String) =
+      Tables.decodeEventTs(spark.readStream
+          .schema(Tables.eventsRaw)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
+        .filter($"event_type" === eventType)
+        .select($"event_id".as(s"${prefix}_id"), $"user_id".as(s"${prefix}_user"),
+          $"ts".as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val purchases = side("purchase", "purchase")
+    val clicks = side("click", "click")
+    spark.catalog.dropTempView(queryName) // memory sink: replace, never accumulate
+    val q = purchases.join(clicks,
+        $"purchase_user" === $"click_user" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+          $"click_ts" <= $"purchase_ts")
+      .select($"purchase_id", $"click_id", $"purchase_user".as("user_id"),
+        (unix_timestamp($"purchase_ts") - unix_timestamp($"click_ts")).as("lag_sec"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy($"purchase_id", $"click_id")
+  }
+
+  /** Batch twin of the stream-stream attribution join. */
+  def attributionBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+      .select($"purchase_id", $"click_id", $"user_id",
+        (unix_timestamp($"p_ts") - unix_timestamp($"c_ts")).as("lag_sec"))
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  val attributionSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |       p.user_id,
+      |       CAST(floor(epoch(p.ts)) AS BIGINT)
+      |         - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_sec
+      |FROM events p
+      |JOIN events c ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** The streaming pipeline, run to completion over the existing files
     * (AvailableNow) and materialized via the memory sink. Returns the
     * final result table with the same schema as [[hourlyBatch]]. */

@@ -337,6 +337,16 @@ class StreamingSpec extends SparkSuite {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream attribution join equals the batch twin") {
+    val streamed = graft.streaming.EventsStream
+      .runStreamStreamJoin(spark, "/root/testdata/sf0.001", "t_attribution")
+    val batch = graft.streaming.EventsStream
+      .attributionBatch(spark, "/root/testdata/sf0.001")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup collapses duplicated arrivals to the batch-distinct result") {
     import spark.implicits._
     val landing = java.nio.file.Files.createTempDirectory("graft_dedup_stream_").toString
