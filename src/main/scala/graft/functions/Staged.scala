@@ -17,8 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Staged {
 
   private val staged = scala.collection.mutable.HashMap[String, String]()
-  private lazy val stageRoot =
-    java.nio.file.Files.createTempDirectory("graft_stage_").toString
+  private lazy val stageRoot = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_")
+    // artifacts are per-process by design — remove them when the JVM
+    // exits so repeated Verify/Bench/test runs don't accumulate in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    dir.toString
+  }
 
   /** Compute-once-then-read-parquet. Synchronized: concurrent test
     * suites must not race to build the same artifact. */

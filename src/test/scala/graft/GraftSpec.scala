@@ -459,6 +459,25 @@ class TypedAggSpec extends SparkSuite {
   }
 }
 
+class StagedSpec extends SparkSuite {
+
+  test("concurrent requests for one artifact build it exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    var builds = 0
+    def get() = graft.functions.Staged.materialize("conc_probe", spark) {
+      builds += 1 // guarded by Staged's lock
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    val results = Await.result(
+      Future.sequence(List.fill(6)(Future(get().count()))), 60.seconds)
+    assert(results.forall(_ == 2L))
+    assert(builds == 1, s"artifact built $builds times under contention")
+  }
+}
+
 class SamplingSpec extends SparkSuite {
   import spark.implicits._
 
