@@ -70,6 +70,24 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** THE split-assignment function — the single definition every
+    * consumer (the matrix report, the leakage gate, and their oracles
+    * via [[splitAssignSql]]) must share: the decontamination report is
+    * only meaningful if it labels documents with exactly the split the
+    * pipeline ships. */
+  def splitAssign(key: Column, valPct: Int, testPct: Int, salt: String): Column = {
+    val b = bucket(key, salt)
+    when(b < testPct * buckets / 100, "test")
+      .when(b < (testPct + valPct) * buckets / 100, "val")
+      .otherwise("train")
+  }
+
+  /** DuckDB twin of [[splitAssign]] — same thresholds, same hash. */
+  def splitAssignSql(keyExpr: String, valPct: Int, testPct: Int, salt: String): String =
+    s"""CASE WHEN ${bucketSql(keyExpr, salt)} < ${testPct * buckets / 100} THEN 'test'
+       |     WHEN ${bucketSql(keyExpr, salt)} < ${(testPct + valPct) * buckets / 100} THEN 'val'
+       |     ELSE 'train' END""".stripMargin
+
   /** Reproducible train/val/test assignment (98/1/1 by default), plus
     * the per-(lang, split) count matrix a pipeline reports before
     * training. Assignment is per-document content hash — adding or
@@ -78,12 +96,8 @@ object Sampling {
   def trainValTest(spark: SparkSession, sfDir: String,
       valPct: Int = 1, testPct: Int = 1, salt: String = "split_v1"): DataFrame = {
     import spark.implicits._
-    val b = bucket($"doc_id", salt)
     Tables.documents(spark, sfDir)
-      .withColumn("split",
-        when(b < testPct * buckets / 100, "test")
-          .when(b < (testPct + valPct) * buckets / 100, "val")
-          .otherwise("train"))
+      .withColumn("split", splitAssign($"doc_id", valPct, testPct, salt))
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
       .orderBy($"lang", $"split")
@@ -99,15 +113,9 @@ object Sampling {
   def splitLeakage(spark: SparkSession, sfDir: String, minJac: Double = 0.9,
       valPct: Int = 1, testPct: Int = 1, salt: String = "split_v1"): DataFrame = {
     import spark.implicits._
-    def splitOf(c: Column): Column = {
-      val b = bucket(c, salt)
-      when(b < testPct * buckets / 100, "test")
-        .when(b < (testPct + valPct) * buckets / 100, "val")
-        .otherwise("train")
-    }
     DedupStage.pairs(spark, sfDir, minJac)
-      .withColumn("split_a", splitOf($"doc_a"))
-      .withColumn("split_b", splitOf($"doc_b"))
+      .withColumn("split_a", splitAssign($"doc_a", valPct, testPct, salt))
+      .withColumn("split_b", splitAssign($"doc_b", valPct, testPct, salt))
       .filter($"split_a" =!= $"split_b")
       .select($"doc_a", $"doc_b", $"jaccard", $"split_a", $"split_b")
       .orderBy($"doc_a", $"doc_b")
@@ -115,15 +123,11 @@ object Sampling {
 
   def splitLeakageSql(minJac: Double = 0.9, valPct: Int = 1, testPct: Int = 1,
       salt: String = "split_v1"): String = {
-    def splitOf(col: String) =
-      s"""CASE WHEN ${bucketSql(col, salt)} < ${testPct * buckets / 100} THEN 'test'
-         |     WHEN ${bucketSql(col, salt)} < ${(testPct + valPct) * buckets / 100} THEN 'val'
-         |     ELSE 'train' END""".stripMargin
     s"""WITH pairs AS (${Dedup.ngramJaccardSql(minJac).replaceAll("(?s)\nORDER BY [^\n]*$", "")}),
        |labeled AS (
        |  SELECT doc_a, doc_b, jaccard,
-       |         ${splitOf("doc_a")} AS split_a,
-       |         ${splitOf("doc_b")} AS split_b
+       |         ${splitAssignSql("doc_a", valPct, testPct, salt)} AS split_a,
+       |         ${splitAssignSql("doc_b", valPct, testPct, salt)} AS split_b
        |  FROM pairs)
        |SELECT doc_a, doc_b, jaccard, split_a, split_b
        |FROM labeled
@@ -134,9 +138,7 @@ object Sampling {
   def trainValTestSql(valPct: Int = 1, testPct: Int = 1,
       salt: String = "split_v1"): String =
     s"""SELECT lang,
-       |       CASE WHEN ${bucketSql("doc_id", salt)} < ${testPct * buckets / 100} THEN 'test'
-       |            WHEN ${bucketSql("doc_id", salt)} < ${(testPct + valPct) * buckets / 100} THEN 'val'
-       |            ELSE 'train' END AS split,
+       |       ${splitAssignSql("doc_id", valPct, testPct, salt)} AS split,
        |       COUNT(*) AS n_docs,
        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM documents

@@ -154,37 +154,50 @@ object EventsStream {
     * O(all keys ever seen) — the unbounded-state trap of plain
     * streaming dropDuplicates. Emission is append-mode immediate (first
     * arrival wins), so downstream consumes with no watermark latency.
-    * Pass `checkpointDir` for exactly-once across restarts (the
-    * [[incrementalIngest]] production shape); the default is a
-    * per-run temporary checkpoint — right for the memory-sink
-    * inspection path, which is itself per-run. Batch twin =
+    *
+    * This runner inspects via a MEMORY sink, which is per-run and
+    * non-fault-tolerant — restart semantics deliberately do NOT belong
+    * here (a durable checkpoint would suppress re-emission on restart
+    * while the sink's rows are gone, returning an empty table). For
+    * exactly-once across restarts, pair the same
+    * dropDuplicatesWithinWatermark transform with a durable sink and
+    * checkpoint, as [[incrementalIngest]] does. Batch twin =
     * `dropDuplicates(key)`, asserted stream == batch in StreamingSpec
     * over an input with engineered duplicate files. */
   def runStreamingDedup(spark: SparkSession, landingDir: String,
-      queryName: String = "events_deduped",
-      checkpointDir: Option[String] = None): DataFrame = {
+      queryName: String = "events_deduped"): DataFrame = {
     import spark.implicits._
     Tables.enableNanosAsLong(spark)
-    // a memory-sink table is pinned in driver memory until dropped —
-    // replace any previous run's table of the same name instead of
-    // accumulating one copy per invocation
-    spark.catalog.dropTempView(queryName)
-    val writer = Tables.decodeEventTs(spark.readStream
+    val stream = Tables.decodeEventTs(spark.readStream
         .schema(Tables.eventsRaw)
         .parquet(s"$landingDir/*"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-      .writeStream
+    drainToTable(spark, stream, queryName).orderBy($"event_id")
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a
+    * UNIQUELY-NAMED memory sink, then hand the rows back as a cached
+    * DataFrame and drop the sink's temp view. The unique name makes
+    * concurrent runners safe (a shared name races: dropTempView can
+    * kill an in-flight sink, and starting a second query under an
+    * active name throws); handing back a CACHED frame instead of the
+    * view means the rows are reclaimable by ordinary unpersist /
+    * clearCache instead of pinning sink tables forever. */
+  private def drainToTable(spark: SparkSession,
+      stream: DataFrame, baseName: String): DataFrame = {
+    val name = s"${baseName}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = stream.writeStream
       .outputMode("append")
       .format("memory")
-      .queryName(queryName)
+      .queryName(name)
       .trigger(Trigger.AvailableNow())
-    val q = checkpointDir
-      .map(c => writer.option("checkpointLocation", c))
-      .getOrElse(writer)
       .start()
     q.awaitTermination()
-    spark.table(queryName).orderBy($"event_id")
+    val out = spark.table(name).cache()
+    out.count() // pin before the view goes away
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Oracle-gated form of the streaming dedup: the events table is
@@ -206,8 +219,9 @@ object EventsStream {
         .parquet(s"$sfDir/events.parquet")
       raw.write.parquet(s"$landing/arrival1")
       raw.write.parquet(s"$landing/arrival2")
-      // fixed query name: runStreamingDedup drops the previous run's
-      // memory table, so repeated invocations hold at most one copy
+      // drainToTable hands back a cached frame (reclaimable via
+      // unpersist/clearCache) and drops its sink view — repeated
+      // invocations never pin more than the caches they return
       runStreamingDedup(spark, landing, "q_stream_dedup_result")
         .select($"event_id", $"user_id", $"event_type",
           unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
@@ -253,21 +267,13 @@ object EventsStream {
         .withWatermark(s"${prefix}_ts", "1 hour")
     val purchases = side("purchase", "purchase")
     val clicks = side("click", "click")
-    spark.catalog.dropTempView(queryName) // memory sink: replace, never accumulate
-    val q = purchases.join(clicks,
+    val joined = purchases.join(clicks,
         $"purchase_user" === $"click_user" &&
           $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
           $"click_ts" <= $"purchase_ts")
       .select($"purchase_id", $"click_id", $"purchase_user".as("user_id"),
         (unix_timestamp($"purchase_ts") - unix_timestamp($"click_ts")).as("lag_sec"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy($"purchase_id", $"click_id")
+    drainToTable(spark, joined, queryName).orderBy($"purchase_id", $"click_id")
   }
 
   /** Batch twin of the stream-stream attribution join. */

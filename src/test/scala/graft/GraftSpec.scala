@@ -513,15 +513,21 @@ class SamplingSpec extends SparkSuite {
         when(b < 250, "test").when(b < 500, "val").otherwise("train"))
         .collect().head.getString(0)
     }
-    leaks.collect().foreach { r =>
+    val reported = leaks.collect().map { r =>
       assert(splitOf(r.getLong(0)) == r.getString(3))
       assert(splitOf(r.getLong(1)) == r.getString(4))
       assert(r.getString(3) != r.getString(4))
-    }
-    // completeness: every staged near-dup pair with differing splits is reported
-    val all = functions.DedupStage.pairs(spark, sfd, 0.9).count()
-    val same = functions.Sampling.splitLeakage(spark, sfd, 0.9, 25, 25).count()
-    assert(same <= all)
+      (r.getLong(0), r.getLong(1))
+    }.toSet
+    // COMPLETENESS, independently recomputed: take every staged
+    // near-dup pair, reassign splits from scratch, and the straddling
+    // set must equal the report exactly — a dropped pair fails here
+    val expected = functions.DedupStage.pairs(spark, sfd, 0.9)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => splitOf(a) != splitOf(b) }.toSet
+    assert(reported == expected,
+      s"missing=${(expected diff reported).size} extra=${(reported diff expected).size}")
     leaks.unpersist()
   }
 

@@ -81,8 +81,13 @@ class PlanSpec extends SparkSuite {
     // final presentation sort
     val sample = graft.functions.Sampling.stratifiedSample(
       spark, "/root/testdata/sf0.01", Map("en" -> 0.5))
+    // limit + orderBy compiles to TakeOrderedAndProject: the whole
+    // sampled read must be scan → filter → top-k with NO exchange and
+    // no window — the narrow no-shuffle shape the scaladoc promises
     val sPlan = planOf(sample.limit(5))
     assert(sPlan.contains("FileScan"), sPlan.take(400))
+    assert(!sPlan.contains("Exchange"), "sampling must not shuffle:\n" + sPlan.take(800))
+    assert(!sPlan.contains("Window"), "sampling must not window:\n" + sPlan.take(800))
     // packing: the running sum must be partitioned by shard — an
     // unpartitioned window would funnel the corpus through one task
     val pack = graft.functions.TextAnalysis.packChunks(spark, "/root/testdata/sf0.01")
