@@ -350,14 +350,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels, $"dst" === $"doc_id")
         .groupBy($"src").agg(min($"label").as("n_min"))
+      // carry the previous label through the checkpoint: convergence is
+      // then a cheap filter-count on the materialized frame instead of
+      // a second join against the previous generation
       val next = labels
         .join(neighborMin, $"doc_id" === $"src", "left")
         .select($"doc_id",
-          least($"label", coalesce($"n_min", $"label")).as("label"))
+          least($"label", coalesce($"n_min", $"label")).as("label"),
+          $"label".as("prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter($"label" =!= $"old").isEmpty
-      labels = next
+      converged = next.filter($"label" =!= $"prev").isEmpty
+      labels = next.select($"doc_id", $"label")
       rounds += 1
     }
     // loud failure beats silently-wrong clusters: a component with

@@ -214,6 +214,9 @@ object EventsStream {
     Tables.enableNanosAsLong(spark)
     val landing = java.nio.file.Files
       .createTempDirectory("graft_stream_dedup_").toString
+    // state-partition tuning, same rationale as the stream-stream join
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val raw = spark.read.schema(Tables.eventsRaw)
         .parquet(s"$sfDir/events.parquet")
@@ -227,6 +230,7 @@ object EventsStream {
           unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
         .orderBy($"event_id")
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // the stream has fully drained (AvailableNow + awaitTermination):
       // the duplicated landing copies are dead weight from here on
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(landing))
@@ -256,6 +260,20 @@ object EventsStream {
       queryName: String = "events_attribution"): DataFrame = {
     import spark.implicits._
     Tables.enableNanosAsLong(spark)
+    // a stream-stream join runs 4 state stores per shuffle partition;
+    // on this per-user key space a handful of partitions carries the
+    // state with far less store open/commit overhead than the session's
+    // batch-oriented setting (the knob every state-heavy streaming job
+    // tunes; restored after the drain)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try runStreamStreamJoinInner(spark, sfDir, queryName)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runStreamStreamJoinInner(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import spark.implicits._
     def side(eventType: String, prefix: String) =
       Tables.decodeEventTs(spark.readStream
           .schema(Tables.eventsRaw)
