@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -77,6 +77,8 @@ object SparkEntry {
       graft.functions.Sampling.trainValTest(s, d)),
     "q_split_leakage" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.splitLeakage(s, d)),
+    // compliance / corpus-quality passes
+    "q_pii_scan" -> (Pii.piiScan _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -133,5 +135,6 @@ object SparkEntry {
     "q_stratified_sample" -> graft.functions.Sampling.stratifiedSampleSql(Sampling.defaultRates),
     "q_train_val_test" -> graft.functions.Sampling.trainValTestSql(),
     "q_split_leakage" -> graft.functions.Sampling.splitLeakageSql(),
+    "q_pii_scan" -> Pii.piiScanSql,
   )
 }

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** PII detection and redaction — the compliance pass every
+  * training-data pipeline runs before a corpus ships.
+  *
+  * Five pattern families (email, US-style phone, IPv4, SSN, credit
+  * card), each detected with `regexp_extract_all` and redacted with
+  * `regexp_replace` in a FIXED order (longest/most-specific first) so
+  * overlapping candidates resolve identically everywhere. All patterns
+  * are RE2-safe (no lookarounds, no backreferences) so the Spark (Java
+  * regex) and DuckDB (RE2) engines agree match-for-match.
+  *
+  * Scale: a narrow per-row projection over the scan — no shuffle, no
+  * state; at 100 TB this pass is embarrassingly parallel and IO-bound.
+  * The redacted text itself never leaves the executors in the gated
+  * query — only its md5, which pins the whole transform bit-for-bit.
+  *
+  * The synthetic documents table contains no natural PII (word-salad
+  * text), so the gated query plants deterministic PII derived from
+  * doc_id — both engines apply the same injection, then the scan and
+  * redaction are verified end-to-end on text that actually exercises
+  * every pattern.
+  */
+object Pii {
+
+  /** Redaction order is part of the contract: credit card before
+    * phone/SSN (so a 4-4-4-4 run is consumed whole), email before
+    * IPv4 (domains can contain dotted digits). */
+  val patterns: Seq[(String, String, String)] = Seq(
+    // (name, regex, replacement token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b", "<CC>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-family match count columns for `textCol`. */
+  def counts(textCol: Column): Seq[Column] = patterns.map { case (name, re, _) =>
+    size(regexp_extract_all(textCol, lit(re), lit(0))).as(s"n_$name")
+  }
+
+  /** Apply every redaction in the declared order. */
+  def redact(textCol: Column): Column =
+    patterns.foldLeft(textCol) { case (c, (_, re, token)) =>
+      regexp_replace(c, re, token)
+    }
+
+  /** Generic scan: input rows + per-family counts + a has_pii flag +
+    * the redacted text. Callers drop `redacted` when only flagging. */
+  def scan(df: DataFrame, textCol: Column): DataFrame = {
+    val cnts = counts(textCol)
+    df.select((col("*") +: cnts): _*)
+      .withColumn("has_pii",
+        patterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
+      .withColumn("redacted", redact(textCol))
+  }
+
+  // ---- gated demo query ---------------------------------------------------
+
+  /** Deterministic PII injection: every doc gets an email; phone / ipv4
+    * / ssn / cc appear on residue classes of doc_id so the corpus mixes
+    * zero-, one- and many-hit rows. Kept in lockstep with
+    * [[piiScanSql]]. */
+  private def inject(spark: SparkSession): Column = {
+    import spark.implicits._
+    val id = $"doc_id"
+    concat(
+      $"text",
+      lit(" contact user"), id.cast("string"), lit("@example.com"),
+      when(id % 3 === 0,
+        concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+          lit("-1234"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" from 10.0."), (id % 256).cast("string"), lit(".17")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" card 4111-1111-1111-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+  }
+
+  /** Gated query: plant PII, scan, redact; emit counts + md5(redacted)
+    * so the oracle pins the full redaction without shipping the text. */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables.documents(spark, sfDir)
+      .select($"doc_id", inject(spark).as("pii_text"))
+    scan(planted, $"pii_text")
+      .select($"doc_id", $"n_email", $"n_cc", $"n_ssn", $"n_phone", $"n_ipv4",
+        $"has_pii", md5($"redacted").as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val piiScanSql: String = {
+    val injected =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        | || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' ELSE '' END
+        | || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END
+        | || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        | || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+        .stripMargin.replace("\n", "")
+    val cnt = patterns.map { case (name, re, _) =>
+      s"CAST(len(regexp_extract_all(pii_text, '$re')) AS INTEGER) AS n_$name"
+    }.mkString(",\n       ")
+    val redacted = patterns.foldLeft("pii_text") { case (expr, (_, re, token)) =>
+      s"regexp_replace($expr, '$re', '$token', 'g')"
+    }
+    val hasPii = patterns.map(p => s"n_${p._1} > 0").mkString(" OR ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, $injected AS pii_text FROM documents),
+       |scanned AS (
+       |  SELECT doc_id,
+       |       $cnt,
+       |       md5($redacted) AS redacted_md5
+       |  FROM planted)
+       |SELECT doc_id, n_email, n_cc, n_ssn, n_phone, n_ipv4,
+       |       ($hasPii) AS has_pii, redacted_md5
+       |FROM scanned
+       |ORDER BY doc_id""".stripMargin
+  }
+}

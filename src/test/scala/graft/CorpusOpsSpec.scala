@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Pii
+
+/** Specs for the compliance / corpus-quality operators (round 2+). */
+class PiiSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pii scan: counts every family on constructed text") {
+    val df = Seq(
+      (1L, "mail a@b.io and c.d+e@f-g.org, call 555-123-4567"),
+      (2L, "card 4111-1111-1111-1234 ip 10.0.0.1 ssn 123-45-6789"),
+      (3L, "no pii here at all"),
+      (4L, "two ips 192.168.0.1 8.8.8.8 and email x@y.co")
+    ).toDF("id", "text")
+    val out = Pii.scan(df, $"text").orderBy($"id")
+      .select("id", "n_email", "n_phone", "n_ipv4", "n_ssn", "n_cc", "has_pii")
+      .collect().map(_.toSeq)
+    assert(out(0) == Seq(1L, 2, 1, 0, 0, 0, true))
+    assert(out(1) == Seq(2L, 0, 0, 1, 1, 1, true))
+    assert(out(2) == Seq(3L, 0, 0, 0, 0, 0, false))
+    assert(out(3) == Seq(4L, 1, 0, 2, 0, 0, true))
+  }
+
+  test("pii redact: fixed order keeps a 4-4-4-4 run whole and leaves clean text alone") {
+    val df = Seq(
+      (1L, "pay 4111-1111-1111-1234 or call 555-123-4567"),
+      (2L, "ssn 123-45-6789 from 10.1.2.3"),
+      (3L, "clean text stays byte-identical")
+    ).toDF("id", "text")
+    val out = Pii.scan(df, $"text").orderBy($"id")
+      .select("redacted").as[String].collect()
+    assert(out(0) == "pay <CC> or call <PHONE>")
+    assert(out(1) == "ssn <SSN> from <IP>")
+    assert(out(2) == "clean text stays byte-identical")
+  }
+
+  test("pii gated query: every doc has an email, residue classes hit, no CC counted as phone") {
+    val q = Pii.piiScan(spark, sf).cache()
+    val n = q.count()
+    assert(n > 0)
+    assert(q.filter($"n_email" < 1).count() == 0)
+    // doc_id % 11 == 0 rows carry a CC; the CC must never leak into n_phone
+    val ccRows = q.filter($"doc_id" % 11 === 0)
+    assert(ccRows.count() > 0)
+    assert(ccRows.filter($"n_cc" =!= 1).count() == 0)
+    assert(q.filter($"doc_id" % 11 =!= 0 && $"n_cc" =!= 0).count() == 0)
+    // phone only on doc_id % 3 == 0
+    assert(q.filter(($"doc_id" % 3 === 0) =!= ($"n_phone" === 1)).count() == 0)
+    assert(q.filter(!$"has_pii").count() == 0)
+    q.unpersist()
+  }
+}
