@@ -79,6 +79,7 @@ object SparkEntry {
       graft.functions.Sampling.splitLeakage(s, d)),
     // compliance / corpus-quality passes
     "q_pii_scan" -> (Pii.piiScan _),
+    "q_repetition" -> (TextAnalysis.repetition _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -136,5 +137,6 @@ object SparkEntry {
     "q_train_val_test" -> graft.functions.Sampling.trainValTestSql(),
     "q_split_leakage" -> graft.functions.Sampling.splitLeakageSql(),
     "q_pii_scan" -> Pii.piiScanSql,
+    "q_repetition" -> TextAnalysis.repetitionSql,
   )
 }

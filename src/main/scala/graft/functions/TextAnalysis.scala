@@ -285,6 +285,97 @@ object TextAnalysis {
        |GROUP BY 1, 2
        |ORDER BY shard, pack_id""".stripMargin
 
+  // ---- repetition signals (Gopher-style quality filters) -----------------
+
+  /** Repetition-based quality signals — the standard corpus filters for
+    * boilerplate / degenerate text: most-frequent-token share,
+    * most-frequent-bigram share, and the fraction of 3-gram occurrences
+    * that are repeats of an earlier 3-gram in the same document.
+    *
+    * Two deliberately different distributed shapes, each the right one
+    * for its statistic:
+    *  - Top-gram shares need per-(doc, gram) COUNTS → explode +
+    *    two-level groupBy (partial aggregation map-side; the shuffle key
+    *    (doc_id, gram) is as fine-grained as it gets, so no hot keys at
+    *    100 TB). Bigrams come from a lead() window over the exploded
+    *    tokens — partitioned BY DOCUMENT, so state is bounded by the
+    *    longest document, never the corpus. NOT an interpreted HOF
+    *    per-row map (the measured 20-55× trap), and never a per-doc
+    *    in-memory gram→count map (unbounded for adversarial docs).
+    *  - The duplicate-3-gram fraction only needs the DISTINCT count →
+    *    the fused codegen [[graft.plans.ShingleExpression.sortedShingles]]
+    *    gives it per-row in one pass, no shuffle at all.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", Dedup.tokens($"text").as("t"))
+      // single-small-file scan → spread the explode fan-out (same
+      // measured trap the shingle builder documents)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val base = docs.select($"doc_id", size($"t").as("n"),
+      size(graft.plans.ShingleExpression.sortedShingles($"t")).as("d3"))
+    val toks = docs.select($"doc_id", posexplode($"t").as(Seq("pos", "g")))
+    val ua = toks.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_uni"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val ba = toks
+      .withColumn("nxt", lead($"g", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"g", $"nxt").as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bi"))
+    val topTok = when($"n" > 0, $"top_uni".cast("double") / $"n").otherwise(0.0)
+    val topBi = when($"n" >= 2, $"top_bi".cast("double") / ($"n" - 1)).otherwise(0.0)
+    val dup3 = when($"n" >= 3,
+      lit(1.0) - $"d3".cast("double") / ($"n" - 2)).otherwise(0.0)
+    base
+      .join(ua, Seq("doc_id"), "left")
+      .join(ba, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".cast("int").as("n_tokens"),
+        round(topTok, 6).as("top_token_ratio"),
+        round(topBi, 6).as("top_bigram_ratio"),
+        round(dup3, 6).as("dup_3gram_frac"))
+      .withColumn("is_repetitive",
+        $"top_bigram_ratio" >= 0.1 || $"dup_3gram_frac" >= 0.3)
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |base AS (SELECT doc_id, len(t) AS n FROM toks),
+      |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+      |ua AS (
+      |  SELECT doc_id, max(c) AS top_uni
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM uni GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |bi AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+      |ba AS (
+      |  SELECT doc_id, max(c) AS top_bi
+      |  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT doc_id, COUNT(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS d3
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
+      |         round(CASE WHEN b.n > 0 THEN CAST(ua.top_uni AS DOUBLE) / b.n ELSE 0.0 END, 6) AS top_token_ratio,
+      |         round(CASE WHEN b.n >= 2 THEN CAST(ba.top_bi AS DOUBLE) / (b.n - 1) ELSE 0.0 END, 6) AS top_bigram_ratio,
+      |         round(CASE WHEN b.n >= 3 THEN 1.0 - CAST(tri.d3 AS DOUBLE) / (b.n - 2) ELSE 0.0 END, 6) AS dup_3gram_frac
+      |  FROM base b
+      |  LEFT JOIN ua USING (doc_id)
+      |  LEFT JOIN ba USING (doc_id)
+      |  LEFT JOIN tri USING (doc_id))
+      |SELECT *, (top_bigram_ratio >= 0.1 OR dup_3gram_frac >= 0.3) AS is_repetitive
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   def chunkDocumentsSql(chunkSize: Int = 64, stride: Int = 48): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t

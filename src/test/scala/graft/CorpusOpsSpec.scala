@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.Pii
+import graft.functions.{Pii, TextAnalysis}
 
 /** Specs for the compliance / corpus-quality operators (round 2+). */
 class PiiSpec extends SparkSuite {
@@ -50,5 +50,36 @@ class PiiSpec extends SparkSuite {
     assert(q.filter(($"doc_id" % 3 === 0) =!= ($"n_phone" === 1)).count() == 0)
     assert(q.filter(!$"has_pii").count() == 0)
     q.unpersist()
+  }
+}
+
+class RepetitionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("repetition: signals bounded, distinct-3-gram consistency") {
+    val q = TextAnalysis.repetition(spark, sf).cache()
+    assert(q.count() > 0)
+    for (c <- Seq("top_token_ratio", "top_bigram_ratio", "dup_3gram_frac"))
+      assert(q.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+    // every doc has at least one token → top_token_ratio strictly positive
+    assert(q.filter($"top_token_ratio" <= 0.0).count() == 0)
+    q.unpersist()
+  }
+
+  test("repetition: plain-Scala differential on one document") {
+    val row = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" === 1).select("text").as[String].collect().head
+    val t = row.trim.toLowerCase.split("\\s+").toSeq
+    val n = t.size
+    def grams(k: Int) = t.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+    val expTopTok = t.groupBy(identity).values.map(_.size).max.toDouble / n
+    val expTopBi = grams(2).groupBy(identity).values.map(_.size).max.toDouble / (n - 1)
+    val expDup3 = 1.0 - grams(3).distinct.size.toDouble / (n - 2)
+    val got = TextAnalysis.repetition(spark, sf).filter($"doc_id" === 1)
+      .select("top_token_ratio", "top_bigram_ratio", "dup_3gram_frac")
+      .collect().head
+    assert(math.abs(got.getDouble(0) - expTopTok) < 1e-6)
+    assert(math.abs(got.getDouble(1) - expTopBi) < 1e-6)
+    assert(math.abs(got.getDouble(2) - expDup3) < 1e-6)
   }
 }
