@@ -80,6 +80,7 @@ object SparkEntry {
     // compliance / corpus-quality passes
     "q_pii_scan" -> (Pii.piiScan _),
     "q_repetition" -> (TextAnalysis.repetition _),
+    "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -138,5 +139,6 @@ object SparkEntry {
     "q_split_leakage" -> graft.functions.Sampling.splitLeakageSql(),
     "q_pii_scan" -> Pii.piiScanSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
   )
 }

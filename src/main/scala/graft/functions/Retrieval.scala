@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** BM25 keyword retrieval over an inverted-index shape — the classic
+  * corpus-search operator (and the lexical half of hybrid search next
+  * to the ANN operators in [[Similarity]]).
+  *
+  * Plan shape, built for 100 TB:
+  *  - term frequencies: explode tokens → FILTER TO THE QUERY TERMS
+  *    BEFORE the shuffle (the predicate sits under the aggregation, so
+  *    the (doc_id, term) exchange carries only query-term hits — for a
+  *    3-term query that is a vanishing fraction of the corpus) →
+  *    two-level groupBy with map-side partial aggregation.
+  *  - document frequencies: one tiny aggregate over the tf rows
+  *    (≤ |query terms| rows), broadcast back.
+  *  - corpus stats (N, avgdl): a scalar aggregate, broadcast.
+  *  - final ranking: global top-k → TakeOrderedAndProject, no full sort.
+  *
+  * Determinism contract with the DuckDB oracle: the per-term partial
+  * scores are summed in FIXED term order (a pivot via max(CASE), then
+  * explicit addition) — never a float SUM whose accumulation order the
+  * engine chooses; ranking compares the ROUNDED score so the top-k cut
+  * is identical in both engines. ln() is the only libm call; a 1-ulp
+  * divergence cannot move a 6-decimal rounding except on exact
+  * half-boundaries, which integer-derived inputs do not produce.
+  */
+object Retrieval {
+
+  /** Default query for the gated demo (terms present in the corpus). */
+  val defaultQuery: Seq[String] = Seq("spark", "join", "vector")
+  val k1 = 1.2
+  val b = 0.75
+
+  /** BM25 top-k over (docId, tokens) rows for `queryTerms`. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select($"doc_id", $"t", size($"t").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = d.select($"doc_id", $"dl", explode($"t").as("term"))
+      .filter($"term".isInCollection(queryTerms))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val s = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("s",
+        $"idf" * ($"tf" * lit(k1 + 1)) /
+          ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl")))
+    val perTerm = queryTerms.map(t =>
+      coalesce(max(when($"term" === t, $"s")), lit(0.0)))
+    s.groupBy($"doc_id")
+      .agg(perTerm.reduce(_ + _).as("score_raw"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .select($"doc_id", round($"score_raw", 6).as("score"), $"n_terms_hit")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(topK)
+  }
+
+  /** Gated demo query: BM25 top-20 on the documents table. */
+  def bm25Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bm25(Tables.documents(spark, sfDir)
+      .select($"doc_id", Dedup.tokens($"text").as("t")), defaultQuery, 20)
+  }
+
+  def bm25Sql(queryTerms: Seq[String] = defaultQuery, topK: Int = 20): String = {
+    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val perTerm = queryTerms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+      .mkString("\n         + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+       |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, g AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS g FROM d)
+       |  WHERE g IN ($inList)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         -- constants CAST to DOUBLE: DuckDB's DECIMAL literals would
+       |         -- multiply BIGINT tf exactly, diverging 1 ulp from Spark's
+       |         -- double arithmetic before the 6-decimal rounding
+       |         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |           * (tf.tf * CAST(${k1 + 1} AS DOUBLE)) /
+       |           (tf.tf + CAST($k1 AS DOUBLE) * (${1 - b} + CAST($b AS DOUBLE) * tf.dl / stats.avgdl)) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+       |p AS (
+       |  SELECT doc_id,
+       |         $perTerm AS score_raw,
+       |         CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+       |  FROM s GROUP BY 1)
+       |SELECT doc_id, round(score_raw, 6) AS score, n_terms_hit
+       |FROM p
+       |ORDER BY round(score_raw, 6) DESC, doc_id
+       |LIMIT $topK""".stripMargin
+  }
+}

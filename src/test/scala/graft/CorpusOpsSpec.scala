@@ -53,6 +53,44 @@ class PiiSpec extends SparkSuite {
   }
 }
 
+class Bm25Spec extends SparkSuite {
+  import spark.implicits._
+  import graft.functions.Retrieval
+
+  test("bm25: hand-computed score on a tiny corpus") {
+    val docs = Seq(
+      (1L, Seq("spark", "join", "spark")),
+      (2L, Seq("join", "scan")),
+      (3L, Seq("scan", "filter", "agg", "sort"))
+    ).toDF("doc_id", "t")
+    val out = Retrieval.bm25(docs, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // N=3, avgdl=3; manual BM25 (k1=1.2, b=0.75)
+    def idf(df: Int) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def w(tf: Int, dl: Int, df: Int) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    val exp1 = w(2, 3, 1) + w(1, 3, 2) // doc 1: spark tf=2 df=1; join tf=1 df=2
+    val exp2 = w(1, 2, 2)              // doc 2: join tf=1
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no hits
+    assert(math.abs(out(0)._2 - exp1) < 1e-6 && out(0)._3 == 2)
+    assert(math.abs(out(1)._2 - exp2) < 1e-6 && out(1)._3 == 1)
+  }
+
+  test("bm25: ranking is top-k (TakeOrderedAndProject), not a full sort") {
+    val plan = Retrieval.bm25Query(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("bm25 gated query: top-k bounded, scores descending, hits positive") {
+    val q = Retrieval.bm25Query(spark, sf).collect()
+    assert(q.nonEmpty && q.length <= 20)
+    val scores = q.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(q.forall(_.getInt(2) >= 1))
+  }
+}
+
 class RepetitionSpec extends SparkSuite {
   import spark.implicits._
 
