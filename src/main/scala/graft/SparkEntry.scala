@@ -81,6 +81,7 @@ object SparkEntry {
     "q_pii_scan" -> (Pii.piiScan _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
+    "q_scd2_users" -> (Scd.userStatusScd2 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -140,5 +141,6 @@ object SparkEntry {
     "q_pii_scan" -> Pii.piiScanSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
+    "q_scd2_users" -> Scd.userStatusScd2Sql,
   )
 }

@@ -53,6 +53,58 @@ class PiiSpec extends SparkSuite {
   }
 }
 
+class ScdSpec extends SparkSuite {
+  import spark.implicits._
+  import java.sql.Timestamp
+  import graft.operators.Scd
+
+  private def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("scd2: collapses consecutive repeats, versions intervals, marks current") {
+    val log = Seq(
+      (1L, t(1), 10L, "A"), (1L, t(2), 11L, "A"), // repeat collapses
+      (1L, t(3), 12L, "B"), (1L, t(4), 13L, "A"), // value flaps back
+      (2L, t(5), 14L, "X")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Scd.scd2(log, "user_id", "ts", "event_id", "event_type")
+      .orderBy($"user_id", $"version")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "A", t(1), t(3), false),
+      (1L, 2, "B", t(3), t(4), false),
+      (1L, 3, "A", t(4), null, true),
+      (2L, 1, "X", t(5), null, true)))
+  }
+
+  test("scd2: same-instant changes order by the tiebreaker") {
+    val log = Seq(
+      (1L, t(1), 20L, "A"), (1L, t(1), 21L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Scd.scd2(log, "user_id", "ts", "event_id", "event_type")
+      .orderBy($"version").select("status").as[String].collect()
+    assert(out.toSeq == Seq("A", "B"))
+  }
+
+  test("scd2 gated query: dense versions, one open interval per user, chained intervals") {
+    val q = Scd.userStatusScd2(spark, sf).cache()
+    assert(q.count() > 0)
+    // exactly one is_current per user, and it carries the max version
+    val bad = q.groupBy($"user_id").agg(
+      sum(when($"is_current", 1).otherwise(0)).as("n_open"),
+      max($"version").as("vmax"), count(lit(1)).as("n"))
+      .filter($"n_open" =!= 1 || $"vmax" =!= $"n")
+    assert(bad.count() == 0)
+    // valid_to of version v == valid_from of version v+1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"version")
+    val chained = q.withColumn("nxt_from", lead($"valid_from", 1).over(w))
+      .filter($"nxt_from".isNotNull && $"valid_to" =!= $"nxt_from")
+    assert(chained.count() == 0)
+    q.unpersist()
+  }
+}
+
 class Bm25Spec extends SparkSuite {
   import spark.implicits._
   import graft.functions.Retrieval
