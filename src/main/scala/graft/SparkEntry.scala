@@ -82,6 +82,7 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
     "q_scd2_users" -> (Scd.userStatusScd2 _),
+    "q_stream_sessions" -> (graft.streaming.EventsStream.runSessionStream _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -142,5 +143,6 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
     "q_scd2_users" -> Scd.userStatusScd2Sql,
+    "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,
   )
 }

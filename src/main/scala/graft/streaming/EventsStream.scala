@@ -185,10 +185,11 @@ object EventsStream {
     * view means the rows are reclaimable by ordinary unpersist /
     * clearCache instead of pinning sink tables forever. */
   private def drainToTable(spark: SparkSession,
-      stream: DataFrame, baseName: String): DataFrame = {
+      stream: DataFrame, baseName: String,
+      mode: String = "append"): DataFrame = {
     val name = s"${baseName}_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = stream.writeStream
-      .outputMode("append")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
@@ -320,6 +321,107 @@ object EventsStream {
       |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |ORDER BY purchase_id, click_id""".stripMargin
+
+  // ---- streaming sessionization (session_window) -------------------------
+
+  /** Session semantics shared by the stream and its batch twin:
+    * `session_window` over SECOND-TRUNCATED event time with a 30-minute
+    * gap. Truncation is deliberate: it makes the gap decision integral
+    * (no microsecond boundary cases), so a DuckDB lag/cumsum oracle can
+    * reproduce membership bit-for-bit. `session_window` MERGES at a gap
+    * of exactly 30 min (gap-inclusive, pinned by spec), so the oracle
+    * mirrors it as `diff > 1800 → new session`. Session merging is
+    * order-independent (intervals union), so arrival order never
+    * changes the result — what makes the streaming form deterministic.
+    *
+    * Exact.sumExact keeps the per-session value sum associative
+    * (decimal-routed), so state merges in any order agree with batch. */
+  private def sessionAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_s", date_trunc("second", $"ts"))
+      .groupBy($"user_id", session_window($"ts_s", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        max($"ts_s").as("session_end"),
+        graft.functions.Exact.sumExact($"value").as("total_value"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_end", $"n_events", $"total_value")
+  }
+
+  /** Per-user ordinal session ids + duration over the (batch) session
+    * rows. Sessions are time-disjoint per user, so ordering by start is
+    * total and the numbering deterministic. */
+  private def numberSessions(sessions: DataFrame): DataFrame = {
+    import sessions.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start")
+    sessions
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start", $"session_end",
+        (unix_timestamp($"session_end") - unix_timestamp($"session_start"))
+          .as("duration_sec"),
+        $"total_value")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Batch twin of the streaming sessionization (same operators on the
+    * batch frame — `session_window` works in both modes). */
+  def sessionWindowBatch(spark: SparkSession, sfDir: String): DataFrame =
+    numberSessions(sessionAgg(Tables.events(spark, sfDir)))
+
+  /** STREAMING SESSIONIZATION: the canonical "what `mapGroups` state
+    * machines are for" operator, expressed with the built-in
+    * `session_window` aggregation instead (SURVEY §2.10+). State is one
+    * open session per active user; on an unbounded stream a watermark
+    * bounds it — here the finite backlog drains in complete mode so the
+    * tail sessions (which a watermarked append sink would hold back)
+    * are emitted and the oracle sees every session.
+    *
+    * Scale: one shuffle on user_id into session state; per-key state is
+    * O(open sessions), merged incrementally as batches arrive. */
+  def runSessionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    // state-partition tuning, same rationale as the stream-stream join
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = sessionAgg(Tables.decodeEventTs(spark.readStream
+        .schema(Tables.eventsRaw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)))
+      numberSessions(drainToTable(spark, stream, "q_stream_sessions", "complete"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      ()
+    }
+  }
+
+  val sessionWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s, value
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, ts_s, value,
+       |         CASE WHEN lag(ts_s) OVER w IS NULL
+       |                OR epoch(ts_s) - epoch(lag(ts_s) OVER w) > 1800
+       |              THEN 1 ELSE 0 END AS is_new
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |s AS (
+       |  SELECT user_id, ts_s, value,
+       |         CAST(sum(is_new) OVER
+       |           (PARTITION BY user_id ORDER BY ts_s, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |       min(ts_s) AS session_start, max(ts_s) AS session_end,
+       |       CAST(epoch(max(ts_s)) - epoch(min(ts_s)) AS BIGINT) AS duration_sec,
+       |       ${graft.functions.Exact.sumExactSql("value")} AS total_value
+       |FROM s
+       |GROUP BY 1, 2
+       |ORDER BY user_id, session_id""".stripMargin
 
   /** The streaming pipeline, run to completion over the existing files
     * (AvailableNow) and materialized via the memory sink. Returns the

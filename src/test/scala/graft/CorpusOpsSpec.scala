@@ -105,6 +105,32 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class StreamSessionSpec extends SparkSuite {
+  import spark.implicits._
+  import java.sql.Timestamp
+  import graft.streaming.EventsStream
+
+  test("session_window boundary: gap > 30min splits, gap == 30min merges") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    val df = Seq(
+      (1L, t0), (1L, plus(1801)),      // past the gap → two sessions
+      (2L, t0), (2L, plus(1800))       // exactly the gap → merges (inclusive)
+    ).toDF("user_id", "ts_s")
+    val n = df.groupBy($"user_id", session_window($"ts_s", "30 minutes"))
+      .count().groupBy($"user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(n == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("streaming sessionization equals its batch twin") {
+    val stream = EventsStream.runSessionStream(spark, sf).collect().toSeq
+    val batch = EventsStream.sessionWindowBatch(spark, sf).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+}
+
 class Bm25Spec extends SparkSuite {
   import spark.implicits._
   import graft.functions.Retrieval
