@@ -83,6 +83,8 @@ object SparkEntry {
     "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
     "q_scd2_users" -> (Scd.userStatusScd2 _),
     "q_stream_sessions" -> (graft.streaming.EventsStream.runSessionStream _),
+    "q_contamination" -> ((s: SparkSession, d: String) =>
+      graft.functions.Decontaminate.contamination(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -144,5 +146,6 @@ object SparkEntry {
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
     "q_scd2_users" -> Scd.userStatusScd2Sql,
     "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,
+    "q_contamination" -> graft.functions.Decontaminate.contaminationSql(),
   )
 }

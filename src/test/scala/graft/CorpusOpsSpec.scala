@@ -105,6 +105,32 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class ContaminationSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.functions.Decontaminate
+
+  test("contamination: overlapping 8-gram found, clean docs absent, ratio exact") {
+    val mk = (0 until 12).map(i => s"w$i").mkString(" ") // 12 tokens → 5 grams
+    val df = Seq(
+      (1L, mk, "eval"),                       // benchmark doc
+      (2L, mk + " tail tokens here", "tr"),   // shares grams with benchmark
+      (3L, (20 until 40).map(i => s"v$i").mkString(" "), "tr") // clean
+    ).toDF("doc_id", "text", "source")
+    val out = Decontaminate.contaminationOf(df, "eval", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 2: 15 tokens → 8 distinct 8-grams, the first 5 lie inside doc 1
+    assert(out.toSeq == Seq((2L, 8, 5)))
+  }
+
+  test("contamination gated query: ratios bounded, hits subset of grams") {
+    val q = Decontaminate.contamination(spark, sf).collect()
+    q.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= r.getInt(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+}
+
 class StreamSessionSpec extends SparkSuite {
   import spark.implicits._
   import java.sql.Timestamp
