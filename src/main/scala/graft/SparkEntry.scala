@@ -85,6 +85,8 @@ object SparkEntry {
     "q_stream_sessions" -> (graft.streaming.EventsStream.runSessionStream _),
     "q_contamination" -> ((s: SparkSession, d: String) =>
       graft.functions.Decontaminate.contamination(s, d)),
+    "q_cube_revenue" -> (Analytics.cubeRevenue _),
+    "q_amount_outliers" -> (Analytics.amountOutliers _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -147,5 +149,7 @@ object SparkEntry {
     "q_scd2_users" -> Scd.userStatusScd2Sql,
     "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,
     "q_contamination" -> graft.functions.Decontaminate.contaminationSql(),
+    "q_cube_revenue" -> Analytics.cubeRevenueSql,
+    "q_amount_outliers" -> Analytics.amountOutliersSql,
   )
 }

@@ -276,6 +276,86 @@ object Analytics {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY service_type NULLS FIRST, line_status NULLS FIRST""".stripMargin
 
+  /** CUBE + GROUPING() — the full grouping-sets surface next to
+    * [[rollupRevenue]]'s ROLLUP: all 4 subtotal combinations in one
+    * Expand-based pass, with the grouping bit-vector exposed so
+    * consumers can tell a real NULL group from a subtotal row.
+    * (Spark's grouping_id() and DuckDB's GROUPING() agree: first
+    * grouping column = most significant bit.) */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag".as("service_type"), $"l_linestatus".as("line_status"))
+      .agg(grouping_id().cast("int").as("grouping_level"),
+        count(lit(1)).as("trips"),
+        sumExact($"l_extendedprice").as("total_revenue"))
+      .orderBy($"grouping_level", $"service_type", $"line_status")
+  }
+
+  val cubeRevenueSql: String =
+    s"""SELECT l_returnflag AS service_type, l_linestatus AS line_status,
+       |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS grouping_level,
+       |       COUNT(*) AS trips,
+       |       ${sumExactSql("l_extendedprice")} AS total_revenue
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY grouping_level, service_type NULLS FIRST, line_status NULLS FIRST""".stripMargin
+
+  /** Group-wise outlier report (mean + 3σ rule) with DETERMINISTIC
+    * moments: both sums route through exact decimals (the [[graft.functions.Exact]]
+    * discipline), so mean/σ/threshold are the same doubles in any
+    * partition order and in the DuckDB oracle — a float stddev_samp
+    * would hash-diverge run to run. Two passes: a tiny per-group stats
+    * aggregate broadcast back over the scan for the outlier count;
+    * at 100 TB both passes are one shuffle-free map + one 3-row agg. */
+  def amountOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("service_type"), $"l_extendedprice".as("amount"))
+    // s2: square in IEEE double (one deterministic multiply per row),
+    // THEN route through decimal for the order-independent sum — a
+    // decimal×decimal square would overflow DuckDB's 38-digit cap
+    val stats = li.groupBy($"service_type").agg(
+      count(lit(1)).as("n"),
+      sum($"amount".cast("decimal(27,6)")).cast("double").as("s1"),
+      sum(($"amount" * $"amount").cast("decimal(27,6)")).cast("double").as("s2"))
+    val thr = stats.select($"service_type", $"n",
+      ($"s1" / $"n").as("mean"),
+      sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("sigma"))
+    li.join(broadcast(thr), Seq("service_type"))
+      .groupBy($"service_type")
+      .agg(max($"n").as("n"),
+        round(max($"mean"), 6).as("mean_amount"),
+        round(max($"sigma"), 6).as("stddev_amount"),
+        sum(when($"amount" > $"mean" + lit(3) * $"sigma", 1L).otherwise(0L))
+          .as("n_outliers"),
+        max($"amount").as("max_amount"))
+      .orderBy($"service_type")
+  }
+
+  val amountOutliersSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS service_type, l_extendedprice AS amount
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT service_type, COUNT(*) AS n,
+      |         CAST(SUM(CAST(amount AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+      |         CAST(SUM(CAST(amount * amount AS DECIMAL(27,6))) AS DOUBLE) AS s2
+      |  FROM li GROUP BY 1),
+      |thr AS (
+      |  SELECT service_type, n, s1 / n AS mean,
+      |         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+      |  FROM st)
+      |SELECT li.service_type,
+      |       CAST(max(thr.n) AS BIGINT) AS n,
+      |       round(max(thr.mean), 6) AS mean_amount,
+      |       round(max(thr.sigma), 6) AS stddev_amount,
+      |       CAST(sum(CASE WHEN li.amount > thr.mean + 3 * thr.sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       max(li.amount) AS max_amount
+      |FROM li JOIN thr USING (service_type)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Exact distinct cardinalities per group (engine surface; the scale
     * path for approximate needs is `approx_count_distinct`, not
     * oracle-comparable by construction). Two-level shuffle: distinct
