@@ -87,6 +87,7 @@ object SparkEntry {
       graft.functions.Decontaminate.contamination(s, d)),
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
     "q_amount_outliers" -> (Analytics.amountOutliers _),
+    "q_compaction" -> (graft.sources.Ingest.compactionQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -151,5 +152,6 @@ object SparkEntry {
     "q_contamination" -> graft.functions.Decontaminate.contaminationSql(),
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
     "q_amount_outliers" -> Analytics.amountOutliersSql,
+    "q_compaction" -> graft.sources.Ingest.compactionSql,
   )
 }

@@ -177,4 +177,63 @@ object Ingest {
       case _ => reader
     }).load(dir)
   }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-running ingestion loop needs: a landing directory accretes
+    * one file per micro-batch / month / retry, and a 100 TB table read
+    * through 10M tiny files dies on open() overhead and footer reads
+    * long before it dies on bytes. Bin-packs the input into
+    * `ceil(inputBytes / targetBytes)` output files via round-robin
+    * repartition (even output sizes, no skew from input layout).
+    *
+    * Returns the re-read compacted frame (replace semantics, like
+    * [[writeBronze]]). `targetBytes` is judged on INPUT bytes —
+    * compression drift means output files land near, not exactly at,
+    * the target, which is how every production compactor behaves. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  /** Gated query: shatter the events table into 64 micro-batch files,
+    * compact, and return the compacted table's rows — the oracle (the
+    * events table itself) pins that compaction is content-preserving.
+    * (ts surfaces as epoch seconds, same as the stream-dedup query:
+    * the raw column is nanos in the file and micros in Spark.) */
+  def compactionQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Tables.enableNanosAsLong(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    try {
+      spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+        .repartition(64)
+        .write.parquet(s"$tmp/shattered")
+      Tables.decodeEventTs(
+        compact(spark, s"$tmp/shattered", s"$tmp/compacted"))
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
+        .orderBy($"event_id")
+        // materialize before the temp inputs are deleted
+        .localCheckpoint(eager = true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  val compactionSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value, props
+      |FROM events
+      |ORDER BY event_id""".stripMargin
 }

@@ -105,6 +105,35 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.sources.Ingest
+
+  test("compact: bin-packs to ceil(bytes/target) files, preserves rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec_").toString
+    try {
+      val df = spark.range(10000).selectExpr("id", "id % 7 AS k", "uuid() AS payload")
+      df.repartition(32).write.parquet(s"$tmp/in")
+      val inFiles = new java.io.File(s"$tmp/in").listFiles
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(inFiles == 32)
+      val bytes = new java.io.File(s"$tmp/in").listFiles
+        .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+      val target = bytes / 3 + 1 // force exactly 3 output files
+      val out = Ingest.compact(spark, s"$tmp/in", s"$tmp/out", target)
+      val outFiles = new java.io.File(s"$tmp/out").listFiles
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(outFiles == 3, s"expected 3 files, got $outFiles")
+      assert(out.count() == 10000)
+      // content identical, not just count
+      assert(out.select("id").except(df.select("id")).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+}
+
 class ContaminationSpec extends SparkSuite {
   import spark.implicits._
   import graft.functions.Decontaminate
