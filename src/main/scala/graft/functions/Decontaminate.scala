@@ -73,8 +73,8 @@ object Decontaminate {
        |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+${n - 1}], ' ') AS g
        |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - ${n - 2})) AS i
        |        FROM toks)),
-       |bench AS (SELECT DISTINCT g FROM gr WHERE source = '$benchSource'),
-       |tr AS (SELECT doc_id, g FROM gr WHERE source <> '$benchSource'),
+       |bench AS (SELECT DISTINCT g FROM gr WHERE source = ${Sql.lit(benchSource)}),
+       |tr AS (SELECT doc_id, g FROM gr WHERE source <> ${Sql.lit(benchSource)}),
        |agg AS (
        |  SELECT tr.doc_id,
        |         CAST(COUNT(*) AS INTEGER) AS n_grams,

@@ -38,9 +38,19 @@ object Pii {
     ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 
-  /** Per-family match count columns for `textCol`. */
-  def counts(textCol: Column): Seq[Column] = patterns.map { case (name, re, _) =>
-    size(regexp_extract_all(textCol, lit(re), lit(0))).as(s"n_$name")
+  /** Per-family match count columns, each computed on the text AFTER
+    * the earlier families have been redacted — so counts honor the same
+    * precedence as [[redact]] and always agree with the redacted
+    * output. (Counting every family on the raw text would double-count
+    * overlaps: "x@10.0.0.7.net" is one email and zero IPs, because the
+    * email pattern consumes the dotted quad first.) */
+  def counts(textCol: Column): Seq[Column] = {
+    var cur = textCol
+    patterns.map { case (name, re, token) =>
+      val c = size(regexp_extract_all(cur, lit(re), lit(0))).as(s"n_$name")
+      cur = regexp_replace(cur, re, token)
+      c
+    }
   }
 
   /** Apply every redaction in the declared order. */
@@ -105,8 +115,13 @@ object Pii {
         | || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
         | || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
         .stripMargin.replace("\n", "")
-    val cnt = patterns.map { case (name, re, _) =>
-      s"CAST(len(regexp_extract_all(pii_text, '$re')) AS INTEGER) AS n_$name"
+    // counts mirror the Scala side: family k counts on the text with
+    // families 1..k-1 already redacted (precedence-aware)
+    var cur = "pii_text"
+    val cnt = patterns.map { case (name, re, token) =>
+      val c = s"CAST(len(regexp_extract_all($cur, '$re')) AS INTEGER) AS n_$name"
+      cur = s"regexp_replace($cur, '$re', '$token', 'g')"
+      c
     }.mkString(",\n       ")
     val redacted = patterns.foldLeft("pii_text") { case (expr, (_, re, token)) =>
       s"regexp_replace($expr, '$re', '$token', 'g')"

@@ -71,9 +71,9 @@ object Retrieval {
   }
 
   def bm25Sql(queryTerms: Seq[String] = defaultQuery, topK: Int = 20): String = {
-    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val inList = queryTerms.map(Sql.lit).mkString(", ")
     val perTerm = queryTerms.map(t =>
-      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+      s"coalesce(max(CASE WHEN term = ${Sql.lit(t)} THEN s END), 0.0)")
       .mkString("\n         + ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t

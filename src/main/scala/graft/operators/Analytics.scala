@@ -313,12 +313,12 @@ object Analytics {
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag".as("service_type"), $"l_extendedprice".as("amount"))
     // s2: square in IEEE double (one deterministic multiply per row),
-    // THEN route through decimal for the order-independent sum — a
-    // decimal×decimal square would overflow DuckDB's 38-digit cap
+    // THEN route through the exact decimal sum — a decimal×decimal
+    // square would overflow DuckDB's 38-digit cap
     val stats = li.groupBy($"service_type").agg(
       count(lit(1)).as("n"),
-      sum($"amount".cast("decimal(27,6)")).cast("double").as("s1"),
-      sum(($"amount" * $"amount").cast("decimal(27,6)")).cast("double").as("s2"))
+      sumExact($"amount").as("s1"),
+      sumExact($"amount" * $"amount").as("s2"))
     val thr = stats.select($"service_type", $"n",
       ($"s1" / $"n").as("mean"),
       sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("sigma"))
@@ -334,13 +334,13 @@ object Analytics {
   }
 
   val amountOutliersSql: String =
-    """WITH li AS (
+    s"""WITH li AS (
       |  SELECT l_returnflag AS service_type, l_extendedprice AS amount
       |  FROM lineitem),
       |st AS (
       |  SELECT service_type, COUNT(*) AS n,
-      |         CAST(SUM(CAST(amount AS DECIMAL(27,6))) AS DOUBLE) AS s1,
-      |         CAST(SUM(CAST(amount * amount AS DECIMAL(27,6))) AS DOUBLE) AS s2
+      |         ${sumExactSql("amount")} AS s1,
+      |         ${sumExactSql("amount * amount")} AS s2
       |  FROM li GROUP BY 1),
       |thr AS (
       |  SELECT service_type, n, s1 / n AS mean,

@@ -192,14 +192,17 @@ object Ingest {
     * the target, which is how every production compactor behaves. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(inDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    val df = spark.read.parquet(inDir)
+    // size EXACTLY the files the reader resolved (df.inputFiles):
+    // a hand-rolled directory listing diverges on nested layouts
+    // (month=… subdirs list as 0 bytes → everything funnels through
+    // repartition(1)) and on hidden in-flight files the reader skips
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = df.inputFiles
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir)
-      .repartition(nOut)
+    df.repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     spark.read.parquet(outDir)
   }

@@ -23,6 +23,16 @@ class PiiSpec extends SparkSuite {
     assert(out(3) == Seq(4L, 1, 0, 2, 0, 0, true))
   }
 
+  test("pii counts honor redaction precedence on overlapping candidates") {
+    // the email consumes the embedded dotted quad — one email, zero IPs,
+    // and the counts must agree with the redacted text
+    val df = Seq((1L, "mail me at x@10.0.0.7.net now")).toDF("id", "text")
+    val out = Pii.scan(df, $"text")
+      .select("n_email", "n_ipv4", "redacted").collect().head
+    assert(out.getInt(0) == 1 && out.getInt(1) == 0)
+    assert(out.getString(2) == "mail me at <EMAIL> now")
+  }
+
   test("pii redact: fixed order keeps a 4-4-4-4 run whole and leaves clean text alone") {
     val df = Seq(
       (1L, "pay 4111-1111-1111-1234 or call 555-123-4567"),
