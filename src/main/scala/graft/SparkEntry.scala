@@ -88,6 +88,8 @@ object SparkEntry {
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
     "q_amount_outliers" -> (Analytics.amountOutliers _),
     "q_compaction" -> (graft.sources.Ingest.compactionQuery _),
+    "q_mixture_sample" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.mixtureSample(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -153,5 +155,6 @@ object SparkEntry {
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
     "q_amount_outliers" -> Analytics.amountOutliersSql,
     "q_compaction" -> graft.sources.Ingest.compactionSql,
+    "q_mixture_sample" -> graft.functions.Sampling.mixtureSampleSql(),
   )
 }

@@ -70,6 +70,47 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-based mixture sampling (domain reweighting) — the
+    * data-dependent step beyond [[stratifiedSample]]'s fixed rates:
+    * target stratum shares ∝ n_l^(1/T), the standard move that caps a
+    * dominant language while keeping the tail. Shipped at T = 2, where
+    * the per-stratum keep rate normalizes to sqrt(n_min / n_l) — ON
+    * PURPOSE: sqrt is correctly-rounded IEEE in every engine, so the
+    * rate (and the integer bucket threshold derived from it) is
+    * bit-identical in the DuckDB oracle, where an arbitrary-T pow()
+    * would carry a 1-ulp libm caveat. The smallest stratum keeps 100%.
+    *
+    * Scale: stratum counts are a tiny aggregate broadcast back over
+    * one corpus scan; membership is the same per-row hash-bucket
+    * compare as every sampler here — no shuffle of the corpus, and
+    * adding/removing other documents never flips a kept document. */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+      salt: String = "mix_t2_v1"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val nMin = counts.agg(min($"n_l").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate", sqrt($"n_min".cast("double") / $"n_l"))
+      .withColumn("keep_buckets", round($"rate" * buckets).cast("long"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(bucket($"doc_id", salt) < $"keep_buckets")
+      .select($"doc_id", $"lang", round($"rate", 6).as("rate"))
+      .orderBy($"doc_id")
+  }
+
+  def mixtureSampleSql(salt: String = "mix_t2_v1"): String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_l) AS n_min FROM c),
+       |r AS (SELECT lang, n_l,
+       |             sqrt(CAST(n_min AS DOUBLE) / n_l) AS rate,
+       |             CAST(round(sqrt(CAST(n_min AS DOUBLE) / n_l) * $buckets) AS BIGINT) AS keep_buckets
+       |      FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+       |FROM documents d JOIN r USING (lang)
+       |WHERE ${bucketSql("d.doc_id", salt)} < r.keep_buckets
+       |ORDER BY d.doc_id""".stripMargin
+
   /** THE split-assignment function — the single definition every
     * consumer (the matrix report, the leakage gate, and their oracles
     * via [[splitAssignSql]]) must share: the decontamination report is

@@ -115,6 +115,34 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class MixtureSampleSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.functions.Sampling
+
+  test("mixture sample: smallest stratum keeps 100%, dominant stratum thins toward sqrt") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val before = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.mixtureSample(spark, sf).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = before.minBy(_._2)._1
+    assert(kept(minLang) == before(minLang)) // rate 1.0 → fully kept
+    val nMin = before.values.min.toDouble
+    for ((lang, n) <- before) {
+      val expected = math.sqrt(nMin / n) * n
+      // hash buckets are uniform-ish; allow a generous tolerance
+      assert(math.abs(kept.getOrElse(lang, 0L) - expected) <= 0.25 * n + 5,
+        s"$lang: kept ${kept.getOrElse(lang, 0L)}, expected ~$expected of $n")
+    }
+  }
+
+  test("mixture sample: deterministic across runs") {
+    val a = Sampling.mixtureSample(spark, sf).select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.mixtureSample(spark, sf).select("doc_id").as[Long].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
+
 class CompactionSpec extends SparkSuite {
   import spark.implicits._
   import graft.sources.Ingest
