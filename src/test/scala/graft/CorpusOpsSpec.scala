@@ -115,6 +115,14 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class OutlierPlanSpec extends SparkSuite {
+  test("amountOutliers: group stats re-enter via broadcast, scan side never shuffles for the join") {
+    val plan = graft.operators.Analytics.amountOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+}
+
 class MixtureSampleSpec extends SparkSuite {
   import spark.implicits._
   import graft.functions.Sampling
@@ -187,6 +195,13 @@ class ContaminationSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     // doc 2: 15 tokens → 8 distinct 8-grams, the first 5 lie inside doc 1
     assert(out.toSeq == Seq((2L, 8, 5)))
+  }
+
+  test("contamination: benchmark gram set joins as broadcast (corpus never shuffles)") {
+    val plan = Decontaminate.contamination(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(500))
   }
 
   test("contamination gated query: ratios bounded, hits subset of grams") {
