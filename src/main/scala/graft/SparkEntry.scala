@@ -90,6 +90,8 @@ object SparkEntry {
     "q_compaction" -> (graft.sources.Ingest.compactionQuery _),
     "q_mixture_sample" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.mixtureSample(s, d)),
+    "q_rolling_1h" -> (WindowOps.rollingHour _),
+    "q_ntile_deciles" -> (WindowOps.ntileDeciles _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -156,5 +158,7 @@ object SparkEntry {
     "q_amount_outliers" -> Analytics.amountOutliersSql,
     "q_compaction" -> graft.sources.Ingest.compactionSql,
     "q_mixture_sample" -> graft.functions.Sampling.mixtureSampleSql(),
+    "q_rolling_1h" -> WindowOps.rollingHourSql,
+    "q_ntile_deciles" -> WindowOps.ntileDecilesSql,
   )
 }

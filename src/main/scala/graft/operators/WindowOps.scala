@@ -57,6 +57,71 @@ object WindowOps {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin
 
+  /** Time-based RANGE frame — the window surface the ROWS-frame query
+    * above does not cover: for every event, the count and value sum of
+    * the SAME USER's events in the trailing hour, frame bounds defined
+    * on the ORDER VALUE (epoch seconds), not row offsets. Peers (equal
+    * timestamps) enter the frame together in both engines, which is
+    * what makes RANGE — unlike ROWS — insensitive to tie order; the
+    * sum stays decimal-routed so frame accumulation order never shows.
+    *
+    * Scale: one shuffle on user_id, per-task state is the sliding
+    * frame, bounded by events-per-hour-per-user — never the corpus. */
+  def rollingHour(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
+      .rangeBetween(-3600, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_sec", unix_timestamp($"ts"))
+      .select($"user_id", $"event_id", $"ts_sec", $"value",
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum($"value".cast("decimal(27,6)")).over(w).cast("double")
+          .as("sum_trailing_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val rollingHourSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value,
+      |       COUNT(*) OVER w AS n_trailing_1h,
+      |       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Equal-frequency decile binning (ntile) — the quantile-bucketing
+    * feature transform, with a TOTAL order (amount + unique line key)
+    * so bucket boundaries are deterministic and the ANSI floor
+    * distribution of remainder rows agrees across engines. */
+  def ntileDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, sfDir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"l_returnflag".as("service_type"), $"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"l_extendedprice").as("lo"),
+        max($"l_extendedprice").as("hi"))
+      .orderBy($"service_type", $"decile")
+  }
+
+  val ntileDecilesSql: String =
+    """WITH d AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         CAST(ntile(10) OVER (PARTITION BY l_returnflag
+      |              ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS decile
+      |  FROM lineitem)
+      |SELECT l_returnflag AS service_type, decile,
+      |       COUNT(*) AS n,
+      |       min(l_extendedprice) AS lo,
+      |       max(l_extendedprice) AS hi
+      |FROM d
+      |GROUP BY 1, 2
+      |ORDER BY service_type, decile""".stripMargin
+
   /** Gap-based sessionization of the event stream: a >30-minute silence
     * starts a new session (the lag → flag → running-sum idiom); output
     * is one row per (user, session) with span and value totals. */

@@ -115,6 +115,23 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class RollingWindowSpec extends SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.expressions.Window
+
+  test("RANGE frame: trailing-hour bounds are inclusive on both ends") {
+    val df = Seq((1L, 0L), (1L, 1800L), (1L, 3600L), (1L, 7200L))
+      .toDF("user_id", "ts_sec")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
+      .rangeBetween(-3600, 0)
+    val counts = df.withColumn("n", count(lit(1)).over(w))
+      .orderBy($"ts_sec").select("n").as[Long].collect().toSeq
+    // at t=3600 the frame [0, 3600] includes all three earlier-or-equal
+    // events; at t=7200 only [3600, 7200] → itself + one
+    assert(counts == Seq(1L, 2L, 3L, 2L))
+  }
+}
+
 class OutlierPlanSpec extends SparkSuite {
   test("amountOutliers: group stats re-enter via broadcast, scan side never shuffles for the join") {
     val plan = graft.operators.Analytics.amountOutliers(spark, sf)
