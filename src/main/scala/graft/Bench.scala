@@ -154,6 +154,36 @@ object Bench {
       errors("bench_clustering_experiment") = sanitize(e)
     }
 
+    // z-order experiment: a year-wide date range × 2% part slice — the
+    // multi-predicate shape where a date-only sort scans the whole year
+    // but z-order's per-row-group bounding boxes cut BOTH dimensions
+    try {
+      val zDir = s"/tmp/graft_zorder_${new java.io.File(sfDir).getName}"
+      // 256 KB row groups ≈ the groups-per-table ratio a 100 TB fact
+      // with 128 MB groups has; default-sized groups at sf0.1 would
+      // leave ~1 group per file and nothing to skip
+      operators.ZOrderLayout.writeZOrdered(spark, sfDir, s"$zDir/z",
+        blockBytes = 256 * 1024)
+      operators.ZOrderLayout.writeDateSorted(spark, sfDir, s"$zDir/lin",
+        blockBytes = 256 * 1024)
+      val maxPart = graft.sources.Tables.lineitem(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.max("l_partkey"))
+        .collect().head.getLong(0)
+      val (pLo, pHi) = (maxPart / 25, maxPart / 25 + maxPart / 50)
+      def box(dir: String) =
+        operators.ZOrderLayout.boxQuery(spark.read.parquet(dir), pLo, pHi)
+      val zQ = box(s"$zDir/z")
+      results("bench_zorder_box") = time(zQ.collect())
+      results("bench_zorder_rows_scanned") =
+        operators.ZOrderLayout.rowsScanned(zQ).toDouble
+      val linQ = box(s"$zDir/lin")
+      results("bench_datesort_box") = time(linQ.collect())
+      results("bench_datesort_rows_scanned") =
+        operators.ZOrderLayout.rowsScanned(linQ).toDouble
+    } catch { case e: Throwable =>
+      errors("bench_zorder_experiment") = sanitize(e)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

@@ -115,6 +115,50 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class ZOrderSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.ZOrderLayout
+
+  test("zValue interleaves bits (Morton order on a known grid)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("a", "b")
+    val z = df.select(ZOrderLayout.zValue($"a", $"b", 4).as("z"))
+      .as[Long].collect().toSeq
+    // a even bits, b odd bits: (2,3) → a=10 at bits 0,2 → 0b100? and
+    // b=11 at bits 1,3 → interleaved 0b1110 = 14
+    assert(z == Seq(0L, 1L, 2L, 3L, 14L))
+  }
+
+  test("z-ordered layout scans fewer rows than date-sorted for a 2-dim box query") {
+    val sf01 = "/root/testdata/sf0.01" // enough rows for row-group granularity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    try {
+      ZOrderLayout.writeZOrdered(spark, sf01, s"$tmp/z", nFiles = 8, blockBytes = 128 * 1024)
+      ZOrderLayout.writeDateSorted(spark, sf01, s"$tmp/lin", nFiles = 8, blockBytes = 128 * 1024)
+      val maxPart = graft.sources.Tables.lineitem(spark, sf01)
+        .agg(max($"l_partkey")).collect().head.getLong(0)
+      val (pLo, pHi) = (maxPart / 25, maxPart / 25 + maxPart / 50) // a 2% part slice
+      def scanned(dir: String): Long = {
+        val q = ZOrderLayout.boxQuery(spark.read.parquet(dir), pLo, pHi)
+        q.collect()
+        ZOrderLayout.rowsScanned(q)
+      }
+      val total = graft.sources.Tables.lineitem(spark, sf01).count()
+      val zRows = scanned(s"$tmp/z")
+      val linRows = scanned(s"$tmp/lin")
+      info(s"box query scanned: z=$zRows linear=$linRows total=$total")
+      // both layouts must skip most of the table; z-order must also cut
+      // the part dimension, beating the date-only sort
+      assert(zRows < total / 2, s"z-order scanned $zRows of $total")
+      assert(zRows < linRows,
+        s"z-order ($zRows rows) should beat date-sorted ($linRows rows)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+}
+
 class RollingWindowSpec extends SparkSuite {
   import spark.implicits._
   import org.apache.spark.sql.expressions.Window
