@@ -92,6 +92,10 @@ object SparkEntry {
       graft.functions.Sampling.mixtureSample(s, d)),
     "q_rolling_1h" -> (WindowOps.rollingHour _),
     "q_ntile_deciles" -> (WindowOps.ntileDeciles _),
+    // iterative ML loop: rows-only gate (no closed-form SQL oracle),
+    // correctness pinned by KMeansSpec invariants instead
+    "q_kmeans" -> ((s: SparkSession, d: String) =>
+      graft.functions.Clustering.kmeansSummary(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */

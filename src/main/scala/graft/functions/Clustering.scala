@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.plans.VectorExpressions.dotProduct
+
+/** Lloyd's k-means over the embeddings table — the iterative
+  * centroid-training loop (the same driver-coordinated shape as the
+  * dup-cluster label propagation: tiny model state on the driver, all
+  * data-parallel work on executors).
+  *
+  * Per iteration: centroids (k×dim, a few KB) broadcast against the
+  * corpus; squared L2 via the codegen [[dotProduct]] expansion
+  * ‖v‖² − 2·v·c + ‖c‖² (‖v‖² computed once per row, ‖c‖² folded into
+  * the broadcast side); argmin by lexicographic struct-min so distance
+  * ties break on the lower cluster id in every engine and run; new
+  * centroids from a posexplode + (cluster, dim) average — one narrow
+  * shuffle keyed finer than the cluster count, so a hot cluster never
+  * funnels one reducer. Empty clusters keep their previous centroid
+  * (the standard Lloyd fix).
+  *
+  * At 100 TB: per-iteration cost is one broadcast-join scan + one
+  * partial-aggregated shuffle of (cluster, dim, sum, n) — model state
+  * never grows with the corpus; iterations are the only sequential
+  * dependency. Convergence/inertia sums are decimal-routed so the
+  * reported numbers are partition-order-independent.
+  */
+object Clustering {
+
+  /** Full result: (assignments, final centroids, per-iteration inertia). */
+  def kmeansFull(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 5): (DataFrame, Array[(Int, Seq[Double])], Seq[Double]) = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+      .withColumn("v_sq", dotProduct($"embedding", $"embedding"))
+      .cache()
+
+    // deterministic init: the k smallest vec_ids
+    var centroids: Array[(Int, Seq[Double])] = vecs
+      .orderBy($"vec_id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble))
+      }
+
+    val inertias = scala.collection.mutable.ArrayBuffer[Double]()
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val cDf = broadcast(centroids.toSeq
+        .map { case (cid, c) =>
+          (cid, c, c.map(x => x * x).sum)
+        }
+        .toDF("cluster_id", "centroid", "c_sq"))
+      val dist2 = greatest($"v_sq" - lit(2.0) * dotProduct($"embedding", $"centroid") + $"c_sq", lit(0.0))
+      val prev = assigned
+      assigned = vecs.crossJoin(cDf)
+        .select($"vec_id", $"embedding", struct(dist2.as("d2"), $"cluster_id").as("dc"))
+        .groupBy($"vec_id", $"embedding")
+        .agg(min($"dc").as("best"))
+        .select($"vec_id", $"embedding",
+          $"best.cluster_id".as("cluster_id"), $"best.d2".as("d2"))
+        .cache()
+      inertias += assigned
+        .agg(sum($"d2".cast("decimal(27,6)")).cast("double")).collect().head.getDouble(0)
+      if (prev != null) prev.unpersist()
+      // no update after the FINAL assignment: the returned centroids
+      // must be exactly the model the returned assignment is nearest to
+      if (it < iters) {
+        val means = assigned
+          .select($"cluster_id", posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"cluster_id", $"dim")
+          .agg(avg($"x".cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }
+        // empty clusters keep their previous centroid
+        centroids = centroids.map { case (cid, prevC) =>
+          (cid, means.getOrElse(cid, prevC))
+        }
+      }
+    }
+    vecs.unpersist()
+    (assigned, centroids, inertias.toSeq)
+  }
+
+  /** Gated query (rows-only): per-cluster size and decimal-exact
+    * inertia after `iters` Lloyd iterations. */
+  def kmeansSummary(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (assigned, _, _) = kmeansFull(spark, sfDir, k, iters)
+    assigned.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum($"d2".cast("decimal(27,6)")).cast("double"), 6).as("inertia"))
+      .orderBy($"cluster_id")
+  }
+}

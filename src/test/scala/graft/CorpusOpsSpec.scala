@@ -115,6 +115,37 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class KMeansSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.functions.Clustering
+
+  test("kmeans: inertia non-increasing, assignments are nearest centroids, clusters cover corpus") {
+    val (assigned, centroids, inertias) =
+      Clustering.kmeansFull(spark, sf, k = 4, iters = 4)
+    // Lloyd's guarantee: each step cannot increase inertia
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a + 1e-6 },
+      inertias.toString)
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(assigned.count() == total)
+    // spot-verify the argmin in plain Scala against the final centroids
+    val rows = assigned.limit(50)
+      .select($"vec_id", $"embedding", $"cluster_id").collect()
+    for (r <- rows) {
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val best = centroids.minBy { case (cid, c) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }._1
+      assert(r.getInt(2) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("kmeans: deterministic across runs") {
+    def run() = Clustering.kmeansSummary(spark, sf, k = 4, iters = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+}
+
 class ZOrderSpec extends SparkSuite {
   import spark.implicits._
   import graft.operators.ZOrderLayout
