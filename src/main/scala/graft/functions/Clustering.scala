@@ -28,9 +28,13 @@ import graft.plans.VectorExpressions.dotProduct
   */
 object Clustering {
 
-  /** Full result: (assignments, final centroids, per-iteration inertia). */
+  /** Full result: (assignments, final centroids, per-iteration inertia).
+    * `trackInertia` adds one extra action per iteration — the spec's
+    * monotonicity gate needs the series; the query path does not (its
+    * final inertia comes out of the summary aggregate itself). */
   def kmeansFull(spark: SparkSession, sfDir: String, k: Int = 8,
-      iters: Int = 5): (DataFrame, Array[(Int, Seq[Double])], Seq[Double]) = {
+      iters: Int = 5, trackInertia: Boolean = true)
+      : (DataFrame, Array[(Int, Seq[Double])], Seq[Double]) = {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
@@ -62,7 +66,7 @@ object Clustering {
         .select($"vec_id", $"embedding",
           $"best.cluster_id".as("cluster_id"), $"best.d2".as("d2"))
         .cache()
-      inertias += assigned
+      if (trackInertia) inertias += assigned
         .agg(sum($"d2".cast("decimal(27,6)")).cast("double")).collect().head.getDouble(0)
       if (prev != null) prev.unpersist()
       // no update after the FINAL assignment: the returned centroids
@@ -92,7 +96,7 @@ object Clustering {
   def kmeansSummary(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 5): DataFrame = {
     import spark.implicits._
-    val (assigned, _, _) = kmeansFull(spark, sfDir, k, iters)
+    val (assigned, _, _) = kmeansFull(spark, sfDir, k, iters, trackInertia = false)
     assigned.groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_vecs"),
         round(sum($"d2".cast("decimal(27,6)")).cast("double"), 6).as("inertia"))
