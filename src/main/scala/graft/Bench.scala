@@ -89,19 +89,9 @@ object Bench {
     // layout reads only the ship_year=2000 directory; at 100 TB that IS
     // the 16× effect) plus the rows-scanned counter (row-group skipping
     // inside files, the other half of the reference's clustering win).
-    def scanMetric(df: org.apache.spark.sql.DataFrame, metric: String): Long = {
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      // AQE presents materialized stages as LEAF QueryStageExec nodes —
-      // the scans live inside them, so walk through explicitly
-      def walk(p: SparkPlan): Long = p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case f: FileSourceScanExec => f.metrics(metric).value
-        case other => other.children.map(walk).sum
-      }
-      walk(df.queryExecution.executedPlan)
-    }
+    // single definition of the AQE-aware scan-metric walk
+    def scanMetric(df: org.apache.spark.sql.DataFrame, metric: String): Long =
+      operators.ZOrderLayout.scanMetric(df, metric)
     try {
       val clusteredDir = s"/tmp/graft_clustered_${new java.io.File(sfDir).getName}"
       operators.ClusteredLayout.writeClustered(spark, sfDir, clusteredDir)

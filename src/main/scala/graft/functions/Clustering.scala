@@ -75,7 +75,10 @@ object Clustering {
         val means = assigned
           .select($"cluster_id", posexplode($"embedding").as(Seq("dim", "x")))
           .groupBy($"cluster_id", $"dim")
-          .agg(avg($"x".cast("double")).as("m"))
+          // decimal-routed mean (Exact.avgExact discipline): a raw
+          // double avg merges partials in shuffle-fetch order and can
+          // drift a ulp run-to-run, breaking the determinism contract
+          .agg(Exact.avgExact($"x".cast("double")).as("m"))
           .collect()
           .groupBy(_.getInt(0))
           .map { case (cid, rows) =>
@@ -92,14 +95,20 @@ object Clustering {
   }
 
   /** Gated query (rows-only): per-cluster size and decimal-exact
-    * inertia after `iters` Lloyd iterations. */
+    * inertia after `iters` Lloyd iterations. Materializes the k-row
+    * summary and releases the corpus-sized assignment cache — the
+    * assignment must not stay pinned for the rest of a 66-query
+    * session. ([[kmeansFull]] callers own that cache themselves.) */
   def kmeansSummary(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 5): DataFrame = {
     import spark.implicits._
     val (assigned, _, _) = kmeansFull(spark, sfDir, k, iters, trackInertia = false)
-    assigned.groupBy($"cluster_id")
+    val summary = assigned.groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_vecs"),
         round(sum($"d2".cast("decimal(27,6)")).cast("double"), 6).as("inertia"))
       .orderBy($"cluster_id")
+      .localCheckpoint(eager = true)
+    assigned.unpersist()
+    summary
   }
 }

@@ -41,7 +41,7 @@ object Sampling {
       lit(buckets.toLong))
 
   def bucketSql(keyExpr: String, salt: String): String =
-    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '|' || '$salt'), 1, 15)) AS BIGINT) % $buckets"
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '|' || ${Sql.lit(salt)}), 1, 15)) AS BIGINT) % $buckets"
 
   /** Per-stratum deterministic down-sampling: keep `rate(lang)` of each
     * language's documents (the corpus-mixing move: cap the dominant

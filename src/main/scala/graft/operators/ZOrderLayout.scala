@@ -71,7 +71,10 @@ object ZOrderLayout {
           scaleToLevels($"l_partkey", pLo, pHi, bits), bits))
       .repartitionByRange(nFiles, $"z")
       .sortWithinPartitions($"z")
-      .drop("ship_days")
+      // helper columns stay out of the artifact: the projection after
+      // the sort preserves per-partition order, and the written schema
+      // matches the source table + the comparison layout
+      .drop("ship_days", "z")
       .write.mode(SaveMode.Overwrite)
       // small row groups so min/max skipping has granularity to work
       // with even at test scale; at 100 TB the default 128 MB is right
@@ -105,17 +108,22 @@ object ZOrderLayout {
       .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"))
   }
 
-  /** Rows the scan actually produced after row-group skipping +
-    * pushed filters (AQE-aware plan walk). */
-  def rowsScanned(df: DataFrame): Long = {
+  /** Sum a FileSourceScanExec metric across the (AQE-aware) executed
+    * plan — THE shared walk for pruning evidence; [[graft.Bench]] uses
+    * it too, so a future AQE node shape is fixed in one place. */
+  def scanMetric(df: DataFrame, metric: String): Long = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Long = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => walk(q.plan)
-      case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      case f: FileSourceScanExec => f.metrics(metric).value
       case other => other.children.map(walk).sum
     }
     walk(df.queryExecution.executedPlan)
   }
+
+  /** Rows the scan actually produced after row-group skipping +
+    * pushed filters. */
+  def rowsScanned(df: DataFrame): Long = scanMetric(df, "numOutputRows")
 }

@@ -193,14 +193,22 @@ object Ingest {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val df = spark.read.parquet(inDir)
-    // size EXACTLY the files the reader resolved (df.inputFiles):
-    // a hand-rolled directory listing diverges on nested layouts
-    // (month=… subdirs list as 0 bytes → everything funnels through
-    // repartition(1)) and on hidden in-flight files the reader skips
-    val fs = new org.apache.hadoop.fs.Path(inDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = df.inputFiles
-      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    // ONE recursive listing for sizes (paginated server-side), not a
+    // getFileStatus RPC per file — this operator exists precisely for
+    // many-small-files inputs, where N driver round-trips is minutes of
+    // latency on an object store. The hidden-file rule (skip "_"/"."
+    // prefixes) matches Spark's own data-file filter, and recursion
+    // covers nested month=…/part-… layouts that a flat listStatus would
+    // size as 0 bytes (collapsing everything to repartition(1)).
+    val root = new org.apache.hadoop.fs.Path(inDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += s.getLen
+    }
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     df.repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outDir)

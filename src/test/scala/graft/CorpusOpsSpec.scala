@@ -127,15 +127,25 @@ class KMeansSpec extends SparkSuite {
       inertias.toString)
     val total = graft.sources.Tables.embeddings(spark, sf).count()
     assert(assigned.count() == total)
-    // spot-verify the argmin in plain Scala against the final centroids
+    // spot-verify the argmin in plain Scala using the SAME expansion as
+    // production (v_sq − 2·dot + c_sq, left-to-right accumulation) —
+    // the direct Σ(a−b)² form rounds differently and could disagree on
+    // a near-tie even when the operator is correct
     val rows = assigned.limit(50)
       .select($"vec_id", $"embedding", $"cluster_id").collect()
     for (r <- rows) {
       val v = r.getSeq[Float](1).map(_.toDouble)
-      val best = centroids.minBy { case (cid, c) =>
-        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
-      }._1
-      assert(r.getInt(2) == best, s"vec ${r.getLong(0)}")
+      val vSq = v.foldLeft(0.0)((acc, x) => acc + x * x)
+      def d2(c: Seq[Double]) = {
+        val cSq = c.map(x => x * x).sum
+        val dot = v.zip(c).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+        math.max(vSq - 2.0 * dot + cSq, 0.0)
+      }
+      val best = centroids.minBy { case (cid, c) => (d2(c), cid) }._1
+      val gotD2 = d2(centroids.find(_._1 == r.getInt(2)).get._2)
+      val bestD2 = d2(centroids.find(_._1 == best).get._2)
+      assert(r.getInt(2) == best || math.abs(gotD2 - bestD2) < 1e-9,
+        s"vec ${r.getLong(0)}")
     }
   }
 
