@@ -88,6 +88,7 @@ object SparkEntry {
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
     "q_amount_outliers" -> (Analytics.amountOutliers _),
     "q_compaction" -> (graft.sources.Ingest.compactionQuery _),
+    "q_upsert" -> (graft.sources.Ingest.upsertQuery _),
     "q_mixture_sample" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.mixtureSample(s, d)),
     "q_rolling_1h" -> (WindowOps.rollingHour _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
     "q_amount_outliers" -> Analytics.amountOutliersSql,
     "q_compaction" -> graft.sources.Ingest.compactionSql,
+    "q_upsert" -> graft.sources.Ingest.upsertSql,
     "q_mixture_sample" -> graft.functions.Sampling.mixtureSampleSql(),
     "q_rolling_1h" -> WindowOps.rollingHourSql,
     "q_ntile_deciles" -> WindowOps.ntileDecilesSql,

@@ -247,4 +247,46 @@ object Ingest {
       |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value, props
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  /** MERGE/upsert for plain-parquet tables — the rewrite pattern every
+    * pipeline on a format without transactional MERGE (pre-Delta/
+    * Iceberg) runs: rows from `updates` win on key collision, base
+    * rows without a matching update survive. One anti-join shuffle on
+    * the key (broadcast when the update batch is small — the common
+    * CDC case); at 100 TB the base side is partition-pruned first so
+    * only partitions with updates rewrite, which is exactly how
+    * copy-on-write table formats implement MERGE underneath. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(key), Seq(key), "left_anti"))
+
+  /** Gated query: a CDC batch (every 5th event, value bumped, type
+    * rewritten) merged into the events table; the oracle pins the
+    * update-wins semantics row-for-row. */
+  def upsertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Tables.events(spark, sfDir)
+    val updates = base.filter($"event_id" % 5 === 0)
+      .withColumn("value", $"value" + 100.0)
+      .withColumn("event_type", lit("updated"))
+    upsert(base, updates, "event_id")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
+      .orderBy($"event_id")
+  }
+
+  val upsertSql: String =
+    """WITH upd AS (
+      |  SELECT event_id, user_id, 'updated' AS event_type, ts,
+      |         value + 100.0 AS value, props
+      |  FROM events WHERE event_id % 5 = 0)
+      |SELECT event_id, user_id, event_type,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value, props
+      |FROM upd
+      |UNION ALL
+      |SELECT event_id, user_id, event_type,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value, props
+      |FROM events WHERE event_id % 5 <> 0
+      |ORDER BY event_id""".stripMargin
 }

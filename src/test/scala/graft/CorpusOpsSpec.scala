@@ -115,6 +115,28 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class UpsertSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.sources.Ingest
+
+  test("upsert: updates win on collision, unmatched base survives, new keys insert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val updates = Seq((2L, "B2"), (4L, "D")).toDF("id", "v")
+    val out = Ingest.upsert(base, updates, "id")
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D")))
+  }
+
+  test("upsert gated query: row count preserved, every 5th event rewritten") {
+    val q = Ingest.upsertQuery(spark, sf).cache()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(q.count() == total)
+    assert(q.filter($"event_id" % 5 === 0 && $"event_type" =!= "updated").count() == 0)
+    assert(q.filter($"event_id" % 5 =!= 0 && $"event_type" === "updated").count() == 0)
+    q.unpersist()
+  }
+}
+
 class KMeansSpec extends SparkSuite {
   import spark.implicits._
   import graft.functions.Clustering
