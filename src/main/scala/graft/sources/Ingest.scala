@@ -248,6 +248,42 @@ object Ingest {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Write-audit-publish — the reliability pattern around every
+    * production sink: write to a staging location, audit THE STAGED
+    * DATA (not the frame that produced it — the files that will be
+    * served are what gets checked), and only then swap it in. A failed
+    * audit deletes the staging dir and leaves the currently-published
+    * version untouched, so consumers never observe a half-written or
+    * quality-failing table.
+    *
+    * The swap here is rename-based (previous version parked at
+    * `<dir>.old` until the new one is in place — a crash between
+    * renames leaves a recoverable copy). Real table formats swap a
+    * metastore pointer instead; the staging/audit/publish contract is
+    * identical, which is what this operator demonstrates.
+    *
+    * Returns true iff published. */
+  def writeAudited(df: DataFrame, dir: String,
+      audit: DataFrame => Boolean): Boolean = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staging = s"$dir.staging"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val ok = audit(spark.read.parquet(staging))
+    if (ok) {
+      val old = p(s"$dir.old")
+      fs.delete(old, true)
+      if (fs.exists(p(dir))) fs.rename(p(dir), old)
+      fs.rename(p(staging), p(dir))
+      fs.delete(old, true)
+    } else {
+      fs.delete(p(staging), true)
+    }
+    ok
+  }
+
   /** MERGE/upsert for plain-parquet tables — the rewrite pattern every
     * pipeline on a format without transactional MERGE (pre-Delta/
     * Iceberg) runs: rows from `updates` win on key collision, base

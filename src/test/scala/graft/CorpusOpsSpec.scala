@@ -115,6 +115,35 @@ class ScdSpec extends SparkSuite {
   }
 }
 
+class WapSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.sources.Ingest
+
+  test("write-audit-publish: good data publishes, bad data rejected with previous version intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wap_").toString
+    val table = s"$tmp/t"
+    try {
+      val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      assert(Ingest.writeAudited(v1, table, _.count() == 2))
+      assert(spark.read.parquet(table).count() == 2)
+      // v2 fails its audit (empty not allowed) → v1 must still be served
+      val v2 = v1.filter($"id" > 99)
+      assert(!Ingest.writeAudited(v2, table, _.count() > 0))
+      val served = spark.read.parquet(table).orderBy($"id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(served.toSeq == Seq((1L, "a"), (2L, "b")))
+      assert(!new java.io.File(s"$table.staging").exists())
+      // v3 passes → replaces v1
+      val v3 = Seq((9L, "z")).toDF("id", "v")
+      assert(Ingest.writeAudited(v3, table, _.count() == 1))
+      assert(spark.read.parquet(table).count() == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+}
+
 class UpsertSpec extends SparkSuite {
   import spark.implicits._
   import graft.sources.Ingest
