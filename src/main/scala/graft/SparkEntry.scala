@@ -81,6 +81,8 @@ object SparkEntry {
     "q_pii_scan" -> (Pii.piiScan _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
+    "q_hybrid_search" -> ((s: SparkSession, d: String) =>
+      graft.functions.Retrieval.hybridSearch(s, d)),
     "q_scd2_users" -> (Scd.userStatusScd2 _),
     "q_stream_sessions" -> (graft.streaming.EventsStream.runSessionStream _),
     "q_contamination" -> ((s: SparkSession, d: String) =>
@@ -156,6 +158,7 @@ object SparkEntry {
     "q_pii_scan" -> Pii.piiScanSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
+    "q_hybrid_search" -> graft.functions.Retrieval.hybridSearchSql(),
     "q_scd2_users" -> Scd.userStatusScd2Sql,
     "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,
     "q_contamination" -> graft.functions.Decontaminate.contaminationSql(),

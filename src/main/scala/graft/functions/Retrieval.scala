@@ -70,12 +70,15 @@ object Retrieval {
       .select($"doc_id", Dedup.tokens($"text").as("t")), defaultQuery, 20)
   }
 
-  def bm25Sql(queryTerms: Seq[String] = defaultQuery, topK: Int = 20): String = {
+  /** The CTE chain ending in `p(doc_id, score_raw, n_terms_hit)` —
+    * shared by [[bm25Sql]] and [[hybridSearchSql]] so the scoring
+    * formula exists exactly once. */
+  private def bm25Cte(queryTerms: Seq[String]): String = {
     val inList = queryTerms.map(Sql.lit).mkString(", ")
     val perTerm = queryTerms.map(t =>
       s"coalesce(max(CASE WHEN term = ${Sql.lit(t)} THEN s END), 0.0)")
       .mkString("\n         + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
        |  FROM documents),
        |d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
@@ -99,10 +102,84 @@ object Retrieval {
        |  SELECT doc_id,
        |         $perTerm AS score_raw,
        |         CAST(COUNT(*) AS INTEGER) AS n_terms_hit
-       |  FROM s GROUP BY 1)
+       |  FROM s GROUP BY 1)""".stripMargin
+  }
+
+  def bm25Sql(queryTerms: Seq[String] = defaultQuery, topK: Int = 20): String =
+    s"""WITH ${bm25Cte(queryTerms)}
        |SELECT doc_id, round(score_raw, 6) AS score, n_terms_hit
        |FROM p
        |ORDER BY round(score_raw, 6) DESC, doc_id
        |LIMIT $topK""".stripMargin
+
+  // ---- hybrid search (lexical + vector, reciprocal rank fusion) ----------
+
+  /** Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
+    * ranks by reciprocal rank fusion, `rrf = Σ 1/(60 + rank)` — the
+    * standard fusion that needs no score normalization across
+    * incomparable scales. Ranks are taken over the ROUNDED component
+    * scores with id tiebreaks, so both engines derive identical
+    * INTEGER ranks and the fused score is exact integer arithmetic in
+    * doubles — full oracle parity despite mixing two scorers.
+    *
+    * Scale: each component is its own already-scale-shaped plan (BM25
+    * posting shuffle; brute-force cosine standing in for the ANN
+    * variants); the fusion itself joins two k-row rankings — free. */
+  def hybridSearch(spark: SparkSession, sfDir: String,
+      queryTerms: Seq[String] = defaultQuery, queryVecId: Long = 0L,
+      topK: Int = 20, kEach: Int = 50): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(Tables.documents(spark, sfDir)
+        .select($"doc_id", Dedup.tokens($"text").as("t")), queryTerms, kEach)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("int"))
+      .select($"doc_id", $"r_lex")
+    val qv = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" === queryVecId).select($"embedding".as("q_emb"))
+    val vec = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= queryVecId)
+      .withColumn("cos", round(
+        Similarity.dot($"embedding", $"q_emb") /
+          (Similarity.norm($"embedding") * Similarity.norm($"q_emb")), 6))
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("int"))
+      .filter($"r_vec" <= kEach)
+      .select($"vec_id".as("doc_id"), $"r_vec")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_lex", $"r_vec",
+        round(
+          coalesce(lit(1.0) / (lit(60) + $"r_lex"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"r_vec"), lit(0.0)), 6).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(topK)
   }
+
+  def hybridSearchSql(queryTerms: Seq[String] = defaultQuery,
+      queryVecId: Long = 0L, topK: Int = 20, kEach: Int = 50): String =
+    s"""WITH ${bm25Cte(queryTerms)},
+       |lexall AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS INTEGER) AS r_lex
+       |  FROM p),
+       |lex AS (SELECT * FROM lexall WHERE r_lex <= $kEach),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+       |vecall AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         CAST(row_number() OVER (
+       |           ORDER BY round(${Similarity.cosineSql("e.embedding", "q.q_emb")}, 6) DESC,
+       |                    e.vec_id) AS INTEGER) AS r_vec
+       |  FROM embeddings e CROSS JOIN qv q
+       |  WHERE e.vec_id <> $queryVecId),
+       |vec AS (SELECT * FROM vecall WHERE r_vec <= $kEach),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+       |         round(coalesce(1.0 / (60 + r_lex), 0.0)
+       |               + coalesce(1.0 / (60 + r_vec), 0.0), 6) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id, r_lex, r_vec, rrf
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $topK""".stripMargin
 }

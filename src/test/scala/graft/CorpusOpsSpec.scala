@@ -421,6 +421,22 @@ class Bm25Spec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("hybrid search: rrf exact for docs ranked by both, one, or neither scorer") {
+    val q = Retrieval.hybridSearch(spark, sf).collect()
+    assert(q.nonEmpty && q.length <= 20)
+    for (r <- q) {
+      val rLex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rVec = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rLex.isDefined || rVec.isDefined)
+      val exp = rLex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rVec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - exp) < 1e-6)
+    }
+    // descending fused score
+    val rrfs = q.map(_.getDouble(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("bm25 gated query: top-k bounded, scores descending, hits positive") {
     val q = Retrieval.bm25Query(spark, sf).collect()
     assert(q.nonEmpty && q.length <= 20)
