@@ -88,6 +88,7 @@ object SparkEntry {
     "q_contamination" -> ((s: SparkSession, d: String) =>
       graft.functions.Decontaminate.contamination(s, d)),
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
+    "q_grouping_sets" -> (Analytics.groupingSetsRevenue _),
     "q_amount_outliers" -> (Analytics.amountOutliers _),
     "q_compaction" -> (graft.sources.Ingest.compactionQuery _),
     "q_upsert" -> (graft.sources.Ingest.upsertQuery _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,
     "q_contamination" -> graft.functions.Decontaminate.contaminationSql(),
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
+    "q_grouping_sets" -> Analytics.groupingSetsRevenueSql,
     "q_amount_outliers" -> Analytics.amountOutliersSql,
     "q_compaction" -> graft.sources.Ingest.compactionSql,
     "q_upsert" -> graft.sources.Ingest.upsertSql,

@@ -301,6 +301,40 @@ object Analytics {
        |GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY grouping_level, service_type NULLS FIRST, line_status NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — the third grouping-sets surface next to
+    * ROLLUP/CUBE: an ARBITRARY set list ((type,year),(type),(year))
+    * that neither rollup (no (year)-only subtotal) nor cube (no way to
+    * omit the grand total) can express. One Expand-based pass: the scan
+    * is read once and each row fans out to its 3 grouping copies before
+    * the single partial+final HashAggregate — at 100 TB this is one
+    * shuffle on the (grouping_id, keys) composite, not 3 query passes.
+    * grouping_id() bit order follows the groupingSets column list
+    * (first = MSB), matching DuckDB GROUPING(a, b). */
+  def groupingSetsRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("service_type"),
+        year($"l_shipdate").as("ship_year"),
+        $"l_extendedprice")
+      .groupingSets(
+        Seq(Seq($"service_type", $"ship_year"), Seq($"service_type"), Seq($"ship_year")),
+        $"service_type", $"ship_year")
+      .agg(grouping_id().cast("int").as("grouping_level"),
+        count(lit(1)).as("trips"),
+        sumExact($"l_extendedprice").as("total_revenue"))
+      .orderBy($"grouping_level", $"service_type", $"ship_year")
+  }
+
+  val groupingSetsRevenueSql: String =
+    s"""SELECT l_returnflag AS service_type,
+       |       CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+       |       CAST(GROUPING(l_returnflag, YEAR(l_shipdate)) AS INTEGER) AS grouping_level,
+       |       COUNT(*) AS trips,
+       |       ${sumExactSql("l_extendedprice")} AS total_revenue
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, YEAR(l_shipdate)), (l_returnflag), (YEAR(l_shipdate)))
+       |ORDER BY grouping_level, service_type NULLS FIRST, ship_year NULLS FIRST""".stripMargin
+
   /** Group-wise outlier report (mean + 3σ rule) with DETERMINISTIC
     * moments: both sums route through exact decimals (the [[graft.functions.Exact]]
     * discipline), so mean/σ/threshold are the same doubles in any
