@@ -96,6 +96,9 @@ object SparkEntry {
       graft.functions.Sampling.mixtureSample(s, d)),
     "q_rolling_1h" -> (WindowOps.rollingHour _),
     "q_ntile_deciles" -> (WindowOps.ntileDeciles _),
+    "q_gap_fill" -> (WindowOps.gapFillHourly _),
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "q_corpus_shuffle" -> ((s: SparkSession, d: String) => Sampling.corpusShuffle(s, d)),
     // iterative ML loop: rows-only gate (no closed-form SQL oracle),
     // correctness pinned by KMeansSpec invariants instead
     "q_kmeans" -> ((s: SparkSession, d: String) =>
@@ -171,5 +174,8 @@ object SparkEntry {
     "q_mixture_sample" -> graft.functions.Sampling.mixtureSampleSql(),
     "q_rolling_1h" -> WindowOps.rollingHourSql,
     "q_ntile_deciles" -> WindowOps.ntileDecilesSql,
+    "q_gap_fill" -> WindowOps.gapFillHourlySql,
+    "q_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
+    "q_corpus_shuffle" -> graft.functions.Sampling.corpusShuffleSql(),
   )
 }

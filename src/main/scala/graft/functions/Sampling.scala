@@ -185,4 +185,41 @@ object Sampling {
        |FROM documents
        |GROUP BY 1, 2
        |ORDER BY lang, split""".stripMargin
+
+  /** Seeded deterministic corpus shuffle + sharding — the training-order
+    * writer: every document gets a content-derived pseudo-random rank
+    * (hash of doc_id ⊕ seed), a shard assignment, and a position within
+    * its shard. Reshuffling = change the seed; the order is a pure
+    * function of (data, seed) — reproducible across runs, clusters, and
+    * engines, unlike `orderBy(rand(seed))` which is partition-dependent.
+    *
+    * Scale: the hash is a narrow projection; the ONLY shuffle is the
+    * partitionBy(shard) exchange — exactly the write-path shuffle a
+    * sharded output needs anyway — and each shard numbers its rows
+    * independently (no global row_number bottleneck). */
+  def corpusShuffle(spark: SparkSession, sfDir: String,
+      seed: String = "shuffle_v1", shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        Dedup.hash60(concat_ws("|", $"doc_id".cast("string"), lit(seed)))
+          .as("shuffle_hash"))
+      .withColumn("shard", pmod($"shuffle_hash", lit(shards.toLong)).cast("int"))
+    val w = Window.partitionBy($"shard").orderBy($"shuffle_hash", $"doc_id")
+    h.withColumn("pos_in_shard", row_number().over(w))
+      .orderBy($"shard", $"pos_in_shard")
+  }
+
+  def corpusShuffleSql(seed: String = "shuffle_v1", shards: Int = 8): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || ${Sql.lit(seed)}), 1, 15)) AS BIGINT) AS shuffle_hash
+       |  FROM documents)
+       |SELECT doc_id, shuffle_hash,
+       |       CAST(shuffle_hash % $shards AS INTEGER) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY shuffle_hash % $shards
+       |            ORDER BY shuffle_hash, doc_id) AS INTEGER) AS pos_in_shard
+       |FROM h
+       |ORDER BY shard, pos_in_shard""".stripMargin
 }

@@ -391,4 +391,42 @@ object TextAnalysis {
        |       CAST(least(i * $stride + $chunkSize, n) - i * $stride AS INTEGER) AS n_tokens
        |FROM idx
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- vocabulary heavy hitters ------------------------------------------
+
+  /** Exact corpus-wide heavy hitters: the top-k tokens by total
+    * occurrence count, with document frequency — the vocabulary /
+    * stopword-discovery pass (and the exact counterpart to a
+    * count-min-sketch at scale).
+    *
+    * Scale: explode is a narrow flatMap; the token aggregate is ONE
+    * shuffle whose Zipf skew is exactly what partial (map-side)
+    * aggregation neutralizes — each hot token collapses to one row per
+    * input partition before the exchange. COUNT(DISTINCT doc_id) adds
+    * Spark's standard two-phase distinct expansion, and the top-k is a
+    * TakeOrderedAndProject (no global sort), tiebroken on token for a
+    * total order. */
+  def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(toks($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"n_occurrences".desc, $"token")
+      .limit(k)
+  }
+
+  def heavyHittersSql(k: Int = 25): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents)
+       |SELECT token, COUNT(*) AS n_occurrences,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |FROM toks
+       |WHERE token <> ''
+       |GROUP BY token
+       |ORDER BY n_occurrences DESC, token
+       |LIMIT $k""".stripMargin
 }

@@ -173,4 +173,52 @@ object WindowOps {
        |FROM sessions
        |GROUP BY 1, 2
        |ORDER BY user_id, session_id""".stripMargin
+
+  /** Time-series gap-fill + interpolation: a per-type hourly spine
+    * (`sequence` from min to max observed hour), left-joined against the
+    * observed hourly counts, with the two standard fills side by side —
+    * zero-fill (`COALESCE`) and last-observation-carried-forward
+    * (`last(..., ignoreNulls)` over an ordered running frame). The
+    * missing-hour rows are real at every SF (sf0.001 is ~75% gaps).
+    *
+    * Scale: the only scan-sized shuffle is the hourly pre-aggregation;
+    * the spine is (n_types × hours) rows — generated from a 1-row-per-type
+    * aggregate, never from the raw scan — and the LOCF window partitions
+    * by event_type over that bounded spine, not over raw events. */
+  def gapFillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = hourly.groupBy($"event_type")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select($"event_type",
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy($"event_type").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n_events_zerofill", coalesce($"n_events", lit(0L)))
+      .withColumn("n_events_locf", last($"n_events", ignoreNulls = true).over(w))
+      .withColumn("was_gap", $"n_events".isNull)
+      .orderBy($"event_type", $"hr")
+  }
+
+  val gapFillHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |         UNNEST(generate_series(MIN(hr), MAX(hr), INTERVAL 1 HOUR)) AS hr
+      |  FROM hourly GROUP BY event_type)
+      |SELECT s.event_type, s.hr,
+      |       h.n_events,
+      |       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events_zerofill,
+      |       CAST(last_value(h.n_events IGNORE NULLS) OVER
+      |            (PARTITION BY s.event_type ORDER BY s.hr
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS n_events_locf,
+      |       (h.n_events IS NULL) AS was_gap
+      |FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+      |ORDER BY s.event_type, s.hr""".stripMargin
 }

@@ -476,3 +476,103 @@ class RepetitionSpec extends SparkSuite {
     assert(math.abs(got.getDouble(2) - expDup3) < 1e-6)
   }
 }
+
+class GapFillSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("gap fill: spine is dense per type, fills agree, LOCF carries the last observation") {
+    val out = graft.operators.WindowOps.gapFillHourly(spark, sf).cache()
+    // spine density: per type, row count == hours between min and max + 1
+    val spans = out.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        ((unix_timestamp(max($"hr")) - unix_timestamp(min($"hr"))) / 3600 + 1).as("expect"))
+      .collect()
+    spans.foreach(r => assert(r.getLong(1) == r.getDouble(2).toLong, r.getString(0)))
+    // sf0.001 genuinely has gaps — the operator must be exercised
+    assert(out.filter($"was_gap").count() > 0)
+    // fills: gap rows are zero-filled; non-gap rows keep their count in all three columns
+    assert(out.filter($"was_gap" && $"n_events_zerofill" =!= 0L).count() == 0)
+    assert(out.filter(!$"was_gap" &&
+      ($"n_events_zerofill" =!= $"n_events" || $"n_events_locf" =!= $"n_events")).count() == 0)
+    // LOCF differential on one type: walk the hours in order, carrying forward
+    val rows = out.filter($"event_type" === "click").orderBy($"hr")
+      .select($"n_events", $"n_events_locf").collect()
+    var carry: java.lang.Long = null
+    rows.foreach { r =>
+      if (!r.isNullAt(0)) carry = r.getLong(0)
+      assert(r.getLong(1) == carry.longValue())
+    }
+    out.unpersist()
+  }
+}
+
+class HeavyHittersSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("heavy hitters: plain-Scala differential on the full sf0.001 corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val counts = scala.collection.mutable.Map[String, (Long, Set[Long])]()
+    docs.foreach { case (id, text) =>
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val (n, ds) = counts.getOrElse(t, (0L, Set.empty[Long]))
+        counts(t) = (n + 1, ds + id)
+      }
+    }
+    val expect = counts.toSeq
+      .map { case (t, (n, ds)) => (t, n, ds.size.toLong) }
+      .sortBy { case (t, n, _) => (-n, t) }.take(25)
+    val got = TextAnalysis.heavyHitters(spark, sf)
+      .select($"token", $"n_occurrences", $"doc_freq")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("heavy hitters: top-k plans as TakeOrderedAndProject, no global sort") {
+    val plan = TextAnalysis.heavyHitters(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
+
+class CorpusShuffleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("corpus shuffle: complete, deterministic, contiguous positions per shard") {
+    val s1 = graft.functions.Sampling.corpusShuffle(spark, sf).cache()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(s1.count() == total)                       // a permutation, not a sample
+    assert(s1.select($"doc_id").distinct().count() == total)
+    // every shard numbers its rows 1..n with no holes
+    val byShard = s1.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos_in_shard").as("mx"), min($"pos_in_shard").as("mn"))
+      .collect()
+    assert(byShard.length > 1)                        // really sharded
+    byShard.foreach(r => assert(r.getInt(3) == 1 && r.getLong(1) == r.getInt(2).toLong))
+    // pure function of (data, seed): identical on recompute, different under a new seed
+    val s2 = graft.functions.Sampling.corpusShuffle(spark, sf)
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0)
+    val reseeded = graft.functions.Sampling.corpusShuffle(spark, sf, seed = "shuffle_v2")
+    assert(s1.except(reseeded).count() > 0)
+    s1.unpersist()
+  }
+}
+
+class GroupingSetsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("grouping sets: one Expand pass, exactly the 3 requested sets, no grand total") {
+    val q = graft.operators.Analytics.groupingSetsRevenue(spark, sf).cache()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    val levels = q.select($"grouping_level").distinct()
+      .as[Int].collect().sorted.toSeq
+    assert(levels == Seq(0, 1, 2))                    // (t,y)=0, (t)=1, (y)=2 — no ()=3
+    // subtotal consistency: the (type)-level rows equal the sum of their (type,year) details
+    val detail = q.filter($"grouping_level" === 0)
+      .groupBy($"service_type").agg(sum($"trips").as("t"))
+    val sub = q.filter($"grouping_level" === 1).select($"service_type", $"trips")
+    val joined = detail.join(sub, "service_type")
+    assert(joined.filter($"t" =!= $"trips").count() == 0 && joined.count() > 0)
+    q.unpersist()
+  }
+}
