@@ -98,6 +98,7 @@ object SparkEntry {
     "q_ntile_deciles" -> (WindowOps.ntileDeciles _),
     "q_gap_fill" -> (WindowOps.gapFillHourly _),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "q_quality_gate" -> (TextAnalysis.qualityGate _),
     "q_corpus_shuffle" -> ((s: SparkSession, d: String) => Sampling.corpusShuffle(s, d)),
     // iterative ML loop: rows-only gate (no closed-form SQL oracle),
     // correctness pinned by KMeansSpec invariants instead
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_ntile_deciles" -> WindowOps.ntileDecilesSql,
     "q_gap_fill" -> WindowOps.gapFillHourlySql,
     "q_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
+    "q_quality_gate" -> TextAnalysis.qualityGateSql,
     "q_corpus_shuffle" -> graft.functions.Sampling.corpusShuffleSql(),
   )
 }

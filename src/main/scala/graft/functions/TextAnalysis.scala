@@ -418,6 +418,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Data-dependent quality gate: keep documents at or above the exact
+    * corpus-median quality score. The threshold is computed IN the plan
+    * (1-row aggregate, broadcast cross join) — not collected to the
+    * driver — so the gate composes into larger pipelines and recomputes
+    * consistently on retry. Thresholding uses the 6-dp-rounded score
+    * (the cross-engine-stable value q_quality_score already pins), and
+    * the interpolated median of identical doubles is the same double in
+    * both engines, so membership is exact.
+    *
+    * Scale: scoring is the narrow projection; the median is one
+    * percentile_cont aggregate (a sort of scores only, not documents);
+    * the gate itself is a broadcast of ONE row over a second scan —
+    * no corpus shuffle anywhere. */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = qualityScore(spark, sfDir).select($"doc_id", $"quality_score")
+    val thr = scored.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score)")
+        .as("median_raw"))
+    scored.crossJoin(broadcast(thr))
+      .filter($"quality_score" >= $"median_raw")
+      .select($"doc_id", $"quality_score", round($"median_raw", 6).as("median_score"))
+      .orderBy($"doc_id")
+  }
+
+  def qualityGateSql: String =
+    s"""WITH scored AS ($qualityScoreSql),
+       |thr AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score) AS median_raw
+       |        FROM scored)
+       |SELECT s.doc_id, s.quality_score, round(t.median_raw, 6) AS median_score
+       |FROM scored s CROSS JOIN thr t
+       |WHERE s.quality_score >= t.median_raw
+       |ORDER BY s.doc_id""".stripMargin
+
   def heavyHittersSql(k: Int = 25): String =
     s"""WITH toks AS (
        |  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token

@@ -557,6 +557,29 @@ class CorpusShuffleSpec extends SparkSuite {
   }
 }
 
+class QualityGateSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("quality gate: keeps exactly the at-or-above-median half, threshold in-plan") {
+    val scored = TextAnalysis.qualityScore(spark, sf)
+      .select($"doc_id", $"quality_score").cache()
+    val kept = TextAnalysis.qualityGate(spark, sf).cache()
+    val n = scored.count()
+    // at least half survives (>= median); fewer than all unless degenerate
+    assert(kept.count() >= n / 2 && kept.count() < n)
+    // membership differential: exactly the docs >= the exact median
+    val median = scored.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score)")).head().getDouble(0)
+    val expect = scored.filter($"quality_score" >= median)
+    assert(kept.select($"doc_id").except(expect.select($"doc_id")).count() == 0)
+    assert(expect.select($"doc_id").except(kept.select($"doc_id")).count() == 0)
+    // the 1-row threshold joins by broadcast, not a shuffle
+    val plan = TextAnalysis.qualityGate(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    scored.unpersist(); kept.unpersist()
+  }
+}
+
 class GroupingSetsSpec extends SparkSuite {
   import spark.implicits._
 
