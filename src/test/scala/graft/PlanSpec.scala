@@ -178,6 +178,34 @@ class ScaleToolsSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter injects on a selective-dim shuffle join (100TB shuffle-volume lever)") {
+    import spark.implicits._
+    // the local threshold defaults assume cluster-sized scans; lower the
+    // application-side floor so injection fires on test data. At real
+    // scale the defaults (10 GB scan) gate it to exactly the joins that
+    // matter: a selectively-filtered creation side pre-prunes the fact
+    // shuffle instead of shipping every row to the join.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val sel = graft.sources.Tables.orders(spark, sf)
+        .filter($"o_orderstatus" === "F")
+      val joined = li.join(sel, $"l_orderkey" === $"o_orderkey")
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"expected an injected bloom runtime filter on the fact side:\n${opt.take(900)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("salted aggregate equals the direct aggregate (skew repair, exact)") {
     val direct = graft.sources.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
