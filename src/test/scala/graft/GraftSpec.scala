@@ -121,6 +121,33 @@ class ApproxSpec extends SparkSuite {
       assert(p50Err < 0.05, s"$flag: approx_percentile rel err $p50Err")
     }
   }
+
+  test("count-min sketch brackets the exact heavy-hitter counts (mergeable one-pass scale path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the sketch is built DISTRIBUTED (partial sketches per partition,
+    // merged counter-wise — order-independent), probed on the driver:
+    // the one-pass approximate twin of TextAnalysis.heavyHitters for
+    // corpora where even the token aggregate's shuffle is too big
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val eps = 0.001
+    val sketchBytes = toks
+      .agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val total = toks.count()
+    val exact = graft.functions.TextAnalysis.heavyHitters(spark, sf, k = 10)
+      .select($"token", $"n_occurrences").as[(String, Long)].collect()
+    exact.foreach { case (token, n) =>
+      val est = cms.estimateCount(token)
+      assert(est >= n, s"$token: CMS can only over-count ($est < $n)")
+      assert(est <= n + (eps * total).toLong + 1,
+        s"$token: estimate $est outside eps bound of $n (total=$total)")
+    }
+  }
 }
 
 class DedupSpec extends SparkSuite {
