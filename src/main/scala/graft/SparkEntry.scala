@@ -92,6 +92,7 @@ object SparkEntry {
     "q_amount_outliers" -> (Analytics.amountOutliers _),
     "q_compaction" -> (graft.sources.Ingest.compactionQuery _),
     "q_upsert" -> (graft.sources.Ingest.upsertQuery _),
+    "q_stream_cdc" -> (graft.streaming.EventsStream.cdcApplyQuery _),
     "q_mixture_sample" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.mixtureSample(s, d)),
     "q_rolling_1h" -> (WindowOps.rollingHour _),
@@ -172,6 +173,9 @@ object SparkEntry {
     "q_amount_outliers" -> Analytics.amountOutliersSql,
     "q_compaction" -> graft.sources.Ingest.compactionSql,
     "q_upsert" -> graft.sources.Ingest.upsertSql,
+    // the 4-micro-batch CDC apply converges to the same table as the
+    // single-shot MERGE (disjoint keys per feed file) — same oracle
+    "q_stream_cdc" -> graft.sources.Ingest.upsertSql,
     "q_mixture_sample" -> graft.functions.Sampling.mixtureSampleSql(),
     "q_rolling_1h" -> WindowOps.rollingHourSql,
     "q_ntile_deciles" -> WindowOps.ntileDecilesSql,

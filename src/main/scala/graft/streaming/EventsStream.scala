@@ -453,4 +453,80 @@ object EventsStream {
     spark.table(queryName)
       .orderBy($"window_start", $"event_type")
   }
+
+  // ---- streaming CDC apply (foreachBatch MERGE) --------------------------
+
+  /** Drain a change feed into a keyed parquet table: one
+    * [[graft.sources.Ingest.upsert]] per micro-batch, published through
+    * the write-audit-publish swap ([[graft.sources.Ingest.writeAudited]])
+    * so the merge never overwrites files it is still reading and a
+    * failed audit leaves the table at its pre-batch version. Returns the
+    * number of micro-batches applied.
+    *
+    * Replay semantics: after a crash the checkpoint may re-deliver the
+    * last batch; update-wins MERGE is idempotent per key (same rows →
+    * same table), so replays are safe — the foreachBatch contract.
+    *
+    * Scale: each batch costs one anti-join shuffle on the key (broadcast
+    * when the batch is small — the common CDC case); table files churn
+    * per batch, which is what log-structured table formats amortize —
+    * the copy-on-write rewrite here is the honest plain-parquet cost. */
+  def runCdcApply(spark: SparkSession, tableDir: String, feedDir: String,
+      checkpointDir: String): Int = {
+    val schema = spark.read.parquet(tableDir).schema
+    var batches = 0
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // every feed file = one MERGE
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val current = spark.read.parquet(tableDir)
+        val merged = graft.sources.Ingest.upsert(current, batch, "event_id")
+        val ok = graft.sources.Ingest.writeAudited(merged, tableDir,
+          a => a.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+        require(ok, s"CDC audit failed for $tableDir — table left at previous version")
+        batches += 1
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
+  /** Gated query: the q_upsert CDC batch (every 5th event, value bumped,
+    * type rewritten) delivered as a 4-file change FEED — four separate
+    * micro-batch MERGEs — instead of one batch merge. The touched key
+    * sets are disjoint across feed files, so the final table is
+    * arrival-order independent and equals the single-shot MERGE, which
+    * is exactly what the shared upsert oracle pins. */
+  def cdcApplyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = Tables.events(spark, sfDir)
+      base.write.parquet(s"$work/table")
+      base.filter($"event_id" % 5 === 0)
+        .withColumn("value", $"value" + 100.0)
+        .withColumn("event_type", lit("updated"))
+        .repartition(4)
+        .write.parquet(s"$work/feed")
+      runCdcApply(spark, s"$work/table", s"$work/feed", s"$work/ckpt")
+      // materialize before the temp tree goes away (compaction-query rule)
+      spark.read.parquet(s"$work/table")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp($"ts").as("ts_sec"), $"value", $"props")
+        .localCheckpoint()
+        .orderBy($"event_id")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      ()
+    }
+  }
 }

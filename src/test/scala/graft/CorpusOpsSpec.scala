@@ -557,6 +557,36 @@ class CorpusShuffleSpec extends SparkSuite {
   }
 }
 
+class CdcApplySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cdc apply: multi-batch foreachBatch MERGE converges to the single-shot upsert") {
+    graft.sources.Tables.enableNanosAsLong(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_spec_").toString
+    try {
+      val base = graft.sources.Tables.events(spark, sf)
+      base.write.parquet(s"$work/table")
+      base.filter($"event_id" % 5 === 0)
+        .withColumn("value", $"value" + 100.0)
+        .withColumn("event_type", lit("updated"))
+        .repartition(4)
+        .write.parquet(s"$work/feed")
+      val batches = graft.streaming.EventsStream.runCdcApply(
+        spark, s"$work/table", s"$work/feed", s"$work/ckpt")
+      assert(batches > 1, "maxFilesPerTrigger=1 over a 4-file feed must take several MERGEs")
+      val streamed = spark.read.parquet(s"$work/table")
+        .select($"event_id", $"event_type", $"value").localCheckpoint()
+      val oneShot = graft.sources.Ingest.upsertQuery(spark, sf)
+        .select($"event_id", $"event_type", $"value")
+      assert(streamed.except(oneShot).count() == 0 && oneShot.except(streamed).count() == 0)
+      assert(streamed.count() == base.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      ()
+    }
+  }
+}
+
 class QualityGateSpec extends SparkSuite {
   import spark.implicits._
 
