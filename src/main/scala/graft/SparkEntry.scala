@@ -105,6 +105,11 @@ object SparkEntry {
     // correctness pinned by KMeansSpec invariants instead
     "q_kmeans" -> ((s: SparkSession, d: String) =>
       graft.functions.Clustering.kmeansSummary(s, d)),
+    // behavioral / product analytics (round 3)
+    "q_funnel" -> (Behavioral.funnel _),
+    "q_retention" -> (Behavioral.retention _),
+    "q_topk_per_group" -> ((s: SparkSession, d: String) => Behavioral.topKPerGroup(s, d)),
+    "q_fuzzy_match" -> (graft.functions.Fuzzy.fuzzyMatch _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -183,5 +188,9 @@ object SparkEntry {
     "q_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
     "q_quality_gate" -> TextAnalysis.qualityGateSql,
     "q_corpus_shuffle" -> graft.functions.Sampling.corpusShuffleSql(),
+    "q_funnel" -> Behavioral.funnelSql,
+    "q_retention" -> Behavioral.retentionSql,
+    "q_topk_per_group" -> Behavioral.topKPerGroupSql,
+    "q_fuzzy_match" -> graft.functions.Fuzzy.fuzzyMatchSql,
   )
 }

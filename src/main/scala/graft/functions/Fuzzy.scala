@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Fuzzy string matching (record linkage): all pairs within a small
+  * edit distance, found WITHOUT an all-pairs comparison via lossless
+  * q-gram prefix blocking, then verified with the exact (codegen'd)
+  * `levenshtein` expression.
+  *
+  * Why this is exact: if `edit(a, b) <= d`, the two q-gram BAGS share
+  * at least `max(|a|,|b|) - q + 1 - q*d` grams (the count-filtering
+  * bound of Gravano et al., VLDB 2001 — one edit destroys at most `q`
+  * grams). Bags become sets by tagging each gram with its occurrence
+  * index, so the set-overlap prefix-filter applies: order every
+  * string's tagged grams by a GLOBAL rarity order; any pair meeting
+  * the overlap bound must collide inside each string's first
+  * `q*d + 1` grams (prefix size = bag − bound + 1). Candidates are
+  * therefore the pairs sharing a RARE gram — then `levenshtein`
+  * confirms. Strings short enough that the bound is vacuous
+  * (`len <= q-1 + q*d`) fall back to an all-pairs check inside that
+  * tiny short-string pool.
+  *
+  * Scale shape (same family as [[Dedup.ngramJaccardPairs]]'s PPJoin):
+  *  - gram frequencies: one aggregate over exploded grams, map-side
+  *    combined; the frequency table is gram-cardinality sized.
+  *  - each string keeps only its `q*d + 1` RAREST grams as join keys,
+  *    so the candidate join fans out on rare keys, not on "00"-style
+  *    stopword grams — that rarity ordering is what keeps the
+  *    candidate count near-linear on diverse corpora.
+  *  - verification is an embarrassingly parallel filter over
+  *    candidate pairs; for long strings insert the count filter
+  *    (shared-gram count >= bound) between blocking and levenshtein
+  *    to cut verify cost further.
+  */
+object Fuzzy {
+
+  /** All unordered pairs of `items` (`id`, `str` columns) within edit
+    * distance `d`, as (id_a, id_b, dist) with id_a < id_b. */
+  def editDistancePairs(items: DataFrame, d: Int = 1, q: Int = 2): DataFrame = {
+    require(d >= 1 && q >= 2, s"need d>=1, q>=2; got d=$d q=$q")
+    // the pair bound T = max(len)-q+1-q*d is vacuous (<=0) only when
+    // BOTH strings have len <= shortMax — those pairs need all-pairs;
+    // every pair with a longer member is certified to share a gram
+    val shortMax = q - 1 + q * d
+    val prefixLen = q * d + 1
+    val base = items.select(col("id"), col("str"), length(col("str")).as("len"))
+
+    // tagged q-gram bag (id, gram#occurrence) for every string long
+    // enough to have grams — including shortMax-or-less strings, whose
+    // WHOLE bag is their prefix (their per-string bound is < 1, so the
+    // prefix formula bag - T + 1 covers the entire bag)
+    val grams = base.filter(col("len") >= q)
+      .select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(1, len - ${q - 1}), i -> substring(str, i, $q))"))
+          .as(Seq("pos", "gram")))
+    val tagged = grams
+      .withColumn("occ",
+        row_number().over(Window.partitionBy(col("id"), col("gram")).orderBy(col("pos"))))
+      .select(col("id"), concat_ws("#", col("gram"), col("occ")).as("gkey"))
+
+    // global rarity order; keep each string's min(q*d+1, bag) rarest
+    // keys — q*d+1 once its own bound bites, the whole bag before that
+    val freq = tagged.groupBy(col("gkey")).agg(count(lit(1)).as("gfreq"))
+    val prefix = tagged.join(freq, "gkey")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("gfreq"), col("gkey"))))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("gkey"))
+
+    val candLong = prefix.as("a").join(prefix.as("b"),
+        col("a.gkey") === col("b.gkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // short-string pool: pairs where BOTH sides are shortMax-or-less
+    // have no gram guarantee (e.g. "ab"/"cd" at d=2 share nothing) —
+    // all-pairs inside the pool, bounded by the near-empty-string count
+    val shorts = base.filter(col("len") <= shortMax)
+    val candShort = shorts.as("a").join(shorts.as("b"),
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+    val strs = base.select(col("id"), col("str"), col("len"))
+    candLong.unionByName(candShort)
+      .join(strs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("str", "str_a").withColumnRenamed("len", "len_a"), "id_a")
+      .join(strs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("str", "str_b").withColumnRenamed("len", "len_b"), "id_b")
+      .filter(abs(col("len_a") - col("len_b")) <= d)
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= d)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Naive all-pairs twin — the differential oracle for completeness
+    * specs (and the shape the blocking avoids). */
+  private[graft] def editDistancePairsNaive(items: DataFrame, d: Int): DataFrame =
+    items.as("a").join(items.as("b"), col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.str"), col("b.str")))
+      .filter(col("dist") <= d)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+
+  /** Gated query: supplier names within edit distance 1 — the
+    * dirty-dimension reconciliation a warehouse user runs before
+    * conforming entities (TPC-H names differ in one digit, so the
+    * match graph is dense — a worst case for blocking that the exact
+    * oracle still pins). */
+  def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("str"))
+    editDistancePairs(sup, d = 1, q = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val fuzzyMatchSql: String =
+    """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+      |       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Behavioral / product analytics over the events stream: ordered
+  * conversion funnels, weekly cohort retention, and per-group top-k —
+  * the classic event-warehouse queries a user of the reference's
+  * analytics notebook layer (reference `analysis/analysis.ipynb`,
+  * demand/revenue rollups) would reach for next. All exact and
+  * DuckDB-oracle-gated.
+  *
+  * Scale notes:
+  *  - Every stage keys on `user_id` — one shuffle per stage, state per
+  *    user, never a global window.
+  *  - The funnel frontier (users who reached stage N) shrinks
+  *    monotonically; each later stage joins the frontier back to a
+  *    TYPE-FILTERED scan (the filter reaches parquet, so stage inputs
+  *    are ~1/5 of the table each, and the join key is the same
+  *    user_id every time).
+  *  - Retention's two aggregates (first-seen, distinct active weeks)
+  *    share the user_id shuffle key; the (cohort, offset) rollup that
+  *    follows is dimension-sized.
+  */
+object Behavioral {
+
+  // ---- ordered conversion funnel: view -> click -> purchase --------
+
+  /** Stage times per user with STRICT ordering: the first `click`
+    * AFTER the user's first `view`, and the first `purchase` AFTER
+    * that click. A purchase that precedes the view does not count —
+    * this is the ordered-sequence semantic (min-per-type alone would
+    * overcount), and it is what makes the funnel a 3-stage dependent
+    * aggregation rather than one conditional groupBy. */
+  private[graft] def funnelStages(events: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    (v, c, p)
+  }
+
+  /** Funnel summary: users reaching each ordered stage. Counts are
+    * computed in-plan (aggregate of each frontier, unioned) — one
+    * job, no driver-side `count()` actions. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelFrom(Tables.events(spark, sfDir))
+
+  private[graft] def funnelFrom(events: DataFrame): DataFrame = {
+    val (v, c, p) = funnelStages(events)
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1, "view")
+      .unionByName(stage(c, 2, "click"))
+      .unionByName(stage(p, 3, "purchase"))
+      .orderBy(col("stage_idx"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+      |UNION ALL
+      |SELECT 2, 'click', (SELECT count(*) FROM c)
+      |UNION ALL
+      |SELECT 3, 'purchase', (SELECT count(*) FROM p)
+      |ORDER BY stage_idx""".stripMargin
+
+  // ---- weekly cohort retention matrix ------------------------------
+
+  /** Cohort = ISO week (Monday-truncated, both engines) of the user's
+    * first event; a cell (cohort_week, week_offset) counts the cohort's
+    * users active in that later week. Offsets are exact multiples of 7
+    * days, so the integer division is exact in both engines. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame =
+    retentionFrom(Tables.events(spark, sfDir))
+
+  private[graft] def retentionFrom(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    val active = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("active_week"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH cohorts AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      |  FROM events)
+      |SELECT c.cohort_week,
+      |       CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS INTEGER)
+      |         AS week_offset,
+      |       count(*) AS n_users
+      |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- top-k per group ---------------------------------------------
+
+  /** Top 3 users by total value within each event type — the grouped
+    * top-k shape (aggregate, then rank within group). The sum is
+    * decimal-routed so totals are accumulation-order independent, and
+    * the rank order carries user_id as tiebreaker, so row_number is
+    * deterministic.
+    *
+    * Scale: the heavy step is the (type, user) aggregate — full
+    * map-side partial combine, one shuffle. The window then partitions
+    * by type over ALREADY-AGGREGATED rows (one row per (type, user)),
+    * so per-partition state is #users-per-type, not #events; with few
+    * huge groups, swap the window for an aggregate top-k monoid
+    * (fixed-size heap per group) — same contract, no per-group sort. */
+  def topKPerGroup(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    topKPerGroupFrom(Tables.events(spark, sfDir), k)
+
+  private[graft] def topKPerGroupFrom(events: DataFrame, k: Int): DataFrame = {
+    val totals = events.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(27,6)")).as("total_value_dec"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_value_dec").desc, col("user_id"))
+    totals.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("rank"), col("user_id"),
+        col("total_value_dec").cast("double").as("total_value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  val topKPerGroupSql: String =
+    """WITH totals AS (
+      |  SELECT event_type, user_id,
+      |         sum(CAST(value AS DECIMAL(27,6))) AS total_value_dec
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, user_id, total_value_dec,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |              ORDER BY total_value_dec DESC, user_id) AS INTEGER) AS rank
+      |  FROM totals)
+      |SELECT event_type, rank, user_id,
+      |       CAST(total_value_dec AS DOUBLE) AS total_value
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+}
