@@ -110,6 +110,7 @@ object SparkEntry {
     "q_retention" -> (Behavioral.retention _),
     "q_topk_per_group" -> ((s: SparkSession, d: String) => Behavioral.topKPerGroup(s, d)),
     "q_fuzzy_match" -> (graft.functions.Fuzzy.fuzzyMatch _),
+    "q_insert_overwrite" -> (graft.sources.Ingest.insertOverwriteQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -192,5 +193,6 @@ object SparkEntry {
     "q_retention" -> Behavioral.retentionSql,
     "q_topk_per_group" -> Behavioral.topKPerGroupSql,
     "q_fuzzy_match" -> graft.functions.Fuzzy.fuzzyMatchSql,
+    "q_insert_overwrite" -> graft.sources.Ingest.insertOverwriteSql,
   )
 }

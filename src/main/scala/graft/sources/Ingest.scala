@@ -296,6 +296,87 @@ object Ingest {
     updates.unionByName(
       base.join(updates.select(key), Seq(key), "left_anti"))
 
+  /** Dynamic-partition-overwrite sink — the dbt `incremental` +
+    * `insert_overwrite` materialization (and the Hive/Spark INSERT
+    * OVERWRITE ... PARTITION semantics): a batch replaces EXACTLY the
+    * partitions it contains rows for and leaves every other partition's
+    * files untouched. This is the backfill/restatement primitive at
+    * scale — rebuilding one late-arriving month of a 100 TB table costs
+    * one month of compute and IO, not a full rewrite, and readers of
+    * untouched partitions see byte-identical files throughout.
+    *
+    * Implemented with Spark's native `partitionOverwriteMode=dynamic`
+    * (set for this write only, previous value restored) so the
+    * replace-partition commit protocol — stage new files, then swap
+    * only the matching partition directories — is the engine's own. */
+  def insertOverwritePartitions(spark: SparkSession, dir: String,
+      batch: DataFrame, partCols: Seq[String]): DataFrame = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try batch.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.parquet(dir)
+  }
+
+  private def monthlyOrderRevenue(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(27,6)")).as("revenue_dec"))
+  }
+
+  /** Gated query: an initial build from a STALE source (1-in-7 orders
+    * missing — late-arriving data), then an incremental run that
+    * rebuilds ONLY the 1997 partitions from the complete source. The
+    * final table mixes stale non-1997 months with restated 1997 months
+    * — exactly what the oracle pins, which fails if the overwrite had
+    * either dropped untouched partitions (static overwrite) or left
+    * the restated ones stale. */
+  def insertOverwriteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iow_").toString
+    try {
+      val orders = Tables.orders(spark, sfDir)
+      val stale = orders.filter($"o_orderkey" % 7 =!= 0)
+      monthlyOrderRevenue(stale)
+        .write.partitionBy("order_month").parquet(s"$tmp/t")
+      val batch = monthlyOrderRevenue(orders.filter(year($"o_orderdate") === 1997))
+      insertOverwritePartitions(spark, s"$tmp/t", batch, Seq("order_month"))
+        .select($"order_month".cast("string").as("order_month"),
+          $"n", $"revenue_dec".cast("double").as("revenue"))
+        .orderBy($"order_month")
+        // materialize before the temp table is deleted
+        .localCheckpoint(eager = true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  val insertOverwriteSql: String =
+    """WITH cur AS (
+      |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1997
+      |  GROUP BY 1),
+      |old AS (
+      |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |  FROM orders
+      |  WHERE o_orderkey % 7 <> 0
+      |    AND year(CAST(o_orderdate AS DATE)) <> 1997
+      |  GROUP BY 1)
+      |SELECT * FROM cur UNION ALL SELECT * FROM old
+      |ORDER BY order_month""".stripMargin
+
   /** Gated query: a CDC batch (every 5th event, value bumped, type
     * rewritten) merged into the events table; the oracle pins the
     * update-wins semantics row-for-row. */
