@@ -111,6 +111,11 @@ object SparkEntry {
     "q_topk_per_group" -> ((s: SparkSession, d: String) => Behavioral.topKPerGroup(s, d)),
     "q_fuzzy_match" -> (graft.functions.Fuzzy.fuzzyMatch _),
     "q_insert_overwrite" -> (graft.sources.Ingest.insertOverwriteQuery _),
+    "q_bpe_pairs" -> (graft.functions.Bpe.pairCounts _),
+    // iterative vocabulary induction: rows-only gate, correctness
+    // pinned by BpeSpec's plain-Scala differential
+    "q_bpe_merges" -> ((s: SparkSession, d: String) =>
+      graft.functions.Bpe.learnMerges(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -194,5 +199,6 @@ object SparkEntry {
     "q_topk_per_group" -> Behavioral.topKPerGroupSql,
     "q_fuzzy_match" -> graft.functions.Fuzzy.fuzzyMatchSql,
     "q_insert_overwrite" -> graft.sources.Ingest.insertOverwriteSql,
+    "q_bpe_pairs" -> graft.functions.Bpe.pairCountsSql,
   )
 }

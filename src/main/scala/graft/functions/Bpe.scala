@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** BPE tokenizer induction (Sennrich et al., ACL 2016) — the vocabulary
+  * a training-data pipeline learns before it can count tokens, pack
+  * sequences, or price a corpus.
+  *
+  * Two surfaces:
+  *  - [[pairCounts]] — the DISTRIBUTED hot loop: frequency-weighted
+  *    adjacent-symbol-pair counts over the distinct-word table. At
+  *    100 TB this aggregate over (word, freq) is the entire cost of
+  *    BPE (the corpus collapses to distinct words ONCE; every merge
+  *    iteration re-counts pairs over that much smaller table). Exact
+  *    and DuckDB-oracle-gated.
+  *  - [[learnMerges]] — the driver-coordinated merge loop (the same
+  *    control shape as Lloyd's k-means here: tiny model state on the
+  *    driver, one distributed aggregate per iteration, merge applied
+  *    executor-side as a typed map). Tie-breaks are total
+  *    (count desc, left, right), so the learned merge table is
+  *    deterministic; gated by a plain-Scala differential spec plus a
+  *    rows-only driver check.
+  *
+  * Pair counting counts OVERLAPPING adjacencies ("aaaa" contributes
+  * (a,a) three times) and merging is greedy left-to-right
+  * non-overlapping ("aaaa" -> "aa"·"aa") — the reference algorithm's
+  * exact semantics, pinned by the spec.
+  */
+object Bpe {
+
+  /** Lowercase alnum words — the same cross-engine-safe pre-tokenizer
+    * family as [[TextAnalysis]] (regexp_extract_all agrees between
+    * Spark and DuckDB on this character-class-only pattern). */
+  private[graft] def wordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Iteration-0 pair statistics: for every adjacent character pair,
+    * the frequency-weighted number of occurrences across the corpus.
+    * One narrow explode over the distinct-word table, one aggregate. */
+  def pairCounts(spark: SparkSession, sfDir: String): DataFrame =
+    pairCountsFrom(Tables.documents(spark, sfDir))
+
+  private[graft] def pairCountsFrom(docs: DataFrame): DataFrame = {
+    val f = wordFreqs(docs)
+      .filter(length(col("word")) >= 2)
+    f.select(col("freq"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> struct(substring(word, i, 1) AS l,
+          |              substring(word, i + 1, 1) AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+  }
+
+  val pairCountsSql: String =
+    """WITH w AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |f AS (
+      |  SELECT word, count(*) AS freq FROM w
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |p AS (
+      |  SELECT substring(word, CAST(i AS INTEGER), 1) AS left_sym,
+      |         substring(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+      |         freq
+      |  FROM f, unnest(range(1, length(word))) AS t(i))
+      |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+      |FROM p GROUP BY 1, 2
+      |ORDER BY pair_count DESC, left_sym, right_sym""".stripMargin
+
+  // ---- the merge loop ----------------------------------------------
+
+  private[graft] case class WordSyms(syms: Seq[String], freq: Long)
+
+  /** Greedy left-to-right non-overlapping replacement of (l, r). */
+  private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merges over the corpus' distinct words. Returns
+    * (rank, left_sym, right_sym, merged). Stops early if no pair
+    * occurs at least twice (merging a count-1 pair is vocabulary
+    * noise). Each iteration: one distributed pair-count aggregate +
+    * a broadcast-size argmax on the driver; the word table is
+    * localCheckpoint'ed per iteration so lineage stays flat across
+    * many merges. */
+  def learnMerges(spark: SparkSession, sfDir: String, nMerges: Int = 30): DataFrame =
+    learnMergesFrom(spark, Tables.documents(spark, sfDir), nMerges)
+
+  private[graft] def learnMergesFrom(spark: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    var ds: Dataset[WordSyms] = wordFreqs(docs)
+      .as[(String, Long)]
+      .map { case (w, f) => WordSyms(w.map(_.toString), f) }
+      .localCheckpoint(eager = true)
+
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    var done = false
+    var rank = 0
+    while (rank < nMerges && !done) {
+      val top = ds.flatMap(w =>
+          if (w.syms.length < 2) Iterator.empty
+          else w.syms.iterator.zip(w.syms.iterator.drop(1)).map(p => (p._1, p._2, w.freq)))
+        .toDF("l", "r", "freq")
+        .groupBy($"l", $"r").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        rank += 1
+        merges += ((rank, l, r))
+        val prev = ds
+        ds = ds.map(w => WordSyms(applyMerge(w.syms, l, r), w.freq))
+          .localCheckpoint(eager = true)
+        prev.unpersist()
+      }
+    }
+    ds.unpersist()
+    merges.toSeq.toDF("rank", "left_sym", "right_sym")
+      .withColumn("merged", concat(col("left_sym"), col("right_sym")))
+      .orderBy(col("rank"))
+  }
+
+  /** Plain-Scala reference BPE for the differential spec — same
+    * counting (overlapping), same merge (greedy non-overlapping),
+    * same tie-break. */
+  private[graft] def learnMergesReference(words: Map[String, Long],
+      nMerges: Int): Seq[(Int, String, String)] = {
+    var ws: Map[Seq[String], Long] = words.toSeq
+      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- ws; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          rank += 1
+          merges += ((rank, l, r))
+          ws = ws.toSeq.map { case (syms, f) => (applyMerge(syms, l, r), f) }
+            .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** Specs for BPE vocabulary induction (round 3). */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("merge application: greedy non-overlapping, overlapping counting") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("x", "a", "b", "y", "a", "b"), "a", "b")
+      == Seq("x", "ab", "y", "ab"))
+    // counting is overlapping: "aaaa" has THREE (a,a) adjacencies
+    val pc = Bpe.pairCountsFrom(docs("aaaa")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pc.toSeq == Seq(("a", "a", 3L)))
+  }
+
+  test("tie-break is lexicographic on (left, right) at equal counts") {
+    // "cd cd ab ab": both pairs occur twice -> (a,b) merges first
+    val m = Bpe.learnMergesFrom(spark, docs("cd cd ab ab"), 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(m.toSeq == Seq((1, "a", "b", "ab"), (2, "c", "d", "cd")))
+  }
+
+  test("early stop: no pair with count >= 2 learns nothing") {
+    val m = Bpe.learnMergesFrom(spark, docs("ab", "cd", "ef"), 10).collect()
+    assert(m.isEmpty)
+  }
+
+  test("merges grow multi-character symbols across iterations") {
+    // "abab" x3: (a,b) -> ab; then (ab,ab) -> abab
+    val m = Bpe.learnMergesFrom(spark, docs("abab abab abab"), 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(m.toSeq == Seq(("a", "b", "ab"), ("ab", "ab", "abab")))
+  }
+
+  test("distributed loop equals the plain-Scala reference on the corpus") {
+    val words = Bpe.wordFreqs(graft.sources.Tables.documents(spark, sf))
+      .as[(String, Long)].collect().toMap
+    val ref = Bpe.learnMergesReference(words, 12)
+    val dist = Bpe.learnMerges(spark, sf, 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(dist.toSeq == ref)
+    assert(ref.size == 12)
+  }
+
+  test("pair counts on testdata: weighted, complete, deterministic order") {
+    val pc = Bpe.pairCounts(spark, sf).cache()
+    val total = pc.agg(sum($"pair_count")).as[Long].head()
+    // total weighted adjacencies == sum over words of freq * (len - 1)
+    val expected = Bpe.wordFreqs(graft.sources.Tables.documents(spark, sf))
+      .filter(length($"word") >= 2)
+      .agg(sum($"freq" * (length($"word") - 1))).as[Long].head()
+    assert(total == expected && total > 0)
+    pc.unpersist()
+  }
+}
