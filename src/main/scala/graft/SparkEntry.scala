@@ -116,6 +116,11 @@ object SparkEntry {
     // pinned by BpeSpec's plain-Scala differential
     "q_bpe_merges" -> ((s: SparkSession, d: String) =>
       graft.functions.Bpe.learnMerges(s, d)),
+    "q_covariance" -> (graft.functions.Pca.covariance _),
+    // eigensolve has no SQL oracle: rows-only gate, PcaSpec pins
+    // orthonormality/residuals/projection differential
+    "q_pca_project" -> ((s: SparkSession, d: String) =>
+      graft.functions.Pca.pcaProject(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -200,5 +205,6 @@ object SparkEntry {
     "q_fuzzy_match" -> graft.functions.Fuzzy.fuzzyMatchSql,
     "q_insert_overwrite" -> graft.sources.Ingest.insertOverwriteSql,
     "q_bpe_pairs" -> graft.functions.Bpe.pairCountsSql,
+    "q_covariance" -> graft.functions.Pca.covarianceSql,
   )
 }

@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions.dotProduct
+import graft.sources.Tables
+
+/** PCA over the embeddings table — the dimensionality-reduction /
+  * whitening step of an embedding pipeline, built the way it scales:
+  *
+  *  1. [[covariance]] — ONE distributed pass produces the d×d moment
+  *     matrix (d=64 here, so the model is 2 080 upper-triangle cells —
+  *     constant-size regardless of corpus rows). Products are single
+  *     IEEE-double multiplies per row; sums are decimal-routed, so the
+  *     matrix is bit-deterministic and DuckDB-oracle-gated (the
+  *     q_amount_outliers moments discipline, lifted to a matrix).
+  *  2. eigensolve on the DRIVER — a 64×64 cyclic Jacobi is microseconds
+  *     and has no business being distributed; this is the k-means
+  *     control shape again (tiny model driver-side, data never moves).
+  *  3. [[pcaProject]] — components broadcast back as literal vectors;
+  *     the projection is a codegen'd [[dotProduct]] per component, a
+  *     narrow map over the corpus.
+  *
+  * At 100 TB step 1's explode+self-join shuffles n·d rows; the
+  * documented alternative is per-partition Gramian accumulation
+  * (mapPartitions: local d×d BigDecimal accumulate, then one d²-sized
+  * reduce) — same exact result, shuffle bytes independent of n. The
+  * join form is kept here because it stays in whole-stage codegen and
+  * its shuffle is well within this corpus' budget.
+  */
+object Pca {
+
+  val dim = 64
+
+  /** Upper-triangle sample covariance (i <= j), exact and
+    * cross-engine-deterministic: decimal moment sums, one fixed-order
+    * double expression per cell. The gated output rounds to 9 decimals
+    * — DuckDB's decimal→double conversion is not correctly rounded (it
+    * divides by 10^scale in double), so the unrounded last ulp can
+    * differ; [[fitFrom]] keeps full precision for the eigensolve. */
+  def covariance(spark: SparkSession, sfDir: String): DataFrame =
+    covarianceFrom(Tables.embeddings(spark, sfDir))
+      .withColumn("cov", round(col("cov"), 9))
+
+  private[graft] def covarianceFrom(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+    val m = e.groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(38,12)")).as("si"), count(lit(1)).as("n"))
+    val mm = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum((col("a.x") * col("b.x")).cast("decimal(38,12)")).as("sij"))
+    mm.join(m.select(col("i"), col("si").as("si_i"), col("n")), "i")
+      .join(m.select(col("i").as("j"), col("si").as("si_j")), "j")
+      .select(col("i"), col("j"),
+        ((col("sij").cast("double")
+          - col("si_i").cast("double") * col("si_j").cast("double") / col("n"))
+          / (col("n") - 1)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val covarianceSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |         CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(0, $dim)) AS t(i)),
+      |m AS (
+      |  SELECT i, sum(CAST(x AS DECIMAL(38,12))) AS si, count(*) AS n
+      |  FROM e GROUP BY i),
+      |mm AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |         sum(CAST(a.x * b.x AS DECIMAL(38,12))) AS sij
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2)
+      |SELECT mm.i, mm.j,
+      |       round((CAST(mm.sij AS DOUBLE)
+      |         - CAST(mi.si AS DOUBLE) * CAST(mj.si AS DOUBLE) / mi.n)
+      |         / (mi.n - 1), 9) AS cov
+      |FROM mm
+      |JOIN m mi ON mm.i = mi.i
+      |JOIN m mj ON mm.j = mj.i
+      |ORDER BY mm.i, mm.j""".stripMargin
+
+  // ---- driver-side eigensolve --------------------------------------
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix. Fixed sweep
+    * order and a fixed iteration cap keep it deterministic; returns
+    * (eigenvalues, eigenvectors-as-rows), sorted by eigenvalue desc
+    * with index tiebreak, each vector sign-normalized so its
+    * largest-magnitude entry is positive. */
+  private[graft] def jacobiEigen(mIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = mIn.length
+    val a = mIn.map(_.clone())
+    val v = Array.tabulate(n, n)((r, c) => if (r == c) 1.0 else 0.0)
+    val eps = 1e-12
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > eps) {
+      off = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > eps) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(n)(k => v(k)(i))
+      val mx = col.indices.maxBy(k => (math.abs(col(k)), -k))
+      if (col(mx) < 0) col.map(x => -x) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Collect the covariance into a full symmetric matrix + the mean
+    * vector (both driver-side models, d-sized). */
+  private[graft] def fitFrom(embeddings: DataFrame)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val covRows = covarianceFrom(embeddings).collect()
+    val mat = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      mat(i)(j) = c; mat(j)(i) = c
+    }
+    val meanRows = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m"))
+      .collect()
+    val mean = Array.ofDim[Double](dim)
+    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    val (vals, vecs) = jacobiEigen(mat)
+    (mean, vals, vecs)
+  }
+
+  /** Gated query (rows-only): project every embedding onto the top-2
+    * principal components. Correctness is pinned by PcaSpec
+    * (orthonormality, eigen-residuals, driver-differential projection,
+    * run-to-run determinism); the covariance feeding it IS
+    * oracle-gated via q_covariance. */
+  def pcaProject(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (mean, _, vecs) = fitFrom(emb)
+    val comps = vecs.take(k)
+    val offsets = comps.map(c => c.zip(mean).map { case (a, b) => a * b }.sum)
+    val scoreCols = comps.zipWithIndex.map { case (c, ci) =>
+      (dotProduct(col("embedding"), lit(c)) - lit(offsets(ci))).as(s"pc${ci + 1}")
+    }
+    emb.select(col("vec_id") +: scoreCols.toSeq: _*)
+      .orderBy(col("vec_id"))
+  }
+}
