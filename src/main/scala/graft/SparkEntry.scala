@@ -55,6 +55,7 @@ object SparkEntry {
     "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
     "q_stream_dedup" -> (graft.streaming.EventsStream.streamDedupQuery _),
     "q_stream_join" -> (graft.streaming.EventsStream.runStreamStreamJoin(_, _)),
+    "q_stream_enrich" -> (graft.streaming.EventsStream.runStreamEnrich _),
     // window-function surface (frames, lag/lead, sessionization)
     "q_running_totals" -> (WindowOps.runningTotals _),
     "q_sessionize" -> ((s: SparkSession, d: String) => WindowOps.sessionize(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
     "q_stream_dedup" -> graft.streaming.EventsStream.streamDedupSql,
     "q_stream_join" -> graft.streaming.EventsStream.attributionSql,
+    "q_stream_enrich" -> graft.streaming.EventsStream.streamEnrichSql,
     "q_running_totals" -> WindowOps.runningTotalsSql,
     "q_sessionize" -> WindowOps.sessionizeSql(),
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,

@@ -529,4 +529,56 @@ object EventsStream {
       ()
     }
   }
+
+  // ---- stream-static enrichment join -------------------------------------
+
+  /** The event-type dimension used by the enrichment join — a
+    * driver-side VALUES table (the inline-dim shape of
+    * GoldDims.dimPaymentType), broadcast to every micro-batch. */
+  private[graft] def eventTypeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("view", "engagement", false),
+      ("click", "engagement", true),
+      ("signup", "conversion", true),
+      ("purchase", "conversion", true),
+      ("error", "ops", false)
+    ).toDF("event_type", "category", "is_action")
+  }
+
+  /** STREAM-STATIC JOIN — the enrichment pattern: every streaming
+    * event joined to a static dimension as it arrives. Unlike the
+    * stream-stream join there is NO state and NO watermark: the static
+    * side is broadcast into each micro-batch's hash join, so the
+    * stream never shuffles and memory is O(dimension), independent of
+    * stream length — the cheapest join shape Structured Streaming has,
+    * and the one to reach for whenever one side is a dimension.
+    *
+    * Gated query: run over the events backlog (AvailableNow), output
+    * must equal the batch twin — which is what the DuckDB oracle (an
+    * inline VALUES join) pins row-for-row. */
+  def runStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    val stream = Tables.decodeEventTs(spark.readStream
+        .schema(Tables.eventsRaw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+      .join(broadcast(eventTypeDim(spark)), Seq("event_type"))
+      .select($"event_id", $"event_type", $"category", $"is_action",
+        unix_timestamp($"ts").as("ts_sec"), $"value")
+    drainToTable(spark, stream, "q_stream_enrich").orderBy($"event_id")
+  }
+
+  val streamEnrichSql: String =
+    """WITH dim(event_type, category, is_action) AS (
+      |  VALUES ('view', 'engagement', false),
+      |         ('click', 'engagement', true),
+      |         ('signup', 'conversion', true),
+      |         ('purchase', 'conversion', true),
+      |         ('error', 'ops', false))
+      |SELECT e.event_id, e.event_type, d.category, d.is_action,
+      |       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_sec, e.value
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |ORDER BY e.event_id""".stripMargin
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Behavioral
+import graft.streaming.EventsStream
 
 /** Specs for the behavioral analytics operators (round 3). */
 class BehavioralSpec extends SparkSuite {
@@ -101,5 +102,24 @@ class BehavioralSpec extends SparkSuite {
       .agg(max($"count")).as[Long].head()
     assert(perGroup <= 3)
     out.unpersist()
+  }
+}
+
+/** Stream-static enrichment: stream result == batch twin (round 3). */
+class StreamEnrichSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streamed enrichment equals the batch join, all events retained") {
+    val streamed = EventsStream.runStreamEnrich(spark, sf).cache()
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(EventsStream.eventTypeDim(spark), Seq("event_type"))
+      .select($"event_id", $"event_type", $"category", $"is_action",
+        unix_timestamp($"ts").as("ts_sec"), $"value")
+      .orderBy($"event_id")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // every event type got a category — the dim covers the domain
+    assert(streamed.filter($"category".isNull).count() == 0)
+    streamed.unpersist()
   }
 }
