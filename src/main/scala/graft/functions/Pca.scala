@@ -32,12 +32,23 @@ object Pca {
 
   val dim = 64
 
+  /** Fixed-point scale for the moment sums: each product contributes
+    * floor(x·10^10) as a LONG. Long sums are exact, order-independent,
+    * and — unlike sum(DECIMAL), whose accumulator Spark widens past
+    * precision 18 onto the JVM-BigDecimal path (measured 9× slower on
+    * the n·d² pair stream) — stay primitive inside the codegen'd
+    * partial aggregate. Headroom: |x| < 1 here, so |Σ| < n·10^10; the
+    * Long ceiling allows ~9·10^8 vectors at this scale — at larger n,
+    * lower the scale (each lost digit buys 10×). */
+  private val fp = 1e10
+
   /** Upper-triangle sample covariance (i <= j), exact and
-    * cross-engine-deterministic: decimal moment sums, one fixed-order
-    * double expression per cell. The gated output rounds to 9 decimals
-    * — DuckDB's decimal→double conversion is not correctly rounded (it
-    * divides by 10^scale in double), so the unrounded last ulp can
-    * differ; [[fitFrom]] keeps full precision for the eigensolve. */
+    * cross-engine-deterministic: fixed-point long moment sums (floor is
+    * truncation in BOTH engines — unlike CAST, which rounds in DuckDB),
+    * one fixed-order double expression per cell. The gated output
+    * rounds to 9 decimals — DuckDB's huge-integer→double conversions
+    * are not correctly rounded, so the unrounded last ulp can differ;
+    * [[fitFrom]] keeps full precision for the eigensolve. */
   def covariance(spark: SparkSession, sfDir: String): DataFrame =
     covarianceFrom(Tables.embeddings(spark, sfDir))
       .withColumn("cov", round(col("cov"), 9))
@@ -47,16 +58,16 @@ object Pca {
       posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
     val m = e.groupBy(col("i"))
-      .agg(sum(col("x").cast("decimal(38,12)")).as("si"), count(lit(1)).as("n"))
+      .agg(sum(floor(col("x") * fp)).as("si"), count(lit(1)).as("n"))
     val mm = e.as("a").join(e.as("b"),
         col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum((col("a.x") * col("b.x")).cast("decimal(38,12)")).as("sij"))
+      .agg(sum(floor(col("a.x") * col("b.x") * fp)).as("sij"))
     mm.join(m.select(col("i"), col("si").as("si_i"), col("n")), "i")
       .join(m.select(col("i").as("j"), col("si").as("si_j")), "j")
       .select(col("i"), col("j"),
-        ((col("sij").cast("double")
-          - col("si_i").cast("double") * col("si_j").cast("double") / col("n"))
+        ((col("sij").cast("double") / fp
+          - (col("si_i").cast("double") / fp) * (col("si_j").cast("double") / fp) / col("n"))
           / (col("n") - 1)).as("cov"))
       .orderBy(col("i"), col("j"))
   }
@@ -67,16 +78,17 @@ object Pca {
       |         CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
       |  FROM embeddings, unnest(range(0, $dim)) AS t(i)),
       |m AS (
-      |  SELECT i, sum(CAST(x AS DECIMAL(38,12))) AS si, count(*) AS n
+      |  SELECT i, CAST(sum(CAST(floor(x * 1e10) AS BIGINT)) AS BIGINT) AS si,
+      |         count(*) AS n
       |  FROM e GROUP BY i),
       |mm AS (
       |  SELECT a.i AS i, b.i AS j,
-      |         sum(CAST(a.x * b.x AS DECIMAL(38,12))) AS sij
+      |         CAST(sum(CAST(floor(a.x * b.x * 1e10) AS BIGINT)) AS BIGINT) AS sij
       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY 1, 2)
       |SELECT mm.i, mm.j,
-      |       round((CAST(mm.sij AS DOUBLE)
-      |         - CAST(mi.si AS DOUBLE) * CAST(mj.si AS DOUBLE) / mi.n)
+      |       round((CAST(mm.sij AS DOUBLE) / 1e10
+      |         - (CAST(mi.si AS DOUBLE) / 1e10) * (CAST(mj.si AS DOUBLE) / 1e10) / mi.n)
       |         / (mi.n - 1), 9) AS cov
       |FROM mm
       |JOIN m mi ON mm.i = mi.i
@@ -149,7 +161,7 @@ object Pca {
     val meanRows = embeddings
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m"))
+      .agg((sum(floor(col("x") * fp)).cast("double") / fp / count(lit(1))).as("m"))
       .collect()
     val mean = Array.ofDim[Double](dim)
     meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
