@@ -95,6 +95,73 @@ object Pca {
       |JOIN m mj ON mm.j = mj.i
       |ORDER BY mm.i, mm.j""".stripMargin
 
+  /** The 100 TB covariance shape: per-partition Gramian accumulation.
+    * Each task folds its rows into a local d·(d+1)/2 array of
+    * fixed-point LONG cells (one pass, zero allocation per row), and
+    * only those d²-sized partials are exchanged — shuffle bytes are
+    * independent of n, where [[covarianceFrom]]'s pair join shuffles
+    * n·d rows. Because both forms add the SAME floor(x·fp) longs and
+    * long addition is associative/commutative, the two are
+    * BIT-IDENTICAL — asserted in PcaSpec, which is what lets either
+    * implementation serve the same oracle.
+    *
+    * (mapPartitions is the documented last resort — justified here
+    * because the accumulator is a mutable triangular matrix carried
+    * across rows, which no built-in aggregate expresses without
+    * shuffling the expanded pairs.) */
+  private[graft] def covarianceGramian(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val d = dim
+    val fpLocal = fp
+    val nTri = d * (d + 1) / 2
+    val partials = embeddings.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { rows =>
+        val gram = new Array[Long](nTri)
+        val sums = new Array[Long](d)
+        var n = 0L
+        val x = new Array[Double](d)
+        rows.foreach { v =>
+          var i = 0
+          while (i < d) { x(i) = v(i).toDouble; i += 1 }
+          var idx = 0
+          i = 0
+          while (i < d) {
+            sums(i) += math.floor(x(i) * fpLocal).toLong
+            var j = i
+            while (j < d) {
+              gram(idx) += math.floor(x(i) * x(j) * fpLocal).toLong
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator((gram.toSeq, sums.toSeq, n))
+      }
+      .toDF("gram", "sums", "n")
+    // one d²-sized reduction: elementwise long sums of the partials
+    val agg = partials.agg(
+      array((0 until nTri).map(k => sum(col("gram").getItem(k))): _*).as("gram"),
+      array((0 until d).map(k => sum(col("sums").getItem(k))): _*).as("sums"),
+      sum(col("n")).as("n"))
+    // exact (idx -> i, j) unflattening, driver-built (nTri rows) and
+    // broadcast — no closed-form float inversion to get subtly wrong
+    val idxMap = broadcast(
+      (for (i <- 0 until d; j <- i until d) yield (i, j))
+        .zipWithIndex.map { case ((i, j), idx) => (idx, i, j) }
+        .toDF("idx", "i", "j"))
+    agg.select(posexplode(col("gram")).as(Seq("idx", "sij")),
+        col("sums"), col("n"))
+      .join(idxMap, "idx")
+      .select(col("i"), col("j"),
+        ((col("sij").cast("double") / fpLocal
+          - (col("sums").getItem(col("i")).cast("double") / fpLocal)
+            * (col("sums").getItem(col("j")).cast("double") / fpLocal) / col("n"))
+          / (col("n") - 1)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // ---- driver-side eigensolve --------------------------------------
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix. Fixed sweep

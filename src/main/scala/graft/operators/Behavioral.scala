@@ -156,6 +156,45 @@ object Behavioral {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** The huge-group alternative promised above: a fixed-size top-k
+    * AGGREGATE (bounded sorted buffer, k entries per partial) instead
+    * of a per-group rank window. No per-group sort, no window state —
+    * partials of size k merge associatively, so the heavy (type, user)
+    * totals never need to be co-sorted, only co-grouped. Kept
+    * differentially tested against the window form (BehavioralSpec);
+    * at scale you pick this one when groups are few and enormous. */
+  private class TopKByValue(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private def order(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    def zero: Seq[(Long, Double)] = Seq.empty
+    def reduce(buf: Seq[(Long, Double)], row: (String, Long, Double)): Seq[(Long, Double)] =
+      ((row._2, row._3) +: buf).sortWith(order).take(k)
+    def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (a ++ b).sortWith(order).take(k)
+    def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      bufferEncoder
+  }
+
+  private[graft] def topKPerGroupHeapFrom(events: DataFrame, k: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val totals = events.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(27,6)")).cast("double").as("total_value"))
+      .as[(String, Long, Double)]
+    val agg = new TopKByValue(k)
+    totals.groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .toDF("event_type", "top")
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry._1").as("user_id"), col("entry._2").as("total_value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   val topKPerGroupSql: String =
     """WITH totals AS (
       |  SELECT event_type, user_id,

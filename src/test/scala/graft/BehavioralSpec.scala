@@ -123,3 +123,73 @@ class StreamEnrichSpec extends SparkSuite {
     streamed.unpersist()
   }
 }
+
+/** Heap-aggregate top-k twin == window top-k (round 3). */
+class TopKHeapSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cmp(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("heap aggregate equals the window form on testdata, k=3 and k=10") {
+    val events = graft.sources.Tables.events(spark, sf)
+    for (k <- Seq(3, 10)) {
+      val w = cmp(Behavioral.topKPerGroupFrom(events, k))
+      val h = cmp(Behavioral.topKPerGroupHeapFrom(events, k))
+      assert(w == h, s"k=$k")
+    }
+  }
+
+  test("heap aggregate keeps tie order and handles groups smaller than k") {
+    val events = Seq(
+      (1L, 10L, "a", "2024-01-01 00:00:00", 5.0),
+      (2L, 11L, "a", "2024-01-01 00:00:01", 5.0),
+      (3L, 20L, "b", "2024-01-01 00:00:02", 1.0)
+    ).toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val h = cmp(Behavioral.topKPerGroupHeapFrom(events, 5))
+    assert(h == Seq(("a", 1, 10L, 5.0), ("a", 2, 11L, 5.0), ("b", 1, 20L, 1.0)))
+  }
+}
+
+/** Plan-shape assertions for the round-3 operators. */
+class Round3PlanSpec extends SparkSuite {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[String] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+      }.flatten
+      p.toString +: nested
+    }
+    walk(df.queryExecution.executedPlan).mkString("\n---\n")
+  }
+
+  test("funnel: stage type filters reach the parquet scan") {
+    val plan = planOf(Behavioral.funnel(spark, sf))
+    // each stage scans with its event_type predicate pushed down
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("EqualTo(event_type,view)")
+      || plan.contains("event_type = view")
+      || plan.contains("IsNotNull(event_type)"), plan.take(2000))
+  }
+
+  test("fuzzy match: no cartesian product anywhere in the plan") {
+    val plan = planOf(graft.functions.Fuzzy.fuzzyMatch(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "blocking must not degrade to all-pairs")
+  }
+
+  test("grouped top-k: the rank window runs over aggregated rows") {
+    val df = Behavioral.topKPerGroup(spark, sf)
+    val plan = planOf(df)
+    // HashAggregate must appear below the Window operator in the tree
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx, plan.take(2000))
+  }
+}

@@ -82,3 +82,25 @@ class PcaSpec extends SparkSuite {
     assert(math.abs(varPc1 - vals(0)) / math.max(vals(0), 1e-12) < 1e-6)
   }
 }
+
+/** The Gramian (mapPartitions) covariance twin: bit-identical to the
+  * pair-join form — same fixed-point longs, associative addition. */
+class GramianSpec extends SparkSuite {
+  import graft.functions.Pca
+
+  test("gramian covariance is bit-identical to the join covariance") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val a = Pca.covarianceFrom(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val b = Pca.covarianceGramian(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(a.length == Pca.dim * (Pca.dim + 1) / 2)
+    assert(a.toSeq == b.toSeq) // full bit equality, not tolerance
+  }
+
+  test("gramian covariance survives empty partitions") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).repartition(64)
+    val b = graft.functions.Pca.covarianceGramian(emb).count()
+    assert(b == Pca.dim * (Pca.dim + 1) / 2)
+  }
+}
