@@ -122,6 +122,11 @@ object SparkEntry {
     // orthonormality/residuals/projection differential
     "q_pca_project" -> ((s: SparkSession, d: String) =>
       graft.functions.Pca.pcaProject(s, d)),
+    "q_profile" -> (Profile.profileEvents _),
+    "q_ts_anomaly" -> (TimeSeries.dailyAnomaly _),
+    "q_histogram" -> ((s: SparkSession, d: String) => Analytics.histogram(s, d)),
+    "q_phrase_search" -> ((s: SparkSession, d: String) =>
+      graft.functions.Retrieval.phraseSearch(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -208,5 +213,9 @@ object SparkEntry {
     "q_insert_overwrite" -> graft.sources.Ingest.insertOverwriteSql,
     "q_bpe_pairs" -> graft.functions.Bpe.pairCountsSql,
     "q_covariance" -> graft.functions.Pca.covarianceSql,
+    "q_profile" -> Profile.profileEventsSql,
+    "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
+    "q_histogram" -> Analytics.histogramSql,
+    "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),
   )
 }

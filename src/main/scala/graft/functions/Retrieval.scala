@@ -182,4 +182,61 @@ object Retrieval {
        |FROM fused
        |ORDER BY rrf DESC, doc_id
        |LIMIT $topK""".stripMargin
+
+  /** Exact phrase search over POSITIONAL postings — the inverted-index
+    * capability BM25's bag-of-words shape cannot express: the phrase
+    * matches only where the terms are adjacent in order. Postings are
+    * (doc, term, pos); the phrase becomes |phrase|−1 self-equi-joins
+    * keyed on (doc_id, pos ± offset) after FILTERING each side to one
+    * phrase term — so, as with BM25, the shuffled volume is the
+    * phrase terms' postings, not the corpus. Overlapping matches
+    * count individually (the "batch batch batch" case, pinned in
+    * RetrievalSpec).
+    *
+    * Scale: |phrase| − 1 co-keyed joins over term-filtered postings;
+    * at index-build time the same (doc, term, pos) table is the
+    * persisted inverted index, partitioned by term. */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+      phrase: Seq[String] = Seq("table", "scan", "merge")): DataFrame =
+    phraseSearchFrom(Tables.documents(spark, sfDir), phrase)
+
+  private[graft] def phraseSearchFrom(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = docs
+      .select($"doc_id", posexplode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)))
+        .as(Seq("pos", "term")))
+    val first = postings.filter($"term" === phrase.head)
+      .select($"doc_id", $"pos")
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        postings.filter($"term" === t)
+          .select($"doc_id", ($"pos" - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    matched.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"), min($"pos").as("first_pos"))
+      .orderBy($"doc_id")
+  }
+
+  def phraseSearchSql(phrase: Seq[String] = Seq("table", "scan", "merge")): String = {
+    val joins = phrase.zipWithIndex.tail.map { case (t, i) =>
+      s"JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.term = '$t' AND p$i.pos = p0.pos + $i"
+    }.mkString("\n      |")
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos, toks[CAST(i AS INTEGER)] AS term
+      |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i))
+      |SELECT p0.doc_id, count(*) AS n_matches,
+      |       CAST(min(p0.pos) AS INTEGER) AS first_pos
+      |FROM p p0
+      |$joins
+      |WHERE p0.term = '${phrase.head}'
+      |GROUP BY p0.doc_id
+      |ORDER BY p0.doc_id""".stripMargin
+  }
 }

@@ -536,4 +536,47 @@ object Analytics {
        |FROM lineitem
        |GROUP BY 1, 2, 3
        |ORDER BY trip_year, trip_month, service_type""".stripMargin
+
+  /** Equi-width histogram of line amounts — the distribution primitive
+    * behind every profiling UI. Bounds come from an in-plan 1-row
+    * min/max aggregate broadcast back over a second scan (the
+    * quality-gate shape: no driver collect), bucket assignment is one
+    * fixed-order double expression clamped so x == max lands in the
+    * last bucket, and bucket bounds are recomputed from the index so
+    * both engines render identical doubles.
+    *
+    * Scale: two scans (bounds + assign) and one |buckets|-sized
+    * aggregate; the broadcast is a single row. A streaming/sketch
+    * variant would swap exact bounds for a quantile sketch. */
+  def histogram(spark: SparkSession, sfDir: String, nBuckets: Int = 20): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_extendedprice".as("x"))
+    val bounds = li.agg(min($"x").as("lo"), max($"x").as("hi"))
+    val b = lit(nBuckets)
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor(($"x" - $"lo") * b / ($"hi" - $"lo")), b - 1).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), max($"lo").as("lo"), max($"hi").as("hi"))
+      .select($"bucket",
+        round($"lo" + $"bucket" * ($"hi" - $"lo") / b, 6).as("bucket_lo"),
+        round($"lo" + ($"bucket" + 1) * ($"hi" - $"lo") / b, 6).as("bucket_hi"),
+        $"n")
+      .orderBy($"bucket")
+  }
+
+  val histogramSql: String =
+    """WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+      |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
+      |assigned AS (
+      |  SELECT CAST(least(floor((x - lo) * 20 / (hi - lo)), 20 - 1) AS INTEGER) AS bucket,
+      |         lo, hi
+      |  FROM li, bounds)
+      |SELECT bucket,
+      |       round(lo + bucket * (hi - lo) / 20, 6) AS bucket_lo,
+      |       round(lo + (bucket + 1) * (hi - lo) / 20, 6) AS bucket_hi,
+      |       count(*) AS n
+      |FROM assigned
+      |GROUP BY bucket, lo, hi
+      |ORDER BY bucket""".stripMargin
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Table profiler — the data-quality / discovery surface (dbt docs,
+  * Deequ, Glue crawlers): one row of statistics per column. All stats
+  * for every column come out of ONE scan: Spark expands the multiple
+  * exact count_distinct aggregates internally (Expand ×|distinct
+  * columns|) and everything else is a plain partial-aggregate — no
+  * per-column jobs, no driver loop over columns.
+  *
+  * min/max are rendered to strings with TYPE-AWARE rules so the
+  * profile has one uniform schema AND stays cross-engine
+  * deterministic: longs/strings render as-is, timestamps as floored
+  * epoch seconds, doubles through DECIMAL(18,2) (double→VARCHAR
+  * formatting differs between engines; decimal rendering does not).
+  *
+  * Scale: one scan + one shuffle whose volume is the Expand fan-out of
+  * |distinct-profiled columns| × rows in the partial maps — with hot
+  * maps collapsing cardinality before exchange. For 1000-column tables
+  * profile column GROUPS per pass to bound the fan-out. */
+object Profile {
+
+  /** Per-column profile of the events table. */
+  def profileEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"), col("props"))
+    profileFrom(ev)
+  }
+
+  /** Profile any frame whose columns are long/bigint, string, or
+    * decimal — the rendering rules that are engine-portable. */
+  private[graft] def profileFrom(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))
+    }
+    one.select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileEventsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |         user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value, props
+      |  FROM events),
+      |s AS (
+      |  SELECT 'event_id' AS col_name, count(*) AS n,
+      |         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |         count(DISTINCT event_id) AS n_distinct,
+      |         CAST(min(event_id) AS VARCHAR) AS min_value,
+      |         CAST(max(event_id) AS VARCHAR) AS max_value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 'ts_sec', count(*),
+      |         CAST(sum(CASE WHEN ts_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(DISTINCT ts_sec),
+      |         CAST(min(ts_sec) AS VARCHAR), CAST(max(ts_sec) AS VARCHAR)
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 'user_id', count(*),
+      |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(DISTINCT user_id),
+      |         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 'event_type', count(*),
+      |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(DISTINCT event_type),
+      |         CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 'value', count(*),
+      |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(DISTINCT value),
+      |         CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 'props', count(*),
+      |         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(DISTINCT props),
+      |         CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
+      |  FROM ev)
+      |SELECT * FROM s ORDER BY col_name""".stripMargin
+}

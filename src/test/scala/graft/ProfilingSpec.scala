@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Profile, TimeSeries}
+import graft.functions.Retrieval
+
+/** Specs for the profiling / distribution / phrase-search operators
+  * (round 3, batch 2). */
+class ProfilingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("profile: one row per column, exact stats on constructed data") {
+    val df = Seq(
+      (1L, Some("a"), Some(java.math.BigDecimal.valueOf(150, 2))),
+      (2L, Some("b"), None),
+      (3L, Some("a"), Some(java.math.BigDecimal.valueOf(275, 2))),
+      (4L, None, Some(java.math.BigDecimal.valueOf(150, 2)))
+    ).toDF("id", "s", "d")
+      .select($"id", $"s", $"d".cast("decimal(18,2)"))
+    val byName = Profile.profileFrom(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(byName("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(byName("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(byName("d") == ((4L, 1L, 2L, "1.50", "2.75")))
+  }
+
+  test("profile on events: keys unique, types complete") {
+    val p = Profile.profileEvents(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(p.keySet == Set("event_id", "ts_sec", "user_id", "event_type", "value", "props"))
+    val (n, nulls, distinct) = p("event_id")
+    assert(nulls == 0 && distinct == n) // event_id is a key
+    assert(p("event_type")._3 == 5)
+  }
+
+  test("ts anomaly: first day has no baseline, z matches hand computation") {
+    val events = Seq(
+      // 3 days: 2, 2, 8 events -> day3 z vs trailing {2,2}: sigma 0 -> null z
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-02 10:00:00"), (4L, "2024-01-02 11:00:00"),
+      (5L, "2024-01-03 01:00:00"), (6L, "2024-01-03 02:00:00"),
+      (7L, "2024-01-03 03:00:00"), (8L, "2024-01-03 04:00:00"),
+      (9L, "2024-01-03 05:00:00"), (10L, "2024-01-03 06:00:00"),
+      (11L, "2024-01-03 07:00:00"), (12L, "2024-01-03 08:00:00"),
+      // day 4: 4 events vs trailing {2,2,8}: mean 4, sigma sqrt(12) -> z 0
+      (13L, "2024-01-04 01:00:00"), (14L, "2024-01-04 02:00:00"),
+      (15L, "2024-01-04 03:00:00"), (16L, "2024-01-04 04:00:00")
+    ).toDF("event_id", "ts_s").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = TimeSeries.dailyAnomalyFrom(events).collect()
+    assert(out.length == 4)
+    assert(out(0).isNullAt(2) && out(0).isNullAt(4)) // no baseline at all
+    assert(out(1).getDouble(2) == 2.0 && out(1).isNullAt(4)) // cnt7=1: mean only
+    assert(out(2).isNullAt(4)) // sigma 0 -> z null
+    assert(!out(2).getBoolean(5))
+    assert(out(3).getDouble(4) == 0.0) // exactly the trailing mean
+  }
+
+  test("ts anomaly on events: all 30 days present, z defined after warmup") {
+    val out = TimeSeries.dailyAnomaly(spark, sf).cache()
+    assert(out.count() == 30)
+    assert(out.filter($"z".isNotNull).count() >= 20)
+    out.unpersist()
+  }
+
+  test("histogram: buckets partition the count, max lands in last bucket") {
+    val h = Analytics.histogram(spark, sf).cache()
+    val total = h.agg(sum($"n")).as[Long].head()
+    val rows = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(total == rows)
+    val buckets = h.select($"bucket").as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 20))
+    assert(buckets.contains(19)) // the max value itself is clamped in
+    h.unpersist()
+  }
+
+  test("phrase search: overlapping occurrences count individually") {
+    val docs = Seq(
+      (1L, "x batch batch batch batch y"), // 2 overlapping triples
+      (2L, "batch batch nothing batch batch"), // none
+      (3L, "one batch batch batch end") // 1
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearchFrom(docs, Seq("batch", "batch", "batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1), (3L, 1L, 1)))
+  }
+
+  test("phrase search finds the pinned phrase on testdata") {
+    val out = Retrieval.phraseSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) >= 1))
+  }
+}
