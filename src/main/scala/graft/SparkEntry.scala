@@ -127,6 +127,9 @@ object SparkEntry {
     "q_histogram" -> ((s: SparkSession, d: String) => Analytics.histogram(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) =>
       graft.functions.Retrieval.phraseSearch(s, d)),
+    "q_cluster_split" -> ((s: SparkSession, d: String) =>
+      Sampling.clusterSplit(s, d)),
+    "q_incremental_dedup" -> (Dedup.incrementalDedupQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -217,5 +220,7 @@ object SparkEntry {
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
     "q_histogram" -> Analytics.histogramSql,
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),
+    "q_cluster_split" -> Sampling.clusterSplitSql(),
+    "q_incremental_dedup" -> Dedup.incrementalDedupSql,
   )
 }

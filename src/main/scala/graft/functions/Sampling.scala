@@ -222,4 +222,52 @@ object Sampling {
        |            ORDER BY shuffle_hash, doc_id) AS INTEGER) AS pos_in_shard
        |FROM h
        |ORDER BY shard, pos_in_shard""".stripMargin
+
+  /** Leakage-free split CONSTRUCTOR — the fix for what [[splitLeakage]]
+    * reports: assignment keys on the document's near-dup CLUSTER
+    * KEEPER, not the document itself, so every member of a duplicate
+    * cluster lands in the same split and train/test contamination via
+    * near-dups is impossible BY CONSTRUCTION (asserted over the staged
+    * pairs in SamplingSpec — the leakage report over this split is
+    * empty). Unclustered documents key on themselves, which preserves
+    * the per-document stability contract of [[trainValTest]]: adding
+    * or removing other documents never moves an existing singleton.
+    *
+    * Scale: one broadcast join against the (tiny) cluster artifact +
+    * the same pure-function hash assignment — zero corpus shuffles. */
+  def clusterSplit(spark: SparkSession, sfDir: String, minJac: Double = 0.9,
+      valPct: Int = 1, testPct: Int = 1, salt: String = "split_v1"): DataFrame = {
+    import spark.implicits._
+    val keepers = DedupStage.clusters(spark, sfDir, minJac)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id")
+      .join(broadcast(keepers), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"cluster_keeper", $"doc_id"))
+      .withColumn("split", splitAssign($"rep", valPct, testPct, salt))
+      .select($"doc_id", $"rep", $"split")
+      .orderBy($"doc_id")
+  }
+
+  def clusterSplitSql(minJac: Double = 0.9, valPct: Int = 1, testPct: Int = 1,
+      salt: String = "split_v1"): String =
+    s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardSql(minJac).replaceAll("(?s)\nORDER BY [^\n]*$$", "")}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS reach FROM nodes
+       |  UNION
+       |  SELECT r.doc_id, e.dst
+       |  FROM reach r JOIN edges e ON e.src = r.reach),
+       |keepers AS (
+       |  SELECT doc_id, min(reach) AS cluster_keeper
+       |  FROM reach GROUP BY 1),
+       |labeled AS (
+       |  SELECT d.doc_id, coalesce(k.cluster_keeper, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN keepers k ON d.doc_id = k.doc_id)
+       |SELECT doc_id, rep,
+       |       ${splitAssignSql("rep", valPct, testPct, salt)} AS split
+       |FROM labeled
+       |ORDER BY doc_id""".stripMargin
 }
