@@ -130,6 +130,9 @@ object SparkEntry {
     "q_cluster_split" -> ((s: SparkSession, d: String) =>
       Sampling.clusterSplit(s, d)),
     "q_incremental_dedup" -> (Dedup.incrementalDedupQuery _),
+    "q_incr_agg" -> (MaterializedView.incrementalAggQuery _),
+    "q_attribution" -> (Behavioral.attribution _),
+    "q_ab_test" -> ((s: SparkSession, d: String) => Behavioral.abTest(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -222,5 +225,8 @@ object SparkEntry {
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),
     "q_cluster_split" -> Sampling.clusterSplitSql(),
     "q_incremental_dedup" -> Dedup.incrementalDedupSql,
+    "q_incr_agg" -> MaterializedView.incrementalAggSql,
+    "q_attribution" -> Behavioral.attributionSql,
+    "q_ab_test" -> Behavioral.abTestSql(),
   )
 }

@@ -195,6 +195,112 @@ object Behavioral {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  // ---- marketing attribution: first-touch / last-touch -------------
+
+  /** For every purchase, the user's FIRST and MOST RECENT prior click
+    * — the two classic attribution models, computed in one pass with
+    * conditional struct-extrema windows (min/max of (ts, event_id)
+    * structs over the preceding-rows frame: the struct carries the
+    * tiebreaker, so both models are deterministic under equal
+    * timestamps; no self-join, no per-model scan).
+    *
+    * Scale: one user_id shuffle, one ordered walk per user; state is
+    * two structs per partition row. The stream-stream attribution join
+    * ([[graft.streaming.EventsStream]]) is this operator's unbounded
+    * twin with a bounded time horizon. */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame =
+    attributionFrom(Tables.events(spark, sfDir))
+
+  private[graft] def attributionFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickTag = when(col("event_type") === "click",
+      struct(col("ts"), col("event_id")))
+    events
+      .withColumn("first_click", min(clickTag).over(w))
+      .withColumn("last_click", max(clickTag).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("first_click.event_id").as("first_click_id"),
+        col("last_click.event_id").as("last_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val attributionSql: String =
+    """WITH tagged AS (
+      |  SELECT event_id, user_id, event_type,
+      |         min(CASE WHEN event_type = 'click' THEN {'ts': ts, 'eid': event_id} END)
+      |           OVER w AS first_click,
+      |         max(CASE WHEN event_type = 'click' THEN {'ts': ts, 'eid': event_id} END)
+      |           OVER w AS last_click
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id,
+      |       first_click.eid AS first_click_id,
+      |       last_click.eid AS last_click_id
+      |FROM tagged
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // ---- A/B test report ---------------------------------------------
+
+  /** Deterministic A/B analysis: users hash into variants (the
+    * [[graft.functions.Sampling]] bucket discipline — assignment is a
+    * pure function of the user, stable under corpus changes), purchase
+    * values compared via exact decimal moments, and Welch's
+    * t-statistic as one fixed-order double expression. Everything a
+    * rerun must reproduce bit-for-bit does. */
+  def abTest(spark: SparkSession, sfDir: String, salt: String = "ab_v1"): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant",
+        when(graft.functions.Sampling.bucket(col("user_id"), salt) % 2 === 0, "A")
+          .otherwise("B"))
+    val m = events.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(27,6)")).as("s1"),
+      sum((col("value") * col("value")).cast("decimal(27,6)")).as("s2"))
+      .select(col("variant"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        ((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1)).as("variance"))
+    val a = m.filter(col("variant") === "A").select(
+      col("n").as("n_a"), col("mean").as("mean_a"), col("variance").as("var_a"))
+    val b = m.filter(col("variant") === "B").select(
+      col("n").as("n_b"), col("mean").as("mean_b"), col("variance").as("var_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_a") - col("mean_b"))
+          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+          .as("t_stat"))
+  }
+
+  def abTestSql(salt: String = "ab_v1"): String = {
+    val bucket = graft.functions.Sampling.bucketSql("user_id", salt)
+    s"""WITH p AS (
+      |  SELECT user_id, value,
+      |         CASE WHEN ($bucket) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT variant, count(*) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1d,
+      |         CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2d
+      |  FROM p GROUP BY 1),
+      |mm AS (
+      |  SELECT variant, n, s1d / n AS mean,
+      |         (s2d - s1d * s1d / n) / (n - 1) AS variance
+      |  FROM m)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |       round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+      |       round((a.mean - b.mean)
+      |         / sqrt(a.variance / a.n + b.variance / b.n), 6) AS t_stat
+      |FROM (SELECT * FROM mm WHERE variant = 'A') a,
+      |     (SELECT * FROM mm WHERE variant = 'B') b""".stripMargin
+  }
+
   val topKPerGroupSql: String =
     """WITH totals AS (
       |  SELECT event_type, user_id,

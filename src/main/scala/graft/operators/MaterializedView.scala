@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Incremental view maintenance (IVM) — keeping an aggregate table
+  * current by folding in a delta instead of recomputing the world.
+  * COUNT and SUM are self-maintainable (partials merge associatively),
+  * so maintenance is: aggregate THE DELTA ONLY, union with the stored
+  * aggregate, and re-aggregate the (groups-sized) union. Derived
+  * measures (avg) are recomputed from the maintained sums — the
+  * algebraic-aggregate rule.
+  *
+  * Scale: the refresh cost is O(|delta| + |groups|) — the base table
+  * is never rescanned (the maintenance plan reads the stored aggregate
+  * parquet plus the delta scan, asserted in MatViewSpec). At 100 TB
+  * with daily deltas this is the difference between a minutes-long
+  * merge and a full-table job; MIN/MAX or DISTINCT measures are not
+  * self-maintainable under deletes and need either delete-free feeds
+  * (this shape) or auxiliary state. */
+object MaterializedView {
+
+  private def aggregate(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,6)")).as("total_dec"))
+
+  /** Fold a delta's aggregate into the stored aggregate. */
+  private[graft] def maintain(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(aggregate(delta))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
+
+  /** Gated query: build the view from the base (90% of events), then
+    * maintain it with the held-out delta; the oracle is the FULL
+    * recompute, so any drift between maintain() and recompute fails
+    * the hash. Output carries the derived avg to pin the algebraic
+    * rule too. */
+  def incrementalAggQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_").toString
+    try {
+      val events = Tables.events(spark, sfDir)
+      aggregate(events.filter($"event_id" % 10 =!= 0))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/view")
+      val stored = spark.read.parquet(s"$tmp/view")
+      maintain(stored, events.filter($"event_id" % 10 === 0))
+        .select($"event_type", $"day", $"n",
+          $"total_dec".cast("double").as("total_value"),
+          round($"total_dec".cast("double") / $"n", 6).as("avg_value"))
+        .orderBy($"event_type", $"day")
+        .localCheckpoint(eager = true) // materialize before tmp cleanup
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  val incrementalAggSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+      |       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6)
+      |         AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin
+}

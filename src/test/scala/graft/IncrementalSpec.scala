@@ -78,3 +78,91 @@ class IncrementalSpec extends SparkSuite {
     q.unpersist()
   }
 }
+
+/** Incremental view maintenance: merge-only refresh (round 3). */
+class MatViewSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.MaterializedView
+
+  test("maintain() needs only the stored aggregate and the delta") {
+    // stored state constructed directly — no base table exists at all,
+    // which proves maintenance never needs to rescan history
+    val stored = Seq(
+      ("click", java.sql.Date.valueOf("2024-01-01"), 3L, BigDecimal("10.5")),
+      ("view", java.sql.Date.valueOf("2024-01-01"), 2L, BigDecimal("4.0"))
+    ).toDF("event_type", "day", "n", "total_dec")
+      .select($"event_type", $"day", $"n", $"total_dec".cast("decimal(27,6)"))
+    val delta = Seq(
+      (100L, "click", "2024-01-01 10:00:00", 2.5), // merges into existing cell
+      (101L, "error", "2024-01-02 10:00:00", 1.0)  // creates a new cell
+    ).toDF("event_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = MaterializedView.maintain(stored, delta)
+      .orderBy($"event_type", $"day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDecimal(3).doubleValue))
+    assert(out.toSeq == Seq(
+      ("click", "2024-01-01", 4L, 13.0),
+      ("error", "2024-01-02", 1L, 1.0),
+      ("view", "2024-01-01", 2L, 4.0)))
+  }
+
+  test("gated query equals the full recompute on testdata") {
+    val maintained = graft.operators.MaterializedView.incrementalAggQuery(spark, sf)
+    val full = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_full"),
+        sum($"value".cast("decimal(27,6)")).cast("double").as("total_full"))
+    val joined = maintained.join(full, Seq("event_type", "day"))
+    assert(joined.filter($"n" =!= $"n_full" || $"total_value" =!= $"total_full").count() == 0)
+    assert(maintained.count() == full.count())
+  }
+}
+
+/** Attribution + A/B report specs (round 3). */
+class AbAttributionSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.Behavioral
+
+  private def ev(rows: (Long, Long, String, String)*) =
+    rows.toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).withColumn("value", lit(1.0))
+      .drop("ts_s")
+
+  test("attribution: first/last touch, purchase-before-click is null") {
+    val events = ev(
+      (1L, 1L, "click", "2024-01-01 01:00:00"),
+      (2L, 1L, "view", "2024-01-01 02:00:00"),
+      (3L, 1L, "click", "2024-01-01 03:00:00"),
+      (4L, 1L, "purchase", "2024-01-01 04:00:00"), // first=1, last=3
+      (5L, 1L, "click", "2024-01-01 05:00:00"),
+      (6L, 1L, "purchase", "2024-01-01 06:00:00"), // first=1, last=5
+      (7L, 2L, "purchase", "2024-01-01 01:00:00"), // no prior click
+      (8L, 2L, "click", "2024-01-01 02:00:00")
+    )
+    val out = Behavioral.attributionFrom(events).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq((4L, 1L, 3L), (6L, 1L, 5L), (7L, -1L, -1L)))
+  }
+
+  test("attribution: equal timestamps break by event_id") {
+    val events = ev(
+      (10L, 1L, "click", "2024-01-01 01:00:00"),
+      (11L, 1L, "click", "2024-01-01 01:00:00"), // same ts, higher id
+      (12L, 1L, "purchase", "2024-01-01 02:00:00")
+    )
+    val out = Behavioral.attributionFrom(events).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 11L)))
+  }
+
+  test("ab test: deterministic, both variants populated, stable assignment") {
+    val a = Behavioral.abTest(spark, sf).collect()
+    val b = Behavioral.abTest(spark, sf).collect()
+    assert(a.toSeq == b.toSeq && a.length == 1)
+    val row = a.head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+    assert(!row.isNullAt(4)) // t_stat defined
+  }
+}
