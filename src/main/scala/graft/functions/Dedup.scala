@@ -513,9 +513,11 @@ object Dedup {
       .filter($"jaccard" >= minJac)
       .select($"new_id", $"doc_id", round($"jaccard", 6).as("jaccard"))
       .orderBy($"new_id", $"doc_id")
-    out.localCheckpoint(eager = true) // pin before newSh is released
+    // localCheckpoint returns a NEW frame over the checkpointed RDD —
+    // returning the original would re-run the whole pipeline uncached
+    val pinned = out.localCheckpoint(eager = true)
     newSh.unpersist()
-    out
+    pinned
   }
 
   /** Gated query: a deterministic ingest batch — exact copies of every

@@ -85,7 +85,9 @@ object Fuzzy {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
 
     val strs = base.select(col("id"), col("str"), col("len"))
-    candLong.unionByName(candShort)
+    // a short-enough pair can qualify through BOTH paths (grams via the
+    // whole-bag prefix AND the short pool) — dedup before verifying
+    candLong.unionByName(candShort).distinct()
       .join(strs.withColumnRenamed("id", "id_a")
         .withColumnRenamed("str", "str_a").withColumnRenamed("len", "len_a"), "id_a")
       .join(strs.withColumnRenamed("id", "id_b")

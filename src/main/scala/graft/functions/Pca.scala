@@ -183,7 +183,12 @@ object Pca {
         off += a(p)(q) * a(p)(q)
         if (math.abs(a(p)(q)) > eps) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          // theta == 0 (equal diagonal entries) must rotate by 45°:
+          // signum(0) = 0 would make this the identity rotation and the
+          // off-diagonal entry would never be annihilated
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
           val c = 1.0 / math.sqrt(t * t + 1.0)
           val s = t * c
           for (k <- 0 until n) {

@@ -165,33 +165,37 @@ object Behavioral {
     * at scale you pick this one when groups are few and enormous. */
   private class TopKByValue(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (String, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
-    private def order(a: (Long, Double), b: (Long, Double)): Boolean =
+        (String, Long, BigDecimal), Seq[(Long, BigDecimal)], Seq[(Long, BigDecimal)]] {
+    // rank on the EXACT decimal (the window form's order) — a double
+    // cast before ranking could collapse distinct totals into a tie
+    // and swap top-k membership at the boundary
+    private def order(a: (Long, BigDecimal), b: (Long, BigDecimal)): Boolean =
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-    def zero: Seq[(Long, Double)] = Seq.empty
-    def reduce(buf: Seq[(Long, Double)], row: (String, Long, Double)): Seq[(Long, Double)] =
+    def zero: Seq[(Long, BigDecimal)] = Seq.empty
+    def reduce(buf: Seq[(Long, BigDecimal)], row: (String, Long, BigDecimal)): Seq[(Long, BigDecimal)] =
       ((row._2, row._3) +: buf).sortWith(order).take(k)
-    def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    def merge(a: Seq[(Long, BigDecimal)], b: Seq[(Long, BigDecimal)]): Seq[(Long, BigDecimal)] =
       (a ++ b).sortWith(order).take(k)
-    def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
-    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+    def finish(buf: Seq[(Long, BigDecimal)]): Seq[(Long, BigDecimal)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, BigDecimal)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, BigDecimal)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, BigDecimal)]] =
       bufferEncoder
   }
 
   private[graft] def topKPerGroupHeapFrom(events: DataFrame, k: Int): DataFrame = {
     import events.sparkSession.implicits._
     val totals = events.groupBy(col("event_type"), col("user_id"))
-      .agg(sum(col("value").cast("decimal(27,6)")).cast("double").as("total_value"))
-      .as[(String, Long, Double)]
+      .agg(sum(col("value").cast("decimal(27,6)")).as("total_value_dec"))
+      .as[(String, Long, BigDecimal)]
     val agg = new TopKByValue(k)
     totals.groupByKey(_._1)
       .agg(agg.toColumn.name("top"))
       .toDF("event_type", "top")
       .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
-        col("entry._1").as("user_id"), col("entry._2").as("total_value"))
+        col("entry._1").as("user_id"),
+        col("entry._2").cast("double").as("total_value"))
       .orderBy(col("event_type"), col("rank"))
   }
 
@@ -258,19 +262,24 @@ object Behavioral {
       .withColumn("variant",
         when(graft.functions.Sampling.bucket(col("user_id"), salt) % 2 === 0, "A")
           .otherwise("B"))
-    val m = events.groupBy(col("variant")).agg(
-      count(lit(1)).as("n"),
-      sum(col("value").cast("decimal(27,6)")).as("s1"),
-      sum((col("value") * col("value")).cast("decimal(27,6)")).as("s2"))
-      .select(col("variant"), col("n"),
-        (col("s1").cast("double") / col("n")).as("mean"),
-        ((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
-          / (col("n") - 1)).as("variance"))
-    val a = m.filter(col("variant") === "A").select(
-      col("n").as("n_a"), col("mean").as("mean_a"), col("variance").as("var_a"))
-    val b = m.filter(col("variant") === "B").select(
-      col("n").as("n_b"), col("mean").as("mean_b"), col("variance").as("var_b"))
-    a.crossJoin(b)
+    // ONE conditional aggregation — filtering a shared aggregate twice
+    // and cross-joining would re-run the scan+groupBy per variant
+    def side(v: String) = (
+      sum(when(col("variant") === v, 1L).otherwise(0L)),
+      sum(when(col("variant") === v, col("value").cast("decimal(27,6)"))),
+      sum(when(col("variant") === v, (col("value") * col("value")).cast("decimal(27,6)"))))
+    val (na, s1a, s2a) = side("A")
+    val (nb, s1b, s2b) = side("B")
+    val m = events.agg(
+      na.as("n_a"), s1a.as("s1_a"), s2a.as("s2_a"),
+      nb.as("n_b"), s1b.as("s1_b"), s2b.as("s2_b"))
+    m.select(col("n_a"), col("n_b"),
+        (col("s1_a").cast("double") / col("n_a")).as("mean_a"),
+        (col("s1_b").cast("double") / col("n_b")).as("mean_b"),
+        ((col("s2_a").cast("double") - col("s1_a").cast("double") * col("s1_a").cast("double") / col("n_a"))
+          / (col("n_a") - 1)).as("var_a"),
+        ((col("s2_b").cast("double") - col("s1_b").cast("double") * col("s1_b").cast("double") / col("n_b"))
+          / (col("n_b") - 1)).as("var_b"))
       .select(col("n_a"), col("n_b"),
         round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
         round((col("mean_a") - col("mean_b"))

@@ -29,7 +29,10 @@ object TimeSeries {
     daily
       .withColumn("cnt7", count(col("n")).over(w))
       .withColumn("s1", sum(col("n")).over(w))
-      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      // square in DECIMAL, not Long: day counts near 3e9 would wrap a
+      // Long n*n in Spark while DuckDB promotes — cast BEFORE multiply
+      .withColumn("s2", sum(col("n").cast("decimal(19,0)")
+        * col("n").cast("decimal(19,0)")).over(w))
       .withColumn("mean7",
         when(col("cnt7") >= 1, col("s1").cast("double") / col("cnt7")))
       .withColumn("sigma7",
@@ -53,7 +56,7 @@ object TimeSeries {
       |  SELECT day, n,
       |         count(n) OVER w AS cnt7,
       |         sum(n) OVER w AS s1,
-      |         sum(n * n) OVER w AS s2
+      |         sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) OVER w AS s2
       |  FROM daily
       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
       |sc AS (

@@ -48,6 +48,16 @@ class FuzzySpec extends SparkSuite {
     assert(fast.contains((1L, 2L, 0)))
   }
 
+  test("a pair reachable via both gram-prefix and short pool appears once") {
+    // "ab"/"ab": len 2 >= q (gram path) AND len <= shortMax (pool) —
+    // the union of the two candidate paths must be deduplicated
+    val df = items((1L, "ab"), (2L, "ab"), (3L, "xy"))
+    val rows = Fuzzy.editDistancePairs(df, d = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == rows.toSet.size, s"duplicate output rows: ${rows.toSeq}")
+    assert(rows.toSet == Set((1L, 2L, 0)))
+  }
+
   test("gated query agrees with the naive twin on testdata") {
     val sup = graft.sources.Tables.supplier(spark, sf)
       .select($"s_suppkey".as("id"), $"s_name".as("str"))

@@ -27,6 +27,16 @@ class PcaSpec extends SparkSuite {
     assert(maxErr < 1e-6, s"max abs err $maxErr")
   }
 
+  test("jacobi: equal diagonal entries still rotate (theta = 0 case)") {
+    // [[1, .5], [.5, 1]] has theta = 0 at (0,1); a signum(0)-based
+    // rotation would be the identity and never converge
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(1.0, 0.5), Array(0.5, 1.0)))
+    assert(math.abs(vals(0) - 1.5) < 1e-12 && math.abs(vals(1) - 0.5) < 1e-12)
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(vecs(0)(0)) - inv) < 1e-12)
+    assert(math.abs(math.abs(vecs(0)(1)) - inv) < 1e-12)
+  }
+
   test("jacobi: orthonormal eigvecs, descending eigvals, small residual") {
     val (mean, vals, vecs) = Pca.fitFrom(graft.sources.Tables.embeddings(spark, sf))
     val d = Pca.dim
