@@ -133,6 +133,9 @@ object SparkEntry {
     "q_incr_agg" -> (MaterializedView.incrementalAggQuery _),
     "q_attribution" -> (Behavioral.attribution _),
     "q_ab_test" -> ((s: SparkSession, d: String) => Behavioral.abTest(s, d)),
+    "q_table_diff" -> (Reconcile.tableDiffQuery _),
+    "q_schema_evolution" -> (graft.sources.Ingest.schemaEvolutionQuery _),
+    "q_stream_ivm" -> (graft.streaming.EventsStream.ivmStreamQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -228,5 +231,10 @@ object SparkEntry {
     "q_incr_agg" -> MaterializedView.incrementalAggSql,
     "q_attribution" -> Behavioral.attributionSql,
     "q_ab_test" -> Behavioral.abTestSql(),
+    "q_table_diff" -> Reconcile.tableDiffSql,
+    "q_schema_evolution" -> graft.sources.Ingest.schemaEvolutionSql,
+    // additive maintenance is batch-split independent: same oracle as
+    // the single-fold IVM query
+    "q_stream_ivm" -> MaterializedView.incrementalAggSql,
   )
 }

@@ -21,14 +21,14 @@ import graft.sources.Tables
   * (this shape) or auxiliary state. */
 object MaterializedView {
 
-  private def aggregate(events: DataFrame): DataFrame =
+  private[graft] def viewOf(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(27,6)")).as("total_dec"))
 
   /** Fold a delta's aggregate into the stored aggregate. */
   private[graft] def maintain(stored: DataFrame, delta: DataFrame): DataFrame =
-    stored.unionByName(aggregate(delta))
+    stored.unionByName(viewOf(delta))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
 
@@ -42,7 +42,7 @@ object MaterializedView {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_").toString
     try {
       val events = Tables.events(spark, sfDir)
-      aggregate(events.filter($"event_id" % 10 =!= 0))
+      viewOf(events.filter($"event_id" % 10 =!= 0))
         .write.mode(SaveMode.Overwrite).parquet(s"$tmp/view")
       val stored = spark.read.parquet(s"$tmp/view")
       maintain(stored, events.filter($"event_id" % 10 === 0))

@@ -358,6 +358,49 @@ object Ingest {
     }
   }
 
+  /** Schema evolution on read — the ingestion reality that a landing
+    * directory accumulates files written under DIFFERENT schema
+    * versions (a column added mid-stream). `mergeSchema` unions the
+    * footer schemas and null-pads the missing columns per file, so old
+    * files stay readable forever without a rewrite.
+    *
+    * Scale note: schema merging lists/reads every file's footer at
+    * planning time — on a million-file table, pin the merged schema in
+    * a catalog (or read with an explicit schema) instead of paying the
+    * footer sweep per query; the per-file null-padding itself is free.
+    *
+    * Gated query: odd events written WITHOUT (ts, props) — the v1
+    * schema — and even events WITH props, into one directory; the
+    * merged read must surface v1 rows with NULL props, which is
+    * exactly what the oracle's CASE reproduces. */
+  def schemaEvolutionQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    try {
+      val base = Tables.events(spark, sfDir)
+      base.filter($"event_id" % 2 === 1)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .write.parquet(s"$tmp/t")
+      base.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+        .write.mode(SaveMode.Append).parquet(s"$tmp/t")
+      spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+        .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+        .orderBy($"event_id")
+        .localCheckpoint(eager = true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |       CASE WHEN event_id % 2 = 0 THEN props END AS props
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val insertOverwriteSql: String =
     """WITH cur AS (
       |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,

@@ -530,6 +530,75 @@ object EventsStream {
     }
   }
 
+  // ---- streaming incremental view maintenance ----------------------------
+
+  /** Streaming IVM: a delta feed maintains a materialized aggregate
+    * view, one [[graft.operators.MaterializedView.maintain]] fold per
+    * micro-batch, published through the write-audit-publish swap. The
+    * per-batch cost is O(batch + groups) — the streaming twin of
+    * q_incr_agg, and the third member of the foreachBatch family next
+    * to CDC apply (row MERGE) and incremental ingest (append).
+    *
+    * maintain() is additive and associative, so the final view is
+    * independent of how the feed was split into batches — which is why
+    * the full-recompute oracle can gate it. */
+  def runIvmStream(spark: SparkSession, viewDir: String, feedDir: String,
+      checkpointDir: String): Int = {
+    Tables.enableNanosAsLong(spark)
+    var batches = 0
+    val q = spark.readStream
+      .schema(Tables.eventsRaw)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stored = spark.read.parquet(viewDir)
+        val maintained = graft.operators.MaterializedView
+          .maintain(stored, Tables.decodeEventTs(batch))
+        val ok = graft.sources.Ingest.writeAudited(maintained, viewDir,
+          a => a.groupBy("event_type", "day").count().filter(col("count") > 1).isEmpty)
+        require(ok, s"IVM audit failed for $viewDir — view left at previous version")
+        batches += 1
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
+  /** Gated query: view seeded from 90% of events, the held-out delta
+    * delivered as a 4-file feed — four maintenance folds — and the
+    * final view must equal the FULL recompute (the q_incr_agg oracle). */
+  def ivmStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_ivm_stream_").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val events = Tables.events(spark, sfDir)
+      graft.operators.MaterializedView.viewOf(events.filter($"event_id" % 10 =!= 0))
+        .write.parquet(s"$work/view")
+      spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+        .filter($"event_id" % 10 === 0)
+        .repartition(4)
+        .write.parquet(s"$work/feed")
+      runIvmStream(spark, s"$work/view", s"$work/feed", s"$work/ckpt")
+      spark.read.parquet(s"$work/view")
+        .select($"event_type", $"day", $"n",
+          $"total_dec".cast("double").as("total_value"),
+          round($"total_dec".cast("double") / $"n", 6).as("avg_value"))
+        .orderBy($"event_type", $"day")
+        .localCheckpoint(eager = true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      ()
+    }
+  }
+
   // ---- stream-static enrichment join -------------------------------------
 
   /** The event-type dimension used by the enrichment join — a

@@ -166,3 +166,53 @@ class AbAttributionSpec extends SparkSuite {
     assert(!row.isNullAt(4)) // t_stat defined
   }
 }
+
+/** Table diff, schema evolution, streaming IVM (round 3, batch 3). */
+class ReconcileSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.Reconcile
+
+  test("tableDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("id", "t", "v")
+    val next = Seq((2L, "b", 2.0), (3L, "c", 9.0), (4L, "x", 4.0), (5L, "e", 5.0))
+      .toDF("id", "t", "v")
+    val out = Reconcile.tableDiff(old, next, "id", Seq("t", "v")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "changed"), (5L, "added")))
+  }
+
+  test("gated diff: removal wins over update on overlapping ids") {
+    val out = graft.operators.Reconcile.tableDiffQuery(spark, sf).cache()
+    // event_id divisible by 65 is both %5 (update) and %13 (remove)
+    val both = out.filter($"event_id" % 65 === 0 && $"event_id" < 50000)
+    assert(both.filter($"change_type" =!= "removed").count() == 0)
+    assert(out.filter($"change_type" === "added").count() > 0)
+    assert(out.filter($"change_type" === "changed").count() > 0)
+    out.unpersist()
+  }
+
+  test("schema evolution: v1 files physically lack the evolved column") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_spec_").toString
+    try {
+      Seq((1L, "x")).toDF("id", "a").write.parquet(s"$tmp/t")
+      Seq((2L, "y", "z")).toDF("id", "a", "b")
+        .write.mode("append").parquet(s"$tmp/t")
+      val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      assert(merged.columns.toSet == Set("id", "a", "b"))
+      val rows = merged.orderBy($"id").collect()
+      assert(rows(0).isNullAt(rows(0).fieldIndex("b"))) // v1 row null-padded
+      assert(rows(1).getString(rows(1).fieldIndex("b")) == "z")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  test("streaming IVM equals the single-fold maintenance result") {
+    val streamed = graft.streaming.EventsStream.ivmStreamQuery(spark, sf)
+    val batch = graft.operators.MaterializedView.incrementalAggQuery(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+  }
+}
