@@ -136,6 +136,8 @@ object SparkEntry {
     "q_table_diff" -> (Reconcile.tableDiffQuery _),
     "q_schema_evolution" -> (graft.sources.Ingest.schemaEvolutionQuery _),
     "q_stream_ivm" -> (graft.streaming.EventsStream.ivmStreamQuery _),
+    // the oracle string IS the Spark program (SQL-surface parity)
+    "q_sql_e2e" -> (Analytics.sqlE2e _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -236,5 +238,6 @@ object SparkEntry {
     // additive maintenance is batch-split independent: same oracle as
     // the single-fold IVM query
     "q_stream_ivm" -> MaterializedView.incrementalAggSql,
+    "q_sql_e2e" -> Analytics.monthlyAggSql,
   )
 }

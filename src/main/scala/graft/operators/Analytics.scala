@@ -565,6 +565,20 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** The flagship query run VERBATIM through the SQL surface — the
+    * oracle string itself is ANSI enough to be the Spark program
+    * (`registerAll` + `spark.sql`), which is the porting story for a
+    * SQL-first user of the reference: their dbt/console SQL runs
+    * as-is, planned by the same Catalyst pipeline as the DataFrame
+    * form. Exactly equal to [[monthlyAgg]] by construction.
+    *
+    * Scale: identical plan to the DataFrame flagship — the SQL parser
+    * is the only difference; pushdown/pruning/AQE all apply. */
+  def sqlE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(monthlyAggSql)
+  }
+
   val histogramSql: String =
     """WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
