@@ -138,6 +138,7 @@ object SparkEntry {
     "q_stream_ivm" -> (graft.streaming.EventsStream.ivmStreamQuery _),
     // the oracle string IS the Spark program (SQL-surface parity)
     "q_sql_e2e" -> (Analytics.sqlE2e _),
+    "q_media_dedup" -> (Multimodal.mediaDedup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -239,5 +240,6 @@ object SparkEntry {
     // the single-fold IVM query
     "q_stream_ivm" -> MaterializedView.incrementalAggSql,
     "q_sql_e2e" -> Analytics.monthlyAggSql,
+    "q_media_dedup" -> Multimodal.mediaDedupSql,
   )
 }

@@ -164,4 +164,42 @@ object Multimodal {
         substring($"payload", ($"frame_offset" * 8 + 1).cast("int"), lit(8)))
       .drop("payload")
   }
+
+  /** Binary content dedup — the media twin of the text exact-dedup:
+    * group on the payload's content hash, keep the lowest media_id per
+    * group. Payloads never leave executors (the hash is computed
+    * in-plan, the output is group metadata only) and the shuffle
+    * carries one 32-char key + counters per row with full map-side
+    * combining — at 100 TB of video that asymmetry (hash bytes moved,
+    * not payload bytes) is the whole operator.
+    *
+    * The gated query plants duplicates (every 10th asset re-ingested
+    * under a shifted id — the re-uploaded-file shape) because the
+    * corpus has no natural byte-identical pairs at the gate SF; the
+    * oracle mirrors the construction, so both the planted groups and
+    * any natural ones are pinned. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir).select($"media_id", $"payload")
+    val all = media.unionByName(
+      media.filter($"media_id" % 10 === 0)
+        .select(($"media_id" + 10000).as("media_id"), $"payload"))
+    all.groupBy(md5($"payload").as("content_key"))
+      .agg(count(lit(1)).as("n_copies"),
+        min($"media_id").as("keeper_media_id"),
+        max(length($"payload")).as("n_bytes"))
+      .filter($"n_copies" > 1)
+      .orderBy($"keeper_media_id")
+  }
+
+  val mediaDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT md5(text) AS content_key, count(*) AS n_copies,
+      |       min(media_id) AS keeper_media_id,
+      |       CAST(max(octet_length(CAST(text AS BLOB))) AS INTEGER) AS n_bytes
+      |FROM m GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY keeper_media_id""".stripMargin
 }
