@@ -138,7 +138,7 @@ object SparkEntry {
     "q_stream_ivm" -> (graft.streaming.EventsStream.ivmStreamQuery _),
     // the oracle string IS the Spark program (SQL-surface parity)
     "q_sql_e2e" -> (Analytics.sqlE2e _),
-    "q_media_dedup" -> (Multimodal.mediaDedup _),
+    "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */

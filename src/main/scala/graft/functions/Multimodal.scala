@@ -173,18 +173,15 @@ object Multimodal {
     * combining — at 100 TB of video that asymmetry (hash bytes moved,
     * not payload bytes) is the whole operator.
     *
-    * The gated query plants duplicates (every 10th asset re-ingested
-    * under a shifted id — the re-uploaded-file shape) because the
-    * corpus has no natural byte-identical pairs at the gate SF; the
-    * oracle mirrors the construction, so both the planted groups and
-    * any natural ones are pinned. */
-  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaTable(spark, sfDir).select($"media_id", $"payload")
-    val all = media.unionByName(
-      media.filter($"media_id" % 10 === 0)
-        .select(($"media_id" + 10000).as("media_id"), $"payload"))
-    all.groupBy(md5($"payload").as("content_key"))
+    * [[mediaDedupQuery]] plants duplicates (every 10th asset
+    * re-ingested under a shifted id — the re-uploaded-file shape)
+    * because the corpus has no natural byte-identical pairs at the
+    * gate SF; the oracle mirrors the construction, so both the planted
+    * groups and any natural ones are pinned. The operator itself takes
+    * any (media_id, payload) frame and plants nothing. */
+  def mediaDedup(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.groupBy(md5($"payload").as("content_key"))
       .agg(count(lit(1)).as("n_copies"),
         min($"media_id").as("keeper_media_id"),
         max(length($"payload")).as("n_bytes"))
@@ -192,11 +189,22 @@ object Multimodal {
       .orderBy($"keeper_media_id")
   }
 
+  /** Gated fixture: the corpus plus every 10th asset re-ingested under
+    * an id offset past any natural media_id. The generic operator
+    * above never plants anything — this wrapper is the test fixture. */
+  def mediaDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir).select($"media_id", $"payload")
+    mediaDedup(media.unionByName(
+      media.filter($"media_id" % 10 === 0)
+        .select(($"media_id" + 1000000).as("media_id"), $"payload")))
+  }
+
   val mediaDedupSql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
       |SELECT md5(text) AS content_key, count(*) AS n_copies,
       |       min(media_id) AS keeper_media_id,
       |       CAST(max(octet_length(CAST(text AS BLOB))) AS INTEGER) AS n_bytes

@@ -165,29 +165,34 @@ object Behavioral {
     * at scale you pick this one when groups are few and enormous. */
   private class TopKByValue(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (String, Long, BigDecimal), Seq[(Long, BigDecimal)], Seq[(Long, BigDecimal)]] {
+        (String, Long, String), Seq[(Long, String)], Seq[(Long, String)]] {
     // rank on the EXACT decimal (the window form's order) — a double
     // cast before ranking could collapse distinct totals into a tie
-    // and swap top-k membership at the boundary
-    private def order(a: (Long, BigDecimal), b: (Long, BigDecimal)): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-    def zero: Seq[(Long, BigDecimal)] = Seq.empty
-    def reduce(buf: Seq[(Long, BigDecimal)], row: (String, Long, BigDecimal)): Seq[(Long, BigDecimal)] =
+    // and swap top-k membership at the boundary. The total rides as
+    // its STRING rendering: a BigDecimal-typed buffer would pass
+    // through the encoder's default decimal(38,18) and silently null
+    // out totals beyond 20 integer digits that decimal(27,6) allows.
+    private def order(a: (Long, String), b: (Long, String)): Boolean = {
+      val cmp = BigDecimal(a._2).compare(BigDecimal(b._2))
+      cmp > 0 || (cmp == 0 && a._1 < b._1)
+    }
+    def zero: Seq[(Long, String)] = Seq.empty
+    def reduce(buf: Seq[(Long, String)], row: (String, Long, String)): Seq[(Long, String)] =
       ((row._2, row._3) +: buf).sortWith(order).take(k)
-    def merge(a: Seq[(Long, BigDecimal)], b: Seq[(Long, BigDecimal)]): Seq[(Long, BigDecimal)] =
+    def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
       (a ++ b).sortWith(order).take(k)
-    def finish(buf: Seq[(Long, BigDecimal)]): Seq[(Long, BigDecimal)] = buf
-    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, BigDecimal)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, BigDecimal)]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, BigDecimal)]] =
+    def finish(buf: Seq[(Long, String)]): Seq[(Long, String)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
       bufferEncoder
   }
 
   private[graft] def topKPerGroupHeapFrom(events: DataFrame, k: Int): DataFrame = {
     import events.sparkSession.implicits._
     val totals = events.groupBy(col("event_type"), col("user_id"))
-      .agg(sum(col("value").cast("decimal(27,6)")).as("total_value_dec"))
-      .as[(String, Long, BigDecimal)]
+      .agg(sum(col("value").cast("decimal(27,6)")).cast("string").as("total_value_dec"))
+      .as[(String, Long, String)]
     val agg = new TopKByValue(k)
     totals.groupByKey(_._1)
       .agg(agg.toColumn.name("top"))
@@ -285,6 +290,9 @@ object Behavioral {
         round((col("mean_a") - col("mean_b"))
           / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
           .as("t_stat"))
+      // an empty variant has no comparison to report — zero rows, which
+      // is also what the oracle's two-subquery cross join produces
+      .filter(col("n_a") > 0 && col("n_b") > 0)
   }
 
   def abTestSql(salt: String = "ab_v1"): String = {

@@ -22,7 +22,9 @@ object Reconcile {
       cols: Seq[String]): DataFrame = {
     val o = oldDf.select((key +: cols).map(c => col(c).as(s"o_$c")): _*)
     val n = newDf.select((key +: cols).map(c => col(c).as(s"n_$c")): _*)
-    val changed = cols.map(c => col(s"o_$c") =!= col(s"n_$c"))
+    // NULL-SAFE inequality: `=!=` yields SQL NULL for NULL-vs-value,
+    // which would classify a real change as unchanged and drop it
+    val changed = cols.map(c => !(col(s"o_$c") <=> col(s"n_$c")))
       .reduce(_ || _)
     o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
       .withColumn("change_type",
@@ -36,7 +38,7 @@ object Reconcile {
 
   /** Gated query: the events table diffed against a derived next
     * version — every 5th row updated, every 13th removed, every 17th
-    * re-keyed as an addition. The oracle recomputes the same diff with
+    * re-keyed (offset past any natural id) as an addition. The oracle recomputes the same diff with
     * a FULL OUTER JOIN, pinning all three change classes and the
     * precedence (a row both updated and removed is removed). */
   def tableDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -48,7 +50,7 @@ object Reconcile {
         when($"event_id" % 5 === 0, lit("updated")).otherwise($"event_type").as("event_type"),
         when($"event_id" % 5 === 0, $"value" + 100.0).otherwise($"value").as("value"))
       .unionByName(old.filter($"event_id" % 17 === 0)
-        .select(($"event_id" + 50000).as("event_id"), $"event_type", $"value"))
+        .select(($"event_id" + 1000000).as("event_id"), $"event_type", $"value"))
     tableDiff(old, next, "event_id", Seq("event_type", "value"))
   }
 
@@ -60,12 +62,13 @@ object Reconcile {
       |         CASE WHEN event_id % 5 = 0 THEN value + 100.0 ELSE value END AS value
       |  FROM o WHERE event_id % 13 <> 0
       |  UNION ALL
-      |  SELECT event_id + 50000, event_type, value FROM o WHERE event_id % 17 = 0),
+      |  SELECT event_id + 1000000, event_type, value FROM o WHERE event_id % 17 = 0),
       |d AS (
       |  SELECT coalesce(n.event_id, o.event_id) AS event_id,
       |         CASE WHEN o.event_id IS NULL THEN 'added'
       |              WHEN n.event_id IS NULL THEN 'removed'
-      |              WHEN o.event_type <> n.event_type OR o.value <> n.value
+      |              WHEN o.event_type IS DISTINCT FROM n.event_type
+      |                OR o.value IS DISTINCT FROM n.value
       |                THEN 'changed' END AS change_type
       |  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
       |SELECT event_id, change_type FROM d

@@ -264,13 +264,23 @@ object Ingest {
     *
     * Returns true iff published. */
   def writeAudited(df: DataFrame, dir: String,
-      audit: DataFrame => Boolean): Boolean = {
+      audit: DataFrame => Boolean,
+      stagingMark: Option[(String, String)] = None): Boolean = {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val staging = s"$dir.staging"
     df.write.mode(SaveMode.Overwrite).parquet(staging)
+    // optional marker written INTO staging before the swap: it travels
+    // atomically with the published version (underscore prefix keeps it
+    // invisible to parquet readers) — what makes a publish-then-record
+    // protocol crash-safe for consumers like the streaming IVM's
+    // applied-batch watermark
+    stagingMark.foreach { case (name, content) =>
+      val out = fs.create(p(s"$staging/$name"), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
     val ok = audit(spark.read.parquet(staging))
     if (ok) {
       val old = p(s"$dir.old")

@@ -542,6 +542,37 @@ object EventsStream {
     * maintain() is additive and associative, so the final view is
     * independent of how the feed was split into batches — which is why
     * the full-recompute oracle can gate it. */
+  /** One maintenance fold over an ALREADY-DECODED batch, replay-safe:
+    * the applied batchId travels INSIDE the published view (an
+    * underscore marker file written to staging before the WAP swap),
+    * so a checkpoint-replayed batch — additive maintenance is NOT
+    * naturally idempotent, unlike the CDC path's MERGE — sees its own
+    * id already recorded and becomes a no-op. Returns true iff the
+    * batch was applied. */
+  private[graft] def applyIvmBatch(spark: SparkSession, viewDir: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$viewDir/_applied_batch")
+    val applied =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    if (batchId <= applied) false
+    else {
+      val stored = spark.read.parquet(viewDir)
+      val maintained = graft.operators.MaterializedView.maintain(stored, batch)
+      val ok = graft.sources.Ingest.writeAudited(maintained, viewDir,
+        a => a.groupBy("event_type", "day").count().filter(col("count") > 1).isEmpty,
+        stagingMark = Some(("_applied_batch", batchId.toString)))
+      require(ok, s"IVM audit failed for $viewDir — view left at previous version")
+      true
+    }
+  }
+
   def runIvmStream(spark: SparkSession, viewDir: String, feedDir: String,
       checkpointDir: String): Int = {
     Tables.enableNanosAsLong(spark)
@@ -551,14 +582,9 @@ object EventsStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(feedDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val stored = spark.read.parquet(viewDir)
-        val maintained = graft.operators.MaterializedView
-          .maintain(stored, Tables.decodeEventTs(batch))
-        val ok = graft.sources.Ingest.writeAudited(maintained, viewDir,
-          a => a.groupBy("event_type", "day").count().filter(col("count") > 1).isEmpty)
-        require(ok, s"IVM audit failed for $viewDir — view left at previous version")
-        batches += 1
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (applyIvmBatch(spark, viewDir, Tables.decodeEventTs(batch), batchId))
+          batches += 1
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -182,10 +182,20 @@ class ReconcileSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "changed"), (5L, "added")))
   }
 
+  test("tableDiff: NULL-to-value and value-to-NULL are changes, NULL==NULL is not") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
+      .toDF("id", "t")
+    val next = Seq((1L, Some("v")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("id", "t")
+    val out = Reconcile.tableDiff(old, next, "id", Seq("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "changed"), (2L, "changed")))
+  }
+
   test("gated diff: removal wins over update on overlapping ids") {
     val out = graft.operators.Reconcile.tableDiffQuery(spark, sf).cache()
     // event_id divisible by 65 is both %5 (update) and %13 (remove)
-    val both = out.filter($"event_id" % 65 === 0 && $"event_id" < 50000)
+    val both = out.filter($"event_id" % 65 === 0 && $"event_id" < 1000000)
     assert(both.filter($"change_type" =!= "removed").count() == 0)
     assert(out.filter($"change_type" === "added").count() > 0)
     assert(out.filter($"change_type" === "changed").count() > 0)
@@ -203,6 +213,28 @@ class ReconcileSpec extends SparkSuite {
       val rows = merged.orderBy($"id").collect()
       assert(rows(0).isNullAt(rows(0).fieldIndex("b"))) // v1 row null-padded
       assert(rows(1).getString(rows(1).fieldIndex("b")) == "z")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  test("IVM batch apply is replay-idempotent via the applied-batch watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_replay_").toString
+    try {
+      val events = graft.sources.Tables.events(spark, sf)
+      graft.operators.MaterializedView.viewOf(events.filter($"event_id" % 10 =!= 0))
+        .write.parquet(s"$tmp/view")
+      val delta = events.filter($"event_id" % 10 === 0)
+      val first = graft.streaming.EventsStream.applyIvmBatch(spark, s"$tmp/view", delta, 0L)
+      val afterFirst = spark.read.parquet(s"$tmp/view")
+        .agg(sum($"n")).collect().head.getLong(0)
+      // checkpoint replay re-delivers the SAME batchId: must be a no-op
+      val replay = graft.streaming.EventsStream.applyIvmBatch(spark, s"$tmp/view", delta, 0L)
+      val afterReplay = spark.read.parquet(s"$tmp/view")
+        .agg(sum($"n")).collect().head.getLong(0)
+      assert(first && !replay)
+      assert(afterFirst == afterReplay && afterFirst == events.count())
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       ()

