@@ -139,6 +139,8 @@ object SparkEntry {
     // the oracle string IS the Spark program (SQL-surface parity)
     "q_sql_e2e" -> (Analytics.sqlE2e _),
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
+    "q_unpivot" -> (Analytics.unpivotStatus _),
+    "q_winsorize" -> (Analytics.winsorize _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -241,5 +243,7 @@ object SparkEntry {
     "q_stream_ivm" -> MaterializedView.incrementalAggSql,
     "q_sql_e2e" -> Analytics.monthlyAggSql,
     "q_media_dedup" -> Multimodal.mediaDedupSql,
+    "q_unpivot" -> Analytics.unpivotStatusSql,
+    "q_winsorize" -> Analytics.winsorizeSql,
   )
 }

@@ -565,6 +565,80 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** UNPIVOT — the inverse of [[pivotStatus]], closing the reshape
+    * pair: the wide pivot output melts back to long via `stack` (a
+    * generator: one pass, rows-out = rows-in × statuses, no shuffle of
+    * its own). Zero cells survive the round trip (the pivot
+    * zero-fills), which is what distinguishes melt from re-aggregating
+    * the raw table — the oracle mirrors that with per-status
+    * conditional counts. */
+  def unpivotStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pivotStatus(spark, sfDir)
+      .select($"service_type",
+        expr("stack(2, 'F', n_fulfilled, 'O', n_open) AS (status, n)"))
+      .orderBy($"service_type", $"status")
+  }
+
+  val unpivotStatusSql: String =
+    """SELECT l_returnflag AS service_type, 'F' AS status,
+      |       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n
+      |FROM lineitem GROUP BY 1
+      |UNION ALL
+      |SELECT l_returnflag, 'O',
+      |       COUNT(*) FILTER (WHERE l_linestatus = 'O')
+      |FROM lineitem GROUP BY 1
+      |ORDER BY service_type, status""".stripMargin
+
+  /** Winsorization — the robust-statistics clamp (cap each group's
+    * values at its own p05/p95) that precedes any mean-based metric on
+    * heavy-tailed data. Group bounds come from the exact
+    * `percentile_cont` (cross-engine interpolation parity proven by
+    * q_duration_percentiles), broadcast back over a second scan — the
+    * quality-gate shape: data-dependent thresholds with no driver
+    * collect and zero corpus shuffles beyond the bounds aggregate.
+    * The winsorized total stays decimal-routed. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("service_type"), $"l_extendedprice".as("amount"))
+    val bounds = li.groupBy($"service_type").agg(
+      expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY amount)").as("lo"),
+      expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY amount)").as("hi"))
+    li.join(broadcast(bounds), "service_type")
+      .withColumn("w", least(greatest($"amount", $"lo"), $"hi"))
+      .groupBy($"service_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"amount" < $"lo", 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when($"amount" > $"hi", 1L).otherwise(0L)).as("n_clamped_hi"),
+        round(max($"lo"), 6).as("p05"),
+        round(max($"hi"), 6).as("p95"),
+        sumExact($"w").as("winsorized_total"))
+      .orderBy($"service_type")
+  }
+
+  val winsorizeSql: String =
+    s"""WITH li AS (
+      |  SELECT l_returnflag AS service_type, l_extendedprice AS amount
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT service_type,
+      |         quantile_cont(amount, 0.05) AS lo,
+      |         quantile_cont(amount, 0.95) AS hi
+      |  FROM li GROUP BY 1),
+      |w AS (
+      |  SELECT li.service_type, li.amount, b.lo, b.hi,
+      |         least(greatest(li.amount, b.lo), b.hi) AS wamount
+      |  FROM li JOIN b ON li.service_type = b.service_type)
+      |SELECT service_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN amount < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |       CAST(sum(CASE WHEN amount > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+      |       round(max(lo), 6) AS p05,
+      |       round(max(hi), 6) AS p95,
+      |       ${graft.functions.Exact.sumExactSql("wamount")} AS winsorized_total
+      |FROM w GROUP BY 1
+      |ORDER BY service_type""".stripMargin
+
   /** The flagship query run VERBATIM through the SQL surface — the
     * oracle string itself is ANSI enough to be the Spark program
     * (`registerAll` + `spark.sql`), which is the porting story for a

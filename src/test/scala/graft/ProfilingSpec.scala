@@ -109,3 +109,35 @@ class MediaDedupSpec extends SparkSuite {
     out.unpersist()
   }
 }
+
+/** Unpivot round-trip + winsorization (round 3). */
+class ReshapeRobustSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.Analytics
+
+  test("unpivot is the exact inverse of pivot, zero cells included") {
+    val long = Analytics.unpivotStatus(spark, sf).cache()
+    val wide = Analytics.pivotStatus(spark, sf)
+    // every (group, status) cell appears exactly once
+    assert(long.count() == wide.count() * 2)
+    val rebuilt = long.groupBy($"service_type")
+      .pivot("status", Seq("F", "O")).sum("n")
+      .withColumnRenamed("F", "n_fulfilled").withColumnRenamed("O", "n_open")
+    assert(rebuilt.exceptAll(wide).isEmpty && wide.exceptAll(rebuilt).isEmpty)
+    long.unpersist()
+  }
+
+  test("winsorize: clamp counts ~5% tails, total bounded by raw total") {
+    val w = Analytics.winsorize(spark, sf).cache()
+    val rows = w.collect()
+    rows.foreach { r =>
+      val n = r.getLong(1); val lo = r.getLong(2); val hi = r.getLong(3)
+      // percentile_cont bounds put at most ~5% strictly outside each side
+      assert(lo <= n * 6 / 100 + 1, s"lo clamp $lo of $n")
+      assert(hi <= n * 6 / 100 + 1, s"hi clamp $hi of $n")
+      assert(r.getDouble(4) <= r.getDouble(5)) // p05 <= p95
+    }
+    assert(rows.nonEmpty)
+    w.unpersist()
+  }
+}
