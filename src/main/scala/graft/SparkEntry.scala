@@ -141,6 +141,9 @@ object SparkEntry {
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
     "q_unpivot" -> (Analytics.unpivotStatus _),
     "q_winsorize" -> (Analytics.winsorize _),
+    // sketch re-aggregation: rows-only gate (estimates have no SQL
+    // oracle); error envelope + re-agg identity pinned in spec
+    "q_hll_union" -> (Analytics.hllUnionRollup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */

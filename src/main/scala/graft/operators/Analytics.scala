@@ -565,6 +565,32 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** Mergeable-sketch re-aggregation — the pre-aggregated rollup
+    * pattern exact COUNT DISTINCT forbids: distinct counts don't add,
+    * but HLL SKETCHES union losslessly, so a pipeline stores one tiny
+    * sketch per (day) and answers any coarser distinct-user question
+    * by unioning sketches instead of rescanning events. At 100 TB the
+    * daily sketch table is KB-sized where the raw re-scan is the whole
+    * corpus — this is how warehouse rollup tables serve distinct
+    * metrics.
+    *
+    * Rows-only gate (sketch estimates have no SQL oracle); the spec
+    * pins the union estimate against the EXACT weekly distinct within
+    * HLL's published error envelope, and sketch-of-week ==
+    * union-of-day-sketches as a re-aggregation identity. */
+  def hllUnionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sketch"),
+        count_distinct($"user_id").as("exact_daily"))
+    daily
+      .groupBy(date_trunc("week", $"day").cast("date").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("approx_weekly"),
+        sum($"exact_daily").as("sum_of_daily"))
+      .orderBy($"week")
+  }
+
   /** UNPIVOT — the inverse of [[pivotStatus]], closing the reshape
     * pair: the wide pivot output melts back to long via `stack` (a
     * generator: one pass, rows-out = rows-in × statuses, no shuffle of

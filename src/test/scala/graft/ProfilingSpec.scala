@@ -141,3 +141,45 @@ class ReshapeRobustSpec extends SparkSuite {
     w.unpersist()
   }
 }
+
+/** HLL sketch re-aggregation + join-hint surface (round 3). */
+class SketchHintSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.Analytics
+
+  test("union-of-daily-sketches estimates weekly distinct within the HLL envelope") {
+    val out = Analytics.hllUnionRollup(spark, sf).cache()
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("week", $"ts").cast("date").as("week"))
+      .agg(count_distinct($"user_id").as("exact_weekly"))
+    val joined = out.join(exact, "week").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val approx = r.getAs[Long]("approx_weekly").toDouble
+      val ex = r.getAs[Long]("exact_weekly").toDouble
+      // default lgConfigK=12 => ~1.6% relative standard error; 5 sigma
+      assert(math.abs(approx - ex) / ex < 0.08, s"week ${r.get(0)}: $approx vs $ex")
+      // and re-aggregation actually deduplicates: estimate is far below
+      // the sum of daily distincts (users recur across days)
+      assert(approx < r.getAs[Long]("sum_of_daily"))
+    }
+    out.unpersist()
+  }
+
+  test("join hints steer the physical strategy") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val dim = graft.sources.Tables.nation(spark, sf)
+      .select($"n_nationkey".as("user_mod"), $"n_name")
+    val keyed = ev.withColumn("user_mod", $"user_id" % 25)
+    def strategyOf(hinted: org.apache.spark.sql.DataFrame): String = {
+      val plan = hinted.join(keyed, "user_mod").queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastHashJoin")) "broadcast"
+      else if (plan.contains("SortMergeJoin")) "merge"
+      else if (plan.contains("ShuffledHashJoin")) "shuffle_hash"
+      else "other"
+    }
+    assert(strategyOf(dim.hint("broadcast")) == "broadcast")
+    assert(strategyOf(dim.hint("merge")) == "merge")
+    assert(strategyOf(dim.hint("shuffle_hash")) == "shuffle_hash")
+  }
+}
