@@ -580,14 +580,14 @@ object Analytics {
     * union-of-day-sketches as a re-aggregation identity. */
   def hllUnionRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // sketch-only: an exact count_distinct alongside would re-pay the
+    // very (day, user) shuffle this rollup exists to avoid
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date($"ts").as("day"))
-      .agg(hll_sketch_agg($"user_id").as("sketch"),
-        count_distinct($"user_id").as("exact_daily"))
+      .agg(hll_sketch_agg($"user_id").as("sketch"))
     daily
       .groupBy(date_trunc("week", $"day").cast("date").as("week"))
-      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("approx_weekly"),
-        sum($"exact_daily").as("sum_of_daily"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("approx_weekly"))
       .orderBy($"week")
   }
 

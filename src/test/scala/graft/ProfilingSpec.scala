@@ -127,15 +127,29 @@ class ReshapeRobustSpec extends SparkSuite {
     long.unpersist()
   }
 
-  test("winsorize: clamp counts ~5% tails, total bounded by raw total") {
+  test("winsorize: clamp counts ~5% tails, total matches a plain-Scala clamp") {
     val w = Analytics.winsorize(spark, sf).cache()
+    val raw = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
     val rows = w.collect()
     rows.foreach { r =>
       val n = r.getLong(1); val lo = r.getLong(2); val hi = r.getLong(3)
       // percentile_cont bounds put at most ~5% strictly outside each side
       assert(lo <= n * 6 / 100 + 1, s"lo clamp $lo of $n")
       assert(hi <= n * 6 / 100 + 1, s"hi clamp $hi of $n")
-      assert(r.getDouble(4) <= r.getDouble(5)) // p05 <= p95
+      val p05 = r.getDouble(4); val p95 = r.getDouble(5)
+      assert(p05 <= p95)
+      // the decimal-routed winsorized_total equals an independent
+      // plain-Scala clamp-and-exact-sum (sumExact discipline: each
+      // value rounded to 6 decimals half-up, summed exactly)
+      val expected = raw(r.getString(0)).map { v =>
+        BigDecimal(math.min(math.max(v, p05), p95))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(r.getDouble(6) - expected) < 1e-3,
+        s"${r.getString(0)}: ${r.getDouble(6)} vs $expected")
     }
     assert(rows.nonEmpty)
     w.unpersist()
@@ -152,7 +166,12 @@ class SketchHintSpec extends SparkSuite {
     val exact = graft.sources.Tables.events(spark, sf)
       .groupBy(date_trunc("week", $"ts").cast("date").as("week"))
       .agg(count_distinct($"user_id").as("exact_weekly"))
-    val joined = out.join(exact, "week").collect()
+    val sumDaily = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count_distinct($"user_id").as("d"))
+      .groupBy(date_trunc("week", $"day").cast("date").as("week"))
+      .agg(sum($"d").as("sum_of_daily"))
+    val joined = out.join(exact, "week").join(sumDaily, "week").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val approx = r.getAs[Long]("approx_weekly").toDouble
