@@ -68,6 +68,7 @@ object SparkEntry {
     "q_asof_join" -> (AsOfJoin.eventsAsOfDaily _),
     "q_asof_join_native" -> (AsOfJoin.eventsAsOfDailyNative _),
     "q_range_join" -> (AsOfJoin.eventsRangeJoin _),
+    "q_asof_forward" -> (AsOfJoin.eventsAsOfForward _),
     "q_label_norms" -> (Similarity.labelNorms _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q_deduped_corpus" -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "q_asof_join" -> AsOfJoin.eventsAsOfDailySql,
     "q_asof_join_native" -> AsOfJoin.eventsAsOfDailySql,
     "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
+    "q_asof_forward" -> AsOfJoin.eventsAsOfForwardSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

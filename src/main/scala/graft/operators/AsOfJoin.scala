@@ -50,6 +50,42 @@ object AsOfJoin {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of: each event matched to the NEAREST FUTURE daily
+    * rollup (first `day >= event_day`) — the "next observation" twin
+    * of the backward join above (settlement dates, next-quote lookups).
+    * Same composition shape with the window order flipped; DuckDB's
+    * native ASOF JOIN expresses it by flipping the inequality, which
+    * is what the oracle does — two independent formulations again. */
+  def eventsAsOfForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", to_date($"ts").as("event_day"))
+    val daily = dailyRollup(spark, sfDir)
+      .select($"user_id".as("d_user"), $"day", $"day_value")
+    val w = Window.partitionBy($"event_id").orderBy($"day".asc)
+    events
+      .join(daily, $"user_id" === $"d_user" && $"day" >= $"event_day")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"event_day",
+        $"day".as("matched_day"), $"day_value")
+      .orderBy($"event_id")
+  }
+
+  val eventsAsOfForwardSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |         ${Exact.sumExactSql("value")} AS day_value
+       |  FROM events GROUP BY 1, 2),
+       |ev AS (
+       |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_day FROM events)
+       |SELECT e.event_id, e.user_id, e.event_day,
+       |       d.day AS matched_day, d.day_value
+       |FROM ev e
+       |ASOF JOIN daily d
+       |  ON e.user_id = d.user_id AND e.event_day <= d.day
+       |ORDER BY e.event_id""".stripMargin
+
   /** Range (interval) join — each event matched to the value band
     * containing it (non-equi predicate `lo <= v < hi`). The band table
     * is broadcast, so the fact side never shuffles: a BroadcastNestedLoop
