@@ -174,19 +174,56 @@ object Bench {
       errors("bench_zorder_experiment") = sanitize(e)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    // ---- output. Two artifacts:
+    //  1. BENCH_FULL.json (cwd): every entry, pretty-ish, for the judge.
+    //  2. ONE compact stdout line for the driver. The driver keeps only
+    //     the LAST ~2000 chars of stdout when it extracts the JSON line
+    //     (r1 AND r2 both came back "parsed": null because the full
+    //     per-query map at double precision is ~3 KB and the line start
+    //     fell outside the window). So: 3-decimal rounding, evidence
+    //     counters + the most expensive queries inline, the long tail of
+    //     sub-second queries folded into "other_sec"/"n_other", and the
+    //     serialized line capped well inside the window.
+    def fmt(v: Double): String =
+      if (v == math.rint(v) && v.abs < 1e15) v.toLong.toString
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def entry(k: String, v: Double): String = "\"" + k + "\":" + fmt(v)
+
     // *_files_read / *_rows_scanned entries are pruning evidence (counts,
     // not seconds), *_hot entries are duplicate re-runs of already-timed
     // queries, and -1 marks a failed query — all excluded from the
     // headline seconds total
+    def isEvidence(k: String) =
+      k.endsWith("_files_read") || k.endsWith("_rows_scanned") || k.endsWith("_hot")
     val total = results.collect {
-      case (k, v) if !k.endsWith("_files_read") && !k.endsWith("_rows_scanned") &&
-        !k.endsWith("_hot") && v >= 0 => v
+      case (k, v) if !isEvidence(k) && v >= 0 => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+
+    val fullJson = results.map { case (k, v) => entry(k, v) }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val fw = new java.io.PrintWriter("BENCH_FULL.json")
+    try fw.println(fullLine) finally fw.close()
+
+    // compact line: bench_* experiment entries always (they are the
+    // scale evidence), then queries by descending cost while the line
+    // stays under budget; everything dropped is summed into other_sec.
+    val budget = 1400 // chars for the queries map; whole line lands ~<1600
+    val (benchEntries, queryEntries) = results.toSeq.partition(_._1.startsWith("bench_"))
+    val ordered = benchEntries ++ queryEntries.sortBy { case (_, v) => -v }
+    val included = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var len = 0
+    ordered.foreach { case (k, v) =>
+      val e = entry(k, v).length + 1
+      if (len + e <= budget) { included(k) = v; len += e }
+    }
+    val dropped = results.toSeq.filterNot { case (k, _) => included.contains(k) }
+    val otherSec = dropped.collect { case (k, v) if !isEvidence(k) && v >= 0 => v }.sum
+    val qs = included.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"other_sec":${fmt(otherSec)},"n_other":${dropped.size},"errors":$errJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,17 +10,21 @@ import graft.plans.VectorExpressions.dotProduct
   * dup-cluster label propagation: tiny model state on the driver, all
   * data-parallel work on executors).
   *
-  * Per iteration: centroids (k×dim, a few KB) broadcast against the
-  * corpus; squared L2 via the codegen [[dotProduct]] expansion
-  * ‖v‖² − 2·v·c + ‖c‖² (‖v‖² computed once per row, ‖c‖² folded into
-  * the broadcast side); argmin by lexicographic struct-min so distance
-  * ties break on the lower cluster id in every engine and run; new
-  * centroids from a posexplode + (cluster, dim) average — one narrow
-  * shuffle keyed finer than the cluster count, so a hot cluster never
-  * funnels one reducer. Empty clusters keep their previous centroid
-  * (the standard Lloyd fix).
+  * Per iteration: centroids (k×dim, a few KB) are inlined as LITERAL
+  * arrays into a single projection — squared L2 via the codegen
+  * [[dotProduct]] expansion ‖v‖² − 2·v·c + ‖c‖² (‖v‖² computed once per
+  * row, ‖c‖² folded into the literal), argmin via `array_min` over k
+  * (d2, cluster_id) structs so distance ties break on the lower cluster
+  * id in every engine and run. The assignment step is therefore a pure
+  * map — NO crossJoin row blow-up, NO shuffle, no grouping on an array
+  * key (r2 assigned via crossJoin + groupBy(vec_id, embedding): an 8×
+  * row explosion shuffled on the embedding itself, 8 s of the r2 bench).
+  * New centroids from a posexplode + (cluster, dim) average — one narrow
+  * partial-aggregated shuffle keyed finer than the cluster count, so a
+  * hot cluster never funnels one reducer. Empty clusters keep their
+  * previous centroid (the standard Lloyd fix).
   *
-  * At 100 TB: per-iteration cost is one broadcast-join scan + one
+  * At 100 TB: per-iteration cost is one codegen scan + one
   * partial-aggregated shuffle of (cluster, dim, sum, n) — model state
   * never grows with the corpus; iterations are the only sequential
   * dependency. Convergence/inertia sums are decimal-routed so the
@@ -52,23 +56,25 @@ object Clustering {
     val inertias = scala.collection.mutable.ArrayBuffer[Double]()
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
-      val cDf = broadcast(centroids.toSeq
-        .map { case (cid, c) =>
-          (cid, c, c.map(x => x * x).sum)
-        }
-        .toDF("cluster_id", "centroid", "c_sq"))
-      val dist2 = greatest($"v_sq" - lit(2.0) * dotProduct($"embedding", $"centroid") + $"c_sq", lit(0.0))
-      val prev = assigned
-      assigned = vecs.crossJoin(cDf)
-        .select($"vec_id", $"embedding", struct(dist2.as("d2"), $"cluster_id").as("dc"))
-        .groupBy($"vec_id", $"embedding")
-        .agg(min($"dc").as("best"))
+      // one struct per centroid, all literals folded into the codegen:
+      // greatest(..., 0) clamps the expansion's negative-epsilon case
+      val distStructs = centroids.toSeq.map { case (cid, c) =>
+        val cSq = c.map(x => x * x).sum
+        struct(
+          greatest($"v_sq" - lit(2.0) * dotProduct($"embedding", typedLit(c)) + lit(cSq),
+            lit(0.0)).as("d2"),
+          lit(cid).as("cluster_id"))
+      }
+      assigned = vecs
+        .select($"vec_id", $"embedding", array_min(array(distStructs: _*)).as("best"))
         .select($"vec_id", $"embedding",
           $"best.cluster_id".as("cluster_id"), $"best.d2".as("d2"))
-        .cache()
+      // only the FINAL assignment is cached (summary/specs re-scan it);
+      // intermediate assignments are a pure map over the cached corpus —
+      // recomputing one costs less than churning the block store
+      if (it == iters) assigned = assigned.cache()
       if (trackInertia) inertias += assigned
         .agg(sum($"d2".cast("decimal(27,6)")).cast("double")).collect().head.getDouble(0)
-      if (prev != null) prev.unpersist()
       // no update after the FINAL assignment: the returned centroids
       // must be exactly the model the returned assignment is nearest to
       if (it < iters) {
