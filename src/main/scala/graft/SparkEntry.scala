@@ -117,7 +117,7 @@ object SparkEntry {
     // iterative vocabulary induction: rows-only gate, correctness
     // pinned by BpeSpec's plain-Scala differential
     "q_bpe_merges" -> ((s: SparkSession, d: String) =>
-      graft.functions.Bpe.learnMerges(s, d)),
+      graft.functions.Bpe.stagedMerges(s, d)),
     "q_covariance" -> (graft.functions.Pca.covariance _),
     // eigensolve has no SQL oracle: rows-only gate, PcaSpec pins
     // orthonormality/residuals/projection differential
@@ -145,6 +145,16 @@ object SparkEntry {
     // sketch re-aggregation: rows-only gate (estimates have no SQL
     // oracle); error envelope + re-agg identity pinned in spec
     "q_hll_union" -> (Analytics.hllUnionRollup _),
+    // round 3: substring-level dedup, weighted sampling, MMR, BPE encode
+    "q_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
+    "q_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
+    // greedy MMR recurrence isn't relational: rows-only gate, step-wise
+    // optimality pinned in RetrievalSpec
+    "q_mmr_rerank" -> ((s: SparkSession, d: String) =>
+      graft.functions.Retrieval.mmrRerank(s, d)),
+    // iterative encoder: rows-only gate, BpeSpec differential
+    "q_bpe_encode" -> ((s: SparkSession, d: String) =>
+      graft.functions.Bpe.encodeTokenCounts(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -250,5 +260,7 @@ object SparkEntry {
     "q_media_dedup" -> Multimodal.mediaDedupSql,
     "q_unpivot" -> Analytics.unpivotStatusSql,
     "q_winsorize" -> Analytics.winsorizeSql,
+    "q_substring_dup" -> Dedup.substringSpansSql(),
+    "q_weighted_sample" -> graft.functions.Sampling.weightedSampleSql(),
   )
 }

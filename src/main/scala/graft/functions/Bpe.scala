@@ -134,6 +134,60 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  // ---- encoding with a learned merge table -------------------------
+
+  /** Apply a learned merge table to one word: merges in RANK order,
+    * each applied greedily left-to-right — the reference BPE encoder's
+    * exact semantics (rank order matters: a later merge may consume a
+    * symbol an earlier merge produced). */
+  private[graft] def encodeWord(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(w.map(_.toString): Seq[String]) {
+      case (syms, (l, r)) => applyMerge(syms, l, r)
+    }
+
+  /** The merge table, learned once per (corpus, nMerges) and staged —
+    * q_bpe_merges and q_bpe_encode both read the artifact instead of
+    * paying the 30-round driver loop twice (the [[DedupStage]] DAG-edge
+    * discipline). */
+  def stagedMerges(spark: SparkSession, sfDir: String, nMerges: Int = 30): DataFrame =
+    Staged.materialize(s"bpe_merges_${nMerges}_${Staged.sfKey(sfDir)}", spark) {
+      learnMerges(spark, sfDir, nMerges)
+    }
+
+  /** Per-document BPE token counts under the learned vocabulary — the
+    * "price the corpus" step every training pipeline runs before
+    * packing. Distributed shape mirrors [[learnMerges]]: the corpus
+    * collapses to DISTINCT words, each distinct word is encoded exactly
+    * once (typed map; the merge table rides the closure — it is
+    * model-state-sized, ~nMerges rows), and per-doc totals come from a
+    * (doc, word) occurrence join + aggregate. At 100 TB encoding cost
+    * is |distinct words| × nMerges, independent of corpus row count;
+    * the joins are narrow (word → n_syms is a broadcast-sized table).
+    *
+    * No SQL oracle (the encoder is iterative); rows-only gate + BpeSpec
+    * pins a hand-computed example and the invariant that counts equal
+    * the reference encoder's on every distinct word.
+    */
+  def encodeTokenCounts(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    val merges: Seq[(String, String)] = stagedMerges(spark, sfDir, nMerges)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val docWords = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n_occ"))
+    val encoded = docWords.select($"word").distinct().as[String]
+      .map(w => (w, encodeWord(w, merges).length.toLong))
+      .toDF("word", "n_syms")
+    docWords.join(encoded, "word")
+      .groupBy($"doc_id")
+      .agg(sum($"n_occ").cast("long").as("n_words"),
+        sum($"n_occ" * $"n_syms").cast("long").as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Plain-Scala reference BPE for the differential spec — same
     * counting (overlapping), same merge (greedy non-overlapping),
     * same tie-break. */

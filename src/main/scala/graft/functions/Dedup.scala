@@ -572,4 +572,98 @@ object Dedup {
       |SELECT new_id, doc_id, round(jaccard, 6) AS jaccard
       |FROM j WHERE jaccard >= 0.9
       |ORDER BY new_id, doc_id""".stripMargin
+
+  // ---- exact substring-span dedup (positional grams + diagonals) ---------
+
+  /** Maximal EXACT shared token spans across document pairs — the
+    * substring-level dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"), which catches boilerplate and
+    * quoted passages that set-based Jaccard dilutes away (a 30-token
+    * license block inside two otherwise-different documents is invisible
+    * to whole-doc similarity but is exactly what substring dedup cuts).
+    *
+    * Algorithm (the distributed equivalent of their suffix-array scan):
+    *  1. positional k-token grams per doc — (doc_id, pos, gram);
+    *  2. self-join on the gram (pairs sharing any k-gram), doc_a < doc_b;
+    *  3. matches on the same DIAGONAL (pos_a − pos_b constant) at
+    *     consecutive positions are one contiguous shared span: islands
+    *     via the classic pos − row_number() trick, then one aggregate
+    *     per island → span start and token length (island size + k − 1).
+    *
+    * Shuffle shape at 100 TB: one exchange keyed on the gram (the
+    * candidate join), one on (doc_a, doc_b, diagonal) (the island
+    * window+aggregate). Both keys are high-cardinality; the skew risk is
+    * a corpus-hot gram (a k-token stop phrase) fanning out
+    * quadratically — production setting caps gram doc-frequency first
+    * (dropping grams seen in >F docs can only shorten spans that such
+    * ubiquitous boilerplate dominates; [[Skew]] salting handles the
+    * moderate cases). Here the join carries the gram STRING so results
+    * are exact vs the oracle; at scale you join on xxhash64(gram) and
+    * accept the 2⁻⁶⁴ collision odds, as the reference algorithm does
+    * with its hashed suffix buckets.
+    */
+  def substringSpans(spark: SparkSession, sfDir: String, k: Int = 8,
+      minSpan: Int = 16): DataFrame =
+    substringSpansOn(spark, Tables.documents(spark, sfDir), k, minSpan)
+
+  private[graft] def substringSpansOn(spark: SparkSession, docs: DataFrame,
+      k: Int, minSpan: Int): DataFrame = {
+    import spark.implicits._
+    val toks = docs
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= k)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // positional k-grams. `t` is a materialized attribute (not the
+    // inline split) for the same reason as buildSortedShingleDocs: the
+    // transform lambda would otherwise re-split the text per element.
+    val grams = toks
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(1), size($"t") - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at($"t", i + j)): _*)))
+        .as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"gram")
+    val matches = grams.as("a").join(grams.as("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    // same diagonal + consecutive positions ⇒ same island
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"da", $"db", $"diag").orderBy($"pa")
+    matches
+      .withColumn("diag", $"pa" - $"pb")
+      .withColumn("isl", $"pa" - row_number().over(w))
+      .groupBy($"da", $"db", $"diag", $"isl")
+      .agg(min($"pa").as("start_a"), (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter($"span_tokens" >= minSpan)
+      .select($"da".as("doc_a"), $"db".as("doc_b"), $"start_a",
+        ($"start_a" - $"diag").as("start_b"), $"span_tokens")
+      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+  }
+
+  def substringSpansSql(k: Int = 8, minSpan: Int = 16): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= $k),
+       |grams AS (
+       |  SELECT doc_id, i.i AS pos,
+       |         array_to_string(t[i.i:i.i+${k - 1}], ' ') AS gram
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-${k - 2})) AS i) i),
+       |matches AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM grams a JOIN grams b
+       |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |islands AS (
+       |  SELECT da, db, pa - pb AS diag, pa,
+       |         pa - row_number() OVER (PARTITION BY da, db, pa - pb
+       |                                 ORDER BY pa) AS isl
+       |  FROM matches),
+       |spans AS (
+       |  SELECT da, db, diag, min(pa) AS start_a,
+       |         count(*) + ${k - 1} AS span_tokens
+       |  FROM islands GROUP BY da, db, diag, isl)
+       |SELECT da AS doc_a, db AS doc_b, start_a,
+       |       start_a - diag AS start_b, span_tokens
+       |FROM spans WHERE span_tokens >= $minSpan
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 }

@@ -239,4 +239,69 @@ object Retrieval {
       |GROUP BY p0.doc_id
       |ORDER BY p0.doc_id""".stripMargin
   }
+
+  // ---- MMR diversity re-ranking ------------------------------------------
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    * greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) — the standard
+    * redundancy-aware re-rank over a retriever's top-N (a RAG /
+    * eval-set-construction staple: relevance alone returns five copies
+    * of the same near-dup document; MMR forces coverage).
+    *
+    * Execution shape: the DISTRIBUTED part is the candidate generation —
+    * relevance-scored top-N via TakeOrderedAndProject over the corpus
+    * (never a full sort). The greedy loop then runs on the driver over
+    * that N-row pool: selection is inherently sequential (pick i depends
+    * on picks 1..i−1), and the pool is model-state-sized by definition —
+    * the same driver/executor split as k-means centroids and BPE merges.
+    * At 100 TB only N and the embedding width matter to the loop.
+    *
+    * Deterministic: ties broken by vec_id at both stages. No SQL oracle
+    * (the greedy recurrence isn't relational); rows-only gate + spec
+    * verifying each pick's optimality at its step against an
+    * independent recomputation from the raw embeddings.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      nCandidates: Int = 50, k: Int = 10, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" === queryId)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val pool = emb.filter($"vec_id" =!= queryId).crossJoin(broadcast(q))
+      .select($"vec_id", $"embedding",
+        (Similarity.dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("rel"),
+        $"nrm")
+      .orderBy($"rel".desc, $"vec_id").limit(nCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getDouble(2), r.getDouble(3)))
+
+    def cos(a: (Long, Array[Double], Double, Double),
+        b: (Long, Array[Double], Double, Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._2.length) { s += a._2(i) * b._2(i); i += 1 }
+      s / (a._4 * b._4)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    val byId = pool.map(c => c._1 -> c).toMap
+    def mmrOf(c: (Long, Array[Double], Double, Double)): Double = {
+      val maxSim = if (selected.isEmpty) 0.0
+        else selected.map(s => cos(c, byId(s._1))).max
+      lambda * c._3 - (1 - lambda) * maxSim
+    }
+    while (selected.length < k && remaining.nonEmpty) {
+      // argmax of the MMR objective; ties to the lower vec_id
+      val picked = remaining.maxBy(c => (mmrOf(c), -c._1))
+      selected += ((picked._1, picked._3, mmrOf(picked)))
+      remaining -= picked
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, mmr), i) =>
+        (i + 1, id, math.rint(rel * 1e6) / 1e6, math.rint(mmr * 1e6) / 1e6)
+      }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

@@ -270,4 +270,52 @@ object Sampling {
        |       ${splitAssignSql("rep", valPct, testPct, salt)} AS split
        |FROM labeled
        |ORDER BY doc_id""".stripMargin
+
+  // ---- weighted sampling (A-ES priorities) -------------------------------
+
+  /** Weight-proportional sampling without replacement — Efraimidis &
+    * Spirakis (2006) "Weighted random sampling with a reservoir": give
+    * every row priority u^(1/w) for uniform u and weight w, take the k
+    * largest. Selection probability is proportional to weight, the
+    * sample is without replacement, and — the property that makes this
+    * THE distributed shape — the k largest priorities commute with any
+    * partitioning: each partition keeps its local top-k, the driver
+    * merges (here Spark's TakeOrderedAndProject does exactly that).
+    * A training pipeline uses it to sample documents proportional to
+    * length/quality without a full sort or a sequential pass.
+    *
+    * Same reproducibility contract as every sampler here: u is not a
+    * seeded RNG but the md5 content hash ([[bucket]] discipline), so
+    * membership is a pure function of (doc_id, salt) — stable under
+    * recompute, repartition, and engine (the DuckDB oracle recomputes
+    * identical priorities). The only cross-engine hazard is two
+    * priorities within one ulp of each other flipping order under
+    * libm pow differences — with 60-bit uniforms the probability is
+    * vanishing, and doc_id breaks exact ties.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 100,
+      salt: String = "wsample_v1"): DataFrame = {
+    import spark.implicits._
+    val u = (Dedup.hash60(concat_ws("|", $"doc_id".cast("string"), lit(salt)))
+      .cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    Tables.documents(spark, sfDir)
+      .filter($"n_chars" > 0)
+      .withColumn("pri", pow(u, lit(1.0) / $"n_chars".cast("double")))
+      .orderBy($"pri".desc, $"doc_id") // TakeOrderedAndProject with limit
+      .limit(k)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  def weightedSampleSql(k: Int = 100, salt: String = "wsample_v1"): String = {
+    val h = s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || ${Sql.lit(salt)}), 1, 15)) AS BIGINT)"
+    s"""SELECT doc_id, lang, source, n_chars FROM (
+       |  SELECT doc_id, lang, source, n_chars
+       |  FROM documents
+       |  WHERE n_chars > 0
+       |  ORDER BY pow(($h + 0.5) / 1152921504606846976.0,
+       |               1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+       |  LIMIT $k)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

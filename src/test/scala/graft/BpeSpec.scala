@@ -50,6 +50,37 @@ class BpeSpec extends SparkSuite {
     assert(ref.size == 12)
   }
 
+  test("encode: hand example — rank-ordered greedy merges") {
+    // merges (a,b)->ab then (ab,c)->abc: "abcab" => [abc, ab]
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    assert(Bpe.encodeWord("abcab", merges) == Seq("abc", "ab"))
+    // rank order matters: (ab,c) before (a,b) can never fire on raw chars
+    assert(Bpe.encodeWord("abcab", merges.reverse) == Seq("ab", "c", "ab"))
+    assert(Bpe.encodeWord("xyz", merges) == Seq("x", "y", "z"))
+  }
+
+  test("encodeTokenCounts: totals equal the reference encoder, doc-complete") {
+    val out = graft.functions.Bpe.encodeTokenCounts(spark, sf, nMerges = 12).cache()
+    val merges = Bpe.stagedMerges(spark, sf, 12).orderBy($"rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // independent recomputation: per-doc token count straight from text
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val wordRe = "[a-z0-9]+".r
+    val expected = docs.map { case (id, text) =>
+      id -> wordRe.findAllIn(text.toLowerCase).map(w =>
+        Bpe.encodeWord(w, merges).length.toLong).sum
+    }.toMap
+    val got = out.select($"doc_id", $"bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(got == expected.filter(_._2 > 0))
+    // BPE can only shorten: token count ≤ character count of the words
+    val chars = docs.map { case (id, text) =>
+      id -> wordRe.findAllIn(text.toLowerCase).map(_.length.toLong).sum
+    }.toMap
+    assert(got.forall { case (id, n) => n <= chars(id) && n > 0 })
+    out.unpersist()
+  }
+
   test("pair counts on testdata: weighted, complete, deterministic order") {
     val pc = Bpe.pairCounts(spark, sf).cache()
     val total = pc.agg(sum($"pair_count")).as[Long].head()
