@@ -25,17 +25,12 @@ import graft.sources.Tables
 object Decontaminate {
 
   /** Distinct n-grams of the token array `t` (whitespace tokens of
-    * lower-cased text), as a per-row array. */
-  private def gramArray(n: Int) = {
-    // slice+concat_ws per gram; bounded by tokens/doc, runs once per
-    // corpus pass (an interpreted lambda, but over an attribute array —
-    // not the re-split trap the shingle builder documents). The CASE
-    // guard matters: sequence(1, 0) counts DOWN in Spark (auto-negative
-    // step), so sub-n docs must short-circuit to an empty array.
-    expr(s"array_distinct(CASE WHEN size(t) < $n THEN array() " +
-      s"ELSE transform(sequence(1, size(t) - ${n - 1}), " +
-      s"i -> concat_ws(' ', slice(t, i, $n))) END)")
-  }
+    * lower-cased text), as a per-row array — the fused codegen
+    * [[graft.plans.NGrams]] (distinct mode), byte-identical to the
+    * interpreted `array_distinct(transform(...))` chain it replaced
+    * (parity pinned in PropertySpec). */
+  private def gramArray(n: Int) =
+    graft.plans.ShingleExpression.ngrams(col("t"), n, distinct = true)
 
   /** Contamination report of `docs` (doc_id, text, source): training
     * docs = source <> benchSource, benchmark = source = benchSource. */

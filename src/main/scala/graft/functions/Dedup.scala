@@ -613,13 +613,11 @@ object Dedup {
       .select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= k)
       .repartition(spark.sparkContext.defaultParallelism)
-    // positional k-grams. `t` is a materialized attribute (not the
-    // inline split) for the same reason as buildSortedShingleDocs: the
-    // transform lambda would otherwise re-split the text per element.
+    // positional k-grams via the fused codegen [[graft.plans.NGrams]]
+    // (position mode: array index i ⇒ gram starting at token i+1)
     val grams = toks
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(1), size($"t") - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at($"t", i + j)): _*)))
+      .select($"doc_id", posexplode(
+        graft.plans.ShingleExpression.ngrams($"t", k, distinct = false))
         .as(Seq("p0", "gram")))
       .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"gram")
     val matches = grams.as("a").join(grams.as("b"),

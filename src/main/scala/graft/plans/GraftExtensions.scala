@@ -24,7 +24,8 @@ object GraftFunctions {
     ("dot_product", es => DotProduct(es(0), es(1))),
     ("minhash_sig", es => MinHashSignature(es.head, 64)),
     ("sorted_intersect_size", es => SortedIntersectSize(es(0), es(1))),
-    ("sorted_shingles", es => SortedShingles(es.head)))
+    ("sorted_shingles", es => SortedShingles(es.head)),
+    ("ngrams", NGrams.fromSql _))
 
   /** Register as session temp functions (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -48,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_shingles"),
       new ExpressionInfo(classOf[SortedShingles].getName, "sorted_shingles"),
       es => SortedShingles(es.head)))
+    e.injectFunction((FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+      NGrams.fromSql _))
   }
 }

@@ -104,8 +104,101 @@ object SortedShingles {
   }
 }
 
+/** Generalized fused n-gram builder — the [[SortedShingles]] discipline
+  * for any gram width, in two modes:
+  *
+  *  - `distinct = false`: grams in POSITION order (index i ⇒ gram
+  *    starting at token i+1) — feeds posexplode consumers that need
+  *    (position, gram), e.g. the substring-span dedup;
+  *  - `distinct = true`: first-occurrence-ordered distinct grams —
+  *    byte-identical to `array_distinct(transform(...))`, feeds
+  *    set-membership consumers (decontamination).
+  *
+  * Same WHY as [[SortedShingles]]: the composable chain runs an
+  * interpreted lambda per gram (slice + varargs concat_ws, an
+  * intermediate array per row, per-element dispatch); this is one
+  * static call inside WholeStageCodegen. Parity with the HOF chain is
+  * pinned by a differential spec.
+  */
+case class NGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"ngrams needs n >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngrams needs array<string> tokens, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NGrams.compute(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.NGrams.compute($a, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
+object NGrams {
+
+  /** SQL-surface builder: `ngrams(tokens, n, distinct)` — n and
+    * distinct must be literals (they parameterize the generated code). */
+  def fromSql(es: Seq[Expression]): Expression = {
+    require(es.length == 3, "ngrams(tokens, n, distinct) takes 3 arguments")
+    require(es(1).foldable && es(2).foldable,
+      "ngrams: n and distinct must be literals")
+    NGrams(es(0), es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Boolean])
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+  private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return EMPTY
+    val m = len - n + 1
+    val out = new Array[AnyRef](m)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      var nn = 0
+      while (j < n) {
+        val t = tokens.getUTF8String(i + j)
+        // null tokens unreachable from split(); concat_ws-style skip
+        // keeps SQL-surface callers safe
+        if (t != null) { parts(nn) = t; nn += 1 }
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(SPACE, java.util.Arrays.copyOf(parts, nn): _*)
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(out)
+    // first-occurrence dedup — array_distinct's exact order
+    val seen = new java.util.HashSet[AnyRef](m * 2)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (seen.add(out(r))) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == m) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
 object ShingleExpression {
   /** Column API: sorted distinct 3-gram shingles from a token array. */
   def sortedShingles(tokens: Column): Column =
     ColumnBridge.column(SortedShingles(ColumnBridge.expression(tokens)))
+
+  /** Column API: fused n-grams; see [[NGrams]]. */
+  def ngrams(tokens: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(NGrams(ColumnBridge.expression(tokens), n, distinct))
 }

@@ -51,6 +51,34 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("NGrams equals the interpreted transform/array_distinct chains, both modes") {
+    (1 to 8).foreach { _ =>
+      val n = rnd.nextInt(4) + 2
+      // small alphabet so repeats (and thus live dedup) actually occur
+      val toks = Array.fill(rnd.nextInt(25))(('a' + rnd.nextInt(3)).toChar.toString)
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val hofPositional = df.select(expr(
+        s"CASE WHEN size(t) < $n THEN array() " +
+        s"ELSE transform(sequence(1, size(t) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(t, i, $n))) END").as("g"))
+        .collect().head.getSeq[String](0)
+      val positional = df.select(
+        graft.plans.ShingleExpression.ngrams($"t", n, distinct = false).as("g"))
+        .collect().head.getSeq[String](0)
+      assert(positional == hofPositional, s"n=$n toks=${toks.toList}")
+      val distinctG = df.select(
+        graft.plans.ShingleExpression.ngrams($"t", n, distinct = true).as("g"))
+        .collect().head.getSeq[String](0)
+      assert(distinctG == hofPositional.distinct, s"n=$n toks=${toks.toList}")
+    }
+    // SQL surface: registered via GraftFunctions
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT ngrams(array('a','b','a','b'), 2, true) AS g")
+      .collect().head.getSeq[String](0)
+    assert(viaSql == Seq("a b", "b a"))
+  }
+
   test("shingles: count == max(0, tokens-2) for distinct tokens; hash60 in [0, 2^60)") {
     (0 to 8).foreach { n =>
       // n distinct tokens → exactly max(0, n-2) distinct shingles
