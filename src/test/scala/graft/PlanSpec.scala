@@ -148,6 +148,33 @@ class PlanSpec extends SparkSuite {
     val bhj = plan.split("BroadcastHashJoin").length - 1
     assert(bhj >= 4, s"expected >=4 broadcast dim joins, got $bhj\n${plan.take(800)}")
   }
+
+  test("weighted sample: TakeOrderedAndProject, no global sort of the corpus") {
+    val df = graft.functions.Sampling.weightedSample(spark, sf, k = 20)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // the inner top-k must not materialize as a full Sort+Exchange of
+    // the corpus; the only Sort allowed is the k-row doc_id re-sort
+    val sortLines = plan.split("\n").filter(l =>
+      l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort"))
+    assert(sortLines.length <= 1, sortLines.mkString("\n"))
+  }
+
+  test("substring spans: fused ngrams in plan, no interpreted transform lambda") {
+    val df = graft.functions.Dedup.substringSpans(spark, sf, k = 5, minSpan = 8)
+    val plan = planOf(df)
+    assert(plan.contains("ngrams"), plan.take(800))
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      "interpreted HOF left in the gram path")
+    assert(plan.contains("row_number"), plan.take(800))
+  }
+
+  test("contamination: bench side broadcasts, fused gram expression in plan") {
+    val df = graft.functions.Decontaminate.contamination(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("ngrams"), "fused gram expression missing")
+  }
 }
 
 class ScaleToolsSpec extends SparkSuite {
