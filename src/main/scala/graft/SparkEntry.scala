@@ -69,6 +69,7 @@ object SparkEntry {
     "q_asof_join_native" -> (AsOfJoin.eventsAsOfDailyNative _),
     "q_range_join" -> (AsOfJoin.eventsRangeJoin _),
     "q_asof_forward" -> (AsOfJoin.eventsAsOfForward _),
+    "q_asof_tolerance" -> (AsOfJoin.eventsAsOfTolerance _),
     "q_label_norms" -> (Similarity.labelNorms _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q_deduped_corpus" -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "q_asof_join_native" -> AsOfJoin.eventsAsOfDailySql,
     "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
     "q_asof_forward" -> AsOfJoin.eventsAsOfForwardSql,
+    "q_asof_tolerance" -> AsOfJoin.eventsAsOfToleranceSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

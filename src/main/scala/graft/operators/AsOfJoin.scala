@@ -134,6 +134,54 @@ object AsOfJoin {
       .orderBy($"event_id")
   }
 
+  /** Tolerance-bounded LEFT OUTER as-of join (pandas merge_asof with
+    * `tolerance`): events against a SPARSE snapshot table (every third
+    * day of the rollup — the weekly-snapshot shape), matching only
+    * within 1 day. Sparseness makes the tolerance BITE: nearest
+    * snapshots are up to 3 days back, so out-of-tolerance events must
+    * surface with a NULL match (outer), never silently fall back to an
+    * older snapshot. Exercises the native exec's tolerance walk +
+    * outer semantics together; oracle is the window composition with
+    * the same post-rank tolerance filter. */
+  def eventsAsOfTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val left = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val sparse = dailyRollup(spark, sfDir)
+      .filter(dayofmonth($"day") % 3 === 0)
+      .select($"user_id".as("d_user"),
+        $"day".cast("timestamp").as("day_ts"), $"day_value")
+    graft.plans.AsOfJoinNative.asofJoin(
+        left, sparse, "user_id", "d_user", "ts", "day_ts",
+        joinType = "left_outer", tolerance = 86400000000L) // 1 day in micros
+      .select($"event_id", $"user_id", to_date($"ts").as("event_day"),
+        to_date($"day_ts").as("matched_day"), $"day_value")
+      .orderBy($"event_id")
+  }
+
+  val eventsAsOfToleranceSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |         ${Exact.sumExactSql("value")} AS day_value
+       |  FROM events GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT * FROM daily WHERE EXTRACT(DAY FROM day) % 3 = 0),
+       |ev AS (SELECT event_id, user_id, ts FROM events),
+       |j AS (
+       |  SELECT e.event_id, s.day, s.day_value,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |                            ORDER BY s.day DESC) AS rn,
+       |         e.ts - CAST(s.day AS TIMESTAMP) AS gap
+       |  FROM ev e JOIN sparse s
+       |    ON e.user_id = s.user_id AND CAST(s.day AS TIMESTAMP) <= e.ts),
+       |best AS (
+       |  SELECT event_id, day, day_value FROM j
+       |  WHERE rn = 1 AND gap <= INTERVAL 1 DAY)
+       |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_day,
+       |       b.day AS matched_day, b.day_value
+       |FROM ev e LEFT JOIN best b ON e.event_id = b.event_id
+       |ORDER BY e.event_id""".stripMargin
+
   val eventsAsOfDailySql: String =
     s"""WITH daily AS (
        |  SELECT user_id, CAST(ts AS DATE) AS day,

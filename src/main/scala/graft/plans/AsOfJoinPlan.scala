@@ -38,11 +38,17 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, Ti
   *
   * Supported shapes (asserted at construction): key Int or Long, time
   * Timestamp, Date, or Long — both sides must agree on each type.
+  *
+  * `tolerance` (−1 = unbounded): a match is valid only while
+  * leftTime − rightTime ≤ tolerance (pandas merge_asof semantics —
+  * a nearest match farther than the tolerance is NO match, never "use
+  * an older one"). Units are the time column's physical units: micros
+  * for Timestamp, days for Date, raw for Long.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    isLeftOuter: Boolean) extends BinaryNode {
+    isLeftOuter: Boolean, tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
                     else right.output)
@@ -55,7 +61,7 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    isLeftOuter: Boolean) extends BinaryExecNode {
+    isLeftOuter: Boolean, tolerance: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
@@ -119,6 +125,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rNext: InternalRow = advanceRight()
         private var lastMatch: InternalRow = null
         private var lastMatchKey: Long = 0L
+        private var lastMatchTime: Long = 0L
         private var ready: InternalRow = null
         private def computeNext(): InternalRow = {
           while (lIter.hasNext) {
@@ -138,10 +145,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 if (keyGet(rNext, rKeyOrd) == lk) {
                   lastMatch = rNext // already copied on ingest
                   lastMatchKey = lk
+                  lastMatchTime = timeGet(rNext, rTimeOrd)
                 }
                 rNext = advanceRight()
               }
-              if (lastMatch != null && lastMatchKey == lk) {
+              // tolerance: the NEAREST candidate must be close enough —
+              // an out-of-tolerance nearest match is a non-match, never
+              // a fallback to an older row (pandas merge_asof contract)
+              if (lastMatch != null && lastMatchKey == lk &&
+                  (tolerance < 0L || lt - lastMatchTime <= tolerance)) {
                 return resultProj(joined(l, lastMatch))
               } else if (outer) {
                 return resultProj(joined(l, nullRight))
@@ -169,8 +181,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, tol) :: Nil
     case _ => Nil
   }
 }
@@ -191,7 +203,7 @@ object AsOfJoinNative {
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", tolerance: Long = -1L): DataFrame = {
     val isLeftOuter = joinType match {
       case "inner" => false
       case "left_outer" | "left" => true
@@ -229,6 +241,6 @@ object AsOfJoinNative {
       s"asofJoin times must both be Timestamp, Date, or Long, got " +
         s"${lt.dataType}/${rt.dataType}")
     DatasetBridge.ofRows(spark, AsOfJoinPlan(
-      leftPlan, rightPlan, lk, rk, lt, rt, isLeftOuter))
+      leftPlan, rightPlan, lk, rk, lt, rt, isLeftOuter, tolerance))
   }
 }

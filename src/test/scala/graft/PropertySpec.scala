@@ -106,6 +106,47 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("AsOfJoinExec tolerance: differential vs rank-then-filter composition") {
+    import org.apache.spark.sql.expressions.Window
+    (1 to 3).foreach { round =>
+      val left = (0 until 120).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(60).toLong)
+      }.toDF("id", "k", "t")
+      val right = (0 until 5).flatMap(k =>
+          List.fill(12)((k.toLong, rnd.nextInt(50).toLong)))
+        .map { case (k, t) => (k, t, k * 10000 + t) }
+        .toDF("rk", "rt", "payload")
+        .groupBy("rk", "rt").agg(min($"payload").as("payload"))
+      val tol = rnd.nextInt(15).toLong // 0 is legal: exact-time matches only
+      val native = graft.plans.AsOfJoinNative.asofJoin(
+          left, right, "k", "rk", "t", "rt", tolerance = tol)
+        .select($"id", $"rt", $"payload")
+      // pandas semantics: rank FIRST, tolerance on the nearest match —
+      // filter-then-rank would wrongly fall back to older rows
+      val w = Window.partitionBy($"id").orderBy($"rt".desc)
+      val composed = left.join(right, $"k" === $"rk" && $"rt" <= $"t")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .filter($"t" - $"rt" <= tol)
+        .select($"id", $"rt", $"payload")
+      assert(native.exceptAll(composed).count() == 0, s"round $round tol=$tol: extra")
+      assert(composed.exceptAll(native).count() == 0, s"round $round tol=$tol: missing")
+      // outer stays total; its matched subset is exactly the inner set
+      val outer = graft.plans.AsOfJoinNative.asofJoin(
+        left, right, "k", "rk", "t", "rt", "left_outer", tol)
+      assert(outer.count() == left.count(), s"round $round: outer not total")
+      assert(outer.filter($"rt".isNotNull).count() == native.count(), s"round $round")
+      // unbounded tolerance must equal the tolerance-free walk
+      val unbounded = graft.plans.AsOfJoinNative.asofJoin(
+          left, right, "k", "rk", "t", "rt")
+        .select($"id", $"rt", $"payload")
+      val neg = graft.plans.AsOfJoinNative.asofJoin(
+          left, right, "k", "rk", "t", "rt", tolerance = -1L)
+        .select($"id", $"rt", $"payload")
+      assert(neg.exceptAll(unbounded).count() == 0 &&
+        unbounded.exceptAll(neg).count() == 0)
+    }
+  }
+
   test("AsOfJoinExec: randomized differential vs window composition, inner and outer") {
     import org.apache.spark.sql.expressions.Window
     // skewed key space (key 0 is hot) + duplicate left times + keys with
