@@ -156,6 +156,10 @@ object SparkEntry {
     // iterative encoder: rows-only gate, BpeSpec differential
     "q_bpe_encode" -> ((s: SparkSession, d: String) =>
       graft.functions.Bpe.encodeTokenCounts(s, d)),
+    // k-means partitioning isn't relational: rows-only gate, drop-rule
+    // invariants pinned in SemDedupSpec
+    "q_semdedup" -> ((s: SparkSession, d: String) =>
+      graft.functions.Clustering.semDedup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */

@@ -100,6 +100,49 @@ object Clustering {
     (assigned, centroids, inertias.toSeq)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic near-dup
+    * removal via k-means partitioning — pairwise cosine is computed
+    * only WITHIN each cluster, which is the paper's whole trick: the
+    * quadratic pair search drops from |corpus|² to Σ|cluster|², and
+    * cross-cluster near-dups are the accepted approximation.
+    *
+    * Drop rule (deterministic): vector v is dropped iff some
+    * same-cluster vector u with u.id < v.id has cos(u, v) ≥ τ.
+    * Consequence (spec-pinned): no two KEPT vectors in a cluster are
+    * ≥ τ — if u < v were both kept with cos ≥ τ, v would have been
+    * dropped by u.
+    *
+    * Output: one row per DROPPED vector with its nearest smaller-id
+    * witness. Shuffle shape at 100 TB: the self-join shuffles both
+    * sides once on cluster_id; within-cluster pair cost is bounded by
+    * the cluster-size distribution (k scales with the corpus in the
+    * paper — clusters stay roughly constant-sized). */
+  def semDedup(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3, tau: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val (assigned, _, _) = kmeansFull(spark, sfDir, k, iters, trackInertia = false)
+    val vecs = assigned
+      .select($"cluster_id", $"vec_id", $"embedding",
+        sqrt(dotProduct($"embedding", $"embedding")).as("nrm"))
+    val pairs = vecs.as("x").join(vecs.as("y"),
+        $"x.cluster_id" === $"y.cluster_id" && $"x.vec_id" < $"y.vec_id")
+      .withColumn("cos",
+        dotProduct($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"))
+      .filter($"cos" >= tau)
+    // witness = the smaller-id neighbor with the highest cosine
+    // (ties to the lower id) — struct-max carries both atomically
+    val out = pairs
+      .groupBy($"y.vec_id".as("vec_id"), $"y.cluster_id".as("cluster_id"))
+      .agg(max(struct($"cos", (-$"x.vec_id").as("neg_id"))).as("w"))
+      .select($"vec_id", $"cluster_id", (-$"w.neg_id").as("witness_id"),
+        round($"w.cos", 6).as("cosine"))
+      .orderBy($"vec_id")
+      .localCheckpoint(eager = true)
+    assigned.unpersist()
+    out
+  }
+
   /** Gated query (rows-only): per-cluster size and decimal-exact
     * inertia after `iters` Lloyd iterations. Materializes the k-row
     * summary and releases the corpus-sized assignment cache — the

@@ -101,6 +101,48 @@ class WeightedSampleSpec extends SparkSuite {
   }
 }
 
+/** SemDeDup: the drop rule verified against an independent pairwise
+  * recomputation restricted to the SAME cluster assignment. */
+class SemDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dropped iff a smaller-id same-cluster neighbor >= tau; kept set is tau-free") {
+    val tau = 0.35
+    val (assigned, _, _) = graft.functions.Clustering
+      .kmeansFull(spark, sf, k = 4, iters = 2, trackInertia = false)
+    val clusters = assigned.select($"vec_id", $"cluster_id", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+      .map { case (id, c, e) => (id, c, e.map(_.toDouble).toArray) }
+    assigned.unpersist()
+    val out = graft.functions.Clustering.semDedup(spark, sf, k = 4, iters = 2, tau)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "tau chosen so the gate is non-vacuous")
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def d(x: Array[Double], y: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    // independent recomputation of the rule over the SAME assignment
+    val expectedDrops = (for {
+      (v, cv, ev) <- clusters
+      smaller = clusters.filter(u => u._2 == cv && u._1 < v && cos(u._3, ev) >= tau)
+      if smaller.nonEmpty
+    } yield v -> smaller.map(u => (cos(u._3, ev), -u._1)).max).toMap
+    val gotDrops = out.map(r => r._1 -> ((r._4, -r._3))).toMap
+    assert(gotDrops.keySet == expectedDrops.keySet)
+    gotDrops.foreach { case (v, (c, negW)) =>
+      val (ec, eNegW) = expectedDrops(v)
+      assert(negW == eNegW && math.abs(c - ec) < 1e-6, s"vec $v")
+    }
+    // kept set carries no intra-cluster pair >= tau
+    val kept = clusters.filterNot(c => gotDrops.contains(c._1))
+    for ((u, cu, eu) <- kept; (v, cv, ev) <- kept if u < v && cu == cv)
+      assert(cos(eu, ev) < tau, s"kept pair ($u,$v) violates tau")
+  }
+}
+
 /** MMR re-ranking: step-wise optimality verified against an
   * independent recomputation from the raw embeddings. */
 class MmrSpec extends SparkSuite {
