@@ -250,7 +250,7 @@ object SparkEntry {
     "q_covariance" -> graft.functions.Pca.covarianceSql,
     "q_profile" -> Profile.profileEventsSql,
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
-    "q_histogram" -> Analytics.histogramSql,
+    "q_histogram" -> Analytics.histogramSql(),
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),
     "q_cluster_split" -> Sampling.clusterSplitSql(),
     "q_incremental_dedup" -> Dedup.incrementalDedupSql,

@@ -136,14 +136,35 @@ object Bpe {
 
   // ---- encoding with a learned merge table -------------------------
 
-  /** Apply a learned merge table to one word: merges in RANK order,
-    * each applied greedily left-to-right — the reference BPE encoder's
-    * exact semantics (rank order matters: a later merge may consume a
-    * symbol an earlier merge produced). */
-  private[graft] def encodeWord(w: String, merges: Seq[(String, String)]): Seq[String] =
-    merges.foldLeft(w.map(_.toString): Seq[String]) {
-      case (syms, (l, r)) => applyMerge(syms, l, r)
+  /** Apply a learned merge table to one word — the CANONICAL encoder
+    * loop (Sennrich reference / GPT-2 encoder): repeatedly apply the
+    * lowest-RANK merge currently applicable, until none is. This is
+    * not the same as one pass in rank order: a later merge can create
+    * a symbol that re-enables an earlier merge (e.g. merges
+    * [(ab,c), (a,b)] on "abcab" — (a,b) must fire first to produce
+    * "ab", after which rank-0 (ab,c) applies), and the single-pass
+    * fold would have already moved past it. Each application is
+    * [[applyMerge]]'s greedy left-to-right non-overlapping sweep. */
+  private[graft] def encodeWord(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    // first occurrence wins if the learner ever emitted a duplicate pair
+    val rank = merges.zipWithIndex.reverse.toMap
+    var syms: Seq[String] = w.map(_.toString)
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach(r => if (r < best) best = r)
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(best)
+        syms = applyMerge(syms, l, r)
+      }
     }
+    syms
+  }
 
   /** The merge table, learned once per (corpus, nMerges) and staged —
     * q_bpe_merges and q_bpe_encode both read the artifact instead of

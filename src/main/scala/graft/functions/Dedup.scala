@@ -481,26 +481,39 @@ object Dedup {
     * except the index read. This is the operator that makes dedup
     * sustainable at 100 TB: the full [[minhashDupPairs]] runs once,
     * this runs per ingest batch. */
+  /** Band keys (band_idx, band_hash) per document — the persistable
+    * half of the LSH index. Computed in one narrow pass over a
+    * shingle table; [[DedupStage.bandKeys]] stages it so per-batch
+    * incremental dedup never re-hashes the corpus. */
+  private[functions] def bandKeys(sh: DataFrame, idCol: String): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sigs = sh.select(col(idCol), minhashSignature($"sh").as("sig"))
+      // load-bearing exchange (see minhashDupPairsOn): stops
+      // CollapseProject from re-evaluating the signature per band
+      .repartition(spark.sparkContext.defaultParallelism)
+    sigs.select(col(idCol), posexplode(expr(
+      s"transform(sequence(0, ${numBands - 1}), b -> hash(slice(sig, b * 4 + 1, 4)))")))
+      .toDF(idCol, "band_idx", "band_hash")
+  }
+
+  /** `corpusBands`: pass the STAGED corpus band table
+    * ([[DedupStage.bandKeys]]) — deriving it from `corpusSh` here
+    * (the None fallback, kept for ad-hoc calls) re-runs the 64-hash
+    * signature over the whole corpus per batch, which is exactly the
+    * cost this operator exists to avoid. */
   def incrementalDupPairs(corpusSh: DataFrame, newDocs: DataFrame,
-      minJac: Double = 0.9): DataFrame = {
+      minJac: Double = 0.9, corpusBands: Option[DataFrame] = None): DataFrame = {
     val spark = corpusSh.sparkSession
     import spark.implicits._
-    def banded(sh: DataFrame, idCol: String) = {
-      val sigs = sh.select(col(idCol), minhashSignature($"sh").as("sig"))
-        // load-bearing exchange (see minhashDupPairsOn): stops
-        // CollapseProject from re-evaluating the signature per band
-        .repartition(spark.sparkContext.defaultParallelism)
-      sigs.select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, ${numBands - 1}), b -> hash(slice(sig, b * 4 + 1, 4)))")))
-        .toDF(idCol, "band_idx", "band_hash")
-    }
     val newSh = newDocs
       .select($"new_id", tokens($"text").as("t"))
       .filter(size($"t") >= 3)
       .select($"new_id", graft.plans.ShingleExpression.sortedShingles($"t").as("sh"))
       .cache()
-    val candidates = banded(newSh, "new_id")
-      .join(banded(corpusSh, "doc_id"), Seq("band_idx", "band_hash"))
+    val candidates = bandKeys(newSh, "new_id")
+      .join(corpusBands.getOrElse(bandKeys(corpusSh, "doc_id")),
+        Seq("band_idx", "band_hash"))
       .select($"new_id", $"doc_id")
       .distinct()
     val out = candidates
@@ -533,7 +546,8 @@ object Dedup {
       .select(($"doc_id" + 100000).as("new_id"), $"text")
       .unionByName(docs.filter($"doc_id" % 20 === 7)
         .select(($"doc_id" + 200000).as("new_id"), reverse($"text").as("text")))
-    incrementalDupPairs(DedupStage.shingleDocs(spark, sfDir), newDocs)
+    incrementalDupPairs(DedupStage.shingleDocs(spark, sfDir), newDocs,
+      corpusBands = Some(DedupStage.bandKeys(spark, sfDir)))
   }
 
   val incrementalDedupSql: String =

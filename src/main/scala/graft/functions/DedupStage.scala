@@ -47,6 +47,14 @@ object DedupStage {
       Dedup.buildSortedShingleDocs(spark, sfDir)
     }
 
+  /** Corpus LSH band keys (doc_id, band_idx, band_hash) — the
+    * persisted index half that per-batch incremental dedup joins
+    * against, so a new batch never re-hashes the corpus. */
+  def bandKeys(spark: SparkSession, sfDir: String): DataFrame =
+    materialize(s"bands_${sfKey(sfDir)}", spark) {
+      Dedup.bandKeys(shingleDocs(spark, sfDir), "doc_id")
+    }
+
   /** Stage 2: exact-verified near-dup pairs (doc_a, doc_b, jaccard) at
     * `minJac`, from the MinHash-LSH candidate generator. */
   def pairs(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame =

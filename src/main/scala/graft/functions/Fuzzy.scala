@@ -57,10 +57,14 @@ object Fuzzy {
         posexplode(expr(
           s"transform(sequence(1, len - ${q - 1}), i -> substring(str, i, $q))"))
           .as(Seq("pos", "gram")))
+    // localCheckpoint: `tagged` feeds TWO consumers (the frequency
+    // aggregate and the prefix join) — without pinning, the gram
+    // explode + occurrence window re-run once per consumer
     val tagged = grams
       .withColumn("occ",
         row_number().over(Window.partitionBy(col("id"), col("gram")).orderBy(col("pos"))))
       .select(col("id"), concat_ws("#", col("gram"), col("occ")).as("gkey"))
+      .localCheckpoint(eager = true)
 
     // global rarity order; keep each string's min(q*d+1, bag) rarest
     // keys — q*d+1 once its own bound bites, the whole bag before that

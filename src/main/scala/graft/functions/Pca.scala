@@ -53,12 +53,22 @@ object Pca {
     covarianceFrom(Tables.embeddings(spark, sfDir))
       .withColumn("cov", round(col("cov"), 9))
 
-  private[graft] def covarianceFrom(embeddings: DataFrame): DataFrame = {
+  /** Per-dimension first moments (i, si, n) — the small table both the
+    * covariance join and the mean derivation read; [[fitFrom]] caches
+    * it so the mean never costs a second corpus scan. */
+  private[graft] def momentsFrom(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double").as("x"))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("x") * fp)).as("si"), count(lit(1)).as("n"))
+
+  private[graft] def covarianceFrom(embeddings: DataFrame,
+      moments: Option[DataFrame] = None): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-    val m = e.groupBy(col("i"))
-      .agg(sum(floor(col("x") * fp)).as("si"), count(lit(1)).as("n"))
+    val m = moments.getOrElse(momentsFrom(embeddings))
     val mm = e.as("a").join(e.as("b"),
         col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
@@ -224,19 +234,20 @@ object Pca {
     * vector (both driver-side models, d-sized). */
   private[graft] def fitFrom(embeddings: DataFrame)
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
-    val covRows = covarianceFrom(embeddings).collect()
+    // moments cached: one corpus explode feeds BOTH the covariance
+    // join and the mean — the mean used to cost its own full scan
+    val m = momentsFrom(embeddings).cache()
+    val covRows = covarianceFrom(embeddings, Some(m)).collect()
     val mat = Array.ofDim[Double](dim, dim)
     covRows.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       mat(i)(j) = c; mat(j)(i) = c
     }
-    val meanRows = embeddings
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg((sum(floor(col("x") * fp)).cast("double") / fp / count(lit(1))).as("m"))
-      .collect()
     val mean = Array.ofDim[Double](dim)
-    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    m.collect().foreach { r =>
+      mean(r.getInt(0)) = r.getLong(1).toDouble / fp / r.getLong(2)
+    }
+    m.unpersist()
     val (vals, vecs) = jacobiEigen(mat)
     (mean, vals, vecs)
   }

@@ -679,16 +679,16 @@ object Analytics {
     spark.sql(monthlyAggSql)
   }
 
-  val histogramSql: String =
-    """WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+  def histogramSql(nBuckets: Int = 20): String =
+    s"""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
       |assigned AS (
-      |  SELECT CAST(least(floor((x - lo) * 20 / (hi - lo)), 20 - 1) AS INTEGER) AS bucket,
+      |  SELECT CAST(least(floor((x - lo) * $nBuckets / (hi - lo)), $nBuckets - 1) AS INTEGER) AS bucket,
       |         lo, hi
       |  FROM li, bounds)
       |SELECT bucket,
-      |       round(lo + bucket * (hi - lo) / 20, 6) AS bucket_lo,
-      |       round(lo + (bucket + 1) * (hi - lo) / 20, 6) AS bucket_hi,
+      |       round(lo + bucket * (hi - lo) / $nBuckets, 6) AS bucket_lo,
+      |       round(lo + (bucket + 1) * (hi - lo) / $nBuckets, 6) AS bucket_hi,
       |       count(*) AS n
       |FROM assigned
       |GROUP BY bucket, lo, hi

@@ -60,7 +60,12 @@ object AsOfJoin {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", to_date($"ts").as("event_day"))
+    // SPARSE right side (every third day): built dense from the same
+    // events, every event's own day would be its nearest future match
+    // and the strictly-future walk would never be exercised — the gate
+    // would pass vacuously (matched_day == event_day on 100% of rows)
     val daily = dailyRollup(spark, sfDir)
+      .filter(dayofmonth($"day") % 3 === 0)
       .select($"user_id".as("d_user"), $"day", $"day_value")
     val w = Window.partitionBy($"event_id").orderBy($"day".asc)
     events
@@ -77,12 +82,14 @@ object AsOfJoin {
        |  SELECT user_id, CAST(ts AS DATE) AS day,
        |         ${Exact.sumExactSql("value")} AS day_value
        |  FROM events GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT * FROM daily WHERE EXTRACT(DAY FROM day) % 3 = 0),
        |ev AS (
        |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_day FROM events)
        |SELECT e.event_id, e.user_id, e.event_day,
        |       d.day AS matched_day, d.day_value
        |FROM ev e
-       |ASOF JOIN daily d
+       |ASOF JOIN sparse d
        |  ON e.user_id = d.user_id AND e.event_day <= d.day
        |ORDER BY e.event_id""".stripMargin
 

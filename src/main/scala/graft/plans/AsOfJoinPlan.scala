@@ -151,9 +151,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               }
               // tolerance: the NEAREST candidate must be close enough —
               // an out-of-tolerance nearest match is a non-match, never
-              // a fallback to an older row (pandas merge_asof contract)
-              if (lastMatch != null && lastMatchKey == lk &&
-                  (tolerance < 0L || lt - lastMatchTime <= tolerance)) {
+              // a fallback to an older row (pandas merge_asof contract).
+              // The true gap is ≥ 0 (match time ≤ lt by the walk
+              // invariant), so a NEGATIVE subtraction result can only
+              // mean Long overflow on extreme raw-Long times — which is
+              // by definition out of any tolerance: reject, don't wrap.
+              def withinTolerance: Boolean = {
+                if (tolerance < 0L) return true
+                val gap = lt - lastMatchTime
+                gap >= 0L && gap <= tolerance
+              }
+              if (lastMatch != null && lastMatchKey == lk && withinTolerance) {
                 return resultProj(joined(l, lastMatch))
               } else if (outer) {
                 return resultProj(joined(l, nullRight))

@@ -50,13 +50,18 @@ class BpeSpec extends SparkSuite {
     assert(ref.size == 12)
   }
 
-  test("encode: hand example — rank-ordered greedy merges") {
+  test("encode: hand examples — canonical lowest-rank-first fixpoint") {
     // merges (a,b)->ab then (ab,c)->abc: "abcab" => [abc, ab]
     val merges = Seq(("a", "b"), ("ab", "c"))
     assert(Bpe.encodeWord("abcab", merges) == Seq("abc", "ab"))
-    // rank order matters: (ab,c) before (a,b) can never fire on raw chars
-    assert(Bpe.encodeWord("abcab", merges.reverse) == Seq("ab", "c", "ab"))
+    // the case that distinguishes the canonical loop from a one-pass
+    // rank-order fold: with ranks [(ab,c), (a,b)], (a,b) fires first
+    // (only applicable one), CREATING "ab" — rank-0 (ab,c) must then
+    // still apply (a fold would have already passed it)
+    assert(Bpe.encodeWord("abcab", merges.reverse) == Seq("abc", "ab"))
     assert(Bpe.encodeWord("xyz", merges) == Seq("x", "y", "z"))
+    // lowest rank wins when several merges are applicable at once
+    assert(Bpe.encodeWord("abab", Seq(("a", "b"), ("ab", "ab"))) == Seq("abab"))
   }
 
   test("encodeTokenCounts: totals equal the reference encoder, doc-complete") {
