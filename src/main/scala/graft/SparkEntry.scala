@@ -70,6 +70,7 @@ object SparkEntry {
     "q_range_join" -> (AsOfJoin.eventsRangeJoin _),
     "q_asof_forward" -> (AsOfJoin.eventsAsOfForward _),
     "q_asof_tolerance" -> (AsOfJoin.eventsAsOfTolerance _),
+    "q_range_join_bucketed" -> (AsOfJoin.eventsRangeJoinBucketed(_, _)),
     "q_label_norms" -> (Similarity.labelNorms _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q_deduped_corpus" -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
@@ -160,6 +161,10 @@ object SparkEntry {
     // invariants pinned in SemDedupSpec
     "q_semdedup" -> ((s: SparkSession, d: String) =>
       graft.functions.Clustering.semDedup(s, d)),
+    // estimates have no SQL oracle: rows-only gate, exact-mergeability
+    // identity + error envelope in QuantileSketchSpec
+    "q_quantile_sketch" -> ((s: SparkSession, d: String) =>
+      Analytics.quantileSketchRollup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -213,6 +218,8 @@ object SparkEntry {
     "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
     "q_asof_forward" -> AsOfJoin.eventsAsOfForwardSql,
     "q_asof_tolerance" -> AsOfJoin.eventsAsOfToleranceSql,
+    // the scale twin must be indistinguishable from the broadcast form
+    "q_range_join_bucketed" -> AsOfJoin.eventsRangeJoinSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

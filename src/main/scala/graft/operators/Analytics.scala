@@ -591,6 +591,50 @@ object Analytics {
       .orderBy($"week")
   }
 
+  /** Mergeable QUANTILE sketch rollup — the percentile analog of
+    * [[hllUnionRollup]], via a KMV bottom-k sample: every row gets a
+    * deterministic md5 priority, each day keeps its k lowest-priority
+    * (value, priority) pairs, and weeks merge daily sketches by
+    * re-taking the bottom-k of the union. Mergeability is EXACT (not
+    * approximate): bottom-k of a union equals bottom-k of the
+    * per-part bottom-k's — the identity QuantileSketchSpec asserts
+    * against the sketch built directly on the whole week. The kept
+    * rows are a uniform (hash-ordered) sample, so within-sketch exact
+    * percentiles estimate the true quantiles with standard
+    * sampling error (empirically bounded in the spec).
+    *
+    * Why hash priorities and not `rand()`: the sketch is a pure
+    * function of the data — recomputes, retries, and re-partitioning
+    * reproduce it bit-for-bit (the [[graft.functions.Sampling]]
+    * discipline), and two engines agree on its contents.
+    *
+    * At 100 TB: daily sketch state is k rows per partition pre-combine
+    * (the row_number window runs per day-partition after one keyed
+    * shuffle); the weekly merge touches only |days| × k rows — the
+    * pre-aggregated-rollup pattern exact percentile_cont forbids. */
+  def quantileSketchRollup(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.Dedup.hash60(
+      concat_ws("|", $"event_id".cast("string"), lit("qsketch_v1")))
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"), $"value", pri.as("pri"))
+    val dayW = Window.partitionBy($"day").orderBy($"pri", $"value")
+    val daily = ev
+      .withColumn("rn", row_number().over(dayW)).filter($"rn" <= k)
+      .select($"day", $"value", $"pri")
+    val weekW = Window.partitionBy($"week").orderBy($"pri", $"value")
+    daily
+      .withColumn("week", date_trunc("week", $"day").cast("date"))
+      .withColumn("rn", row_number().over(weekW)).filter($"rn" <= k)
+      .groupBy($"week")
+      .agg(count(lit(1)).cast("int").as("n_sample"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50_est"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_est"))
+      .orderBy($"week")
+  }
+
   /** UNPIVOT — the inverse of [[pivotStatus]], closing the reshape
     * pair: the wide pivot output melts back to long via `stack` (a
     * generator: one pass, rows-out = rows-in × statuses, no shuffle of
