@@ -165,6 +165,9 @@ object SparkEntry {
     // identity + error envelope in QuantileSketchSpec
     "q_quantile_sketch" -> ((s: SparkSession, d: String) =>
       Analytics.quantileSketchRollup(s, d)),
+    // SQL scalar/window surface parity sweeps
+    "q_scalar_funcs" -> (Analytics.scalarFuncs _),
+    "q_window_misc" -> (WindowOps.windowMisc _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -220,6 +223,8 @@ object SparkEntry {
     "q_asof_tolerance" -> AsOfJoin.eventsAsOfToleranceSql,
     // the scale twin must be indistinguishable from the broadcast form
     "q_range_join_bucketed" -> AsOfJoin.eventsRangeJoinSql,
+    "q_scalar_funcs" -> Analytics.scalarFuncsSql,
+    "q_window_misc" -> WindowOps.windowMiscSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

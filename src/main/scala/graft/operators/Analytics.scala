@@ -635,6 +635,46 @@ object Analytics {
       .orderBy($"week")
   }
 
+  /** Scalar-function surface parity in one gated pass — the string and
+    * date/interval builtins a SQL-first user reaches for daily, each
+    * pinned cross-engine: lpad, split_part (1-indexed in both),
+    * translate, reverse, replace, locate/position (1-based, 0 when
+    * absent), last_day, add_months (both engines clamp to month end),
+    * datediff, quarter. Narrow codegen projection; zero shuffles
+    * besides the output sort. */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        lpad($"o_orderkey".cast("string"), 8, "0").as("padded"),
+        split_part($"o_orderpriority", lit("-"), lit(2)).as("prio_word"),
+        translate($"o_orderstatus", "OFP", "ofp").as("status_lc"),
+        reverse($"o_orderpriority").as("prio_rev"),
+        regexp_replace($"o_orderpriority", "-", "_").as("prio_u"),
+        locate("5", $"o_orderkey".cast("string")).as("pos5"),
+        last_day(to_date($"o_orderdate")).as("month_end"),
+        add_months(to_date($"o_orderdate"), 3).as("plus3m"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        quarter($"o_orderdate").as("q"))
+      .orderBy($"o_orderkey")
+  }
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |       lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS padded,
+      |       split_part(o_orderpriority, '-', 2) AS prio_word,
+      |       translate(o_orderstatus, 'OFP', 'ofp') AS status_lc,
+      |       reverse(o_orderpriority) AS prio_rev,
+      |       replace(o_orderpriority, '-', '_') AS prio_u,
+      |       CAST(position('5' IN CAST(o_orderkey AS VARCHAR)) AS INTEGER) AS pos5,
+      |       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      |       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** UNPIVOT — the inverse of [[pivotStatus]], closing the reshape
     * pair: the wide pivot output melts back to long via `stack` (a
     * generator: one pass, rows-out = rows-in × statuses, no shuffle of

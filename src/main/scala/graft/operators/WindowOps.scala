@@ -221,4 +221,36 @@ object WindowOps {
       |       (h.n_events IS NULL) AS was_gap
       |FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
       |ORDER BY s.event_type, s.hr""".stripMargin
+
+  /** Remaining ranking/navigation surface in one gated pass:
+    * percent_rank, cume_dist, nth_value, first_value, lead-with-offset
+    * — per-status partitions ordered with a unique tiebreaker so frame
+    * contents (and thus every navigation answer) are engine-identical.
+    * nth_value runs under the default cumulative frame in both engines:
+    * null until the partition's 3rd row enters the frame. */
+  def windowMisc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus",
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first_value($"o_orderkey").over(w).as("cheapest_key"),
+        nth_value($"o_orderkey", 3).over(w).as("third_key"),
+        lead($"o_orderkey", 2).over(w).as("lead2_key"))
+      .orderBy($"o_orderkey")
+  }
+
+  val windowMiscSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cdist,
+      |       first_value(o_orderkey) OVER w AS cheapest_key,
+      |       nth_value(o_orderkey, 3) OVER w AS third_key,
+      |       lead(o_orderkey, 2) OVER w AS lead2_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
 }
