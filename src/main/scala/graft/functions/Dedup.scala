@@ -465,22 +465,6 @@ object Dedup {
 
   // ---- incremental dedup: new batch vs existing corpus -------------------
 
-  /** INCREMENTAL near-dup detection — the arrival-time shape of a
-    * production ingest: a NEW batch of documents is checked against the
-    * existing corpus WITHOUT re-scanning or re-shingling the corpus.
-    * The corpus participates only through its index artifacts: the
-    * staged sorted-shingle table ([[DedupStage.shingleDocs]]) and band
-    * keys derived from it in one narrow pass (a deployed index would
-    * persist those too — same contract). The new batch (tiny) is
-    * shingled and banded fresh; candidates are bucket collisions
-    * new×corpus (never corpus×corpus); verification is the same exact
-    * Jaccard as the batch path, so precision is 1.0 and recall is the
-    * LSH band guarantee (~1 at j ≥ 0.9).
-    *
-    * Cost per batch: O(|batch| + collisions) — corpus-size-independent
-    * except the index read. This is the operator that makes dedup
-    * sustainable at 100 TB: the full [[minhashDupPairs]] runs once,
-    * this runs per ingest batch. */
   /** Band keys (band_idx, band_hash) per document — the persistable
     * half of the LSH index. Computed in one narrow pass over a
     * shingle table; [[DedupStage.bandKeys]] stages it so per-batch
@@ -497,11 +481,26 @@ object Dedup {
       .toDF(idCol, "band_idx", "band_hash")
   }
 
-  /** `corpusBands`: pass the STAGED corpus band table
-    * ([[DedupStage.bandKeys]]) — deriving it from `corpusSh` here
-    * (the None fallback, kept for ad-hoc calls) re-runs the 64-hash
-    * signature over the whole corpus per batch, which is exactly the
-    * cost this operator exists to avoid. */
+  /** INCREMENTAL near-dup detection — the arrival-time shape of a
+    * production ingest: a NEW batch of documents is checked against the
+    * existing corpus WITHOUT re-scanning or re-shingling the corpus.
+    * The corpus participates only through its index artifacts: the
+    * staged sorted-shingle table ([[DedupStage.shingleDocs]]) and the
+    * staged band-key table ([[DedupStage.bandKeys]]). The new batch
+    * (tiny) is shingled and banded fresh; candidates are bucket
+    * collisions new×corpus (never corpus×corpus); verification is the
+    * same exact Jaccard as the batch path, so precision is 1.0 and
+    * recall is the LSH band guarantee (~1 at j ≥ 0.9).
+    *
+    * Cost per batch: O(|batch| + collisions) — corpus-size-independent
+    * except the index read. This is the operator that makes dedup
+    * sustainable at 100 TB: the full [[minhashDupPairs]] runs once,
+    * this runs per ingest batch.
+    *
+    * `corpusBands`: pass the STAGED corpus band table — deriving it
+    * from `corpusSh` here (the None fallback, kept for ad-hoc calls)
+    * re-runs the 64-hash signature over the whole corpus per batch,
+    * which is exactly the cost this operator exists to avoid. */
   def incrementalDupPairs(corpusSh: DataFrame, newDocs: DataFrame,
       minJac: Double = 0.9, corpusBands: Option[DataFrame] = None): DataFrame = {
     val spark = corpusSh.sparkSession

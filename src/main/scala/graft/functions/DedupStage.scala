@@ -74,6 +74,11 @@ object DedupStage {
     * happens to run first). */
   def prebuild(spark: SparkSession, sfDir: String, minJac: Double = 0.9): Unit = {
     clusters(spark, sfDir, minJac).count()
+    // the incremental-dedup band index is a stage too: build it here so
+    // its corpus-wide signature pass lands in bench_dedup_stage_build,
+    // not buried (and half-discarded by min-of-N) in the first
+    // q_incremental_dedup run
+    bandKeys(spark, sfDir).count()
     ()
   }
 

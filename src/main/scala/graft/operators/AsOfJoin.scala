@@ -140,17 +140,23 @@ object AsOfJoin {
     * indistinguishable from the broadcast form, which is what makes it
     * a drop-in at scale. */
   def eventsRangeJoinBucketed(spark: SparkSession, sfDir: String,
-      bucketWidth: Double = 10.0): DataFrame = {
+      bucketWidth: Double = 10.0,
+      extraBands: Seq[(String, Double, Double)] = Nil): DataFrame = {
     import spark.implicits._
-    val bands = Seq(
+    val bands = (Seq(
       ("low", 0.0, 25.0), ("mid", 25.0, 50.0),
-      ("high", 50.0, 75.0), ("top", 75.0, 1e9))
+      ("high", 50.0, 75.0), ("top", 75.0, 1e9)) ++ extraBands)
       .toDF("band", "lo", "hi")
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"value",
         floor($"value" / bucketWidth).cast("long").as("bucket"))
     val bounds = ev.agg(max($"value").as("max_v"))
+    // drop bands entirely above the domain BEFORE the sequence: Spark's
+    // sequence(start, stop) auto-reverses when start > stop (it would
+    // emit a DESCENDING bucket list, not an empty one — for a far-away
+    // band that is the very blowup the clamp exists to prevent)
     val bucketed = bands.crossJoin(bounds)
+      .filter($"lo" <= $"max_v")
       .withColumn("bucket", explode(sequence(
         floor($"lo" / bucketWidth).cast("long"),
         floor(least($"hi", $"max_v") / bucketWidth).cast("long"))))

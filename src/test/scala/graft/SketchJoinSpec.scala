@@ -77,6 +77,17 @@ class BucketedRangeJoinSpec extends SparkSuite {
     assert(a == c)
   }
 
+  test("band entirely above the domain matches nothing and cannot blow up") {
+    // a (1e6, 1e9) band against a 0-100 value domain: without the
+    // lo <= max_v guard, sequence(1e5, 10) auto-REVERSES into a
+    // 100k-element descending bucket list per band row
+    val withFar = AsOfJoin.eventsRangeJoinBucketed(spark, sf,
+        extraBands = Seq(("far", 1e6, 1e9)))
+      .collect().toSeq
+    val base = AsOfJoin.eventsRangeJoinBucketed(spark, sf).collect().toSeq
+    assert(withFar == base, "the unmatched far band must be invisible")
+  }
+
   test("bucketed plan joins hash-on-bucket, no nested-loop scan of intervals") {
     val df = AsOfJoin.eventsRangeJoinBucketed(spark, sf)
     df.collect()
