@@ -168,6 +168,8 @@ object SparkEntry {
     // SQL scalar/window surface parity sweeps
     "q_scalar_funcs" -> (Analytics.scalarFuncs _),
     "q_window_misc" -> (WindowOps.windowMisc _),
+    "q_array_funcs" -> (Analytics.arrayFuncs _),
+    "q_null_semantics" -> (Analytics.nullSemantics _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -225,6 +227,8 @@ object SparkEntry {
     "q_range_join_bucketed" -> AsOfJoin.eventsRangeJoinSql,
     "q_scalar_funcs" -> Analytics.scalarFuncsSql,
     "q_window_misc" -> WindowOps.windowMiscSql,
+    "q_array_funcs" -> Analytics.arrayFuncsSql,
+    "q_null_semantics" -> Analytics.nullSemanticsSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

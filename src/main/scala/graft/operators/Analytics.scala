@@ -675,6 +675,77 @@ object Analytics {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Array / higher-order-function surface parity: array_max, a left
+    * FOLD (Spark `aggregate` ≡ DuckDB `list_reduce` — both
+    * left-associated, so IEEE sums agree bit-for-bit), `filter`,
+    * `slice`, `transform`, and array_position (both engines return 0
+    * when absent). The comparison threshold is 0.125 — dyadic, exactly
+    * representable as float AND double, so the float-vs-double
+    * comparison path can't disagree (0.1 would: 0.1f ≠ 0.1d). HOFs are
+    * interpreted in Spark — fine in a parity sweep, wrong in a hot
+    * path ([[graft.plans.NGrams]] et al. exist for those). */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asDouble = transform($"embedding", x => x.cast("double"))
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        round(array_max(asDouble), 6).as("max_elem"),
+        round(aggregate(transform(slice($"embedding", 1, 8),
+          x => x.cast("double")), lit(0.0), (a, x) => a + x), 6)
+          .as("head_sum"),
+        size(filter($"embedding", x => x > 0)).as("n_pos"),
+        array_position(transform($"embedding", x => x > 0.125f),
+          true).cast("int").as("first_big"))
+      .orderBy($"vec_id")
+  }
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id,
+      |       round(CAST(list_max(list_transform(embedding,
+      |                x -> CAST(x AS DOUBLE))) AS DOUBLE), 6) AS max_elem,
+      |       round(CAST(list_reduce(
+      |                list_prepend(CAST(0.0 AS DOUBLE),
+      |                  list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+      |                (a, x) -> a + x) AS DOUBLE), 6) AS head_sum,
+      |       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+      |       CAST(list_position(list_transform(embedding,
+      |                x -> x > CAST(0.125 AS FLOAT)), true) AS INTEGER) AS first_big
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** NULL-semantics parity: the null GROUP (SQL groups null keys
+    * together), count(*) vs count(col), null-safe equality
+    * (Spark `<=>` ≡ SQL `IS NOT DISTINCT FROM`), and coalesce — on a
+    * key column deliberately nulled for every 7th order. */
+  def nullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice",
+        when($"o_orderkey" % 7 === 0, lit(null)).otherwise($"o_orderstatus")
+          .as("s"))
+      .groupBy($"s")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"s").as("n_nonnull"),
+        count(when($"s" <=> lit(null), 1)).as("n_nullsafe_null"),
+        sumExact($"o_totalprice").as("revenue"))
+      .withColumn("s_filled", coalesce($"s", lit("NONE")))
+      .orderBy($"s".asc_nulls_first)
+  }
+
+  val nullSemanticsSql: String =
+    s"""WITH t AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |              ELSE o_orderstatus END AS s
+      |  FROM orders)
+      |SELECT s, COUNT(*) AS n_rows, COUNT(s) AS n_nonnull,
+      |       COUNT(CASE WHEN s IS NOT DISTINCT FROM NULL THEN 1 END)
+      |         AS n_nullsafe_null,
+      |       ${sumExactSql("o_totalprice")} AS revenue,
+      |       coalesce(s, 'NONE') AS s_filled
+      |FROM t GROUP BY s
+      |ORDER BY s NULLS FIRST""".stripMargin
+
   /** UNPIVOT — the inverse of [[pivotStatus]], closing the reshape
     * pair: the wide pivot output melts back to long via `stack` (a
     * generator: one pass, rows-out = rows-in × statuses, no shuffle of
