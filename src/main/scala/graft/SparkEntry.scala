@@ -170,6 +170,8 @@ object SparkEntry {
     "q_window_misc" -> (WindowOps.windowMisc _),
     "q_array_funcs" -> (Analytics.arrayFuncs _),
     "q_null_semantics" -> (Analytics.nullSemantics _),
+    "q_temperature_mix" -> ((s: SparkSession, d: String) =>
+      Sampling.temperatureMix(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -229,6 +231,7 @@ object SparkEntry {
     "q_window_misc" -> WindowOps.windowMiscSql,
     "q_array_funcs" -> Analytics.arrayFuncsSql,
     "q_null_semantics" -> Analytics.nullSemanticsSql,
+    "q_temperature_mix" -> graft.functions.Sampling.temperatureMixSql(),
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

@@ -271,6 +271,52 @@ object Sampling {
        |FROM labeled
        |ORDER BY doc_id""".stripMargin
 
+  // ---- temperature-based domain mixing -----------------------------------
+
+  /** Sampling-temperature rebalancing (the multilingual/multi-domain
+    * mixing rule of mBERT/XLM-R/mT5: draw from domain s with
+    * probability ∝ n_s^α, α < 1 flattening the head): realized as a
+    * deterministic per-domain keep-rate r_s = (n_s / n_min)^(α−1), so
+    * the SMALLEST domain keeps everything and a domain k× larger keeps
+    * k^(α−1) of its rows — surviving counts scale as n_s^α up to the
+    * shared constant. Rates are derived IN-PLAN from the domain counts
+    * (tiny aggregate broadcast back over a second scan — the
+    * quality-gate shape, no driver collect), membership is the
+    * [[bucket]] content-hash, so the whole mix is a pure function of
+    * (corpus, α, salt): recompute-stable, engine-reproducible,
+    * oracle-gated on exact membership.
+    *
+    * At 100 TB: one |domains|-sized aggregate + one scan-level filter —
+    * zero corpus shuffles, pushdown intact. */
+  def temperatureMix(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.5, salt: String = "tempmix_v1"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min($"n_lang").as("n_min"))
+    val rates = counts.crossJoin(minN)
+      .select($"lang",
+        round(pow($"n_lang".cast("double") / $"n_min", lit(alpha - 1))
+          * buckets).cast("long").as("keep_buckets"))
+    docs.join(broadcast(rates), "lang")
+      .filter(bucket($"doc_id", salt) < $"keep_buckets")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  def temperatureMixSql(alpha: Double = 0.5, salt: String = "tempmix_v1"): String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_lang) AS n_min FROM c),
+       |r AS (
+       |  SELECT lang,
+       |         CAST(round(pow(CAST(n_lang AS DOUBLE) / n_min, ${alpha - 1})
+       |                    * $buckets) AS BIGINT) AS keep_buckets
+       |  FROM c, m)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE ${bucketSql("d.doc_id", salt)} < r.keep_buckets
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- weighted sampling (A-ES priorities) -------------------------------
 
   /** Weight-proportional sampling without replacement — Efraimidis &

@@ -453,4 +453,63 @@ class CsvSourceSpec extends SparkSuite {
     assert(back.columns.toSeq == Seq("LOCATIONID", "ZONE"))
     assert(back.count() == 25)
   }
+
+  test("CSV malformed rows: PERMISSIVE pads, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_bad_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,amount\n1,10.5\n2,not_a_number\n3,30.0\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    def read(mode: String) = spark.read
+      .option("header", "true").option("mode", mode).schema(schema)
+      .csv(dir)
+    // PERMISSIVE (the ingestion default): malformed field -> null, row kept
+    val permissive = read("PERMISSIVE").collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(_.isNullAt(1)) == 1)
+    // DROPMALFORMED: the bad row disappears. Gotcha pinned on purpose:
+    // count() prunes ALL columns, so nothing gets parsed and nothing is
+    // "malformed" — count() returns 3 even in this mode. Only a read
+    // that materializes the typed columns applies the drop.
+    assert(read("DROPMALFORMED").count() == 3)
+    assert(read("DROPMALFORMED").collect().length == 2)
+    // FAILFAST: the bad row is a loud error, not silent data loss
+    val err = intercept[org.apache.spark.SparkException] {
+      read("FAILFAST").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("malformed") ||
+      Option(err.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
+
+/** Temperature mixing: surviving counts follow the n^alpha law. */
+class TemperatureMixSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("smallest domain kept fully; larger domains thinned toward n^alpha") {
+    val alpha = 0.5
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = corpus.values.min
+    val kept = graft.functions.Sampling.temperatureMix(spark, sf, alpha)
+      .groupBy($"lang").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = corpus.minBy(_._2)._1
+    assert(kept(minLang) == corpus(minLang), "smallest domain must keep all rows")
+    corpus.foreach { case (lang, n) =>
+      val expected = n * math.pow(n.toDouble / nMin, alpha - 1)
+      // hash-bucket binomial noise: allow a generous band, but the en
+      // head must be decisively thinned while staying above exact n^α/2
+      assert(math.abs(kept(lang) - expected) < 0.35 * expected + 5,
+        s"$lang kept ${kept(lang)} vs expected ~$expected of $n")
+    }
+    // determinism
+    val again = graft.functions.Sampling.temperatureMix(spark, sf, alpha)
+      .collect().toSeq
+    assert(again == graft.functions.Sampling.temperatureMix(spark, sf, alpha)
+      .collect().toSeq)
+  }
 }
