@@ -161,10 +161,12 @@ object SparkEntry {
     // invariants pinned in SemDedupSpec
     "q_semdedup" -> ((s: SparkSession, d: String) =>
       graft.functions.Clustering.semDedup(s, d)),
-    // estimates have no SQL oracle: rows-only gate, exact-mergeability
-    // identity + error envelope in QuantileSketchSpec
+    // deterministic sketch: hash-exact oracle (md5 priorities, bottom-k,
+    // within-sample percentiles) + mergeability identity in spec
     "q_quantile_sketch" -> ((s: SparkSession, d: String) =>
       Analytics.quantileSketchRollup(s, d)),
+    // streaming maintenance of the same sketch: stream == batch == oracle
+    "q_stream_sketch" -> (graft.streaming.EventsStream.sketchStreamQuery _),
     // SQL scalar/window surface parity sweeps
     "q_scalar_funcs" -> (Analytics.scalarFuncs _),
     "q_window_misc" -> (WindowOps.windowMisc _),
@@ -232,6 +234,8 @@ object SparkEntry {
     "q_array_funcs" -> Analytics.arrayFuncsSql,
     "q_null_semantics" -> Analytics.nullSemanticsSql,
     "q_temperature_mix" -> graft.functions.Sampling.temperatureMixSql(),
+    "q_quantile_sketch" -> Analytics.quantileSketchSql(),
+    "q_stream_sketch" -> Analytics.quantileSketchSql(),
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

@@ -625,15 +625,44 @@ object Analytics {
       .withColumn("rn", row_number().over(dayW)).filter($"rn" <= k)
       .select($"day", $"value", $"pri")
     val weekW = Window.partitionBy($"week").orderBy($"pri", $"value")
-    daily
+    sketchEstimates(daily
       .withColumn("week", date_trunc("week", $"day").cast("date"))
       .withColumn("rn", row_number().over(weekW)).filter($"rn" <= k)
-      .groupBy($"week")
+      .select($"week", $"value", $"pri"))
+  }
+
+  /** Quantile estimates off a (week, value, pri) sketch table — shared
+    * by the batch rollup and the streaming maintenance twin, so both
+    * gates run the identical estimator. */
+  private[graft] def sketchEstimates(sketch: DataFrame): DataFrame =
+    sketch
+      .groupBy(col("week"))
       .agg(count(lit(1)).cast("int").as("n_sample"),
         round(expr("percentile(value, 0.5)"), 6).as("p50_est"),
         round(expr("percentile(value, 0.95)"), 6).as("p95_est"))
-      .orderBy($"week")
-  }
+      .orderBy(col("week"))
+
+  /** Oracle: the sketch is DETERMINISTIC SQL (md5 priorities, bottom-k,
+    * exact within-sample percentiles), and bottom-k commutes with the
+    * day→week rollup (QuantileSketchSpec), so DuckDB reproduces the
+    * estimates from the week-direct formulation hash-exactly. */
+  def quantileSketchSql(k: Int = 256): String =
+    s"""WITH pr AS (
+       |  SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+       |         value,
+       |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+       |           || '|qsketch_v1'), 1, 15)) AS BIGINT) AS pri
+       |  FROM events),
+       |kept AS (
+       |  SELECT week, value,
+       |         row_number() OVER (PARTITION BY week ORDER BY pri, value) AS rn
+       |  FROM pr)
+       |SELECT week, CAST(COUNT(*) AS INTEGER) AS n_sample,
+       |       round(quantile_cont(value, 0.5), 6) AS p50_est,
+       |       round(quantile_cont(value, 0.95), 6) AS p95_est
+       |FROM kept WHERE rn <= $k
+       |GROUP BY week
+       |ORDER BY week""".stripMargin
 
   /** Scalar-function surface parity in one gated pass — the string and
     * date/interval builtins a SQL-first user reaches for daily, each

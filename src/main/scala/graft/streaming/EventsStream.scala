@@ -625,6 +625,109 @@ object EventsStream {
     }
   }
 
+  // ---- streaming quantile-sketch maintenance -----------------------------
+
+  /** (week, value, pri) bottom-k sketch rows of a decoded events frame
+    * — the mergeable state the streaming fold maintains. */
+  private[graft] def sketchRowsOf(events: DataFrame, k: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.Dedup.hash60(
+      concat_ws("|", $"event_id".cast("string"), lit("qsketch_v1")))
+    val w = Window.partitionBy($"week").orderBy($"pri", $"value")
+    events
+      .select(date_trunc("week", to_date($"ts")).cast("date").as("week"),
+        $"value", pri.as("pri"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .select($"week", $"value", $"pri")
+  }
+
+  /** One maintenance fold: stored sketch ∪ batch sketch → bottom-k per
+    * week. EXACT because bottom-k is a semilattice merge (bottom-k of a
+    * union == bottom-k of per-part bottom-k's) — unlike the additive
+    * IVM fold there is no delete hazard at all. Replays are guarded by
+    * the same applied-batch marker that travels inside the WAP swap
+    * (a replayed union would duplicate kept rows and let them occupy
+    * multiple sample slots). */
+  private[graft] def applySketchBatch(spark: SparkSession, sketchDir: String,
+      batch: DataFrame, batchId: Long, k: Int = 256): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(sketchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$sketchDir/_applied_batch")
+    val applied =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    if (batchId <= applied) false
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val stored = spark.read.parquet(sketchDir)
+      val w = Window.partitionBy(col("week")).orderBy(col("pri"), col("value"))
+      val merged = stored.unionByName(sketchRowsOf(batch, k))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("week"), col("value"), col("pri"))
+      val ok = graft.sources.Ingest.writeAudited(merged, sketchDir,
+        a => a.groupBy("week").count().filter(col("count") > k).isEmpty,
+        stagingMark = Some(("_applied_batch", batchId.toString)))
+      require(ok, s"sketch audit failed for $sketchDir — state left at previous version")
+      true
+    }
+  }
+
+  def runSketchStream(spark: SparkSession, sketchDir: String, feedDir: String,
+      checkpointDir: String): Int = {
+    Tables.enableNanosAsLong(spark)
+    var batches = 0
+    val q = spark.readStream
+      .schema(Tables.eventsRaw)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (applySketchBatch(spark, sketchDir, Tables.decodeEventTs(batch), batchId))
+          batches += 1
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
+  /** Gated query: sketch seeded from 90% of events, the held-out 10%
+    * delivered as a 4-file feed (four folds), then the maintained state
+    * must yield the SAME estimates as the batch rollup over all events
+    * — which is also the DuckDB oracle (the sketch is deterministic, so
+    * stream == batch == oracle, hash-exact). */
+  def sketchStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_sketch_stream_").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val events = Tables.events(spark, sfDir)
+      sketchRowsOf(events.filter($"event_id" % 10 =!= 0), 256)
+        .write.parquet(s"$work/sketch")
+      spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+        .filter($"event_id" % 10 === 0)
+        .repartition(4)
+        .write.parquet(s"$work/feed")
+      runSketchStream(spark, s"$work/sketch", s"$work/feed", s"$work/ckpt")
+      graft.operators.Analytics.sketchEstimates(
+          spark.read.parquet(s"$work/sketch"))
+        .localCheckpoint(eager = true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      ()
+    }
+  }
+
   // ---- stream-static enrichment join -------------------------------------
 
   /** The event-type dimension used by the enrichment join — a

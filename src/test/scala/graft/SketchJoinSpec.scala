@@ -63,6 +63,40 @@ class QuantileSketchSpec extends SparkSuite {
   }
 }
 
+/** Streaming sketch maintenance: batch replay is a no-op (marker
+  * guard), folds preserve the per-week k bound. */
+class SketchStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("replayed batch does not distort the sketch; k bound holds") {
+    graft.sources.Tables.enableNanosAsLong(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_sketch_spec_").toString
+    try {
+      val events = graft.sources.Tables.events(spark, sf)
+      // seed the state dir, then fold batch 0
+      graft.streaming.EventsStream
+        .sketchRowsOf(events.filter($"event_id" % 4 === 2), 32)
+        .write.parquet(s"$work/s0")
+      assert(graft.streaming.EventsStream.applySketchBatch(
+        spark, s"$work/s0", events.filter($"event_id" % 2 === 0), 0L, k = 32))
+      val before = spark.read.parquet(s"$work/s0").collect().toSet
+      // replay of batch 0 must be refused by the applied-batch marker
+      val applied = graft.streaming.EventsStream.applySketchBatch(
+        spark, s"$work/s0", events.filter($"event_id" % 2 === 0), 0L, k = 32)
+      assert(!applied, "replayed batchId must be a no-op")
+      assert(spark.read.parquet(s"$work/s0").collect().toSet == before)
+      // a NEW batch folds in and the k bound holds
+      assert(graft.streaming.EventsStream.applySketchBatch(
+        spark, s"$work/s0", events.filter($"event_id" % 2 === 1), 1L, k = 32))
+      val after = spark.read.parquet(s"$work/s0")
+      assert(after.groupBy($"week").count().filter($"count" > 32).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      ()
+    }
+  }
+}
+
 /** Bucketed interval join: drop-in equivalence with the broadcast-NLJ
   * form and the no-NLJ plan shape. */
 class BucketedRangeJoinSpec extends SparkSuite {
