@@ -174,6 +174,7 @@ object SparkEntry {
     "q_null_semantics" -> (Analytics.nullSemantics _),
     "q_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureMix(s, d)),
+    "q_json_source" -> (graft.sources.Ingest.jsonSourceQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -236,6 +237,7 @@ object SparkEntry {
     "q_temperature_mix" -> graft.functions.Sampling.temperatureMixSql(),
     "q_quantile_sketch" -> Analytics.quantileSketchSql(),
     "q_stream_sketch" -> Analytics.quantileSketchSql(),
+    "q_json_source" -> graft.sources.Ingest.jsonSourceSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

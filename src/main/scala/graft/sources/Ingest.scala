@@ -411,6 +411,62 @@ object Ingest {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** JSON-lines source with declared schema + corrupt-record capture —
+    * the semi-structured half of ingestion (the reference's landing
+    * formats are CSV/parquet; any real feed also lands JSON). The
+    * gated query is a full round trip: a slice of events serialized
+    * with `to_json`, two garbage lines appended, read back with an
+    * explicit schema under PERMISSIVE with `columnNameOfCorruptRecord`
+    * — parsed rows aggregate exactly like the parquet originals
+    * (doubles survive Jackson's shortest-round-trip rendering), and
+    * the corrupt lines surface as a counted bucket instead of vanishing.
+    *
+    * Scale: schema-on-read with a DECLARED schema (no sampling
+    * inference pass over 100 TB); corrupt capture beats
+    * DROPMALFORMED's silent loss for feed monitoring. */
+  def jsonSourceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    try {
+      val good = Tables.events(spark, sfDir)
+        .filter($"event_id" % 50 === 0)
+        .select(to_json(struct($"event_id", $"user_id", $"event_type",
+          $"value")).as("line"))
+      val bad = Seq("this is not json", "{broken json line").toDF("line")
+      good.unionByName(bad).coalesce(4).write.text(s"$tmp/feed")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("_bad", StringType)))
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(s"$tmp/feed")
+        .select(when($"_bad".isNotNull, lit("_corrupt"))
+          .otherwise($"event_type").as("event_type"), $"value")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(graft.functions.Exact.sumExact($"value"), lit(0.0))
+            .as("total_value"))
+        .orderBy($"event_type")
+        .localCheckpoint(eager = true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  val jsonSourceSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |       ${graft.functions.Exact.sumExactSql("value")} AS total_value
+       |FROM events
+       |WHERE event_id % 50 = 0
+       |GROUP BY 1
+       |UNION ALL
+       |SELECT '_corrupt', 2, 0.0
+       |ORDER BY event_type""".stripMargin
+
   val insertOverwriteSql: String =
     """WITH cur AS (
       |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
