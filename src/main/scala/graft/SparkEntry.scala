@@ -175,6 +175,9 @@ object SparkEntry {
     "q_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureMix(s, d)),
     "q_json_source" -> (graft.sources.Ingest.jsonSourceQuery _),
+    "q_time_travel" -> (graft.sources.Versioned.timeTravelQuery _),
+    "q_bfs_hops" -> (Graph.bfsQuery _),
+    "q_skyline" -> (Skyline.orderSkyline _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -238,6 +241,9 @@ object SparkEntry {
     "q_quantile_sketch" -> Analytics.quantileSketchSql(),
     "q_stream_sketch" -> Analytics.quantileSketchSql(),
     "q_json_source" -> graft.sources.Ingest.jsonSourceSql,
+    "q_time_travel" -> graft.sources.Versioned.timeTravelSql,
+    "q_bfs_hops" -> Graph.bfsSql,
+    "q_skyline" -> Skyline.orderSkylineSql,
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),
