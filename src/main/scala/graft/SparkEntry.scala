@@ -178,6 +178,7 @@ object SparkEntry {
     "q_time_travel" -> (graft.sources.Versioned.timeTravelQuery _),
     "q_bfs_hops" -> (Graph.bfsQuery _),
     "q_skyline" -> (Skyline.orderSkyline _),
+    "q_curation" -> (Curation.curate _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -244,6 +245,7 @@ object SparkEntry {
     "q_time_travel" -> graft.sources.Versioned.timeTravelSql,
     "q_bfs_hops" -> Graph.bfsSql,
     "q_skyline" -> Skyline.orderSkylineSql,
+    "q_curation" -> Curation.curateSql(),
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Skyline}
+
+/** BFS traversal, skyline dominance, and the runtime bloom-filter
+  * join-pruning surface. */
+class GraphSkylineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(pairs: (String, String)*) = {
+    val d = pairs.toDF("a", "b")
+    d.unionByName(d.select($"b".as("a"), $"a".as("b")))
+  }
+
+  test("bfs: min hop wins on multi-path graphs, cycles terminate") {
+    // a-b-c-d chain plus a shortcut a-d and a cycle b-c
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("c", "b"))
+    val out = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // d is 1 hop via the shortcut even though the chain path is 3
+    assert(out == Map("a" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+  }
+
+  test("bfs: unreachable nodes absent; maxHops truncates the walk") {
+    val e = edges(("a", "b"), ("b", "c"), ("x", "y")) // two components
+    val out = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(!out.contains("x") && !out.contains("y"))
+    val capped = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("a", "b")) // c is 2 hops out — beyond the cap
+  }
+
+  test("skyline: strict-dominance semantics, ties on both axes kept") {
+    val rows = Seq(
+      (1L, 100.0, "2024-01-05"), // dominated by 3 (higher price, earlier date)
+      (2L, 200.0, "2024-01-10"), // frontier: highest price
+      (3L, 150.0, "2024-01-01"), // frontier: earliest date at its price level
+      (4L, 150.0, "2024-01-01"), // exact tie with 3 — both kept
+      (5L, 150.0, "2024-01-02"), // dominated by 3/4 (same price, later date)
+      (6L, 200.0, "2024-01-10")  // exact tie with 2 — both kept
+    ).toDF("o_orderkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky_").toString
+    try {
+      rows.write.parquet(s"$dir/orders.parquet")
+      val keys = Skyline.orderSkyline(spark, dir).collect().map(_.getLong(0)).toSeq
+      assert(keys == Seq(2L, 3L, 4L, 6L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
+  test("runtime bloom filter: selective dim filter is pushed to the fact scan") {
+    // The 100 TB shape: a shuffle join where the dim side carries a
+    // selective predicate — Spark's InjectRuntimeFilter should plant a
+    // bloom-filter semi-filter on the fact side so non-joining fact rows
+    // die at the scan instead of crossing the shuffle. Thresholds are
+    // lowered because the gate-SF tables are far below the 10 GB default.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.range(0, 100000).select($"id".as("fact_key"),
+        ($"id" % 97).as("payload")).write.parquet(s"$dir/fact")
+      spark.range(0, 5000).select($"id".as("dim_key"),
+        ($"id" % 7).as("seg")).write.parquet(s"$dir/dim")
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"seg" === 3)
+      val joined = fact.join(dim, $"fact_key" === $"dim_key")
+      val plan = joined.queryExecution.optimizedPlan.toString()
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n$plan")
+      // and it actually filters: result matches the no-filter join
+      assert(joined.count() == (0 until 5000).count(_ % 7 == 3))
+    } finally {
+      prev.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) } }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+}
