@@ -179,6 +179,8 @@ object SparkEntry {
     "q_bfs_hops" -> (Graph.bfsQuery _),
     "q_skyline" -> (Skyline.orderSkyline _),
     "q_curation" -> (Curation.curate _),
+    "q_assoc_rules" -> ((s: SparkSession, d: String) => MarketBasket.assocRules(s, d)),
+    "q_item_neighbors" -> ((s: SparkSession, d: String) => MarketBasket.itemNeighbors(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -246,6 +248,8 @@ object SparkEntry {
     "q_bfs_hops" -> Graph.bfsSql,
     "q_skyline" -> Skyline.orderSkylineSql,
     "q_curation" -> Curation.curateSql(),
+    "q_assoc_rules" -> MarketBasket.assocRulesSql(),
+    "q_item_neighbors" -> MarketBasket.itemNeighborsSql(),
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),
