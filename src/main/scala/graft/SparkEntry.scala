@@ -177,6 +177,7 @@ object SparkEntry {
     "q_json_source" -> (graft.sources.Ingest.jsonSourceQuery _),
     "q_time_travel" -> (graft.sources.Versioned.timeTravelQuery _),
     "q_bfs_hops" -> (Graph.bfsQuery _),
+    "q_pagerank" -> (Graph.pageRankQuery _),
     "q_skyline" -> (Skyline.orderSkyline _),
     "q_curation" -> (Curation.curate _),
     "q_assoc_rules" -> ((s: SparkSession, d: String) => MarketBasket.assocRules(s, d)),
@@ -246,6 +247,7 @@ object SparkEntry {
     "q_json_source" -> graft.sources.Ingest.jsonSourceSql,
     "q_time_travel" -> graft.sources.Versioned.timeTravelSql,
     "q_bfs_hops" -> Graph.bfsSql,
+    "q_pagerank" -> Graph.pageRankSql,
     "q_skyline" -> Skyline.orderSkylineSql,
     "q_curation" -> Curation.curateSql(),
     "q_assoc_rules" -> MarketBasket.assocRulesSql(),

@@ -72,6 +72,90 @@ object Graph {
       .orderBy($"hop", $"node")
   }
 
+  /** PageRank, fixed-iteration, cross-engine-exact.
+    *
+    * The non-normalized form rank' = (1−d) + d·Σ rank(in)/deg(in) over
+    * a graph with no dangling nodes (both edge directions present).
+    * The one source of cross-engine drift — the Σ over in-neighbors,
+    * which Spark folds in partition order — is quantized to integers:
+    * each contribution becomes floor(rank/deg · 10⁶) in a BIGINT, the
+    * sum is exact and order-independent, and the damping step is one
+    * IEEE multiply-add on identical doubles. floor (unlike a decimal
+    * cast) has no rounding-mode ambiguity between engines, so ten
+    * iterations stay bit-identical to the oracle's recursive CTE.
+    *
+    * Scale: each iteration is one co-keyed shuffle (contributions
+    * grouped by dst) joined against the static degree table;
+    * `localCheckpoint` truncates the 10-deep lineage. Rank state is
+    * 2 columns × |nodes| — the classic Pregel workload expressed as
+    * plain keyed aggregation. */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("src", "dst").localCheckpoint(eager = true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    var ranks = deg.select($"src".as("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, $"src" === $"node")
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .select($"dst", floor($"rank" / $"deg" * lit(1e6)).cast("long").as("c"))
+      ranks = contrib.groupBy($"dst")
+        .agg(sum($"c").as("in_sum"))
+        .select($"dst".as("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * ($"in_sum".cast("double") / lit(1e6))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** Gated query: 10 PageRank rounds over the undirected (symmetric)
+    * customer—supplier graph; ranks rounded to 6dp for display only —
+    * the underlying iteration is already bit-identical to the oracle. */
+  def pageRankQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey")
+    val directed = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+    val und = directed.unionByName(directed.select($"dst".as("src"), $"src".as("dst")))
+    // display quantization via floor, not round(): Spark rounds the exact
+    // BigDecimal image of the double while DuckDB rounds in float space —
+    // they disagree on midpoint-adjacent values; floor of the identical
+    // double is identical everywhere
+    pageRank(und)
+      .select($"node", floor($"rank" * lit(1e6)).cast("long").as("rank_e6"))
+      .orderBy($"node")
+  }
+
+  val pageRankSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY 1),
+      |pr AS (
+      |  SELECT 0 AS iter, src AS node, 1.0::DOUBLE AS rank FROM deg
+      |  UNION ALL
+      |  SELECT iter + 1, dst,
+      |         -- (1.0 - 0.85) as an IEEE subtraction, NOT the literal 0.15:
+      |         -- the engine-side damping is computed the same way and the
+      |         -- two doubles differ in the last ulp
+      |         (1.0::DOUBLE - 0.85::DOUBLE)
+      |           + 0.85 * (CAST(SUM(CAST(FLOOR(rank / deg * 1000000.0)
+      |                                   AS BIGINT)) AS DOUBLE) / 1000000.0)
+      |  FROM pr
+      |  JOIN und ON und.src = pr.node
+      |  JOIN deg ON deg.src = pr.node
+      |  WHERE iter < 10
+      |  GROUP BY 1, 2)
+      |SELECT node, CAST(FLOOR(rank * 1000000.0) AS BIGINT) AS rank_e6
+      |FROM pr WHERE iter = 10
+      |ORDER BY node""".stripMargin
+
   val bfsSql: String =
     """WITH RECURSIVE e AS (
       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b

@@ -32,6 +32,29 @@ class GraphSkylineSpec extends SparkSuite {
     assert(capped == Set("a", "b")) // c is 2 hops out — beyond the cap
   }
 
+  test("pagerank: matches a plain-Scala reference walk step for step") {
+    // star graph plus a chain — asymmetric degrees so ranks separate
+    val pairs = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"), ("c", "d"))
+    val e = edges(pairs: _*)
+    val out = Graph.pageRank(e, damping = 0.85, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reference implementation: same quantized update rule, sequential
+    val undirected = pairs.flatMap(p => Seq(p, p.swap))
+    val deg = undirected.groupBy(_._1).map { case (n, es) => n -> es.size }
+    var rank = deg.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 10) {
+      val in = undirected.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          math.floor(rank(src) / deg(src) * 1e6).toLong }.sum
+      }
+      rank = rank.keys.map(n => n -> ((1.0 - 0.85) + 0.85 * (in(n).toDouble / 1e6))).toMap
+    }
+    assert(out.keySet == rank.keySet)
+    rank.foreach { case (n, r) => assert(out(n) == r, s"node $n") }
+    // the hub out-ranks every leaf
+    assert(out("h") > out("a") && out("h") > out("d"))
+  }
+
   test("skyline: strict-dominance semantics, ties on both axes kept") {
     val rows = Seq(
       (1L, 100.0, "2024-01-05"), // dominated by 3 (higher price, earlier date)
