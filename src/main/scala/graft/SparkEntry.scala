@@ -141,6 +141,7 @@ object SparkEntry {
     "q_stream_ivm" -> (graft.streaming.EventsStream.ivmStreamQuery _),
     // the oracle string IS the Spark program (SQL-surface parity)
     "q_sql_e2e" -> (Analytics.sqlE2e _),
+    "q_sql_recursive" -> (Analytics.sqlRecursive _),
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
     "q_unpivot" -> (Analytics.unpivotStatus _),
     "q_winsorize" -> (Analytics.winsorize _),
@@ -302,6 +303,7 @@ object SparkEntry {
     // the single-fold IVM query
     "q_stream_ivm" -> MaterializedView.incrementalAggSql,
     "q_sql_e2e" -> Analytics.monthlyAggSql,
+    "q_sql_recursive" -> Analytics.recursiveSpineSql,
     "q_media_dedup" -> Multimodal.mediaDedupSql,
     "q_unpivot" -> Analytics.unpivotStatusSql,
     "q_winsorize" -> Analytics.winsorizeSql,

@@ -863,6 +863,35 @@ object Analytics {
     spark.sql(monthlyAggSql)
   }
 
+  /** WITH RECURSIVE parity: the classic recursive month spine with a
+    * zero-filled revenue rollup, run VERBATIM as both the Spark program
+    * (Spark 4's recursive CTE support) and the DuckDB oracle — the
+    * porting story for recursive SQL. Engine limits pinned by probing:
+    * Spark rejects UNION-distinct and aggregates over the recursive
+    * reference, so the recursion generates, and the aggregation joins
+    * OUTSIDE — the shape that ports. */
+  val recursiveSpineSql: String =
+    s"""WITH RECURSIVE spine AS (
+       |  SELECT CAST('1995-01-01' AS DATE) AS month_start
+       |  UNION ALL
+       |  SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+       |  WHERE month_start < CAST('2001-12-01' AS DATE)),
+       |rev AS (
+       |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+       |           AS month_start,
+       |         COUNT(*) AS n,
+       |         ${graft.functions.Exact.sumExactSql("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1)
+       |SELECT s.month_start, COALESCE(r.n, 0) AS n,
+       |       COALESCE(r.revenue, 0.0) AS revenue
+       |FROM spine s LEFT JOIN rev r ON r.month_start = s.month_start
+       |ORDER BY s.month_start""".stripMargin
+
+  def sqlRecursive(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(recursiveSpineSql)
+  }
+
   def histogramSql(nBuckets: Int = 20): String =
     s"""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
