@@ -41,9 +41,11 @@ object Graph {
     var frontierSize = frontier.count()
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
-      val next = e.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+      // frontier and visited are node-sized — broadcast both so the edge
+      // table never shuffles; the distinct is the round's only exchange
+      val next = e.join(broadcast(frontier.withColumnRenamed("node", "a")), Seq("a"))
         .select($"b".as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(broadcast(visited), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
         .localCheckpoint(eager = true)
       visited = visited.unionByName(next).localCheckpoint(eager = true)
@@ -84,21 +86,25 @@ object Graph {
     * cast) has no rounding-mode ambiguity between engines, so ten
     * iterations stay bit-identical to the oracle's recursive CTE.
     *
-    * Scale: each iteration is one co-keyed shuffle (contributions
-    * grouped by dst) joined against the static degree table;
-    * `localCheckpoint` truncates the 10-deep lineage. Rank state is
-    * 2 columns × |nodes| — the classic Pregel workload expressed as
-    * plain keyed aggregation. */
+    * Scale: the degree is attached to the edge table ONCE before the
+    * loop (not re-joined every round), and the node-sized rank state is
+    * broadcast into each round — so the big edge table never moves and
+    * each iteration costs exactly one map-side-combined shuffle of
+    * |nodes|-sized partial sums. Broadcast holds while the node table
+    * fits an executor (entity graphs: nodes ≪ edges by orders of
+    * magnitude); beyond that, pre-partition edges by src and co-key the
+    * rank join instead. `localCheckpoint` truncates the 10-deep
+    * lineage. */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.toDF("src", "dst").localCheckpoint(eager = true)
+    val e = edges.toDF("src", "dst")
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+    val eDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
     var ranks = deg.select($"src".as("node"), lit(1.0).as("rank"))
+      .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, $"src" === $"node")
-        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      val contrib = eDeg.join(broadcast(ranks), $"src" === $"node")
         .select($"dst", floor($"rank" / $"deg" * lit(1e6)).cast("long").as("c"))
       ranks = contrib.groupBy($"dst")
         .agg(sum($"c").as("in_sum"))

@@ -39,6 +39,10 @@ object MarketBasket {
     val baskets = orderBaskets(spark, sfDir)
     val total = baskets.agg(countDistinct($"bk").as("n_baskets"))
     val itemN = baskets.groupBy($"item").agg(count(lit(1)).as("n_item"))
+    // (the lossless n_item ≥ minSupport prune used in itemNeighbors is
+    // deliberately NOT applied here: at minSupport=2 nearly every item
+    // survives, so the extra join costs more than the pairs it removes —
+    // measured at sf0.1)
     val undirected = baskets.as("a")
       .join(baskets.as("b"), $"a.bk" === $"b.bk" && $"a.item" < $"b.item")
       .groupBy($"a.item".as("pa"), $"b.item".as("pb"))
@@ -90,8 +94,11 @@ object MarketBasket {
       .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("bk"), $"l_partkey".as("item")).distinct()
     val itemN = baskets.groupBy($"item").agg(count(lit(1)).as("n_item"))
-    val und = baskets.as("a")
-      .join(baskets.as("b"), $"a.bk" === $"b.bk" && $"a.item" < $"b.item")
+    // same lossless floor prune as assocRules: n_ab ≤ min(n_a, n_b)
+    val pruned = baskets.join(
+      broadcast(itemN.filter($"n_item" >= minCo).select($"item")), Seq("item"))
+    val und = pruned.as("a")
+      .join(pruned.as("b"), $"a.bk" === $"b.bk" && $"a.item" < $"b.item")
       .groupBy($"a.item".as("pa"), $"b.item".as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= minCo)
