@@ -142,6 +142,8 @@ object SparkEntry {
     // the oracle string IS the Spark program (SQL-surface parity)
     "q_sql_e2e" -> (Analytics.sqlE2e _),
     "q_sql_recursive" -> (Analytics.sqlRecursive _),
+    "q_tpch_q3" -> (TpchQueries.q3 _),
+    "q_tpch_q5" -> (TpchQueries.q5 _),
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
     "q_unpivot" -> (Analytics.unpivotStatus _),
     "q_winsorize" -> (Analytics.winsorize _),
@@ -304,6 +306,8 @@ object SparkEntry {
     "q_stream_ivm" -> MaterializedView.incrementalAggSql,
     "q_sql_e2e" -> Analytics.monthlyAggSql,
     "q_sql_recursive" -> Analytics.recursiveSpineSql,
+    "q_tpch_q3" -> TpchQueries.q3Sql,
+    "q_tpch_q5" -> TpchQueries.q5Sql,
     "q_media_dedup" -> Multimodal.mediaDedupSql,
     "q_unpivot" -> Analytics.unpivotStatusSql,
     "q_winsorize" -> Analytics.winsorizeSql,

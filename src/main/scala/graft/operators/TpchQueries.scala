@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** TPC-H-shape composite analytics (Q3 and Q5, adapted to the columns
+  * the test tables carry).
+  *
+  * These are the canonical multi-join decision-support plans — the
+  * shapes every warehouse benchmark grades. Declared DataFrame-first so
+  * Catalyst owns the physical strategy: the dimension chain
+  * (region→nation→customer/supplier) broadcasts all the way down, AQE
+  * picks shuffle vs broadcast for the fact joins, and the revenue
+  * aggregate partial-combines before its one keyed exchange. Revenue
+  * sums route through [[Exact]] decimal widening (order-independent,
+  * oracle-hash-stable).
+  *
+  * Q5's adaptation note: the classic query joins lineitem to supplier
+  * on (l_suppkey) AND requires s_nationkey = c_nationkey — "local
+  * supplier" semantics — which survives unchanged here.
+  */
+object TpchQueries {
+
+  /** Q3 shape: unshipped-order revenue by order, for one market
+    * segment — 3-way join, date split on both sides, top-10 by
+    * revenue. (o_shippriority isn't in the test schema;
+    * o_orderpriority stands in.) */
+  def q3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = "1996-06-30"
+    val cust = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(to_date($"o_orderdate") < lit(cutoff))
+      .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").as("o_orderdate"),
+        $"o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(to_date($"l_shipdate") > lit(cutoff))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(Exact.sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       |       o_orderpriority,
+       |       ${Exact.sumExactSql("l_extendedprice * (1.0 - l_discount)")}
+       |         AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1996-06-30'
+       |  AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** Q5 shape: local-supplier revenue by nation for one region and one
+    * year — the 6-way snowflake join with the s_nationkey = c_nationkey
+    * correlation. */
+  def q5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(year(to_date($"o_orderdate")) === 1996)
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+        $"s_nationkey" === $"c_nationkey")
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(Exact.sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |       ${Exact.sumExactSql("l_extendedprice * (1.0 - l_discount)")}
+       |         AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND year(CAST(o_orderdate AS DATE)) = 1996
+       |GROUP BY 1
+       |ORDER BY revenue DESC, n_name""".stripMargin
+}
