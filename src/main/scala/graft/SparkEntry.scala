@@ -143,6 +143,8 @@ object SparkEntry {
     "q_sql_e2e" -> (Analytics.sqlE2e _),
     "q_sql_recursive" -> (Analytics.sqlRecursive _),
     "q_tpch_q3" -> (TpchQueries.q3 _),
+    "q_clamped_balance" -> ((s: SparkSession, d: String) =>
+      StatefulBatch.clampedBalance(s, d)),
     "q_tpch_q5" -> (TpchQueries.q5 _),
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
     "q_unpivot" -> (Analytics.unpivotStatus _),
@@ -307,6 +309,7 @@ object SparkEntry {
     "q_sql_e2e" -> Analytics.monthlyAggSql,
     "q_sql_recursive" -> Analytics.recursiveSpineSql,
     "q_tpch_q3" -> TpchQueries.q3Sql,
+    "q_clamped_balance" -> StatefulBatch.clampedBalanceSql,
     "q_tpch_q5" -> TpchQueries.q5Sql,
     "q_media_dedup" -> Multimodal.mediaDedupSql,
     "q_unpivot" -> Analytics.unpivotStatusSql,

@@ -78,6 +78,34 @@ class GraphSkylineSpec extends SparkSuite {
     }
   }
 
+  test("clamped balance: floor and cap both bind; order is ts then event_id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bal_").toString
+    try {
+      // one user: +150, +550 (caps at 500), -∞ push (floors at 0), +10
+      // two events share a timestamp -> event_id breaks the tie
+      val rows = Seq(
+        (1L, "2024-01-01 10:00:00", 200.0), // bal 150
+        (2L, "2024-01-01 10:01:00", 600.0), // 150+550=700 -> cap 500
+        (3L, "2024-01-01 10:02:00", 0.0),   // 500-50=450
+        (4L, "2024-01-01 10:03:00", -900.0), // -> floor 0
+        (6L, "2024-01-01 10:04:00", 60.0),  // same ts as 5, larger id: SECOND
+        (5L, "2024-01-01 10:04:00", 55.0))  // same ts, smaller id: FIRST -> 5
+        .map { case (id, t, v) => (id, 7L, t, v) }
+        .toDF("event_id", "user_id", "t", "value")
+        // Tables.events expects the testdata's physical layout: ts as an
+        // int64 NANOS column (decoded via nanosAsLong + div 1000)
+        .select($"event_id", (unix_micros(to_timestamp($"t")) * 1000L).as("ts"),
+          $"user_id", lit("x").as("event_type"), $"value", lit("{}").as("props"))
+      rows.write.parquet(s"$dir/events.parquet")
+      val out = graft.operators.StatefulBatch.clampedBalance(spark, dir)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2))
+      assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      assert(out.map(_._2).toSeq == Seq(150.0, 500.0, 450.0, 0.0, 5.0, 15.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
   test("runtime bloom filter: selective dim filter is pushed to the fact scan") {
     // The 100 TB shape: a shuffle join where the dim side carries a
     // selective predicate — Spark's InjectRuntimeFilter should plant a
