@@ -126,6 +126,7 @@ object SparkEntry {
     "q_pca_project" -> ((s: SparkSession, d: String) =>
       graft.functions.Pca.pcaProject(s, d)),
     "q_profile" -> (Profile.profileEvents _),
+    "q_mad_outliers" -> (Profile.madOutliers _),
     "q_ts_anomaly" -> (TimeSeries.dailyAnomaly _),
     "q_histogram" -> ((s: SparkSession, d: String) => Analytics.histogram(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) =>
@@ -293,6 +294,7 @@ object SparkEntry {
     "q_bpe_pairs" -> graft.functions.Bpe.pairCountsSql,
     "q_covariance" -> graft.functions.Pca.covarianceSql,
     "q_profile" -> Profile.profileEventsSql,
+    "q_mad_outliers" -> Profile.madOutliersSql,
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
     "q_histogram" -> Analytics.histogramSql(),
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),

@@ -100,4 +100,54 @@ object Profile {
       |         CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
       |  FROM ev)
       |SELECT * FROM s ORDER BY col_name""".stripMargin
+
+  /** Robust outlier report: median / MAD per group.
+    *
+    * The 3σ report ([[Analytics.amountOutliers]]) breaks down when the
+    * outliers themselves inflate σ; median absolute deviation is the
+    * standard robust alternative (threshold 3·1.4826·MAD ≈ 3σ under
+    * normality — the 4.4478 constant is pinned as one literal so both
+    * engines parse the identical double). Three passes, each one keyed
+    * aggregate: group medians (exact percentile_cont), MAD over the
+    * deviations, then the flag count; the group-sized stats broadcast
+    * back, the raw scan never shuffles.
+    *
+    * Scale: exact percentile_cont sorts per group — at 100 TB swap for
+    * the KMV / approx_percentile sketch (same contract, documented in
+    * [[Analytics.approxStats]]); passes and broadcasts are unchanged. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"med").as("med"), max($"mad").as("mad"),
+        sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type,
+      |         percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m ON m.event_type = e.event_type),
+      |mad AS (
+      |  SELECT event_type,
+      |         percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n, max(d.med) AS med,
+      |       max(mad.mad) AS mad,
+      |       CAST(SUM(CASE WHEN d.adev > 4.4478 * mad.mad THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outliers
+      |FROM d JOIN mad ON mad.event_type = d.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
