@@ -127,6 +127,8 @@ object SparkEntry {
       graft.functions.Pca.pcaProject(s, d)),
     "q_profile" -> (Profile.profileEvents _),
     "q_mad_outliers" -> (Profile.madOutliers _),
+    "q_token_budget" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.tokenBudget(s, d)),
     "q_ts_anomaly" -> (TimeSeries.dailyAnomaly _),
     "q_histogram" -> ((s: SparkSession, d: String) => Analytics.histogram(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) =>
@@ -295,6 +297,7 @@ object SparkEntry {
     "q_covariance" -> graft.functions.Pca.covarianceSql,
     "q_profile" -> Profile.profileEventsSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
+    "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
     "q_histogram" -> Analytics.histogramSql(),
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),

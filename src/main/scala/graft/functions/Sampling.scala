@@ -364,4 +364,60 @@ object Sampling {
        |  LIMIT $k)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Token-budget corpus selection — the data-mixing step that turns
+    * "use the best N tokens per source" into a deterministic set: rank
+    * each source's documents by quality (ties broken by doc_id for a
+    * total order), walk down the ranking accumulating token counts,
+    * keep every document whose INCLUSIVE running total fits the
+    * per-source budget. Quality and token counts reuse the gated
+    * scoring/counting operators, so the whole selection is a pure
+    * function of the corpus.
+    *
+    * Scale: one source-keyed shuffle for the ranking window; per-task
+    * window state is a running LONG. The cumulative walk is per
+    * SOURCE, so sources parallelize; a skew-heavy source is the same
+    * hot-window shape as sequence packing and shards the same way
+    * (coarse pre-buckets, carried boundary). */
+  def tokenBudget(spark: SparkSession, sfDir: String,
+      budgetPerSource: Long = 20000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokenCounts(spark, sfDir)
+      .select($"doc_id", $"ws_tokens")
+    val qual = TextAnalysis.qualityScore(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+      .join(toks, Seq("doc_id")).join(qual, Seq("doc_id"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality_score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum($"ws_tokens").over(w))
+      .filter($"cum_tokens" <= budgetPerSource)
+      .select($"doc_id", $"source", $"ws_tokens", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
+  def tokenBudgetSql(budgetPerSource: Long = 20000L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+'))
+       |           AS ws_tokens
+       |  FROM documents),
+       |q AS (SELECT doc_id, quality_score
+       |      FROM (${TextAnalysis.qualityScoreSql})),
+       |ranked AS (
+       |  SELECT d.doc_id, d.source, t.ws_tokens,
+       |         SUM(t.ws_tokens) OVER (
+       |           PARTITION BY d.source
+       |           ORDER BY q.quality_score DESC, d.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS cum_tokens
+       |  FROM documents d
+       |  JOIN toks t ON t.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id)
+       |SELECT doc_id, source, CAST(ws_tokens AS INT) AS ws_tokens,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM ranked
+       |WHERE cum_tokens <= $budgetPerSource
+       |ORDER BY doc_id""".stripMargin
 }
