@@ -129,6 +129,9 @@ object SparkEntry {
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.tokenBudget(s, d)),
+    "q_quota_sample" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.quotaSample(s, d)),
+    "q_mode" -> (Analytics.modePerUser _),
     "q_ts_anomaly" -> (TimeSeries.dailyAnomaly _),
     "q_histogram" -> ((s: SparkSession, d: String) => Analytics.histogram(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) =>
@@ -298,6 +301,8 @@ object SparkEntry {
     "q_profile" -> Profile.profileEventsSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),
+    "q_quota_sample" -> graft.functions.Sampling.quotaSampleSql(),
+    "q_mode" -> Analytics.modePerUserSql,
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
     "q_histogram" -> Analytics.histogramSql(),
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),

@@ -420,4 +420,35 @@ object Sampling {
        |FROM ranked
        |WHERE cum_tokens <= $budgetPerSource
        |ORDER BY doc_id""".stripMargin
+
+  /** Quota sampling — eval-set construction: exactly `quota` documents
+    * per (lang, source) cell (fewer when the cell is smaller), chosen
+    * by deterministic md5 priority so membership survives reruns and
+    * corpus appends that don't touch the winners. The per-cell
+    * row_number window runs over cell-sized partitions (one keyed
+    * shuffle); priorities are a narrow projection. */
+  def quotaSample(spark: SparkSession, sfDir: String, quota: Int = 20,
+      salt: String = "quota_v1"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pri = md5(concat_ws("|", $"doc_id".cast("string"), lit(salt)))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"pri", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source", pri.as("pri"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= quota)
+      .select($"doc_id", $"lang", $"source", $"rk")
+      .orderBy($"doc_id")
+  }
+
+  def quotaSampleSql(quota: Int = 20, salt: String = "quota_v1"): String =
+    s"""SELECT doc_id, lang, source, rk FROM (
+       |  SELECT doc_id, lang, source,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY lang, source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || ${Sql.lit(salt)}),
+       |                    doc_id) AS INT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $quota
+       |ORDER BY doc_id""".stripMargin
 }

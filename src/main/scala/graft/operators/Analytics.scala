@@ -892,6 +892,32 @@ object Analytics {
     spark.sql(recursiveSpineSql)
   }
 
+  /** Per-group MODE (ordered-set aggregate) with a deterministic
+    * tiebreak: the most frequent event_type per user, ties resolved to
+    * the lexicographically smallest type (engines' native mode()
+    * tiebreaks differ — an explicit rank pins it). Two keyed shuffles:
+    * the (user, type) count and the user-partitioned rank window over
+    * already-aggregated (users × types)-sized rows. */
+  def modePerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"user_id").orderBy($"n".desc, $"event_type")
+    counts.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"event_type".as("mode_event_type"), $"n")
+      .orderBy($"user_id")
+  }
+
+  val modePerUserSql: String =
+    """SELECT user_id, event_type AS mode_event_type, n FROM (
+      |  SELECT user_id, event_type, COUNT(*) AS n,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY COUNT(*) DESC, event_type) AS rk
+      |  FROM events GROUP BY 1, 2)
+      |WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
   def histogramSql(nBuckets: Int = 20): String =
     s"""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
