@@ -103,17 +103,25 @@ object Graph {
     val eDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
     var ranks = deg.select($"src".as("node"), lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
-    for (_ <- 1 to iters) {
-      val contrib = eDeg.join(broadcast(ranks), $"src" === $"node")
-        .select($"dst", floor($"rank" / $"deg" * lit(1e6)).cast("long").as("c"))
-      ranks = contrib.groupBy($"dst")
-        .agg(sum($"c").as("in_sum"))
-        .select($"dst".as("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * ($"in_sum".cast("double") / lit(1e6))).as("rank"))
-        .localCheckpoint(eager = true)
-    }
+    for (_ <- 1 to iters)
+      ranks = pageRankStep(eDeg, ranks, damping).localCheckpoint(eager = true)
     ranks
+  }
+
+  /** One PageRank round over the deg-attached edge table — split out so
+    * plan tests can assert the iteration's physical shape (the public
+    * loop checkpoints each round, which erases the plan). */
+  private[graft] def pageRankStep(eDeg: DataFrame, ranks: DataFrame,
+      damping: Double): DataFrame = {
+    val spark = eDeg.sparkSession
+    import spark.implicits._
+    eDeg.join(broadcast(ranks), $"src" === $"node")
+      .select($"dst", floor($"rank" / $"deg" * lit(1e6)).cast("long").as("c"))
+      .groupBy($"dst")
+      .agg(sum($"c").as("in_sum"))
+      .select($"dst".as("node"),
+        (lit(1.0 - damping) +
+          lit(damping) * ($"in_sum".cast("double") / lit(1e6))).as("rank"))
   }
 
   /** Gated query: 10 PageRank rounds over the undirected (symmetric)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import graft.operators.{Graph, MarketBasket, TpchQueries}
+
+/** Plan-shape assertions for the round-3 additions: the claims the
+  * scale notes make must be visible in the executed plans. */
+class GraphBasketPlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val sb = new StringBuilder
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+      sb.append(p.nodeName).append('\n')
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    sb.toString
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    import scala.jdk.CollectionConverters._
+    seen.asScala.count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  test("pagerank iteration: edge table never shuffles — broadcast rank join only") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val und = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val eDeg = und.join(deg, Seq("src"))
+    val ranks0 = deg.select($"src".as("node"), lit(1.0).as("rank"))
+    val step = Graph.pageRankStep(eDeg, ranks0, 0.85)
+    val plan = planOf(step)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank state must broadcast into the edge join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"edge table must not shuffle for the rank join:\n$plan")
+  }
+
+  test("tpch q5: all five dimension-side joins broadcast; <= 2 shuffles total") {
+    val df = TpchQueries.q5(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("SortMergeJoin"),
+      s"q5's dim chain must broadcast, not sort-merge:\n$plan")
+    val n = shuffles(df)
+    // lineitem⨝orders may shuffle or broadcast (AQE's call at this SF);
+    // aggregate + tiny result sort account for the rest
+    assert(n <= 3, s"q5 shuffle budget blown: $n")
+  }
+
+  test("assoc rules: pair counts partial-aggregate before their exchange") {
+    val df = MarketBasket.assocRules(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial_count marks map-side combine on the (pa, pb) key
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"pair counting must map-side combine:\n${plan.take(1200)}")
+  }
+
+  test("token budget / quota sample windows are stratum-partitioned") {
+    val tb = graft.functions.Sampling.tokenBudget(spark, sf)
+    val tbWindows = tb.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(tbWindows.contains("source#") || tbWindows.contains("source"),
+      s"budget walk must partition by source:\n$tbWindows")
+    val qs = graft.functions.Sampling.quotaSample(spark, sf)
+    val qsWindows = qs.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(qsWindows.contains("lang") && qsWindows.contains("source"),
+      s"quota window must partition by (lang, source):\n$qsWindows")
+  }
+}
