@@ -113,6 +113,7 @@ object SparkEntry {
     "q_funnel" -> (Behavioral.funnel _),
     "q_retention" -> (Behavioral.retention _),
     "q_topk_per_group" -> ((s: SparkSession, d: String) => Behavioral.topKPerGroup(s, d)),
+    "q_topk_heap" -> ((s: SparkSession, d: String) => Behavioral.topKPerGroupHeap(s, d)),
     "q_fuzzy_match" -> (graft.functions.Fuzzy.fuzzyMatch _),
     "q_insert_overwrite" -> (graft.sources.Ingest.insertOverwriteQuery _),
     "q_bpe_pairs" -> (graft.functions.Bpe.pairCounts _),
@@ -294,6 +295,8 @@ object SparkEntry {
     "q_funnel" -> Behavioral.funnelSql,
     "q_retention" -> Behavioral.retentionSql,
     "q_topk_per_group" -> Behavioral.topKPerGroupSql,
+    // heap-aggregate strategy, same contract — same oracle string
+    "q_topk_heap" -> Behavioral.topKPerGroupSql,
     "q_fuzzy_match" -> graft.functions.Fuzzy.fuzzyMatchSql,
     "q_insert_overwrite" -> graft.sources.Ingest.insertOverwriteSql,
     "q_bpe_pairs" -> graft.functions.Bpe.pairCountsSql,

@@ -204,6 +204,12 @@ object Behavioral {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Gated entry for the heap aggregate — SAME oracle as
+    * q_topk_per_group, pinning drop-in equivalence of the two physical
+    * strategies (window sort vs bounded-buffer aggregate). */
+  def topKPerGroupHeap(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    topKPerGroupHeapFrom(Tables.events(spark, sfDir), k)
+
   // ---- marketing attribution: first-touch / last-touch -------------
 
   /** For every purchase, the user's FIRST and MOST RECENT prior click
