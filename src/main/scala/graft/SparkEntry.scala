@@ -133,6 +133,7 @@ object SparkEntry {
     "q_quota_sample" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.quotaSample(s, d)),
     "q_mode" -> (Analytics.modePerUser _),
+    "q_try_semantics" -> (Analytics.trySemantics _),
     "q_ts_anomaly" -> (TimeSeries.dailyAnomaly _),
     "q_histogram" -> ((s: SparkSession, d: String) => Analytics.histogram(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) =>
@@ -306,6 +307,7 @@ object SparkEntry {
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),
     "q_quota_sample" -> graft.functions.Sampling.quotaSampleSql(),
     "q_mode" -> Analytics.modePerUserSql,
+    "q_try_semantics" -> Analytics.trySemanticsSql,
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
     "q_histogram" -> Analytics.histogramSql(),
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),

@@ -746,6 +746,51 @@ object Analytics {
     * together), count(*) vs count(col), null-safe equality
     * (Spark `<=>` ≡ SQL `IS NOT DISTINCT FROM`), and coalesce — on a
     * key column deliberately nulled for every 7th order. */
+  /** Error-handling semantics sweep — the ANSI/`try_` surface.
+    *
+    * Spark 4 runs ANSI mode by default: division by zero, invalid
+    * casts, and bad array indices THROW unless routed through the
+    * `try_` family, which returns NULL — exactly DuckDB's default
+    * behavior for the same expressions. This query pins that
+    * correspondence pair by pair (each column is one semantic), plus
+    * two classic cross-dialect gotchas that agree: sign of `%` follows
+    * the dividend, and negative substring starts index from the end.
+    * Mismatched semantics found while probing are documented OUT:
+    * DuckDB TRY_CAST('3.7' AS INT) rounds to 4 while Spark's try_cast
+    * rejects non-integral strings (NULL); and index 0 is NULL in
+    * DuckDB but throws INVALID_INDEX_OF_ZERO in Spark EVEN under
+    * try_element_at (try_ catches out-of-bounds, not invalid-index) —
+    * both pairs excluded. */
+  def trySemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.range(1).toDF("one").selectExpr(
+      "CAST(try_divide(7, 0) AS DOUBLE) AS div0_int",
+      "CAST(try_divide(1.0, 0.0) AS DOUBLE) AS div0_dbl",
+      "CAST(7 / 2 AS DOUBLE) AS int_div_is_double",
+      "CAST(7 div 2 AS BIGINT) AS floor_div",
+      "try_cast('abc' AS INT) AS cast_bad",
+      "try_cast(' 12 ' AS INT) AS cast_trimmed",
+      "CAST(try_to_timestamp('not a date') AS TIMESTAMP) AS ts_bad",
+      "CAST(try_element_at(array(10, 20), 5) AS INT) AS elem_oob",
+      "CAST(element_at(array(10, 20), 2) AS INT) AS elem_ok",
+      "CAST((-7) % 3 AS BIGINT) AS mod_neg_dividend",
+      "CAST(7 % (-3) AS BIGINT) AS mod_neg_divisor",
+      "substring('abc', -1, 2) AS substr_neg_start")
+  }
+
+  val trySemanticsSql: String =
+    """SELECT CAST(7 / 0 AS DOUBLE) AS div0_int,
+      |       CAST(1.0 / 0.0 AS DOUBLE) AS div0_dbl,
+      |       CAST(7 / 2 AS DOUBLE) AS int_div_is_double,
+      |       CAST(7 // 2 AS BIGINT) AS floor_div,
+      |       TRY_CAST('abc' AS INTEGER) AS cast_bad,
+      |       TRY_CAST(' 12 ' AS INTEGER) AS cast_trimmed,
+      |       TRY_CAST('not a date' AS TIMESTAMP) AS ts_bad,
+      |       CAST(list_extract([10, 20], 5) AS INTEGER) AS elem_oob,
+      |       CAST(([10, 20])[2] AS INTEGER) AS elem_ok,
+      |       CAST((-7) % 3 AS BIGINT) AS mod_neg_dividend,
+      |       CAST(7 % (-3) AS BIGINT) AS mod_neg_divisor,
+      |       substr('abc', -1, 2) AS substr_neg_start""".stripMargin
+
   def nullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
