@@ -174,6 +174,39 @@ object Bench {
       errors("bench_zorder_experiment") = sanitize(e)
     }
 
+    // parquet bloom-filter experiment: a point lookup on the UNSORTED
+    // high-cardinality l_partkey — min/max stats straddle any probe, so
+    // only the per-row-group bloom filter can skip. Same data, same row
+    // groups, one write option apart.
+    try {
+      val bDir = s"/tmp/graft_bloom_${new java.io.File(sfDir).getName}"
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+        .select("l_partkey", "l_orderkey", "l_extendedprice")
+      operators.BloomLayout.write(li, s"$bDir/bloom", "l_partkey", bloom = true)
+      operators.BloomLayout.write(li, s"$bDir/plain", "l_partkey", bloom = false)
+      // probe MID-RANGE: an extreme value would let min/max stats skip
+      // too (a group's min exceeds the global min unless it holds it);
+      // mid-range sits inside every group's [min, max], so only the
+      // bloom filter can prune
+      val Array(kLo, kHi) = li.agg(
+          org.apache.spark.sql.functions.min("l_partkey"),
+          org.apache.spark.sql.functions.max("l_partkey"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val probeKey = (kLo + kHi) / 2
+      def point(sub: String) =
+        operators.BloomLayout.pointQuery(spark, s"$bDir/$sub", "l_partkey", probeKey)
+      val bQ = point("bloom")
+      results("bench_bloom_point") = time(bQ.collect())
+      results("bench_bloom_rows_scanned") =
+        operators.BloomLayout.rowsScanned(bQ).toDouble
+      val pQ = point("plain")
+      results("bench_nobloom_point") = time(pQ.collect())
+      results("bench_nobloom_rows_scanned") =
+        operators.BloomLayout.rowsScanned(pQ).toDouble
+    } catch { case e: Throwable =>
+      errors("bench_bloom_experiment") = sanitize(e)
+    }
+
     // ---- output. Two artifacts:
     //  1. BENCH_FULL.json (cwd): every entry, pretty-ish, for the judge.
     //  2. ONE compact stdout line for the driver. The driver keeps only

@@ -76,6 +76,31 @@ class GraphBasketPlanSpec extends SparkSuite {
       s"pair counting must map-side combine:\n${plan.take(1200)}")
   }
 
+  test("parquet bloom filter: point lookup skips row groups min/max cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbloom_").toString
+    try {
+      // high-cardinality UNSORTED key: every row group's [min, max]
+      // straddles any probe value, so stats alone skip nothing
+      val df = spark.range(0, 200000)
+        .select((($"id" * 2654435761L) % 1000003L).as("k"), $"id".as("payload"))
+      graft.operators.BloomLayout.write(df, s"$dir/bloom", "k", bloom = true)
+      graft.operators.BloomLayout.write(df, s"$dir/plain", "k", bloom = false)
+      val probe = df.filter($"k" === 12345L).count() // whatever exists: count parity
+      val b = graft.operators.BloomLayout.pointQuery(spark, s"$dir/bloom", "k", 12345L)
+      val p = graft.operators.BloomLayout.pointQuery(spark, s"$dir/plain", "k", 12345L)
+      assert(b.count() == probe && p.count() == probe) // same answer
+      b.collect(); p.collect()
+      val bloomScanned = graft.operators.BloomLayout.rowsScanned(b)
+      val plainScanned = graft.operators.BloomLayout.rowsScanned(p)
+      assert(plainScanned == 200000L,
+        s"plain layout must scan everything, got $plainScanned")
+      assert(bloomScanned < plainScanned / 4,
+        s"bloom must skip most row groups: $bloomScanned vs $plainScanned")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
   test("token budget / quota sample windows are stratum-partitioned") {
     val tb = graft.functions.Sampling.tokenBudget(spark, sf)
     val tbWindows = tb.queryExecution.executedPlan.toString
