@@ -134,6 +134,7 @@ object SparkEntry {
       graft.functions.Sampling.quotaSample(s, d)),
     "q_mode" -> (Analytics.modePerUser _),
     "q_try_semantics" -> (Analytics.trySemantics _),
+    "q_map_funcs" -> (Analytics.mapFuncs _),
     "q_ts_anomaly" -> (TimeSeries.dailyAnomaly _),
     "q_histogram" -> ((s: SparkSession, d: String) => Analytics.histogram(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) =>
@@ -308,6 +309,7 @@ object SparkEntry {
     "q_quota_sample" -> graft.functions.Sampling.quotaSampleSql(),
     "q_mode" -> Analytics.modePerUserSql,
     "q_try_semantics" -> Analytics.trySemanticsSql,
+    "q_map_funcs" -> Analytics.mapFuncsSql,
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
     "q_histogram" -> Analytics.histogramSql(),
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),

@@ -791,6 +791,33 @@ object Analytics {
       |       CAST(7 % (-3) AS BIGINT) AS mod_neg_divisor,
       |       substr('abc', -1, 2) AS substr_neg_start""".stripMargin
 
+  /** MAP-type surface parity: construction, key/value extraction,
+    * lookup, cardinality, membership — rendered to scalars because the
+    * engines' native map orderings differ (Spark preserves insertion
+    * order, DuckDB's is storage order; sorting the extracted arrays
+    * removes the ambiguity, which is also the portable way to USE map
+    * output). DuckDB 1.0 map lookup returns a one-element LIST —
+    * `m['a'][1]` — another pinned dialect gap. */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.range(1).toDF("one").selectExpr(
+      "array_join(sort_array(map_keys(map('b', 2, 'a', 1))), ',') AS ks",
+      "array_join(sort_array(transform(map_values(map('b', 2, 'a', 1)), " +
+        "x -> CAST(x AS STRING))), ',') AS vs",
+      "size(map('a', 1, 'b', 2)) AS n",
+      "CAST(element_at(map('a', 1, 'b', 2), 'a') AS INT) AS ea",
+      "CAST(try_element_at(map('a', 1), 'zzz') AS INT) AS ea_missing",
+      "array_contains(map_keys(map('a', 1)), 'a') AS has_key")
+  }
+
+  val mapFuncsSql: String =
+    """SELECT array_to_string(list_sort(map_keys(MAP {'b': 2, 'a': 1})), ',') AS ks,
+      |       array_to_string(list_sort(list_transform(
+      |         map_values(MAP {'b': 2, 'a': 1}), x -> CAST(x AS VARCHAR))), ',') AS vs,
+      |       CAST(cardinality(MAP {'a': 1, 'b': 2}) AS INT) AS n,
+      |       CAST((MAP {'a': 1, 'b': 2}['a'])[1] AS INT) AS ea,
+      |       CAST((MAP {'a': 1}['zzz'])[1] AS INT) AS ea_missing,
+      |       list_contains(map_keys(MAP {'a': 1}), 'a') AS has_key""".stripMargin
+
   def nullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
