@@ -128,6 +128,7 @@ object SparkEntry {
       graft.functions.Pca.pcaProject(s, d)),
     "q_profile" -> (Profile.profileEvents _),
     "q_mad_outliers" -> (Profile.madOutliers _),
+    "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.tokenBudget(s, d)),
     "q_quota_sample" -> ((s: SparkSession, d: String) =>
@@ -305,6 +306,7 @@ object SparkEntry {
     "q_covariance" -> graft.functions.Pca.covarianceSql,
     "q_profile" -> Profile.profileEventsSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
+    "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),
     "q_quota_sample" -> graft.functions.Sampling.quotaSampleSql(),
     "q_mode" -> Analytics.modePerUserSql,

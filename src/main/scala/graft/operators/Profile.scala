@@ -150,4 +150,50 @@ object Profile {
       |            AS BIGINT) AS n_outliers
       |FROM d JOIN mad ON mad.event_type = d.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * amount columns (fabricated or truncated amounts drift from the
+    * log-uniform first-digit law). The digit is taken from the INTEGER
+    * cents rendering (bigint→string is unambiguous cross-engine;
+    * double→string is not), shares are floor-quantized at 1e-6, and
+    * the Benford expectations ride as pinned literals. One narrow
+    * projection + one 9-row aggregate — scan-bound at any scale. */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq.tabulate(9) { i =>
+      val d = i + 1
+      (d.toString, math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+    }.toDF("digit", "benford_e6")
+    val digits = Tables.orders(spark, sfDir)
+      .select(substring(floor($"o_totalprice" * 100).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum($"n_obs").as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .join(broadcast(expected), Seq("digit"))
+      .select($"digit", $"n_obs",
+        floor($"n_obs" * lit(1000000L) / $"n_total").cast("long").as("share_e6"),
+        $"benford_e6")
+      .orderBy($"digit")
+  }
+
+  val benfordSql: String = {
+    val expected = (1 to 9).map { d =>
+      s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong})"
+    }.mkString(", ")
+    s"""WITH digits AS (
+       |  SELECT substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+       |                     AS VARCHAR), 1, 1) AS digit,
+       |         COUNT(*) AS n_obs
+       |  FROM orders GROUP BY 1),
+       |total AS (SELECT SUM(n_obs) AS n_total FROM digits),
+       |expected(d, benford_e6) AS (VALUES $expected)
+       |SELECT digit, n_obs,
+       |       CAST(FLOOR(n_obs * 1000000 / n_total) AS BIGINT) AS share_e6,
+       |       benford_e6
+       |FROM digits
+       |CROSS JOIN total
+       |JOIN expected ON CAST(expected.d AS VARCHAR) = digits.digit
+       |ORDER BY digit""".stripMargin
+  }
 }
