@@ -106,6 +106,52 @@ class GraphSkylineSpec extends SparkSuite {
     }
   }
 
+  test("skyline distributivity: skyline(S) == skyline(skyline(S1) ∪ skyline(S2)) (randomized)") {
+    // the property SCALE.md's local-skyline-per-partition path rests on
+    val rnd = new scala.util.Random(7)
+    def refSkyline(pts: Seq[(Double, Int)]): Set[(Double, Int)] =
+      pts.filter(b => !pts.exists(a =>
+        a._1 >= b._1 && a._2 <= b._2 && (a._1 > b._1 || a._2 < b._2))).toSet
+    (1 to 20).foreach { _ =>
+      val pts = Seq.fill(120)((rnd.nextInt(40).toDouble, rnd.nextInt(40)))
+      val (s1, s2) = pts.splitAt(60)
+      val direct = refSkyline(pts)
+      val merged = refSkyline((refSkyline(s1) ++ refSkyline(s2)).toSeq)
+      assert(merged == direct)
+    }
+  }
+
+  test("clamped balance == plain-Scala fold on randomized event streams") {
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_balp_").toString
+    try {
+      val rows = (1L to 400L).map { id =>
+        (id, (id % 7) + 1, 1700000000L + rnd.nextInt(100000),
+          math.rint(rnd.between(-20.0, 120.0) * 100) / 100)
+      }
+      rows.toDF("event_id", "user_id", "ts_s", "value")
+        .select($"event_id", ($"ts_s" * 1000000L * 1000L).as("ts"), $"user_id",
+          lit("x").as("event_type"), $"value", lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = graft.operators.StatefulBatch.clampedBalance(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // reference: sequential fold per user in (ts, event_id) order
+      val expect = rows.groupBy(_._2).flatMap { case (uid, es) =>
+        var bal = 0.0
+        es.sortBy(e => (e._3, e._1)).map { e =>
+          bal = math.min(math.max(bal + e._4 - 50.0, 0.0), 500.0)
+          (uid, e._1) -> bal
+        }
+      }
+      assert(got.size == expect.size)
+      expect.foreach { case (k, v) => assert(got(k) == v, s"at $k") }
+      // invariant: every balance within [floor, cap]
+      got.values.foreach(b => assert(b >= 0.0 && b <= 500.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
   test("runtime bloom filter: selective dim filter is pushed to the fact scan") {
     // The 100 TB shape: a shuffle join where the dim side carries a
     // selective predicate — Spark's InjectRuntimeFilter should plant a
