@@ -191,6 +191,7 @@ object SparkEntry {
       Sampling.temperatureMix(s, d)),
     "q_json_source" -> (graft.sources.Ingest.jsonSourceQuery _),
     "q_time_travel" -> (graft.sources.Versioned.timeTravelQuery _),
+    "q_stream_snapshots" -> (graft.streaming.EventsStream.snapshotStreamQuery _),
     "q_bfs_hops" -> (Graph.bfsQuery _),
     "q_pagerank" -> (Graph.pageRankQuery _),
     "q_skyline" -> (Skyline.orderSkyline _),
@@ -261,6 +262,7 @@ object SparkEntry {
     "q_stream_sketch" -> Analytics.quantileSketchSql(),
     "q_json_source" -> graft.sources.Ingest.jsonSourceSql,
     "q_time_travel" -> graft.sources.Versioned.timeTravelSql,
+    "q_stream_snapshots" -> graft.streaming.EventsStream.snapshotStreamSql,
     "q_bfs_hops" -> Graph.bfsSql,
     "q_pagerank" -> Graph.pageRankSql,
     "q_skyline" -> Skyline.orderSkylineSql,

@@ -779,4 +779,95 @@ object EventsStream {
       |       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_sec, e.value
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |ORDER BY e.event_id""".stripMargin
+
+  // ---- streaming snapshot lineage (Versioned per micro-batch) ------
+
+  /** Streaming maintenance that PUBLISHES an immutable snapshot per
+    * micro-batch ([[graft.sources.Versioned]]) instead of overwriting —
+    * the streaming-into-table-format commit pattern (every Delta/Iceberg
+    * streaming sink is exactly this: one table version per batch).
+    * Readers can time-travel to any batch boundary; a concurrent reader
+    * never sees a half-applied batch because the publish is a pointer
+    * flip. Returns the final version number.
+    *
+    * The WAP/replay-guarded twin of this fold is [[runIvmStream]]; here
+    * the lineage itself is the product, and the gated query pins the
+    * WHOLE version history, not just the final state. */
+  def runSnapshotStream(spark: SparkSession, tableDir: String,
+      feedDir: String, checkpointDir: String): Int = {
+    Tables.enableNanosAsLong(spark)
+    val q = spark.readStream
+      .schema(Tables.eventsRaw)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = Tables.decodeEventTs(batch)
+        val merged =
+          if (graft.sources.Versioned.currentVersion(spark, tableDir) >= 0)
+            graft.operators.MaterializedView.maintain(
+              graft.sources.Versioned.read(spark, tableDir), delta)
+          else graft.operators.MaterializedView.viewOf(delta)
+        graft.sources.Versioned.publish(merged, tableDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.Versioned.currentVersion(spark, tableDir)
+  }
+
+  /** Gated query: events split into 4 deterministic feed files
+    * (event_id % 4) whose modification times are staggered so the file
+    * stream source processes them in bucket order — version v is then
+    * EXACTLY the aggregate of buckets 0..v, and the oracle reconstructs
+    * every snapshot from scratch. Hash-matching all four versions pins
+    * batch ordering, fold correctness, and snapshot immutability (a
+    * later batch corrupting an earlier version would flip its hash). */
+  def snapshotStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosAsLong(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val raw = spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
+      val feed = new java.io.File(s"$work/feed"); feed.mkdirs()
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      (0 to 3).foreach { b =>
+        val staging = s"$work/stage$b"
+        raw.filter($"event_id" % 4 === b).coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(feed, f"bucket-$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // stagger mtimes: FileStreamSource orders files by timestamp
+        dst.setLastModified(t0 + b * 10000L)
+        ()
+      }
+      val tbl = s"$work/table"
+      val last = runSnapshotStream(spark, tbl, s"$work/feed", s"$work/ckpt")
+      require(last == 3, s"expected 4 snapshot versions, last was $last")
+      (0 to 3).map { v =>
+        graft.sources.Versioned.read(spark, tbl, v).withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select($"version", $"event_type", $"day", $"n",
+          $"total_dec".cast("double").as("total_value"))
+        .orderBy($"version", $"event_type", $"day")
+        .localCheckpoint(eager = true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      ()
+    }
+  }
+
+  val snapshotStreamSql: String = (0 to 3).map { v =>
+    s"""SELECT $v AS version, event_type, CAST(ts AS DATE) AS day,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+       |FROM events WHERE event_id % 4 <= $v
+       |GROUP BY 2, 3""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY version, event_type, day")
 }
