@@ -133,6 +133,7 @@ object SparkEntry {
       graft.functions.Sampling.tokenBudget(s, d)),
     "q_quota_sample" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.quotaSample(s, d)),
+    "q_quantile_norm" -> (graft.functions.Sampling.quantileNorm _),
     "q_mode" -> (Analytics.modePerUser _),
     "q_try_semantics" -> (Analytics.trySemantics _),
     "q_map_funcs" -> (Analytics.mapFuncs _),
@@ -311,6 +312,7 @@ object SparkEntry {
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),
     "q_quota_sample" -> graft.functions.Sampling.quotaSampleSql(),
+    "q_quantile_norm" -> graft.functions.Sampling.quantileNormSql,
     "q_mode" -> Analytics.modePerUserSql,
     "q_try_semantics" -> Analytics.trySemanticsSql,
     "q_map_funcs" -> Analytics.mapFuncsSql,

@@ -441,6 +441,51 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** Quantile normalization — cross-source score calibration. Raw
+    * quality scores are not comparable across sources (different length
+    * and register distributions), so mixing decisions use each
+    * document's PERCENTILE within its source instead. percent_rank over
+    * a total order (score, doc_id) is a pure integer ratio — identical
+    * cross-engine with no float discipline needed; the global
+    * percentile rides along so the query also exposes the calibration
+    * gap (how much a source's internal ranking disagrees with the
+    * corpus-wide one). One source-keyed shuffle plus one global-order
+    * window over the (doc-sized) score table; at corpus scale the
+    * global rank becomes a two-pass range-partitioned rank, same
+    * contract. */
+  def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scores = TextAnalysis.qualityScore(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        Seq("doc_id"))
+    val bySource = Window.partitionBy($"source")
+      .orderBy($"quality_score", $"doc_id")
+    val global = Window.orderBy($"quality_score", $"doc_id")
+    scores
+      .withColumn("pct_in_source", percent_rank().over(bySource))
+      .withColumn("pct_global", percent_rank().over(global))
+      .select($"doc_id", $"source", $"quality_score",
+        $"pct_in_source", $"pct_global")
+      .orderBy($"doc_id")
+  }
+
+  val quantileNormSql: String =
+    s"""WITH q AS (SELECT doc_id, quality_score
+       |           FROM (${TextAnalysis.qualityScoreSql})),
+       |s AS (
+       |  SELECT q.doc_id, d.source, q.quality_score
+       |  FROM q JOIN documents d ON d.doc_id = q.doc_id)
+       |SELECT doc_id, source, quality_score,
+       |       percent_rank() OVER (PARTITION BY source
+       |                            ORDER BY quality_score, doc_id)
+       |         AS pct_in_source,
+       |       percent_rank() OVER (ORDER BY quality_score, doc_id)
+       |         AS pct_global
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   def quotaSampleSql(quota: Int = 20, salt: String = "quota_v1"): String =
     s"""SELECT doc_id, lang, source, rk FROM (
        |  SELECT doc_id, lang, source,
