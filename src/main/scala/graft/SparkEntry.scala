@@ -156,6 +156,8 @@ object SparkEntry {
     "q_tpch_q3" -> (TpchQueries.q3 _),
     "q_clamped_balance" -> ((s: SparkSession, d: String) =>
       StatefulBatch.clampedBalance(s, d)),
+    "q_clamped_balance_sorted" -> ((s: SparkSession, d: String) =>
+      StatefulBatch.clampedBalanceSorted(s, d)),
     "q_tpch_q5" -> (TpchQueries.q5 _),
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
     "q_unpivot" -> (Analytics.unpivotStatus _),
@@ -333,6 +335,8 @@ object SparkEntry {
     "q_sql_recursive" -> Analytics.recursiveSpineSql,
     "q_tpch_q3" -> TpchQueries.q3Sql,
     "q_clamped_balance" -> StatefulBatch.clampedBalanceSql,
+    // secondary-sort strategy, same contract — same oracle string
+    "q_clamped_balance_sorted" -> StatefulBatch.clampedBalanceSql,
     "q_tpch_q5" -> TpchQueries.q5Sql,
     "q_media_dedup" -> Multimodal.mediaDedupSql,
     "q_unpivot" -> Analytics.unpivotStatusSql,

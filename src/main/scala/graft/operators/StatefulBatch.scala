@@ -59,6 +59,37 @@ object StatefulBatch {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** The huge-entity scale path promised above, made real: secondary
+    * sort instead of per-group materialization. One hash repartition on
+    * the entity key, an in-partition sort on (entity, time, id) —
+    * Spark's sort is external, it spills — then a single streaming pass
+    * whose fold state resets at each entity boundary. Memory per task
+    * is O(1) in the entity's history length, so a pathological entity
+    * costs disk, not heap. Gated with the SAME oracle as the
+    * flatMapGroups form — drop-in equivalence of the two physical
+    * strategies. */
+  def clampedBalanceSorted(spark: SparkSession, sfDir: String,
+      floorAt: Double = 0.0, cap: Double = 500.0,
+      drift: Double = 50.0): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_micros"), $"value")
+      .as[BalanceRow]
+    ds.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_micros", $"event_id")
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var bal = 0.0
+        it.map { r =>
+          if (r.user_id != curUser) { curUser = r.user_id; bal = 0.0 }
+          bal = math.min(math.max(bal + r.value - drift, floorAt), cap)
+          BalanceOut(r.user_id, r.event_id, bal)
+        }
+      }
+      .toDF()
+      .orderBy($"user_id", $"event_id")
+  }
+
   val clampedBalanceSql: String =
     """WITH RECURSIVE ev AS (
       |  SELECT user_id, event_id, value,
