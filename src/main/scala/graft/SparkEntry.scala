@@ -134,6 +134,7 @@ object SparkEntry {
     "q_quota_sample" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.quotaSample(s, d)),
     "q_quantile_norm" -> (graft.functions.Sampling.quantileNorm _),
+    "q_ngrams_expr" -> ((s: SparkSession, d: String) => TextAnalysis.ngramsExpr(s, d)),
     "q_mode" -> (Analytics.modePerUser _),
     "q_try_semantics" -> (Analytics.trySemantics _),
     "q_map_funcs" -> (Analytics.mapFuncs _),
@@ -315,6 +316,7 @@ object SparkEntry {
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),
     "q_quota_sample" -> graft.functions.Sampling.quotaSampleSql(),
     "q_quantile_norm" -> graft.functions.Sampling.quantileNormSql,
+    "q_ngrams_expr" -> TextAnalysis.ngramsExprSql,
     "q_mode" -> Analytics.modePerUserSql,
     "q_try_semantics" -> Analytics.trySemanticsSql,
     "q_map_funcs" -> Analytics.mapFuncsSql,

@@ -171,6 +171,39 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Direct oracle gate for the fused `ngrams` CODEGEN EXPRESSION
+    * ([[graft.plans.NGrams]]): positional 3-grams of every 20th
+    * document, exploded with their positions, against DuckDB's
+    * list-comprehension formulation. The expression is already
+    * byte-parity-tested against the Spark HOF chain (PropertySpec);
+    * this pins it against an independent engine as well — the custom
+    * Expression gets the same evidence standard as the built-ins. */
+  def ngramsExpr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id",
+        posexplode(graft.plans.ShingleExpression.ngrams(toks($"text"), 3, distinct = false))
+          .as(Seq("pos", "gram")))
+      .select($"doc_id", $"pos", $"gram")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val ngramsExprSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest([{'pos': i - 1,
+      |                  'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}
+      |                 FOR i IN range(1, greatest(len(t) - 1, 1))],
+      |                recursive := true) AS _
+      |  FROM toks)
+      |SELECT doc_id, CAST(pos AS INT) AS pos, gram
+      |FROM g
+      |ORDER BY doc_id, pos""".stripMargin
+
   // ---- fingerprinting ----------------------------------------------------
 
   /** Content fingerprint of whitespace-normalized lower text (md5 +
