@@ -17,6 +17,14 @@ class CurationSpec extends SparkSuite {
   ).mkString(" ")
   private val goodEn = s"$body of a morning"
 
+  test("funnel reads the staged pairs artifact — no LSH recompute in-plan") {
+    val plan = Curation.curate(spark, sf).queryExecution.optimizedPlan.toString
+    // the near-dup stage must come from the materialized pairs parquet,
+    // not an inline re-derivation of signatures/bands
+    assert(!plan.toLowerCase.contains("minhash"), plan.take(800))
+    assert(!plan.toLowerCase.contains("sorted_shingles"), plan.take(800))
+  }
+
   test("all five outcomes fire; first failing stage wins") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cur_").toString
     try {
