@@ -60,7 +60,11 @@ object Graph {
     * order), seeded at the smallest ordering customer. The DuckDB
     * oracle is an independent formulation — a recursive CTE with
     * UNION-distinct termination and a MIN(hop) rollup. */
-  def bfsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The undirected customer—supplier bipartite graph (an edge where a
+    * supplier filled a line of the customer's order) — the ONE edge
+    * definition both gated graph queries and both SQL oracles' shared
+    * e/und CTEs must agree on. */
+  private def custSuppEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey")
@@ -68,9 +72,15 @@ object Graph {
       .select(concat(lit("c"), $"o_custkey").as("a"),
         concat(lit("s"), $"l_suppkey").as("b"))
       .distinct()
-    val und = directed.unionByName(directed.select($"b".as("a"), $"a".as("b")))
-    val seed = orders.agg(min($"o_custkey")).as[Long].head()
-    bfsHops(und, Seq(s"c$seed").toDF("node"), maxHops = 10)
+    directed.unionByName(directed.select($"b".as("a"), $"a".as("b")))
+  }
+
+  def bfsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = Tables.orders(spark, sfDir)
+      .agg(min($"o_custkey")).as[Long].head()
+    bfsHops(custSuppEdges(spark, sfDir), Seq(s"c$seed").toDF("node"),
+      maxHops = 10)
       .orderBy($"hop", $"node")
   }
 
@@ -129,18 +139,11 @@ object Graph {
     * the underlying iteration is already bit-identical to the oracle. */
   def pageRankQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
-    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey")
-    val directed = orders.join(li, $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("src"),
-        concat(lit("s"), $"l_suppkey").as("dst"))
-      .distinct()
-    val und = directed.unionByName(directed.select($"dst".as("src"), $"src".as("dst")))
     // display quantization via floor, not round(): Spark rounds the exact
     // BigDecimal image of the double while DuckDB rounds in float space —
     // they disagree on midpoint-adjacent values; floor of the identical
     // double is identical everywhere
-    pageRank(und)
+    pageRank(custSuppEdges(spark, sfDir))
       .select($"node", floor($"rank" * lit(1e6)).cast("long").as("rank_e6"))
       .orderBy($"node")
   }

@@ -61,9 +61,12 @@ object Skyline {
       |FROM orders b
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM orders a
+      |  -- dominance on the DATE-truncated value, matching the engine
+      |  -- side's to_date: raw timestamps would break ties the date
+      |  -- comparison keeps
       |  WHERE a.o_totalprice >= b.o_totalprice
-      |    AND a.o_orderdate <= b.o_orderdate
+      |    AND CAST(a.o_orderdate AS DATE) <= CAST(b.o_orderdate AS DATE)
       |    AND (a.o_totalprice > b.o_totalprice
-      |         OR a.o_orderdate < b.o_orderdate))
+      |         OR CAST(a.o_orderdate AS DATE) < CAST(b.o_orderdate AS DATE)))
       |ORDER BY o_orderkey""".stripMargin
 }

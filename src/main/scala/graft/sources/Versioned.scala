@@ -14,21 +14,24 @@ import org.apache.spark.sql.functions._
   *
   *   - every publish writes a NEW immutable directory `<dir>/v=N`
   *     (never rewrites a previous one),
-  *   - a single `_current` pointer file names the live version, and
-  *     flipping it is one atomic rename — readers see the old snapshot
-  *     or the new one, never a mix,
-  *   - `read(dir, n)` serves any retained snapshot (time travel),
+  *   - a version becomes visible via a `_commit_N` MARKER FILE, and
+  *     creating one empty file is the atomic unit — readers see the
+  *     version fully or not at all, there is no pointer to tear, and a
+  *     crash mid-publish leaves only an uncommitted orphan directory
+  *     (cleaned by the next vacuum, invisible to readers),
+  *   - `read(dir, n)` serves any retained committed snapshot,
   *   - `vacuum` deletes snapshots beyond a retention window — the only
-  *     operation that ever removes data, and it never touches the
-  *     current version.
+  *     operation that ever removes committed data, and it never touches
+  *     the newest committed version. It also sweeps orphans from
+  *     crashed publishes.
   *
   * At 100 TB the snapshot directories would hold REUSED data files
   * (copy-on-write: only rewritten partitions are new bytes) and the
-  * pointer would live in a metastore; the publish/flip/retain/vacuum
-  * lifecycle demonstrated here is identical. Writes are
-  * concurrency-naive by design (one writer, like the reference's
-  * loader) — the atomicity claim is for READERS vs one writer.
-  */
+  * commit markers would live in a metastore; the
+  * publish/commit/retain/vacuum lifecycle demonstrated here is
+  * identical. Writes are concurrency-naive by design (one writer, like
+  * the reference's loader) — the atomicity claim is for READERS vs one
+  * writer. */
 object Versioned {
 
   private def fs(spark: SparkSession, dir: String) =
@@ -37,66 +40,73 @@ object Versioned {
 
   private def p(s: String) = new org.apache.hadoop.fs.Path(s)
 
-  /** The live version number, or -1 if the table has never published. */
-  def currentVersion(spark: SparkSession, dir: String): Int = {
-    val f = fs(spark, dir)
-    val cur = p(s"$dir/_current")
-    if (!f.exists(cur)) -1
-    else {
-      val in = f.open(cur)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .trim.toInt
-      finally in.close()
-    }
-  }
-
-  /** All retained snapshot versions, ascending. */
-  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+  private def listNames(spark: SparkSession, dir: String): Seq[String] = {
     val f = fs(spark, dir)
     if (!f.exists(p(dir))) Seq.empty
     else f.listStatus(p(dir)).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
-      .sorted
   }
 
+  /** Committed snapshot versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] =
+    listNames(spark, dir)
+      .collect { case s if s.startsWith("_commit_") => s.drop(8).toInt }
+      .sorted
+
+  /** Snapshot directories present on disk (committed or orphaned). */
+  private def dataDirs(spark: SparkSession, dir: String): Seq[Int] =
+    listNames(spark, dir)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+      .sorted
+
+  /** The newest committed version, or -1 if none. */
+  def currentVersion(spark: SparkSession, dir: String): Int =
+    versions(spark, dir).lastOption.getOrElse(-1)
+
   /** Publish `df` as the next snapshot; returns its version number.
-    * The pointer flip is write-tmp + rename — atomic on posix/HDFS, so
-    * a concurrent reader resolves either the previous or the new
-    * version, never a torn pointer. */
+    * Numbering skips over orphan directories left by crashed publishes,
+    * and the commit marker is one atomic file create — a reader never
+    * observes a half-written snapshot. */
   def publish(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
-    val next = currentVersion(spark, dir) + 1
+    val next = (dataDirs(spark, dir) ++ versions(spark, dir))
+      .maxOption.getOrElse(-1) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/v=$next")
-    val tmp = p(s"$dir/_current.tmp")
-    val out = f.create(tmp, true)
-    out.write(next.toString.getBytes("UTF-8")); out.close()
-    f.delete(p(s"$dir/_current"), false)
-    require(f.rename(tmp, p(s"$dir/_current")),
-      s"pointer flip failed for $dir v=$next")
+    f.create(p(s"$dir/_commit_$next"), false).close()
     next
   }
 
   /** Read a snapshot; `version = -1` (default) reads the current one.
-    * A vacuumed or never-published version fails loudly rather than
+    * A vacuumed or never-committed version fails loudly rather than
     * returning an empty frame. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"$dir has no published version")
-    require(fs(spark, dir).exists(p(s"$dir/v=$v")),
+    require(versions(spark, dir).contains(v),
       s"$dir v=$v does not exist (vacuumed or never published)")
     spark.read.parquet(s"$dir/v=$v")
   }
 
-  /** Drop all but the newest `keepLast` snapshots; returns the deleted
-    * version numbers. Refuses to run with `keepLast < 1` — vacuum can
-    * never delete the current version. */
+  /** Drop all but the newest `keepLast` committed snapshots; returns
+    * the deleted version numbers. Also sweeps orphan directories from
+    * crashed publishes (never the one a writer may be mid-publishing —
+    * only orphans BELOW the newest committed version). Refuses
+    * `keepLast < 1` — vacuum can never delete the current version.
+    * Marker deleted FIRST, so a concurrent reader of a dying version
+    * fails cleanly instead of scanning half-deleted data. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, dir)
-    val all = versions(spark, dir)
-    val drop = all.dropRight(keepLast)
-    drop.foreach(v => f.delete(p(s"$dir/v=$v"), true))
+    val committed = versions(spark, dir)
+    val drop = committed.dropRight(keepLast)
+    drop.foreach { v =>
+      f.delete(p(s"$dir/_commit_$v"), false)
+      f.delete(p(s"$dir/v=$v"), true)
+    }
+    val newestCommitted = committed.lastOption.getOrElse(-1)
+    dataDirs(spark, dir)
+      .filter(v => v < newestCommitted && !committed.contains(v))
+      .foreach(v => f.delete(p(s"$dir/v=$v"), true))
     drop
   }
 

@@ -801,14 +801,22 @@ object EventsStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(feedDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = Tables.decodeEventTs(batch)
-        val merged =
-          if (graft.sources.Versioned.currentVersion(spark, tableDir) >= 0)
-            graft.operators.MaterializedView.maintain(
-              graft.sources.Versioned.read(spark, tableDir), delta)
-          else graft.operators.MaterializedView.viewOf(delta)
-        graft.sources.Versioned.publish(merged, tableDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: version k holds batches 0..k, so a replayed
+        // batch (checkpoint lagging the publish after a crash) is
+        // recognizable as batchId <= currentVersion and skipped — the
+        // fold is NOT idempotent, exactly like the sketch stream's
+        // applied-batch watermark (applySketchBatch)
+        val cur = graft.sources.Versioned.currentVersion(spark, tableDir)
+        if (batchId > cur) {
+          val delta = Tables.decodeEventTs(batch)
+          val merged =
+            if (cur >= 0)
+              graft.operators.MaterializedView.maintain(
+                graft.sources.Versioned.read(spark, tableDir), delta)
+            else graft.operators.MaterializedView.viewOf(delta)
+          graft.sources.Versioned.publish(merged, tableDir)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -39,7 +39,7 @@ class CurationSpec extends SparkSuite {
         (6L, spanish, "es", "books")      // lang — NOT exact_dup of 2:
                                           // lang fails first (precedence)
       ).toDF("doc_id", "text", "lang", "source")
-        .withColumn("n_chars", length($"text"))
+        .withColumn("n_chars", length($"text").cast("long")) // declared schema type
       docs.write.parquet(s"$dir/documents.parquet")
       val out = Curation.curate(spark, dir)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

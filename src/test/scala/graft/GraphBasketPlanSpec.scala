@@ -12,13 +12,15 @@ import graft.operators.{Graph, MarketBasket, TpchQueries}
 class GraphBasketPlanSpec extends SparkSuite {
   import spark.implicits._
 
-  private def planOf(df: DataFrame): String = {
+  /** One AQE/QueryStage-aware walk; planOf and shuffles both derive
+    * from it so the two views of a plan can never disagree. */
+  private def walkPlan(df: DataFrame): Seq[SparkPlan] = {
     df.collect()
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    val sb = new StringBuilder
+    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
     def walk(p: SparkPlan): Unit = if (seen.add(p)) {
-      sb.append(p.nodeName).append('\n')
+      out += p
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec => walk(q.plan)
@@ -26,22 +28,14 @@ class GraphBasketPlanSpec extends SparkSuite {
       }
     }
     walk(df.queryExecution.executedPlan)
-    sb.toString
+    out.toSeq
   }
 
-  private def shuffles(df: DataFrame): Int = {
-    df.collect()
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def walk(p: SparkPlan): Unit = if (seen.add(p)) p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => walk(q.plan)
-      case other => other.children.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    import scala.jdk.CollectionConverters._
-    seen.asScala.count(_.isInstanceOf[ShuffleExchangeLike])
-  }
+  private def planOf(df: DataFrame): String =
+    walkPlan(df).map(_.nodeName).mkString("\n")
+
+  private def shuffles(df: DataFrame): Int =
+    walkPlan(df).count(_.isInstanceOf[ShuffleExchangeLike])
 
   test("pagerank iteration: edge table never shuffles — broadcast rank join only") {
     val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
@@ -102,15 +96,21 @@ class GraphBasketPlanSpec extends SparkSuite {
   }
 
   test("token budget / quota sample windows are stratum-partitioned") {
-    val tb = graft.functions.Sampling.tokenBudget(spark, sf)
-    val tbWindows = tb.queryExecution.executedPlan.toString
+    // the partition columns are the leading arguments of
+    // windowspecdefinition(...) — assert on THAT position, not on the
+    // substring appearing anywhere in the line (an ORDER BY column
+    // would also match a bare contains)
+    val tbWindows = graft.functions.Sampling.tokenBudget(spark, sf)
+      .queryExecution.executedPlan.toString
       .split("\n").filter(_.contains("windowspecdefinition")).mkString("\n")
-    assert(tbWindows.contains("source#") || tbWindows.contains("source"),
+    assert(tbWindows.contains("windowspecdefinition(source#"),
       s"budget walk must partition by source:\n$tbWindows")
-    val qs = graft.functions.Sampling.quotaSample(spark, sf)
-    val qsWindows = qs.queryExecution.executedPlan.toString
+    val qsWindows = graft.functions.Sampling.quotaSample(spark, sf)
+      .queryExecution.executedPlan.toString
       .split("\n").filter(_.contains("windowspecdefinition")).mkString("\n")
-    assert(qsWindows.contains("lang") && qsWindows.contains("source"),
+    assert(qsWindows.contains("windowspecdefinition(lang#") &&
+      qsWindows.replaceAll("""windowspecdefinition\(lang#\d+""", "WSD")
+        .contains("WSD, source#"),
       s"quota window must partition by (lang, source):\n$qsWindows")
   }
 }

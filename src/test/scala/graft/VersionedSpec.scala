@@ -51,6 +51,28 @@ class VersionedSpec extends SparkSuite {
     intercept[IllegalArgumentException](Versioned.vacuum(spark, dir, 0))
   }
 
+  test("crashed publish (orphan dir, no commit marker) is invisible and swept") {
+    val dir = tmpTable()
+    Versioned.publish(Seq(1).toDF("id"), dir)
+    Versioned.publish(Seq(2).toDF("id"), dir)
+    // simulate a publish that died after writing data, before committing
+    Seq(99).toDF("id").write.parquet(s"$dir/v=7")
+    // readers never see it
+    assert(Versioned.currentVersion(spark, dir) == 1)
+    assert(Versioned.versions(spark, dir) == Seq(0, 1))
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, 7))
+    // the next publish skips over the orphan instead of colliding
+    val v = Versioned.publish(Seq(3).toDF("id"), dir)
+    assert(v == 8)
+    assert(Versioned.read(spark, dir).collect().map(_.getInt(0)).toSeq == Seq(3))
+    // vacuum sweeps orphans below the newest committed version
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.vacuum(spark, dir, keepLast = 2)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/v=7")))
+    assert(Versioned.versions(spark, dir) == Seq(1, 8))
+  }
+
   test("empty table: currentVersion -1, read fails loudly") {
     val dir = tmpTable()
     assert(Versioned.currentVersion(spark, dir) == -1)
