@@ -202,6 +202,9 @@ object SparkEntry {
     "q_curation" -> (Curation.curate _),
     "q_assoc_rules" -> ((s: SparkSession, d: String) => MarketBasket.assocRules(s, d)),
     "q_item_neighbors" -> ((s: SparkSession, d: String) => MarketBasket.itemNeighbors(s, d)),
+    // end-to-end through the custom DataSource V2 connector (byte-range
+    // splits, pushdown, pruning) — oracle reads the original parquet
+    "q_dsv2_source" -> (graft.sources.v2.GraftCsvQuery.dsv2Query _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -345,5 +348,6 @@ object SparkEntry {
     "q_winsorize" -> Analytics.winsorizeSql,
     "q_substring_dup" -> Dedup.substringSpansSql(),
     "q_weighted_sample" -> graft.functions.Sampling.weightedSampleSql(),
+    "q_dsv2_source" -> graft.sources.v2.GraftCsvQuery.dsv2Sql,
   )
 }

@@ -1,0 +1,378 @@
+package graft.sources.v2
+
+import java.io.{BufferedInputStream, File, FileInputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A from-scratch DataSource V2 connector ("graftcsv") — the engine-level
+  * half of the reference's CSV ingestion path (ingest_taxi.py:11 reads
+  * CSV via a hosted loader; here the *connector itself* is implemented
+  * against Spark's `connector.read` SPI rather than delegating to the
+  * built-in reader).
+  *
+  * Scale design, in order of importance at 100 TB:
+  *
+  *  1. **Byte-range splits, not files** ([[GraftCsvBatch.planInputPartitions]]):
+  *     each file is cut into `splitBytes` ranges (default 128 MB) using
+  *     the classic text-split ownership rule — a split owns every record
+  *     that *starts* strictly after its first byte (the reader at
+  *     offset > 0 discards the partial line it lands in; the previous
+  *     split reads past its end boundary to finish that record). One
+  *     10 GB file becomes 80 parallel partitions instead of one straggler.
+  *  2. **Column pruning** ([[GraftCsvScanBuilder.pruneColumns]]): the
+  *     reader materializes only the fields Catalyst asks for — unneeded
+  *     fields are skipped at the byte level (no parse, no allocation).
+  *  3. **Filter pushdown** ([[GraftCsvScanBuilder.pushFilters]]): simple
+  *     comparison predicates are evaluated inside the partition reader so
+  *     non-matching rows never surface into the query. Like the built-in
+  *     parquet source, every filter is *also* returned as a residual for
+  *     Spark to re-evaluate — the pushdown is an efficiency contract, not
+  *     a correctness dependency, so a subtle reader-side comparison bug
+  *     cannot produce wrong answers, only wasted rows.
+  *  4. **Statistics** ([[GraftCsvScan.estimateStatistics]]): total byte
+  *     size from the file listing, so the planner can pick a broadcast
+  *     join when the graftcsv side is small.
+  *
+  * Format contract (kept deliberately writer-controlled): comma-separated,
+  * no quoting (writers must strip commas/newlines from string fields —
+  * [[GraftCsvIO.write]] enforces this), empty field = NULL, timestamps as
+  * `yyyy-MM-dd HH:mm:ss.SSSSSS` UTC, dates as `yyyy-MM-dd`. Schema is
+  * supplied by the caller (`spark.read.schema(...)`); headerless files.
+  */
+class GraftCsv extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftcsv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Schemaless reads get one string column per field of the first line —
+    * enough for exploration; production reads declare the schema. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = GraftCsvIO.listFiles(options.get("path"))
+    require(files.nonEmpty, s"graftcsv: no files under ${options.get("path")}")
+    val src = scala.io.Source.fromFile(files.head, "UTF-8")
+    val n = try src.getLines().next().count(_ == ',') + 1 finally src.close()
+    StructType((0 until n).map(i => StructField(s"c$i", StringType)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftCsvTable(schema, properties.get("path"),
+      Option(properties.get("splitBytes")).map(_.toLong).getOrElse(128L * 1024 * 1024))
+}
+
+class GraftCsvTable(schema: StructType, path: String, splitBytes: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftcsv:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCsvScanBuilder(schema, path, splitBytes)
+}
+
+class GraftCsvScanBuilder(dataSchema: StructType, path: String, splitBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = dataSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept what the reader can evaluate; return EVERYTHING as residual
+    * (Spark re-checks — see class doc: pushdown is efficiency-only). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftCsvFilters.evaluable(dataSchema, _))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftCsvScan(dataSchema, required, pushed, path, splitBytes)
+}
+
+class GraftCsvScan(dataSchema: StructType, required: StructType,
+    val pushedFilters: Array[Filter], path: String, splitBytes: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCsvScan path=$path, ReadSchema=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters=[${pushedFilters.mkString(", ")}]"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = GraftCsvIO.listFiles(path).map(_.length).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = ArrayBuffer.empty[InputPartition]
+    for (f <- GraftCsvIO.listFiles(path)) {
+      val len = f.length
+      var off = 0L
+      while (off < len) {
+        val end = math.min(off + splitBytes, len)
+        parts += GraftCsvPartition(f.getAbsolutePath, off, end)
+        off = end
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCsvReaderFactory(dataSchema, required, pushedFilters)
+}
+
+case class GraftCsvPartition(file: String, start: Long, end: Long) extends InputPartition
+
+class GraftCsvReaderFactory(dataSchema: StructType, required: StructType,
+    filters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftCsvPartitionReader(dataSchema, required,
+      filters, partition.asInstanceOf[GraftCsvPartition])
+}
+
+/** Streams one byte-range of one file. Ownership rule (Hadoop text-split
+  * contract): if start > 0, discard up to and including the first '\n'
+  * (that record belongs to the previous split); keep reading records
+  * whose first byte is < end, finishing the last one past the boundary. */
+class GraftCsvPartitionReader(dataSchema: StructType, required: StructType,
+    filters: Array[Filter], part: GraftCsvPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val in = new BufferedInputStream(new FileInputStream(part.file), 1 << 16)
+  private var pos = 0L            // bytes consumed from the stream
+  private var recordStart = 0L    // offset of the next record's first byte
+  skipTo(part.start)
+  if (part.start > 0) { readLine() ; recordStart = pos }
+
+  // field index in the file -> slot in the output row (-1 = skip parse)
+  private val fieldSlot: Array[Int] =
+    dataSchema.fieldNames.map(n => required.fieldNames.indexOf(n))
+  // every column any pushed filter touches must be parsed even if pruned
+  private val filterCols = filters.flatMap(GraftCsvFilters.references).distinct
+  private val parseMask: Array[Boolean] = dataSchema.fieldNames.map(n =>
+    required.fieldNames.contains(n) || filterCols.contains(n))
+  private val eval = GraftCsvFilters.compile(dataSchema, filters)
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (recordStart >= part.end) return false
+      val line = readLine()
+      recordStart = pos
+      if (line == null) return false
+      val parsed = parseLine(line)
+      if (eval(parsed)) {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+        var i = 0
+        while (i < dataSchema.length) {
+          val slot = fieldSlot(i)
+          if (slot >= 0) row.update(slot, parsed(i))
+          i += 1
+        }
+        current = row
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+
+  private def skipTo(target: Long): Unit = {
+    var remaining = target
+    while (remaining > 0) {
+      val n = in.skip(remaining)
+      require(n > 0, s"graftcsv: cannot seek to $target in ${part.file}")
+      remaining -= n
+    }
+    pos = target
+    recordStart = target
+  }
+
+  /** One '\n'-terminated line as bytes→String, or null at EOF. */
+  private def readLine(): String = {
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var b = in.read()
+    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    if (b == -1 && buf.size == 0) null
+    else buf.toString(StandardCharsets.UTF_8.name())
+  }
+
+  /** Parse the masked fields of one line into Catalyst values (null for
+    * empty fields and skipped fields). No quoting by format contract. */
+  private def parseLine(line: String): Array[Any] = {
+    val out = new Array[Any](dataSchema.length)
+    var field = 0
+    var from = 0
+    val n = line.length
+    while (field < dataSchema.length && from <= n) {
+      var to = line.indexOf(',', from)
+      if (to < 0) to = n
+      if (parseMask(field) && to > from)
+        out(field) = GraftCsvFilters.parseValue(dataSchema(field).dataType,
+          line.substring(from, to))
+      from = to + 1
+      field += 1
+    }
+    out
+  }
+}
+
+/** Filter compilation + value parsing shared by reader and planner.
+  * Evaluation happens on *Catalyst* values (UTF8String, micros, days) so
+  * reader-side semantics match what Spark's re-check computes. */
+object GraftCsvFilters {
+
+  private val tsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  def parseValue(dt: DataType, s: String): Any = dt match {
+    case StringType => UTF8String.fromString(s)
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case BooleanType => s.toBoolean
+    case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case TimestampType =>
+      val ldt = java.time.LocalDateTime.parse(s, tsFormat)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    case other => throw new IllegalArgumentException(s"graftcsv: unsupported type $other")
+  }
+
+  def references(f: Filter): Array[String] = f.references
+
+  /** Can the reader evaluate this filter? (leaf comparisons + AND/OR/NOT
+    * over them, on columns of parseable types) */
+  def evaluable(schema: StructType, f: Filter): Boolean = f match {
+    case And(l, r) => evaluable(schema, l) && evaluable(schema, r)
+    case Or(l, r) => evaluable(schema, l) && evaluable(schema, r)
+    case Not(c) => evaluable(schema, c)
+    case EqualTo(a, _) => comparable(schema, a)
+    case GreaterThan(a, _) => comparable(schema, a)
+    case GreaterThanOrEqual(a, _) => comparable(schema, a)
+    case LessThan(a, _) => comparable(schema, a)
+    case LessThanOrEqual(a, _) => comparable(schema, a)
+    case In(a, _) => comparable(schema, a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case StringStartsWith(a, _) => typeOf(schema, a).contains(StringType)
+    case _ => false
+  }
+
+  private def typeOf(schema: StructType, col: String): Option[DataType] =
+    schema.fields.find(_.name == col).map(_.dataType)
+
+  private def comparable(schema: StructType, col: String): Boolean =
+    typeOf(schema, col).exists {
+      case StringType | IntegerType | LongType | DoubleType | FloatType |
+           BooleanType | DateType | TimestampType => true
+      case _ => false
+    }
+
+  /** Compile filters to a predicate over the parsed (Catalyst-value) row.
+    * Unknown/unevaluable filters were never pushed, so `compile` only
+    * sees what [[evaluable]] accepted. */
+  def compile(schema: StructType, filters: Array[Filter]): Array[Any] => Boolean = {
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    def cmp(col: String, v: Any): Array[Any] => Option[Int] = {
+      val i = idx(col)
+      val lit = toCatalyst(schema(i).dataType, v)
+      row => Option(row(i)).map(x => compareValues(x, lit))
+    }
+    def one(f: Filter): Array[Any] => Boolean = f match {
+      case And(l, r) => val (a, b) = (one(l), one(r)); row => a(row) && b(row)
+      case Or(l, r) => val (a, b) = (one(l), one(r)); row => a(row) || b(row)
+      case Not(c) => val a = one(c); row => !a(row)
+      case EqualTo(col, v) => val c = cmp(col, v); row => c(row).contains(0)
+      case GreaterThan(col, v) => val c = cmp(col, v); row => c(row).exists(_ > 0)
+      case GreaterThanOrEqual(col, v) => val c = cmp(col, v); row => c(row).exists(_ >= 0)
+      case LessThan(col, v) => val c = cmp(col, v); row => c(row).exists(_ < 0)
+      case LessThanOrEqual(col, v) => val c = cmp(col, v); row => c(row).exists(_ <= 0)
+      case In(col, vs) =>
+        val i = idx(col)
+        val set = vs.map(v => toCatalyst(schema(i).dataType, v)).toSet
+        row => row(i) != null && set.contains(row(i))
+      case IsNull(col) => val i = idx(col); row => row(i) == null
+      case IsNotNull(col) => val i = idx(col); row => row(i) != null
+      case StringStartsWith(col, prefix) =>
+        val i = idx(col)
+        val p = UTF8String.fromString(prefix)
+        row => row(i) != null && row(i).asInstanceOf[UTF8String].startsWith(p)
+      case other => throw new IllegalStateException(s"graftcsv: unpushable $other")
+    }
+    val compiled = filters.map(one)
+    row => compiled.forall(_(row))
+  }
+
+  /** Filter literals arrive as external Scala types; convert once. */
+  private def toCatalyst(dt: DataType, v: Any): Any = (dt, v) match {
+    case (StringType, s: String) => UTF8String.fromString(s)
+    case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
+    case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
+    case (TimestampType, t: java.sql.Timestamp) =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case (TimestampType, t: java.time.Instant) =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case (_, x) => x
+  }
+
+  @annotation.nowarn("cat=other-match-analysis")
+  private def compareValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x, y) => throw new IllegalStateException(s"graftcsv: incomparable $x vs $y")
+  }
+}
+
+/** Writer + listing helpers for the graftcsv format. */
+object GraftCsvIO {
+
+  def listFiles(path: String): Seq[File] = {
+    val f = new File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles((_, name) => !name.startsWith("_") && !name.startsWith(".")).toSeq
+      else if (f.isFile) Seq(f)
+      else Seq.empty
+    files.filter(_.length > 0).sortBy(_.getName)
+  }
+
+  /** Write a DataFrame as graftcsv (headerless, unquoted, fixed formats).
+    * String columns must not contain ',' '\n' '"' — checked, not mangled:
+    * a format that silently rewrites payloads would corrupt round-trips. */
+  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val bad = df.schema.fields.filter(_.dataType == StringType).map(f =>
+      df.filter(col(f.name).rlike("[,\n\"]")).limit(1).count()).sum
+    require(bad == 0, s"graftcsv: string columns must not contain , \" or newline")
+    df.write.mode("overwrite")
+      .option("header", "false")
+      .option("quote", "")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+  }
+}
