@@ -205,6 +205,10 @@ object SparkEntry {
     // end-to-end through the custom DataSource V2 connector (byte-range
     // splits, pushdown, pruning) — oracle reads the original parquet
     "q_dsv2_source" -> (graft.sources.v2.GraftCsvQuery.dsv2Query _),
+    "q_tpch_q10" -> (TpchQueries.q10 _),
+    "q_tpch_q18" -> (TpchQueries.q18 _),
+    // bit-exact second-moment statistics (quantized integer moments)
+    "q_stats_moments" -> (Analytics.statsMoments _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -349,5 +353,8 @@ object SparkEntry {
     "q_substring_dup" -> Dedup.substringSpansSql(),
     "q_weighted_sample" -> graft.functions.Sampling.weightedSampleSql(),
     "q_dsv2_source" -> graft.sources.v2.GraftCsvQuery.dsv2Sql,
+    "q_tpch_q10" -> TpchQueries.q10Sql,
+    "q_tpch_q18" -> TpchQueries.q18Sql,
+    "q_stats_moments" -> Analytics.statsMomentsSql,
   )
 }

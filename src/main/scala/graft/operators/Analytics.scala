@@ -990,6 +990,87 @@ object Analytics {
       |WHERE rk = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Second-moment statistics sweep — corr / stddev_samp / covar_samp /
+    * regr_slope — made cross-engine BIT-EXACT, which the built-ins can't
+    * be (Spark's `corr` is a partition-order-dependent double
+    * accumulation; DuckDB's is sequential — last-ulp drift guaranteed).
+    *
+    * The trick (proven for pagerank/cosine in this repo): quantize each
+    * value to integer cents via `floor(x*100) → BIGINT` (deterministic
+    * IEEE multiply + floor, identical in both engines), accumulate the
+    * five moments Sx Sy Sxx Syy Sxy as EXACT integer sums
+    * (decimal(38,0) here ≡ HUGEINT in the oracle — order-independent),
+    * then derive the statistics with one pinned sequence of IEEE ops.
+    * Identical integer inputs + identical op order = identical doubles,
+    * no rounding needed.
+    *
+    * At 100 TB: one map-side-combined shuffle on the group key; the five
+    * moments are 5 longs of state per group — the same cost as the
+    * built-in `corr`, with reproducibility the built-in can't give. */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.lineitem(spark, sfDir).select($"l_returnflag",
+      floor($"l_quantity" * 100).cast("long").as("qx"),
+      floor($"l_extendedprice" * 100).cast("long").as("qy"))
+    val s = q.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"qx".cast("decimal(38,0)")).as("sx"),
+      sum($"qy".cast("decimal(38,0)")).as("sy"),
+      sum(($"qx" * $"qx").cast("decimal(38,0)")).as("sxx"),
+      sum(($"qy" * $"qy").cast("decimal(38,0)")).as("syy"),
+      sum(($"qx" * $"qy").cast("decimal(38,0)")).as("sxy"))
+    val dn = $"n".cast("double")
+    val (sx, sy, sxx, syy, sxy) = ($"sx".cast("double"), $"sy".cast("double"),
+      $"sxx".cast("double"), $"syy".cast("double"), $"sxy".cast("double"))
+    s.select($"l_returnflag", $"n",
+        ((dn * sxy - sx * sy) /
+          (sqrt(dn * sxx - sx * sx) * sqrt(dn * syy - sy * sy)))
+          .as("corr_qty_price"),
+        (sqrt((dn * sxx - sx * sx) / (dn * (dn - 1.0))) / 100.0)
+          .as("stddev_qty"),
+        (sqrt((dn * syy - sy * sy) / (dn * (dn - 1.0))) / 100.0)
+          .as("stddev_price"),
+        ((dn * sxy - sx * sy) / (dn * (dn - 1.0)) / 10000.0)
+          .as("covar_qty_price"),
+        ((dn * sxy - sx * sy) / (dn * sxx - sx * sx)).as("slope_price_on_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val statsMomentsSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100) AS BIGINT) AS qx,
+      |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS qy
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         SUM(CAST(qx AS HUGEINT)) AS sx,
+      |         SUM(CAST(qy AS HUGEINT)) AS sy,
+      |         SUM(CAST(qx * qx AS HUGEINT)) AS sxx,
+      |         SUM(CAST(qy * qy AS HUGEINT)) AS syy,
+      |         SUM(CAST(qx * qy AS HUGEINT)) AS sxy
+      |  FROM q GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS dn,
+      |         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+      |         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+      |         CAST(sxy AS DOUBLE) AS sxy
+      |  FROM s)
+      |SELECT l_returnflag, n,
+      |       (dn * sxy - sx * sy) /
+      |         (sqrt(dn * sxx - sx * sx) * sqrt(dn * syy - sy * sy))
+      |         AS corr_qty_price,
+      |       sqrt((dn * sxx - sx * sx) / (dn * (dn - 1.0))) / 100.0
+      |         AS stddev_qty,
+      |       sqrt((dn * syy - sy * sy) / (dn * (dn - 1.0))) / 100.0
+      |         AS stddev_price,
+      |       (dn * sxy - sx * sy) / (dn * (dn - 1.0)) / 10000.0
+      |         AS covar_qty_price,
+      |       (dn * sxy - sx * sy) / (dn * sxx - sx * sx)
+      |         AS slope_price_on_qty
+      |FROM d
+      |ORDER BY l_returnflag""".stripMargin
+
   def histogramSql(nBuckets: Int = 20): String =
     s"""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM li),

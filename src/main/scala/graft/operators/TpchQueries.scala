@@ -91,6 +91,82 @@ object TpchQueries {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** Q10 shape: returned-item revenue by customer for one quarter —
+    * fact→orders shuffle join, broadcast customer/nation, top-20 by lost
+    * revenue. The classic "who returned the most" report. */
+  def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .filter(to_date($"o_orderdate") >= lit("1996-10-01") &&
+        to_date($"o_orderdate") < lit("1997-01-01"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(Exact.sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |       ${Exact.sumExactSql("l_extendedprice * (1.0 - l_discount)")}
+       |         AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** Q18 shape: large-quantity orders — the IN-aggregate-subquery plan.
+    * Spark-first: the subquery becomes an aggregate whose qualifying
+    * keys AQE can broadcast into the semi join (tiny at any SF — the
+    * filter keeps ~0.5% of orders), so the big fact never shuffles on
+    * the probe side twice. */
+  def q18(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+    val bigOrders = li.groupBy($"l_orderkey")
+      .agg(Exact.sumExact($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 250.0)
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").as("o_orderdate"),
+        $"o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
+    bigOrders.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_custkey, c_name, o_orderkey,
+       |       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+       |       total_qty
+       |FROM (SELECT l_orderkey,
+       |             ${Exact.sumExactSql("l_quantity")} AS total_qty
+       |      FROM lineitem GROUP BY 1
+       |      HAVING ${Exact.sumExactSql("l_quantity")} > 250.0) big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
   val q5Sql: String =
     s"""SELECT n_name,
        |       ${Exact.sumExactSql("l_extendedprice * (1.0 - l_discount)")}
