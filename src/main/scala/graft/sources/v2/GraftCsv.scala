@@ -5,9 +5,10 @@ import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,13 +71,103 @@ class GraftCsv extends TableProvider with DataSourceRegister {
 }
 
 class GraftCsvTable(schema: StructType, path: String, splitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftcsv:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCsvScanBuilder(schema, path, splitBytes)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftCsvWriteBuilder(info.schema(), path)
+}
+
+/** Write path: the full V2 commit protocol. Tasks stream rows to hidden
+  * `.graft-tmp-*` files (invisible to [[GraftCsvIO.listFiles]], so a
+  * concurrent reader never sees an uncommitted write); each task's
+  * commit message names its temp file; the DRIVER publishes them all by
+  * rename in [[GraftCsvBatchWrite.commit]] after every task succeeded.
+  * Spark's commit coordinator guarantees at most one committed attempt
+  * per partition, so speculative retries cannot double-publish. On a
+  * distributed filesystem the same protocol holds with FileSystem
+  * renames; the local-FS form here is the single-node instance of it. */
+class GraftCsvWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftCsvBatchWrite(schema, path, doTruncate)
+  }
+}
+
+case class GraftCsvCommit(tmpPath: String, finalName: String) extends WriterCommitMessage
+
+class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftCsvWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    if (truncate) GraftCsvIO.listFiles(path).foreach(_.delete())
+    messages.foreach { case GraftCsvCommit(tmp, finalName) =>
+      val src = new File(tmp)
+      if (src.length == 0) src.delete() // empty partition: no file
+      else require(src.renameTo(new File(dir, finalName)),
+        s"graftcsv: publish rename failed for $tmp")
+    }
+    sweepTmp()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case GraftCsvCommit(tmp, _) => new File(tmp).delete()
+      case _ => ()
+    }
+    sweepTmp()
+  }
+
+  /** Crashed attempts never reach commit/abort messages; their orphans
+    * are swept here. Safe under the format's single-writer contract. */
+  private def sweepTmp(): Unit = {
+    val d = new File(path)
+    if (d.isDirectory)
+      d.listFiles((_, n) => n.startsWith(".graft-tmp-")).foreach(_.delete())
+  }
+}
+
+class GraftCsvWriterFactory(schema: StructType, path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftCsvDataWriter(schema, path, partitionId, taskId)
+}
+
+class GraftCsvDataWriter(schema: StructType, path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  new File(path).mkdirs()
+  private val tmp = new File(path, s".graft-tmp-$partitionId-$taskId")
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8), 1 << 16)
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(',')
+      if (!row.isNullAt(i)) sb.append(GraftCsvFilters.renderValue(types(i), row, i))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftCsvCommit(tmp.getAbsolutePath, f"part-$partitionId%05d-$taskId.csv")
+  }
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
+  override def close(): Unit = ()
 }
 
 class GraftCsvScanBuilder(dataSchema: StructType, path: String, splitBytes: Long)
@@ -257,6 +348,29 @@ object GraftCsvFilters {
   }
 
   def references(f: Filter): Array[String] = f.references
+
+  /** Inverse of [[parseValue]] for the write path — same fixed formats
+    * so a graftcsv round-trip is exact. Strings are validated, not
+    * mangled (the format is unquoted by contract). */
+  def renderValue(dt: DataType, row: InternalRow, i: Int): String = dt match {
+    case StringType =>
+      val s = row.getUTF8String(i).toString
+      require(s.indexOf(',') < 0 && s.indexOf('\n') < 0 && s.indexOf('"') < 0,
+        "graftcsv: string values must not contain , \" or newline")
+      s
+    case IntegerType => String.valueOf(row.getInt(i))
+    case LongType => String.valueOf(row.getLong(i))
+    case DoubleType => String.valueOf(row.getDouble(i))
+    case FloatType => String.valueOf(row.getFloat(i))
+    case BooleanType => String.valueOf(row.getBoolean(i))
+    case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+    case TimestampType =>
+      val us = row.getLong(i)
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC).format(tsFormat)
+    case other => throw new IllegalArgumentException(s"graftcsv: unsupported type $other")
+  }
 
   /** Can the reader evaluate this filter? (leaf comparisons + AND/OR/NOT
     * over them, on columns of parseable types) */

@@ -26,15 +26,16 @@ object GraftCsvQuery {
     StructField("value", DoubleType)))
 
   /** Dump events (minus the JSON props column — graftcsv is unquoted by
-    * contract) to `/tmp/graft_dsv2_<sf>`; marker file makes it once. */
+    * contract) to `/tmp/graft_dsv2_<sf>`; marker file makes it once.
+    * The dump goes THROUGH the connector's own write path (V2 commit
+    * protocol), so q_dsv2_source gates write+read end to end. */
   def dumpDir(spark: SparkSession, sfDir: String): String = {
     val dir = s"/tmp/graft_dsv2_${new File(sfDir).getName}"
     val marker = new File(dir, "_GRAFT_DUMPED")
     if (!marker.exists()) {
-      GraftCsvIO.write(
-        Tables.events(spark, sfDir)
-          .select("event_id", "ts", "user_id", "event_type", "value"),
-        s"$dir/events")
+      Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.format("graftcsv").mode("overwrite").save(s"$dir/events")
       marker.createNewFile()
     }
     s"$dir/events"

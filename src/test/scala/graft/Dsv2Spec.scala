@@ -89,6 +89,50 @@ class Dsv2Spec extends SparkSuite {
     assert(df.count() == Tables.events(spark, sf).count())
   }
 
+  test("write path: overwrite truncates, append accumulates, no tmp residue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_w_").toString + "/t"
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((3L, "c")).toDF("id", "s")
+    a.write.format("graftcsv").mode("append").save(dir)
+    b.write.format("graftcsv").mode("append").save(dir)
+    def readBack = spark.read.format("graftcsv").schema(a.schema).load(dir)
+    assert(readBack.count() == 3)
+    b.write.format("graftcsv").mode("overwrite").save(dir)
+    assert(readBack.collect().toSet == b.collect().toSet)
+    val residue = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith(".graft-tmp"))
+    assert(residue.isEmpty, residue.mkString(","))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("write path: V2 writer and Spark-CSV writer produce identical reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_x_").toString
+    val src = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    src.write.format("graftcsv").mode("append").save(s"$dir/v2")
+    GraftCsvIO.write(src, s"$dir/io")
+    def rd(p: String) = spark.read.format("graftcsv").schema(src.schema).load(p)
+    assert(rd(s"$dir/v2").collect().toSet == rd(s"$dir/io").collect().toSet)
+    // and both round-trip the source exactly (timestamp micros included)
+    assert(rd(s"$dir/v2").collect().toSet == src.collect().toSet)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("write path: a failing task aborts without publishing partial files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_f_").toString + "/t"
+    val poisoned = spark.range(100).selectExpr("id",
+      "CASE WHEN id = 99 THEN ',' ELSE 'ok' END AS s") // comma → writer throws
+    intercept[Exception] {
+      poisoned.write.format("graftcsv").mode("append").save(dir)
+    }
+    val visible = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+    assert(visible.isEmpty, s"aborted write must publish nothing: ${visible.mkString(",")}")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("statistics: connector reports file bytes so broadcast planning can fire") {
     val scan = scanOf(GraftCsvQuery.read(spark, sf))
     val stats = scan.estimateStatistics()

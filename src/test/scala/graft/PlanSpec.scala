@@ -141,6 +141,31 @@ class PlanSpec extends SparkSuite {
     assert(pruned.select("ship_year").distinct().count() == 1)
   }
 
+  test("dynamic partition pruning: runtime dim filter prunes fact partitions") {
+    import spark.implicits._
+    val dir = "/tmp/graft_plan_spec_dpp"
+    ClusteredLayout.writeClustered(spark, sf, dir)
+    // the year filter lives on the DIM side only — the fact's partition
+    // filter must be injected at runtime (DPP), not statically. Two
+    // traps this test pins: the dim must be file-backed (a LocalRelation
+    // constant-folds the filter away before DPP's selective-predicate
+    // detection), and the predicate must survive as EqualTo(attr, lit)
+    // (a boolean flag simplifies to a bare attribute, which fails
+    // isLikelySelective).
+    (1995 to 2001).map(y => (y, if (y == 2000) "target" else "other"))
+      .toDF("y", "label").write.mode("overwrite").parquet(s"$dir-dim")
+    val dim = spark.read.parquet(s"$dir-dim").filter($"label" === "target")
+    // aggregate real data columns — a partition-column-only scan has ~0
+    // estimated size and DPP's benefit check would skip the filter
+    val q = spark.read.parquet(dir)
+      .join(dim, $"ship_year" === $"y")
+      .groupBy($"ship_year")
+      .agg(sum($"l_extendedprice").as("rev"), count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(1200))
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(2000))
+  }
+
   test("fact build: every dim join is a broadcast join (no fact shuffle per dim)") {
     // assert on the BUILDER: the query surface reads the materialized
     // fact (GoldStage), whose plan is just a parquet scan
