@@ -209,6 +209,9 @@ object SparkEntry {
     "q_tpch_q18" -> (TpchQueries.q18 _),
     // bit-exact second-moment statistics (quantized integer moments)
     "q_stats_moments" -> (Analytics.statsMoments _),
+    "q_spearman" -> (Analytics.spearman _),
+    // right-to-be-forgotten: merge-on-read tombstones ≡ compacted rewrite
+    "q_forget" -> (graft.sources.Forget.forgetQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -356,5 +359,7 @@ object SparkEntry {
     "q_tpch_q10" -> TpchQueries.q10Sql,
     "q_tpch_q18" -> TpchQueries.q18Sql,
     "q_stats_moments" -> Analytics.statsMomentsSql,
+    "q_spearman" -> Analytics.spearmanSql,
+    "q_forget" -> graft.sources.Forget.forgetSql,
   )
 }

@@ -1071,6 +1071,78 @@ object Analytics {
       |FROM d
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Spearman rank correlation, bit-exact across engines. Pearson on
+    * integer ranks: tie groups take the AVERAGE rank, which can be a
+    * half — so both sides use DOUBLED ranks `2·rank() + (ties−1)`
+    * (always integral) and the scale cancels in the correlation. The
+    * moment sums are then exact integers ([[statsMoments]] machinery)
+    * and the final ops are one pinned IEEE sequence.
+    *
+    * At 100 TB: two per-group window sorts (the rank assignment) +
+    * one moment aggregation — the same cost any rank statistic pays;
+    * no driver-side collection anywhere. */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def r2(c: String) = {
+      val w = Window.partitionBy($"l_returnflag").orderBy(col(c))
+      val ties = Window.partitionBy($"l_returnflag", col(c))
+      lit(2) * rank().over(w).cast("long") + (count(lit(1)).over(ties) - 1L)
+    }
+    val ranked = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .withColumn("rx", r2("l_quantity"))
+      .withColumn("ry", r2("l_extendedprice"))
+    val s = ranked.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"rx".cast("decimal(38,0)")).as("sx"),
+      sum($"ry".cast("decimal(38,0)")).as("sy"),
+      sum(($"rx" * $"rx").cast("decimal(38,0)")).as("sxx"),
+      sum(($"ry" * $"ry").cast("decimal(38,0)")).as("syy"),
+      sum(($"rx" * $"ry").cast("decimal(38,0)")).as("sxy"))
+    val dn = $"n".cast("double")
+    val (sx, sy, sxx, syy, sxy) = ($"sx".cast("double"), $"sy".cast("double"),
+      $"sxx".cast("double"), $"syy".cast("double"), $"sxy".cast("double"))
+    s.select($"l_returnflag", $"n",
+        ((dn * sxy - sx * sy) /
+          (sqrt(dn * sxx - sx * sx) * sqrt(dn * syy - sy * sy)))
+          .as("spearman_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val spearmanSql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag,
+      |         2 * rank() OVER (PARTITION BY l_returnflag
+      |                          ORDER BY l_quantity)
+      |           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+      |           AS rx,
+      |         2 * rank() OVER (PARTITION BY l_returnflag
+      |                          ORDER BY l_extendedprice)
+      |           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+      |           AS ry
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         SUM(CAST(rx AS HUGEINT)) AS sx,
+      |         SUM(CAST(ry AS HUGEINT)) AS sy,
+      |         SUM(CAST(rx * rx AS HUGEINT)) AS sxx,
+      |         SUM(CAST(ry * ry AS HUGEINT)) AS syy,
+      |         SUM(CAST(rx * ry AS HUGEINT)) AS sxy
+      |  FROM ranked GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS dn,
+      |         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+      |         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+      |         CAST(sxy AS DOUBLE) AS sxy
+      |  FROM s)
+      |SELECT l_returnflag, n,
+      |       (dn * sxy - sx * sy) /
+      |         (sqrt(dn * sxx - sx * sx) * sqrt(dn * syy - sy * sy))
+      |         AS spearman_qty_price
+      |FROM d
+      |ORDER BY l_returnflag""".stripMargin
+
   def histogramSql(nBuckets: Int = 20): String =
     s"""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
       |bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
