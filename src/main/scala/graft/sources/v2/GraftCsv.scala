@@ -78,7 +78,8 @@ class GraftCsvTable(schema: StructType, path: String, splitBytes: Long)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCsvScanBuilder(schema, path, splitBytes)
+    new GraftCsvScanBuilder(schema, path, splitBytes,
+      options.getBoolean("vectorized", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftCsvWriteBuilder(info.schema(), path)
 }
@@ -170,7 +171,8 @@ class GraftCsvDataWriter(schema: StructType, path: String, partitionId: Int, tas
   override def close(): Unit = ()
 }
 
-class GraftCsvScanBuilder(dataSchema: StructType, path: String, splitBytes: Long)
+class GraftCsvScanBuilder(dataSchema: StructType, path: String, splitBytes: Long,
+    vectorized: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = dataSchema
@@ -188,11 +190,12 @@ class GraftCsvScanBuilder(dataSchema: StructType, path: String, splitBytes: Long
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftCsvScan(dataSchema, required, pushed, path, splitBytes)
+    new GraftCsvScan(dataSchema, required, pushed, path, splitBytes, vectorized)
 }
 
 class GraftCsvScan(dataSchema: StructType, required: StructType,
-    val pushedFilters: Array[Filter], path: String, splitBytes: Long)
+    val pushedFilters: Array[Filter], path: String, splitBytes: Long,
+    vectorized: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -222,25 +225,31 @@ class GraftCsvScan(dataSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCsvReaderFactory(dataSchema, required, pushedFilters)
+    new GraftCsvReaderFactory(dataSchema, required, pushedFilters, vectorized)
 }
 
 case class GraftCsvPartition(file: String, start: Long, end: Long) extends InputPartition
 
 class GraftCsvReaderFactory(dataSchema: StructType, required: StructType,
-    filters: Array[Filter]) extends PartitionReaderFactory {
+    filters: Array[Filter], vectorized: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(dataSchema, required,
       filters, partition.asInstanceOf[GraftCsvPartition])
+  override def supportColumnarReads(partition: InputPartition): Boolean = vectorized
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftCsvColumnarReader(dataSchema, required,
+      filters, partition.asInstanceOf[GraftCsvPartition])
 }
 
-/** Streams one byte-range of one file. Ownership rule (Hadoop text-split
-  * contract): if start > 0, discard up to and including the first '\n'
-  * (that record belongs to the previous split); keep reading records
-  * whose first byte is < end, finishing the last one past the boundary. */
-class GraftCsvPartitionReader(dataSchema: StructType, required: StructType,
-    filters: Array[Filter], part: GraftCsvPartition)
-    extends PartitionReader[InternalRow] {
+/** Streams one byte-range of one file and yields surviving records as
+  * Catalyst values in REQUIRED-schema order. Ownership rule (Hadoop
+  * text-split contract): if start > 0, discard up to and including the
+  * first '\n' (that record belongs to the previous split); keep reading
+  * records whose first byte is < end, finishing the last one past the
+  * boundary. Shared by the row and columnar readers. */
+private[v2] class GraftCsvLineCursor(dataSchema: StructType, required: StructType,
+    filters: Array[Filter], part: GraftCsvPartition) {
 
   private val in = new BufferedInputStream(new FileInputStream(part.file), 1 << 16)
   private var pos = 0L            // bytes consumed from the stream
@@ -257,32 +266,29 @@ class GraftCsvPartitionReader(dataSchema: StructType, required: StructType,
     required.fieldNames.contains(n) || filterCols.contains(n))
   private val eval = GraftCsvFilters.compile(dataSchema, filters)
 
-  private var current: InternalRow = _
-
-  override def next(): Boolean = {
+  /** Next surviving record, projected to required order; null at end. */
+  def nextProjected(): Array[Any] = {
     while (true) {
-      if (recordStart >= part.end) return false
+      if (recordStart >= part.end) return null
       val line = readLine()
       recordStart = pos
-      if (line == null) return false
+      if (line == null) return null
       val parsed = parseLine(line)
       if (eval(parsed)) {
-        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+        val out = new Array[Any](required.length)
         var i = 0
         while (i < dataSchema.length) {
           val slot = fieldSlot(i)
-          if (slot >= 0) row.update(slot, parsed(i))
+          if (slot >= 0) out(slot) = parsed(i)
           i += 1
         }
-        current = row
-        return true
+        return out
       }
     }
-    false
+    null
   }
 
-  override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  def close(): Unit = in.close()
 
   private def skipTo(target: Long): Unit = {
     var remaining = target
@@ -323,6 +329,81 @@ class GraftCsvPartitionReader(dataSchema: StructType, required: StructType,
     }
     out
   }
+}
+
+/** Row-at-a-time read path. */
+class GraftCsvPartitionReader(dataSchema: StructType, required: StructType,
+    filters: Array[Filter], part: GraftCsvPartition)
+    extends PartitionReader[InternalRow] {
+  private val cursor = new GraftCsvLineCursor(dataSchema, required, filters, part)
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val vals = cursor.nextProjected()
+    if (vals == null) false
+    else {
+      current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vals.asInstanceOf[Array[Any]])
+      true
+    }
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = cursor.close()
+}
+
+/** Columnar read path (`vectorized=true` read option): the same cursor
+  * feeding [[org.apache.spark.sql.vectorized.ColumnarBatch]]es of
+  * on-heap vectors, so downstream operators consume whole batches and
+  * Spark inserts its codegen'd ColumnarToRow only where needed — the
+  * handoff the built-in parquet reader uses. Batch size 4096 rows
+  * (Spark's own `spark.sql.parquet.columnarReaderBatchSize` default). */
+class GraftCsvColumnarReader(dataSchema: StructType, required: StructType,
+    filters: Array[Filter], part: GraftCsvPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val capacity = 4096
+  private val cursor = new GraftCsvLineCursor(dataSchema, required, filters, part)
+  private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch = new ColumnarBatch(vectors.map(v =>
+    v: org.apache.spark.sql.vectorized.ColumnVector))
+  private var exhausted = false
+
+  override def next(): Boolean = {
+    if (exhausted) return false
+    vectors.foreach(_.reset())
+    var n = 0
+    while (n < capacity && !exhausted) {
+      val vals = cursor.nextProjected()
+      if (vals == null) exhausted = true
+      else {
+        var i = 0
+        while (i < vals.length) {
+          appendValue(vectors(i), required(i).dataType, vals(i))
+          i += 1
+        }
+        n += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  private def appendValue(v: OnHeapColumnVector, dt: DataType, value: Any): Unit =
+    if (value == null) { v.appendNull(); () } else dt match {
+      case StringType =>
+        val b = value.asInstanceOf[UTF8String].getBytes
+        v.appendByteArray(b, 0, b.length); ()
+      case IntegerType | DateType => v.appendInt(value.asInstanceOf[Int]); ()
+      case LongType | TimestampType => v.appendLong(value.asInstanceOf[Long]); ()
+      case DoubleType => v.appendDouble(value.asInstanceOf[Double]); ()
+      case FloatType => v.appendFloat(value.asInstanceOf[Float]); ()
+      case BooleanType => v.appendBoolean(value.asInstanceOf[Boolean]); ()
+      case other => throw new IllegalStateException(s"graftcsv: no vector for $other")
+    }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { cursor.close(); batch.close() }
 }
 
 /** Filter compilation + value parsing shared by reader and planner.

@@ -61,8 +61,11 @@ class Dsv2Spec extends SparkSuite {
       (2L, None, None, None, None))
       .toDF("id", "s", "d", "day", "flag")
     GraftCsvIO.write(src, s"$dir/t")
-    val back = spark.read.format("graftcsv").schema(src.schema).load(s"$dir/t")
-    assert(back.collect().toSet == src.collect().toSet)
+    for (vec <- Seq("false", "true")) {
+      val back = spark.read.format("graftcsv").schema(src.schema)
+        .option("vectorized", vec).load(s"$dir/t")
+      assert(back.collect().toSet == src.collect().toSet, s"vectorized=$vec")
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
@@ -131,6 +134,21 @@ class Dsv2Spec extends SparkSuite {
     assert(visible.isEmpty, s"aborted write must publish nothing: ${visible.mkString(",")}")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
+  }
+
+  test("vectorized read: columnar batches, same rows, ColumnarToRow in plan") {
+    val schema = GraftCsvQuery.schema
+    val dir = GraftCsvQuery.dumpDir(spark, sf)
+    def rd(vec: Boolean) = spark.read.format("graftcsv").schema(schema)
+      .option("vectorized", vec.toString).option("splitBytes", "4096").load(dir)
+    val colPlan = rd(true).queryExecution.executedPlan.toString
+    assert(colPlan.contains("ColumnarToRow"), colPlan.take(600))
+    assert(!rd(false).queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(rd(true).collect().toSet == rd(false).collect().toSet)
+    // pushdown still applies inside the columnar reader
+    val filtered = rd(true).filter($"event_type" === "purchase" && $"value" > 5.0)
+    assert(filtered.collect().toSet ==
+      rd(false).filter($"event_type" === "purchase" && $"value" > 5.0).collect().toSet)
   }
 
   test("statistics: connector reports file bytes so broadcast planning can fire") {
