@@ -212,6 +212,9 @@ object SparkEntry {
     "q_spearman" -> (Analytics.spearman _),
     // right-to-be-forgotten: merge-on-read tombstones ≡ compacted rewrite
     "q_forget" -> (graft.sources.Forget.forgetQuery _),
+    // change data feed over versioned snapshots — same oracle as
+    // q_table_diff (storage round-trip must be change-transparent)
+    "q_change_feed" -> (graft.sources.Forget.changeFeedQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -361,5 +364,6 @@ object SparkEntry {
     "q_stats_moments" -> Analytics.statsMomentsSql,
     "q_spearman" -> Analytics.spearmanSql,
     "q_forget" -> graft.sources.Forget.forgetSql,
+    "q_change_feed" -> Reconcile.tableDiffSql,
   )
 }

@@ -79,6 +79,41 @@ object Forget {
     }
   }
 
+  /** `q_change_feed`: the change-data-feed composition — the SAME
+    * derived next-state as [[graft.operators.Reconcile.tableDiffQuery]],
+    * but both states round-trip through [[Versioned]] snapshots before
+    * diffing, so the oracle (shared with q_table_diff) additionally
+    * proves the versioned storage is change-transparent: diff(v0, v1)
+    * on disk ≡ diff of the in-memory frames, row for row. This is
+    * Delta's CDF / Iceberg's changelog read expressed over the
+    * snapshot mechanic. */
+  def changeFeedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+    val tbl = s"$tmp/events_versioned"
+    try {
+      val old = Tables.events(spark, sfDir)
+        .select($"event_id", $"event_type", $"value")
+      val next = old.filter($"event_id" % 13 =!= 0)
+        .select($"event_id",
+          when($"event_id" % 5 === 0, lit("updated"))
+            .otherwise($"event_type").as("event_type"),
+          when($"event_id" % 5 === 0, $"value" + 100.0)
+            .otherwise($"value").as("value"))
+        .unionByName(old.filter($"event_id" % 17 === 0)
+          .select(($"event_id" + 1000000).as("event_id"), $"event_type", $"value"))
+      val v0 = Versioned.publish(old, tbl)
+      val v1 = Versioned.publish(next, tbl)
+      graft.operators.Reconcile.tableDiff(
+          Versioned.read(spark, tbl, v0), Versioned.read(spark, tbl, v1),
+          "event_id", Seq("event_type", "value"))
+        .localCheckpoint(eager = true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
   val forgetSql: String =
     s"""SELECT event_type,
        |       COUNT(*) AS n_mor,
