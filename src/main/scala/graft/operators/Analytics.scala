@@ -1080,7 +1080,13 @@ object Analytics {
     *
     * At 100 TB: two per-group window sorts (the rank assignment) +
     * one moment aggregation — the same cost any rank statistic pays;
-    * no driver-side collection anywhere. */
+    * no driver-side collection anywhere. Bounds: groups are capped at
+    * 2^31 rows by `rank()`'s IntegerType (an engine limit every rank
+    * statistic shares); within that bound the doubled ranks reach
+    * ~6.4e9, so their PRODUCTS exceed Long and must be multiplied in
+    * decimal — squaring as Long would wrap silently near the cap
+    * (statsMoments can multiply as Long because its cent quantities
+    * are bounded per-row, not per-group). */
   def spearman(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1093,13 +1099,15 @@ object Analytics {
       .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
       .withColumn("rx", r2("l_quantity"))
       .withColumn("ry", r2("l_extendedprice"))
+    val dx = $"rx".cast("decimal(19,0)")
+    val dy = $"ry".cast("decimal(19,0)")
     val s = ranked.groupBy($"l_returnflag").agg(
       count(lit(1)).as("n"),
-      sum($"rx".cast("decimal(38,0)")).as("sx"),
-      sum($"ry".cast("decimal(38,0)")).as("sy"),
-      sum(($"rx" * $"rx").cast("decimal(38,0)")).as("sxx"),
-      sum(($"ry" * $"ry").cast("decimal(38,0)")).as("syy"),
-      sum(($"rx" * $"ry").cast("decimal(38,0)")).as("sxy"))
+      sum(dx).as("sx"),
+      sum(dy).as("sy"),
+      sum(dx * dx).as("sxx"),
+      sum(dy * dy).as("syy"),
+      sum(dx * dy).as("sxy"))
     val dn = $"n".cast("double")
     val (sx, sy, sxx, syy, sxy) = ($"sx".cast("double"), $"sy".cast("double"),
       $"sxx".cast("double"), $"syy".cast("double"), $"sxy".cast("double"))
@@ -1126,9 +1134,9 @@ object Analytics {
       |  SELECT l_returnflag, COUNT(*) AS n,
       |         SUM(CAST(rx AS HUGEINT)) AS sx,
       |         SUM(CAST(ry AS HUGEINT)) AS sy,
-      |         SUM(CAST(rx * rx AS HUGEINT)) AS sxx,
-      |         SUM(CAST(ry * ry AS HUGEINT)) AS syy,
-      |         SUM(CAST(rx * ry AS HUGEINT)) AS sxy
+      |         SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+      |         SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy,
+      |         SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy
       |  FROM ranked GROUP BY 1),
       |d AS (
       |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS dn,

@@ -106,8 +106,13 @@ case class GraftCsvCommit(tmpPath: String, finalName: String) extends WriterComm
 
 class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
     extends BatchWrite {
+  // per-JOB unique component for published names: Spark task ids restart
+  // from 0 in every application, so (partitionId, taskId) alone collides
+  // across append jobs and rename would silently replace committed files
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCsvWriterFactory(schema, path)
+    new GraftCsvWriterFactory(schema, path, writeId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -138,15 +143,17 @@ class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
   }
 }
 
-class GraftCsvWriterFactory(schema: StructType, path: String) extends DataWriterFactory {
+class GraftCsvWriterFactory(schema: StructType, path: String, writeId: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCsvDataWriter(schema, path, partitionId, taskId)
+    new GraftCsvDataWriter(schema, path, partitionId, taskId, writeId)
 }
 
-class GraftCsvDataWriter(schema: StructType, path: String, partitionId: Int, taskId: Long)
+class GraftCsvDataWriter(schema: StructType, path: String, partitionId: Int,
+    taskId: Long, writeId: String)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
-  private val tmp = new File(path, s".graft-tmp-$partitionId-$taskId")
+  private val tmp = new File(path, s".graft-tmp-$writeId-$partitionId-$taskId")
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8), 1 << 16)
   private val types = schema.fields.map(_.dataType)
@@ -165,7 +172,7 @@ class GraftCsvDataWriter(schema: StructType, path: String, partitionId: Int, tas
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftCsvCommit(tmp.getAbsolutePath, f"part-$partitionId%05d-$taskId.csv")
+    GraftCsvCommit(tmp.getAbsolutePath, f"part-$partitionId%05d-$writeId-$taskId.csv")
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
@@ -266,10 +273,14 @@ private[v2] class GraftCsvLineCursor(dataSchema: StructType, required: StructTyp
     required.fieldNames.contains(n) || filterCols.contains(n))
   private val eval = GraftCsvFilters.compile(dataSchema, filters)
 
-  /** Next surviving record, projected to required order; null at end. */
+  /** Next surviving record, projected to required order; null at end.
+    * Ownership is (start, end]: a record starting EXACTLY at `end`
+    * belongs to THIS split (the next split's reader unconditionally
+    * discards its first line, so stopping at `>=` would drop every
+    * record whose start lands on a boundary — silent data loss). */
   def nextProjected(): Array[Any] = {
     while (true) {
-      if (recordStart >= part.end) return null
+      if (recordStart > part.end) return null
       val line = readLine()
       recordStart = pos
       if (line == null) return null
@@ -436,8 +447,11 @@ object GraftCsvFilters {
   def renderValue(dt: DataType, row: InternalRow, i: Int): String = dt match {
     case StringType =>
       val s = row.getUTF8String(i).toString
-      require(s.indexOf(',') < 0 && s.indexOf('\n') < 0 && s.indexOf('"') < 0,
-        "graftcsv: string values must not contain , \" or newline")
+      // '' would read back as NULL (empty field = NULL by contract), so
+      // it is rejected like the delimiter characters, not silently mangled
+      require(s.nonEmpty && s.indexOf(',') < 0 && s.indexOf('\n') < 0 &&
+        s.indexOf('"') < 0,
+        "graftcsv: string values must not contain , \" newline or be empty")
       s
     case IntegerType => String.valueOf(row.getInt(i))
     case LongType => String.valueOf(row.getLong(i))
@@ -558,9 +572,17 @@ object GraftCsvIO {
     * a format that silently rewrites payloads would corrupt round-trips. */
   def write(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
-    val bad = df.schema.fields.filter(_.dataType == StringType).map(f =>
-      df.filter(col(f.name).rlike("[,\n\"]")).limit(1).count()).sum
-    require(bad == 0, s"graftcsv: string columns must not contain , \" or newline")
+    // ONE validation pass over all string columns (per-column scans would
+    // multiply read I/O by the column count). Empty strings are rejected
+    // too: the format reads an empty field as NULL, so '' cannot survive
+    // a round-trip — better to refuse than to silently rewrite it.
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (stringCols.nonEmpty) {
+      val anyBad = stringCols.map(c => col(c).rlike("[,\n\"]") || col(c) === "")
+        .reduce(_ || _)
+      require(df.filter(anyBad).limit(1).count() == 0,
+        s"graftcsv: string columns must not contain , \" newline or be empty")
+    }
     df.write.mode("overwrite")
       .option("header", "false")
       .option("quote", "")

@@ -32,11 +32,16 @@ object GraftCsvQuery {
   def dumpDir(spark: SparkSession, sfDir: String): String = {
     val dir = s"/tmp/graft_dsv2_${new File(sfDir).getName}"
     val marker = new File(dir, "_GRAFT_DUMPED")
-    if (!marker.exists()) {
-      Tables.events(spark, sfDir)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .write.format("graftcsv").mode("overwrite").save(s"$dir/events")
-      marker.createNewFile()
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // fingerprinted marker: a bare exists() check would keep serving a
+    // stale pre-change dump across writer/format changes forever, and
+    // the oracle gate would "pass" without exercising the new code
+    val fingerprint = s"v2|${schema.catalogString}|n=${src.count()}"
+    if (!marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) != fingerprint) {
+      src.write.format("graftcsv").mode("overwrite").save(s"$dir/events")
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
     s"$dir/events"
   }

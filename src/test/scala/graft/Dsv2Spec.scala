@@ -54,6 +54,24 @@ class Dsv2Spec extends SparkSuite {
     }
   }
 
+  test("split boundary exactly at a record start: no row lost, none duplicated") {
+    // fixed-width 10-byte records make EVERY splitBytes=10k boundary land
+    // exactly on a record start — the off-by-one class the random-width
+    // invariance test can't reach (ownership is (start, end]; stopping at
+    // >= end dropped one record per aligned boundary)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_b_").toString
+    val f = new java.io.PrintWriter(s"$dir/fixed.csv")
+    try (0 until 100).foreach(i => f.print(f"$i%09d\n")) finally f.close()
+    val schema = StructType(Seq(StructField("id", IntegerType)))
+    for (split <- Seq(10L, 30L, 50L, 1000L)) {
+      val got = spark.read.format("graftcsv").schema(schema)
+        .option("splitBytes", split.toString).load(dir)
+        .as[Int].collect().sorted.toSeq
+      assert(got == (0 until 100), s"splitBytes=$split lost/duplicated rows")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("null and type round-trip through the format") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rt_").toString
     val src = Seq(

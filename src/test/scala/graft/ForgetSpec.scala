@@ -44,8 +44,14 @@ class ForgetSpec extends SparkSuite {
 
   test("merge-on-read plan: tombstone anti-join broadcasts, corpus never shuffles") {
     val (table, _) = freshTable()
-    val plan = Forget.readForgotten(spark, table).queryExecution.executedPlan.toString
+    val q = Forget.readForgotten(spark, table)
+    val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(600))
-    assert(!plan.contains("ShuffleExchange"), "corpus must not shuffle for a KB tombstone list")
+    // node-type walk, not a string match: ShuffleExchangeExec prints as
+    // "Exchange hashpartitioning(...)" so a substring test can't see it
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty, "corpus must not shuffle for a KB tombstone list")
   }
 }
