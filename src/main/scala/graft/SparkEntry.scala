@@ -215,6 +215,9 @@ object SparkEntry {
     // change data feed over versioned snapshots — same oracle as
     // q_table_diff (storage round-trip must be change-transparent)
     "q_change_feed" -> (graft.sources.Forget.changeFeedQuery _),
+    "q_join_types" -> (Analytics.joinTypes _),
+    // the oracle string IS the Spark program (correlated decorrelation)
+    "q_correlated" -> (Analytics.sqlCorrelated _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -365,5 +368,7 @@ object SparkEntry {
     "q_spearman" -> Analytics.spearmanSql,
     "q_forget" -> graft.sources.Forget.forgetSql,
     "q_change_feed" -> Reconcile.tableDiffSql,
+    "q_join_types" -> Analytics.joinTypesSql,
+    "q_correlated" -> Analytics.correlatedSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Exact._
 import graft.sources.Tables
@@ -1150,6 +1150,97 @@ object Analytics {
       |         AS spearman_qty_price
       |FROM d
       |ORDER BY l_returnflag""".stripMargin
+
+  /** Every join type in one gated sweep — inner / left / right / full /
+    * semi / anti / cross over the same keyed pair, each reduced to
+    * (rows, key checksum) so the oracle hash pins both cardinality AND
+    * membership per type. The pair is sized so cross stays tiny. */
+  def joinTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_a"))
+      .filter($"user_id" % 7 === 0)
+    val b = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id".as("uid")).agg(count(lit(1)).as("n_b"))
+      .filter($"uid" % 3 === 0)
+    def reduceTo(name: String, df: DataFrame, key: Column) =
+      df.agg(count(lit(1)).as("n"),
+        coalesce(sum(key), lit(0L)).as("key_sum"))
+        .select(lit(name).as("join_type"), $"n", $"key_sum")
+    val on = $"user_id" === $"uid"
+    reduceTo("1_inner", a.join(b, on, "inner"), $"user_id")
+      .unionByName(reduceTo("2_left", a.join(b, on, "left_outer"),
+        $"user_id" + coalesce($"uid", lit(0L))))
+      .unionByName(reduceTo("3_right", a.join(b, on, "right_outer"),
+        coalesce($"user_id", lit(0L)) + $"uid"))
+      .unionByName(reduceTo("4_full", a.join(b, on, "full_outer"),
+        coalesce($"user_id", lit(0L)) + coalesce($"uid", lit(0L))))
+      .unionByName(reduceTo("5_semi", a.join(b, on, "left_semi"), $"user_id"))
+      .unionByName(reduceTo("6_anti", a.join(b, on, "left_anti"), $"user_id"))
+      .unionByName(reduceTo("7_cross", a.crossJoin(b), $"user_id" + $"uid"))
+      .orderBy($"join_type")
+  }
+
+  val joinTypesSql: String =
+    """WITH a AS (
+      |  SELECT user_id, COUNT(*) AS n_a FROM events
+      |  GROUP BY 1 HAVING user_id % 7 = 0),
+      |b AS (
+      |  SELECT user_id AS uid, COUNT(*) AS n_b FROM events
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY 1 HAVING user_id % 3 = 0)
+      |SELECT '1_inner' AS join_type, COUNT(*) AS n,
+      |       CAST(coalesce(SUM(user_id), 0) AS BIGINT) AS key_sum
+      |FROM a JOIN b ON user_id = uid
+      |UNION ALL
+      |SELECT '2_left', COUNT(*),
+      |       CAST(coalesce(SUM(user_id + coalesce(uid, 0)), 0) AS BIGINT)
+      |FROM a LEFT JOIN b ON user_id = uid
+      |UNION ALL
+      |SELECT '3_right', COUNT(*),
+      |       CAST(coalesce(SUM(coalesce(user_id, 0) + uid), 0) AS BIGINT)
+      |FROM a RIGHT JOIN b ON user_id = uid
+      |UNION ALL
+      |SELECT '4_full', COUNT(*),
+      |       CAST(coalesce(SUM(coalesce(user_id, 0) + coalesce(uid, 0)), 0) AS BIGINT)
+      |FROM a FULL OUTER JOIN b ON user_id = uid
+      |UNION ALL
+      |SELECT '5_semi', COUNT(*), CAST(coalesce(SUM(user_id), 0) AS BIGINT)
+      |FROM a WHERE EXISTS (SELECT 1 FROM b WHERE uid = user_id)
+      |UNION ALL
+      |SELECT '6_anti', COUNT(*), CAST(coalesce(SUM(user_id), 0) AS BIGINT)
+      |FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE uid = user_id)
+      |UNION ALL
+      |SELECT '7_cross', COUNT(*), CAST(coalesce(SUM(user_id + uid), 0) AS BIGINT)
+      |FROM a CROSS JOIN b
+      |ORDER BY join_type""".stripMargin
+
+  /** Correlated-subquery SQL parity: EXISTS, NOT EXISTS, and a
+    * correlated scalar subquery (exact MAX — a correlated AVG of
+    * doubles would drift in the last ulp between engines), run VERBATIM
+    * on Spark and DuckDB. Exercises Spark's decorrelation: each
+    * subquery becomes a join under RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery rather than a per-row re-execution. */
+  val correlatedSql: String =
+    """SELECT o.o_orderkey, o.o_totalprice
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                  WHERE l2.l_orderkey = o.o_orderkey
+      |                    AND l2.l_returnflag = 'R')
+      |  AND o.o_totalprice > (SELECT coalesce(MAX(o2.o_totalprice), 0.0)
+      |                        FROM orders o2
+      |                        WHERE o2.o_custkey = o.o_custkey
+      |                          AND o2.o_orderkey <> o.o_orderkey)
+      |ORDER BY o.o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def sqlCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(correlatedSql)
+  }
 
   def histogramSql(nBuckets: Int = 20): String =
     s"""WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
