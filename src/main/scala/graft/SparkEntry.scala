@@ -218,6 +218,7 @@ object SparkEntry {
     "q_join_types" -> (Analytics.joinTypes _),
     // the oracle string IS the Spark program (correlated decorrelation)
     "q_correlated" -> (Analytics.sqlCorrelated _),
+    "q_triangles" -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables). */
@@ -370,5 +371,6 @@ object SparkEntry {
     "q_change_feed" -> Reconcile.tableDiffSql,
     "q_join_types" -> Analytics.joinTypesSql,
     "q_correlated" -> Analytics.correlatedSql,
+    "q_triangles" -> Graph.trianglesSql(),
   )
 }

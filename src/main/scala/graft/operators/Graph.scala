@@ -187,4 +187,70 @@ object Graph {
       |SELECT node, CAST(MIN(hop) AS INT) AS hop
       |FROM bfs GROUP BY node
       |ORDER BY hop, node""".stripMargin
+
+  /** Triangle counting + global clustering coefficient over the item
+    * co-purchase graph — the compact-forward (node-iterator) algorithm:
+    * every edge is stored once in canonical (small, large) order, wedges
+    * come from one self-join on the middle node, and each triangle is
+    * counted exactly once as its ordered (a < b < c) closure. This is
+    * the standard distributed shape (two hash joins on item keys, no
+    * per-node adjacency materialization); the support floor keeps the
+    * candidate graph bounded the same way assocRules' does.
+    *
+    * The edge list is localCheckpointed: it feeds three join legs, and
+    * recomputing the baskets self-join per leg would triple the
+    * dominant cost. Clustering = 3·triangles/wedges, one pinned IEEE
+    * division over exact integer counts. */
+  def triangles(spark: SparkSession, sfDir: String, minCo: Long = 3): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("bk"), $"l_partkey".as("item")).distinct()
+    trianglesOn(baskets, minCo)
+  }
+
+  /** The algorithm over an explicit (bk, item) basket frame — unit-gated
+    * on hand graphs with known triangle counts. */
+  def trianglesOn(baskets: DataFrame, minCo: Long): DataFrame = {
+    val spark = baskets.sparkSession
+    import spark.implicits._
+    val e = baskets.as("a")
+      .join(baskets.as("b"), $"a.bk" === $"b.bk" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("pa"), $"b.item".as("pb"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter($"n_co" >= minCo)
+      .select($"pa", $"pb")
+      .localCheckpoint(true)
+    val wedges = e.select($"pa".as("w_a"), $"pb".as("w_b"))
+      .join(e.select($"pa".as("w_b2"), $"pb".as("w_c")), $"w_b" === $"w_b2")
+    val tris = wedges.join(e, $"pa" === $"w_a" && $"pb" === $"w_c")
+    val eN = e.agg(count(lit(1)).as("n_edges"))
+    val wN = wedges.agg(count(lit(1)).as("n_wedges"))
+    val tN = tris.agg(count(lit(1)).as("n_triangles"))
+    eN.crossJoin(wN).crossJoin(tN)
+      .select($"n_edges", $"n_wedges", $"n_triangles",
+        (lit(3.0) * $"n_triangles".cast("double") / $"n_wedges".cast("double"))
+          .as("clustering"))
+  }
+
+  def trianglesSql(minCo: Long = 3): String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT o_custkey AS bk, l_partkey AS item
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (
+       |  SELECT a.item AS pa, b.item AS pb
+       |  FROM baskets a JOIN baskets b ON a.bk = b.bk AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCo),
+       |w AS (
+       |  SELECT e1.pa AS w_a, e1.pb AS w_b, e2.pb AS w_c
+       |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa),
+       |counts AS (
+       |  SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       |         (SELECT COUNT(*) FROM w) AS n_wedges,
+       |         (SELECT COUNT(*) FROM w JOIN e ON pa = w_a AND pb = w_c)
+       |           AS n_triangles)
+       |SELECT n_edges, n_wedges, n_triangles,
+       |       3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |         AS clustering
+       |FROM counts""".stripMargin
 }

@@ -41,6 +41,22 @@ class TpchStatsSpec extends SparkSuite {
     }
   }
 
+  test("triangles: K4 has 4, a path has 0, clustering is 3T/W") {
+    import spark.implicits._
+    // one shared basket of 4 items = complete graph K4
+    val k4 = (1 to 4).flatMap(i => Seq((100L, i.toLong), (200L, i.toLong)))
+      .toDF("bk", "item")
+    val r = graft.operators.Graph.trianglesOn(k4, minCo = 2).collect().head
+    assert((r.getLong(0), r.getLong(2)) == ((6L, 4L))) // C(4,2) edges, C(4,3) triangles
+    assert(r.getDouble(3) == 3.0 * r.getLong(2) / r.getLong(1))
+    // a 4-path: overlapping pair-baskets, no closure
+    val path = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L))
+      .flatMap { case (b, i) => Seq((b, i), (b + 10, i)) } // duplicate per pair → n_co=2
+      .toDF("bk", "item")
+    val p = graft.operators.Graph.trianglesOn(path, minCo = 2).collect().head
+    assert(p.getLong(0) == 3L && p.getLong(2) == 0L)
+  }
+
   test("stats moments: slope is covariance over variance (internal identity)") {
     Analytics.statsMoments(spark, sf).collect().foreach { r =>
       val slope = r.getAs[Double]("slope_price_on_qty")
