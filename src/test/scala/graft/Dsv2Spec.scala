@@ -169,6 +169,46 @@ class Dsv2Spec extends SparkSuite {
       rd(false).filter($"event_type" === "purchase" && $"value" > 5.0).collect().toSet)
   }
 
+  test("randomized differential: graftcsv reader == Spark CSV reader on fuzzed data") {
+    // seeded, so failures reproduce; values cover negatives, extremes,
+    // empty-ish strings (single char — '' is rejected by contract),
+    // nulls in every column, and leap-day dates
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (1 to 500).map { i =>
+      def opt[T](v: T): Option[T] = if (rnd.nextInt(10) == 0) None else Some(v)
+      (i.toLong,
+        opt(rnd.nextLong()),
+        opt(rnd.nextInt()),
+        opt(rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10) *
+          (if (rnd.nextBoolean()) 1 else -1)),
+        opt(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString),
+        opt(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.nextInt(40000).toLong - 5000))),
+        opt(rnd.nextBoolean()))
+    }
+    val src = rows.toDF("id", "l", "i", "d", "s", "day", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_fz_").toString
+    GraftCsvIO.write(src, s"$dir/t")
+    val viaSparkCsv = spark.read.schema(src.schema)
+      .option("header", "false").option("quote", "")
+      .option("emptyValue", "").option("nullValue", "")
+      .option("dateFormat", "yyyy-MM-dd")
+      .csv(s"$dir/t").collect().toSet
+    for (split <- Seq(257L, 1L << 20)) {
+      val viaGraft = spark.read.format("graftcsv").schema(src.schema)
+        .option("splitBytes", split.toString).load(s"$dir/t").collect().toSet
+      assert(viaGraft == viaSparkCsv && viaGraft == src.collect().toSet,
+        s"splitBytes=$split diverged")
+    }
+    // and the V2 writer leg: fuzzed extremes (scientific-notation
+    // doubles, negative epochs, nulls) must round-trip through
+    // renderValue/parseValue exactly as through Spark's CSV writer
+    src.write.format("graftcsv").mode("append").save(s"$dir/v2")
+    val viaV2Writer = spark.read.format("graftcsv").schema(src.schema)
+      .option("splitBytes", "257").load(s"$dir/v2").collect().toSet
+    assert(viaV2Writer == src.collect().toSet, "V2 writer round-trip diverged")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("statistics: connector reports file bytes so broadcast planning can fire") {
     val scan = scanOf(GraftCsvQuery.read(spark, sf))
     val stats = scan.estimateStatistics()
