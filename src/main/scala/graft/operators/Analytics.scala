@@ -1221,7 +1221,15 @@ object Analytics {
     * doubles would drift in the last ulp between engines), run VERBATIM
     * on Spark and DuckDB. Exercises Spark's decorrelation: each
     * subquery becomes a join under RewriteCorrelatedScalarSubquery /
-    * RewritePredicateSubquery rather than a per-row re-execution. */
+    * RewritePredicateSubquery rather than a per-row re-execution.
+    *
+    * The scalar subquery correlates on EQUALITY ONLY (the customer's
+    * max order). An earlier draft added `o2.o_orderkey <> o.o_orderkey`
+    * to the correlation — a non-equi correlate decorrelates into a
+    * BroadcastNestedLoopJoin, which is orders×orders row PAIRS in one
+    * task: invisible at the sf0.01 gate, a 25-minute wedge at sf0.1.
+    * Correlated predicates must stay equi-joinable or the plan is a
+    * scale cliff. */
   val correlatedSql: String =
     """SELECT o.o_orderkey, o.o_totalprice
       |FROM orders o
@@ -1230,10 +1238,9 @@ object Analytics {
       |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
       |                  WHERE l2.l_orderkey = o.o_orderkey
       |                    AND l2.l_returnflag = 'R')
-      |  AND o.o_totalprice > (SELECT coalesce(MAX(o2.o_totalprice), 0.0)
+      |  AND o.o_totalprice = (SELECT MAX(o2.o_totalprice)
       |                        FROM orders o2
-      |                        WHERE o2.o_custkey = o.o_custkey
-      |                          AND o2.o_orderkey <> o.o_orderkey)
+      |                        WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o.o_orderkey
       |LIMIT 100""".stripMargin
 

@@ -17,6 +17,16 @@ class OptimizerEvidenceSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("correlated subqueries decorrelate to hash joins — no nested-loop cliff") {
+    // a non-equi correlate (e.g. `o2.o_orderkey <> o.o_orderkey` inside
+    // the scalar subquery) silently degrades to BroadcastNestedLoopJoin:
+    // orders×orders pairs in one task — fine at the sf0.01 gate, a
+    // 25-minute single-thread wedge at sf0.1. Pin the plan shape.
+    val plan = graft.operators.Analytics.sqlCorrelated(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(900))
+  }
+
   test("CBO: ANALYZE TABLE statistics flip a stats-less join to broadcast") {
     // the dim must be a PARTITIONED catalog table: a non-partitioned
     // datasource table derives sizeInBytes from the file listing and
