@@ -43,6 +43,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  4. **Statistics** ([[GraftCsvScan.estimateStatistics]]): total byte
   *     size from the file listing, so the planner can pick a broadcast
   *     join when the graftcsv side is small.
+  *  5. **Runtime filtering** ([[GraftCsvScan.filter]]): the DPP analog
+  *     for connectors — Spark derives an In-filter from a completed
+  *     broadcast join side and the readers skip non-matching rows. The
+  *     filters ride inside each [[GraftCsvPartition]] (partitions are
+  *     re-planned after `filter()`, the reader factory may predate it —
+  *     the partition is the only order-independent channel).
   *
   * Format contract (kept deliberately writer-controlled): comma-separated,
   * no quoting (writers must strip commas/newlines from string fields —
@@ -203,7 +209,31 @@ class GraftCsvScanBuilder(dataSchema: StructType, path: String, splitBytes: Long
 class GraftCsvScan(dataSchema: StructType, required: StructType,
     val pushedFilters: Array[Filter], path: String, splitBytes: Long,
     vectorized: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime filters (the connector-side DPP analog): Spark derives
+    * them from a completed broadcast join side AFTER planning — e.g.
+    * an In(user_id, <the 12 ids the dim kept>) — and hands them here.
+    * They join the pushed set so every partition reader skips
+    * non-matching rows before they surface. Same efficiency-only
+    * contract as static pushdown: Spark re-checks semantics via the
+    * join itself, so the filter can only shrink IO, never change
+    * results. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  // only columns in the scan OUTPUT: Spark resolves these against the
+  // pruned schema, and a runtime filter can only be derived from a join
+  // key, which is necessarily in the output anyway
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(GraftCsvFilters.evaluable(dataSchema, _))
+
+  /** Static + runtime filters, as the readers see them. */
+  def effectiveFilters: Array[Filter] = pushedFilters ++ runtimeFilters
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -217,6 +247,10 @@ class GraftCsvScan(dataSchema: StructType, required: StructType,
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
+  /** Partitions carry the filter set (static + runtime): Spark re-plans
+    * partitions AFTER SupportsRuntimeFiltering.filter(), but the reader
+    * FACTORY may have been created before it — filters embedded in the
+    * partition are the only order-independent channel to the readers. */
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = ArrayBuffer.empty[InputPartition]
     for (f <- GraftCsvIO.listFiles(path)) {
@@ -224,7 +258,7 @@ class GraftCsvScan(dataSchema: StructType, required: StructType,
       var off = 0L
       while (off < len) {
         val end = math.min(off + splitBytes, len)
-        parts += GraftCsvPartition(f.getAbsolutePath, off, end)
+        parts += GraftCsvPartition(f.getAbsolutePath, off, end, effectiveFilters)
         off = end
       }
     }
@@ -232,21 +266,22 @@ class GraftCsvScan(dataSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCsvReaderFactory(dataSchema, required, pushedFilters, vectorized)
+    new GraftCsvReaderFactory(dataSchema, required, vectorized)
 }
 
-case class GraftCsvPartition(file: String, start: Long, end: Long) extends InputPartition
+case class GraftCsvPartition(file: String, start: Long, end: Long,
+    filters: Array[Filter]) extends InputPartition
 
 class GraftCsvReaderFactory(dataSchema: StructType, required: StructType,
-    filters: Array[Filter], vectorized: Boolean) extends PartitionReaderFactory {
+    vectorized: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(dataSchema, required,
-      filters, partition.asInstanceOf[GraftCsvPartition])
+      partition.asInstanceOf[GraftCsvPartition])
   override def supportColumnarReads(partition: InputPartition): Boolean = vectorized
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(dataSchema, required,
-      filters, partition.asInstanceOf[GraftCsvPartition])
+      partition.asInstanceOf[GraftCsvPartition])
 }
 
 /** Streams one byte-range of one file and yields surviving records as
@@ -256,7 +291,8 @@ class GraftCsvReaderFactory(dataSchema: StructType, required: StructType,
   * records whose first byte is < end, finishing the last one past the
   * boundary. Shared by the row and columnar readers. */
 private[v2] class GraftCsvLineCursor(dataSchema: StructType, required: StructType,
-    filters: Array[Filter], part: GraftCsvPartition) {
+    part: GraftCsvPartition) {
+  private val filters: Array[Filter] = part.filters
 
   private val in = new BufferedInputStream(new FileInputStream(part.file), 1 << 16)
   private var pos = 0L            // bytes consumed from the stream
@@ -344,9 +380,9 @@ private[v2] class GraftCsvLineCursor(dataSchema: StructType, required: StructTyp
 
 /** Row-at-a-time read path. */
 class GraftCsvPartitionReader(dataSchema: StructType, required: StructType,
-    filters: Array[Filter], part: GraftCsvPartition)
+    part: GraftCsvPartition)
     extends PartitionReader[InternalRow] {
-  private val cursor = new GraftCsvLineCursor(dataSchema, required, filters, part)
+  private val cursor = new GraftCsvLineCursor(dataSchema, required, part)
   private var current: InternalRow = _
   override def next(): Boolean = {
     val vals = cursor.nextProjected()
@@ -368,13 +404,13 @@ class GraftCsvPartitionReader(dataSchema: StructType, required: StructType,
   * handoff the built-in parquet reader uses. Batch size 4096 rows
   * (Spark's own `spark.sql.parquet.columnarReaderBatchSize` default). */
 class GraftCsvColumnarReader(dataSchema: StructType, required: StructType,
-    filters: Array[Filter], part: GraftCsvPartition)
+    part: GraftCsvPartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
   private val capacity = 4096
-  private val cursor = new GraftCsvLineCursor(dataSchema, required, filters, part)
+  private val cursor = new GraftCsvLineCursor(dataSchema, required, part)
   private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
   private val batch = new ColumnarBatch(vectors.map(v =>
     v: org.apache.spark.sql.vectorized.ColumnVector))

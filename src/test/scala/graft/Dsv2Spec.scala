@@ -209,6 +209,50 @@ class Dsv2Spec extends SparkSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("runtime filtering: a broadcast dim's keys reach the scan and skip rows") {
+    // the connector-side DPP analog: the user filter lives on the DIM,
+    // but SupportsRuntimeFiltering hands the joined keys to the scan at
+    // runtime. Same traps as file-source DPP: dim must be file-backed,
+    // predicate must survive as EqualTo(attr, lit)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dsv2_rf_").toString
+    val users = Tables.events(spark, sf).select($"user_id").distinct()
+    users.withColumn("tag",
+        when($"user_id" % 50 === 0, "keep").otherwise("drop"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+    val scanDf = GraftCsvQuery.read(spark, sf)
+    val q = scanDf.join(broadcast(dim), Seq("user_id")).groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+    val rows = q.collect()
+    // correctness vs the parquet path
+    val expect = Tables.events(spark, sf).join(broadcast(dim), Seq("user_id"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n")).collect()
+    assert(rows.toSet == expect.toSet && rows.nonEmpty)
+    // evidence: the scan's own output is already the filtered subset
+    // (AQE/QueryStage-aware walk — collect() does not descend into
+    // materialized query stages)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[BatchScanExec] =
+      p match {
+        case b: BatchScanExec => Some(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(s.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+    val scanExec = findScan(q.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    val scanRows = scanExec.metrics("numOutputRows").value
+    val total = Tables.events(spark, sf).count()
+    assert(scanRows < total,
+      s"runtime filter did not skip rows at the scan: $scanRows of $total\n" +
+        scanExec.toString.take(600))
+    // and the runtime In-filter actually reached the scan's state
+    val eff = scanExec.scan.asInstanceOf[GraftCsvScan].effectiveFilters
+    assert(eff.exists(_.isInstanceOf[org.apache.spark.sql.sources.In]), eff.mkString("; "))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimDir))
+  }
+
   test("statistics: connector reports file bytes so broadcast planning can fire") {
     val scan = scanOf(GraftCsvQuery.read(spark, sf))
     val stats = scan.estimateStatistics()
