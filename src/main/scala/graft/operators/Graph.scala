@@ -17,20 +17,32 @@ import graft.sources.Tables
   * the growing lineage (same iterative shape as the dedup label
   * propagation, [[graft.functions.Dedup]]).
   *
-  * Scale: each round is ONE co-keyed shuffle join frontier⋈edges plus
-  * one anti-join — cost ∝ edges incident to the frontier, not the
-  * whole graph; rounds = graph diameter (small-world graphs: single
-  * digits). The visited set stays partitioned by node across rounds.
-  * The driver sees only per-round counts, never rows. Pregel engines
-  * specialize exactly this loop; expressing it over DataFrames keeps
-  * it inside Catalyst/Tungsten with no extra runtime.
+  * Scale: each round is one join frontier⋈edges plus one anti-join
+  * against the visited set — cost ∝ edges incident to the frontier,
+  * not the whole graph; rounds = graph diameter (small-world graphs:
+  * single digits). Both node-sized frames are BROADCAST only while
+  * they fit an executor: the loop counts each round anyway (the
+  * termination check), so the exact sizes are free, and once either
+  * crosses `broadcastRowLimit` the round switches to co-keyed shuffle
+  * joins on `node` — `visited` grows toward all reachable nodes, so a
+  * broadcast there is unbounded on large graphs. The driver sees only
+  * per-round counts, never rows. Pregel engines specialize exactly
+  * this loop; expressing it over DataFrames keeps it inside
+  * Catalyst/Tungsten with no extra runtime.
   */
 object Graph {
+
+  /** Above this many visited/frontier rows the per-round joins stop
+    * broadcasting and become co-keyed shuffles. ~10M string-keyed rows
+    * is comfortably inside one executor; the 8 GiB broadcast hard
+    * limit sits far above it. */
+  val BfsBroadcastRowLimit: Long = 10L * 1000 * 1000
 
   /** Min-hop distance from `seed` to every reachable node, capped at
     * `maxHops`. `edges` must be directed pairs (a, b); pass both
     * directions for an undirected walk. */
-  def bfsHops(edges: DataFrame, seed: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seed: DataFrame, maxHops: Int,
+      broadcastRowLimit: Long = BfsBroadcastRowLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.toDF("a", "b").localCheckpoint(eager = true)
@@ -39,20 +51,38 @@ object Graph {
     var frontier = visited.select($"node")
     var hop = 0
     var frontierSize = frontier.count()
+    var visitedSize = frontierSize
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
-      // frontier and visited are node-sized — broadcast both so the edge
-      // table never shuffles; the distinct is the round's only exchange
-      val next = e.join(broadcast(frontier.withColumnRenamed("node", "a")), Seq("a"))
-        .select($"b".as("node")).distinct()
-        .join(broadcast(visited), Seq("node"), "left_anti")
-        .withColumn("hop", lit(hop))
+      val small = math.max(frontierSize, visitedSize) <= broadcastRowLimit
+      val next = bfsStep(e, frontier, visited, hop, broadcastOk = small)
         .localCheckpoint(eager = true)
       visited = visited.unionByName(next).localCheckpoint(eager = true)
       frontier = next.select($"node")
       frontierSize = next.count()
+      visitedSize += frontierSize
     }
     visited
+  }
+
+  /** One BFS round: expand the frontier one hop, drop already-visited
+    * nodes. Split out so plan tests can pin the physical shape of both
+    * regimes (the public loop checkpoints each round, which erases the
+    * plan). `broadcastOk=true` broadcasts both node-sized frames so the
+    * edge table never shuffles; `false` forces co-keyed shuffle joins
+    * (`shuffle_hash` hint — sized state never lands on one executor). */
+  private[graft] def bfsStep(e: DataFrame, frontier: DataFrame,
+      visited: DataFrame, hop: Int, broadcastOk: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val f = frontier.withColumnRenamed("node", "a")
+    val (probe, anti) =
+      if (broadcastOk) (broadcast(f), broadcast(visited))
+      else (f.hint("shuffle_hash"), visited.hint("shuffle_hash"))
+    e.join(probe, Seq("a"))
+      .select($"b".as("node")).distinct()
+      .join(anti, Seq("node"), "left_anti")
+      .withColumn("hop", lit(hop))
   }
 
   /** Gated query: BFS over the undirected customer—supplier bipartite
@@ -189,18 +219,27 @@ object Graph {
       |ORDER BY hop, node""".stripMargin
 
   /** Triangle counting + global clustering coefficient over the item
-    * co-purchase graph — the compact-forward (node-iterator) algorithm:
-    * every edge is stored once in canonical (small, large) order, wedges
-    * come from one self-join on the middle node, and each triangle is
-    * counted exactly once as its ordered (a < b < c) closure. This is
-    * the standard distributed shape (two hash joins on item keys, no
-    * per-node adjacency materialization); the support floor keeps the
-    * candidate graph bounded the same way assocRules' does.
+    * co-purchase graph — compact-forward with DEGREE ordering: every
+    * edge is oriented from its lower-degree endpoint to its
+    * higher-degree endpoint (ties by id), wedges are pairs of
+    * out-edges of one node, and each triangle closes exactly once.
+    * Degree ordering is what makes the shape survive power-law graphs:
+    * wedge cost is Σ min-deg² (a hub with 10⁵ neighbors but
+    * low-degree co-purchasers generates ~0 wedges at the hub), where
+    * id ordering would leave Θ(Σ deg²) — 10¹⁰ wedges from that one
+    * hub regardless of the support floor, since minCo prunes edges,
+    * not the surviving hub degree.
     *
-    * The edge list is localCheckpointed: it feeds three join legs, and
-    * recomputing the baskets self-join per leg would triple the
-    * dominant cost. Clustering = 3·triangles/wedges, one pinned IEEE
-    * division over exact integer counts. */
+    * The reported `n_wedges` (the clustering denominator the oracle
+    * pins) is the id-oriented path₂ count — computed in CLOSED FORM as
+    * Σ_b in-deg(b)·out-deg(b) from two cheap degree aggregates, never
+    * materialized as a join.
+    *
+    * The edge list is localCheckpointed: it feeds the degree
+    * aggregate and three join legs, and recomputing the baskets
+    * self-join per leg would multiply the dominant cost. Clustering =
+    * 3·triangles/wedges, one pinned IEEE division over exact integer
+    * counts. */
   def triangles(spark: SparkSession, sfDir: String, minCo: Long = 3): DataFrame = {
     import spark.implicits._
     val baskets = Tables.orders(spark, sfDir)
@@ -221,16 +260,61 @@ object Graph {
       .filter($"n_co" >= minCo)
       .select($"pa", $"pb")
       .localCheckpoint(true)
-    val wedges = e.select($"pa".as("w_a"), $"pb".as("w_b"))
-      .join(e.select($"pa".as("w_b2"), $"pb".as("w_c")), $"w_b" === $"w_b2")
-    val tris = wedges.join(e, $"pa" === $"w_a" && $"pb" === $"w_c")
+    triangleCounts(e)
+  }
+
+  /** Counts over an explicit canonical (pa < pb) edge list. */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val eN = e.agg(count(lit(1)).as("n_edges"))
-    val wN = wedges.agg(count(lit(1)).as("n_wedges"))
-    val tN = tris.agg(count(lit(1)).as("n_triangles"))
+    // id-oriented wedge count, closed form: Σ_b in-deg(b)·out-deg(b).
+    // Nodes missing a side contribute 0 — inner join drops them; an
+    // empty product sum coalesces to 0.
+    val outd = e.groupBy($"pa".as("node")).agg(count(lit(1)).as("outd"))
+    val ind = e.groupBy($"pb".as("node")).agg(count(lit(1)).as("ind"))
+    val wN = outd.join(ind, Seq("node"))
+      .agg(coalesce(sum($"outd" * $"ind"), lit(0L)).as("n_wedges"))
+    val tN = orientedWedges(e)
+      .join(degreeOriented(e).select($"src".as("u1"), $"dst".as("u2")),
+        Seq("u1", "u2"))
+      .agg(count(lit(1)).as("n_triangles"))
     eN.crossJoin(wN).crossJoin(tN)
       .select($"n_edges", $"n_wedges", $"n_triangles",
         (lit(3.0) * $"n_triangles".cast("double") / $"n_wedges".cast("double"))
           .as("clustering"))
+  }
+
+  /** Each canonical edge re-oriented from its lower-(degree, id)
+    * endpoint to its higher one, carrying the destination's (deg, id)
+    * so wedge generation can totally order a node's out-neighbors. */
+  private[graft] def degreeOriented(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val deg = e.select($"pa".as("node")).unionAll(e.select($"pb".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val fwd = ($"da" < $"db") || ($"da" === $"db" && $"pa" < $"pb")
+    e.join(deg.select($"node".as("pa"), $"deg".as("da")), Seq("pa"))
+      .join(deg.select($"node".as("pb"), $"deg".as("db")), Seq("pb"))
+      .select(
+        when(fwd, $"pa").otherwise($"pb").as("src"),
+        when(fwd, $"pb").otherwise($"pa").as("dst"),
+        when(fwd, $"db").otherwise($"da").as("dst_deg"))
+  }
+
+  /** Ordered out-neighbor pairs (u1, u2) of each node under the
+    * (deg, id) total order — a triangle exists iff the oriented edge
+    * u1→u2 is present (and given the ordering, that IS the orientation
+    * the closing edge received). Row count is the Σ min-deg² wedge
+    * bound the hub-graph spec pins. */
+  private[graft] def orientedWedges(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val o = degreeOriented(e)
+    o.select($"src", $"dst".as("u1"), $"dst_deg".as("d1"))
+      .join(o.select($"src", $"dst".as("u2"), $"dst_deg".as("d2")), Seq("src"))
+      .filter(($"d1" < $"d2") || ($"d1" === $"d2" && $"u1" < $"u2"))
+      .select($"u1", $"u2")
   }
 
   def trianglesSql(minCo: Long = 3): String =

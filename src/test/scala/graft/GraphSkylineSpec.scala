@@ -32,6 +32,48 @@ class GraphSkylineSpec extends SparkSuite {
     assert(capped == Set("a", "b")) // c is 2 hops out — beyond the cap
   }
 
+  test("bfs: co-keyed regime above the broadcast row limit, same answers") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+    // regime parity: forcing every round through the shuffle path
+    // changes nothing about the answer
+    val small = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val sharded = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10,
+      broadcastRowLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(small == sharded && small("c") == 2)
+    // declared plan shape: broadcastOk=false must not REQUEST a broadcast
+    // for either the frontier probe or the visited anti-join (AQE may
+    // still shrink a tiny side at runtime — that's its call, not ours)
+    val frontier = Seq("a").toDF("node")
+    val visited = Seq(("a", 0)).toDF("node", "hop")
+    def broadcastJoins(ok: Boolean) =
+      Graph.bfsStep(e.toDF("a", "b"), frontier, visited, 1, broadcastOk = ok)
+        .queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+    // (exact count is unstable — Catalyst duplicates the anti-join when
+    // pushing it below the edge-direction union)
+    assert(broadcastJoins(ok = true).nonEmpty)
+    assert(broadcastJoins(ok = false).isEmpty)
+  }
+
+  test("triangles: degree orientation keeps hub wedges at Σ min-deg², not Σ deg²") {
+    import spark.implicits._
+    // hub 500 with 400 in-id leaves and 100 out-id leaves: id orientation
+    // would generate 400·100 = 40k wedges at the hub; degree orientation
+    // points every leaf edge AT the hub, so the hub generates none.
+    val hubEdges = (1L to 400L).map(i => (i, 500L)) ++
+      (501L to 600L).map(j => (500L, j))
+    val triEdges = Seq((900L, 901L), (900L, 902L), (901L, 902L))
+    val e = (hubEdges ++ triEdges).toDF("pa", "pb")
+    // generated wedge frame: 1 row (the 900-centered pair), not 40_001
+    assert(Graph.orientedWedges(e).count() == 1L)
+    val r = Graph.triangleCounts(e).collect().head
+    assert(r.getLong(0) == 503L)   // edges
+    assert(r.getLong(1) == 40001L) // id-form path₂ count (closed form)
+    assert(r.getLong(2) == 1L)     // the planted triangle, exactly once
+  }
+
   test("pagerank: matches a plain-Scala reference walk step for step") {
     // star graph plus a chain — asymmetric degrees so ranks separate
     val pairs = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"), ("c", "d"))
