@@ -154,7 +154,9 @@ object SparkEntry {
     // the oracle string IS the Spark program (SQL-surface parity)
     "q_sql_e2e" -> (Analytics.sqlE2e _),
     "q_sql_recursive" -> (Analytics.sqlRecursive _),
+    "q_tpch_q1" -> (TpchQueries.q1 _),
     "q_tpch_q3" -> (TpchQueries.q3 _),
+    "q_tpch_q6" -> (TpchQueries.q6 _),
     "q_clamped_balance" -> ((s: SparkSession, d: String) =>
       StatefulBatch.clampedBalance(s, d)),
     "q_clamped_balance_sorted" -> ((s: SparkSession, d: String) =>
@@ -352,7 +354,9 @@ object SparkEntry {
     "q_stream_ivm" -> MaterializedView.incrementalAggSql,
     "q_sql_e2e" -> Analytics.monthlyAggSql,
     "q_sql_recursive" -> Analytics.recursiveSpineSql,
+    "q_tpch_q1" -> TpchQueries.q1Sql,
     "q_tpch_q3" -> TpchQueries.q3Sql,
+    "q_tpch_q6" -> TpchQueries.q6Sql,
     "q_clamped_balance" -> StatefulBatch.clampedBalanceSql,
     // secondary-sort strategy, same contract — same oracle string
     "q_clamped_balance_sorted" -> StatefulBatch.clampedBalanceSql,

@@ -23,6 +23,75 @@ import graft.sources.Tables
   */
 object TpchQueries {
 
+  /** Q1 shape: the pricing-summary report — THE canonical scan-heavy
+    * aggregate (one pass over the fact, 4-value group key, 8
+    * aggregates). The whole query is one WholeStageCodegen span over
+    * the parquet scan plus a single tiny keyed exchange of partial
+    * aggregates; at 100 TB it is bandwidth-bound by design, which is
+    * why published engine comparisons lead with it. Per-row products
+    * are pinned-paren IEEE (identical in both engines); sums/avgs
+    * route through [[Exact]]. */
+  def q1(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val disc = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    // date(ts) <= d  ≡  ts < d+1 day: the bare-column form reaches the
+    // parquet scan as a PushedFilter (a cast-wrapped column would not)
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" < lit("1997-09-03").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Exact.sumExact($"l_quantity").as("sum_qty"),
+        Exact.sumExact($"l_extendedprice").as("sum_base_price"),
+        Exact.sumExact(disc).as("sum_disc_price"),
+        Exact.sumExact(disc * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        Exact.avgExact($"l_quantity").as("avg_qty"),
+        Exact.avgExact($"l_extendedprice").as("avg_price"),
+        Exact.avgExact($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${Exact.sumExactSql("l_quantity")} AS sum_qty,
+       |       ${Exact.sumExactSql("l_extendedprice")} AS sum_base_price,
+       |       ${Exact.sumExactSql("l_extendedprice * (1.0 - l_discount)")}
+       |         AS sum_disc_price,
+       |       ${Exact.sumExactSql(
+            "(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)")}
+       |         AS sum_charge,
+       |       ${Exact.avgExactSql("l_quantity")} AS avg_qty,
+       |       ${Exact.avgExactSql("l_extendedprice")} AS avg_price,
+       |       ${Exact.avgExactSql("l_discount")} AS avg_disc,
+       |       COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '1997-09-02'
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Q6 shape: the forecast-revenue-change scan — a single filtered
+    * SUM with three range predicates and NO group key. The plan to
+    * want: all three predicates pushed to the parquet scan (min/max
+    * row-group skipping does the work at scale), zero shuffles, one
+    * scalar partial-sum merge. */
+  def q6(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24.0)
+      .agg(Exact.sumExact($"l_extendedprice" * $"l_discount").as("revenue"))
+  }
+
+  val q6Sql: String =
+    s"""SELECT ${Exact.sumExactSql("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
   /** Q3 shape: unshipped-order revenue by order, for one market
     * segment — 3-way join, date split on both sides, top-10 by
     * revenue. (o_shippriority isn't in the test schema;

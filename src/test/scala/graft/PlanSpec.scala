@@ -38,6 +38,23 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("l_orderkey"), "unused columns must not be read")
   }
 
+  test("tpch q6: all range predicates pushed to the scan, no shuffle") {
+    val qe = graft.operators.TpchQueries.q6(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // the query's whole cost model is min/max row-group skipping — every
+    // predicate must reach the parquet reader
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+    // scalar aggregate: partial sums merge over a single-partition
+    // exchange only — no keyed shuffle
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val keyed = qe.executedPlan.collect {
+      case s: ShuffleExchangeLike
+        if s.outputPartitioning.numPartitions > 1 => s }
+    assert(keyed.isEmpty, "q6 must not shuffle on a key")
+  }
+
   test("demand query: dims broadcast, fact side never broadcast") {
     val plan = planOf(Analytics.demandByZone(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
