@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -37,6 +37,7 @@ object SparkEntry {
     "q_simhash" -> (Dedup.simhash _),
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
+    "q_perplexity" -> ((s: SparkSession, d: String) => Perplexity.score(s, d)),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
@@ -245,6 +246,7 @@ object SparkEntry {
     "q_simhash" -> Dedup.simhashSql,
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_quality_score" -> TextAnalysis.qualityScoreSql,
+    "q_perplexity" -> Perplexity.scoreSql(),
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_chunking" -> TextAnalysis.chunkDocumentsSql(),
