@@ -164,6 +164,7 @@ object SparkEntry {
       StatefulBatch.clampedBalanceSorted(s, d)),
     "q_tpch_q5" -> (TpchQueries.q5 _),
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
+    "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
     "q_unpivot" -> (Analytics.unpivotStatus _),
     "q_winsorize" -> (Analytics.winsorize _),
     // sketch re-aggregation: rows-only gate (estimates have no SQL
@@ -364,6 +365,7 @@ object SparkEntry {
     "q_clamped_balance_sorted" -> StatefulBatch.clampedBalanceSql,
     "q_tpch_q5" -> TpchQueries.q5Sql,
     "q_media_dedup" -> Multimodal.mediaDedupSql,
+    "q_media_neardup" -> Multimodal.mediaNearDupSql,
     "q_unpivot" -> Analytics.unpivotStatusSql,
     "q_winsorize" -> Analytics.winsorizeSql,
     "q_substring_dup" -> Dedup.substringSpansSql(),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -210,4 +210,136 @@ object Multimodal {
       |       CAST(max(octet_length(CAST(text AS BLOB))) AS INTEGER) AS n_bytes
       |FROM m GROUP BY 1 HAVING count(*) > 1
       |ORDER BY keeper_media_id""".stripMargin
+
+  // ---- perceptual near-dup (dHash) --------------------------------------
+
+  /** dHash geometry: a 6×11 "luma" grid → 6×10 = 60 horizontal-gradient
+    * bits, folded into one non-negative BIGINT (the same 60-bit budget
+    * as [[Dedup.simhashBits]] — bit 63 stays clear of the sign). */
+  val dhashRows = 6
+  val dhashCols = 11
+  val dhashBits: Int = dhashRows * (dhashCols - 1)
+
+  /** Bands for the hamming LSH join: 4 × 15 bits. Pigeonhole: two
+    * hashes within hamming distance 3 share at least one untouched
+    * band, so recall at `thr ≤ 3` is exactly 1 — the banded join and a
+    * brute-force all-pairs scan return the SAME pair set, which is
+    * what lets the DuckDB oracle be an independent brute-force
+    * formulation rather than a mirror of the LSH. */
+  val dhashBands = 4
+  val dhashBandBits = 15
+
+  /** The fake-decode "luma" sample: byte k·n/66 of the payload, the
+    * even-stride sampling a real pHash takes over a decoded bitmap.
+    * Like [[FakeCodec]], only the decode is fake — byte extraction,
+    * grid fold, and banding are the real pipeline. Pure integer math
+    * end to end (integer division for the index, unsigned byte via
+    * hex→int) so Spark and DuckDB agree bit-exactly. */
+  private def lumaGrid(payload: Column): Column = {
+    val nb = octet_length(payload)
+    val cells = dhashRows * dhashCols
+    val pix = (0 until cells).map { k =>
+      // floor(k·n / 66.0) == (k·n) // 66 exactly: the quotient is a
+      // rational with denominator 66, so it sits ≥ 1/66 away from any
+      // integer it isn't — double rounding cannot cross the boundary
+      val idx = floor(lit(k.toLong) * nb.cast("long") / lit(cells.toDouble))
+        .cast("int")
+      when(nb > 0,
+        conv(hex(payload.substr(idx + 1, lit(1))), 16, 10).cast("int"))
+        .otherwise(0)
+    }
+    array(pix: _*)
+  }
+
+  /** 60-bit perceptual hash of a binary payload: bit r·10+c set iff
+    * luma(r,c) < luma(r,c+1). A localized payload edit moves only the
+    * grid cells that sample the edited bytes, so near-identical
+    * payloads land within small hamming distance — the property exact
+    * content hashing ([[mediaDedup]]) cannot provide. */
+  def dhash60(payload: Column): Column = {
+    val pix = lumaGrid(payload)
+    (0 until dhashBits).map { k =>
+      val r = k / (dhashCols - 1)
+      val c = k % (dhashCols - 1)
+      val i = r * dhashCols + c
+      when(element_at(pix, i + 1) < element_at(pix, i + 2), lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Perceptual near-duplicate pairs over any (media_id, payload)
+    * frame: dhash per asset, banded bucket join, exact hamming ≤ `thr`
+    * verification. Payload bytes never shuffle — only the 8-byte hash
+    * and 2-byte band keys move (the [[mediaDedup]] asymmetry, again);
+    * the banded self-join is collision-sized, never |corpus|². `thr`
+    * above 3 would need more bands ([[dhashBands]]) to keep recall 1. */
+  def mediaNearDup(media: DataFrame, thr: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(thr <= dhashBands - 1, s"recall guarantee needs thr <= ${dhashBands - 1}")
+    val h = media.select($"media_id", dhash60($"payload").as("dhash"))
+    val bands = h.select($"media_id", $"dhash",
+      posexplode(array((0 until dhashBands).map(b =>
+        shiftright($"dhash", b * dhashBandBits)
+          .bitwiseAND(lit((1 << dhashBandBits) - 1))): _*)))
+      .toDF("media_id", "dhash", "band_idx", "band_hash")
+    bands.as("x").join(bands.as("y"), Seq("band_idx", "band_hash"))
+      .filter($"x.media_id" < $"y.media_id")
+      .select($"x.media_id".as("media_a"), $"y.media_id".as("media_b"),
+        $"x.dhash".as("ha"), $"y.dhash".as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter($"hamming" <= thr)
+      .select($"media_a", $"media_b", $"hamming")
+      .orderBy($"media_a", $"media_b")
+  }
+
+  /** Gated fixture: the corpus plus every 20th asset re-ingested with a
+    * one-character edit (the re-encoded-thumbnail shape — same asset,
+    * slightly different bytes). Exact dedup is blind to these; the
+    * perceptual hash pairs them. The DuckDB oracle recomputes dhash
+    * from the same construction and then BRUTE-FORCES all pairs — so
+    * both planted-pair presence and decoy absence are pinned against
+    * ground truth, not against a mirror of the LSH. */
+  def mediaNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir).select($"media_id", $"payload")
+    val variants = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 2000000).as("media_id"),
+        encode(concat(lit("#"), expr("substring(text, 2)")), "UTF-8").as("payload"))
+    mediaNearDup(media.unionByName(variants))
+  }
+
+  val mediaNearDupSql: String = {
+    val cells = dhashRows * dhashCols
+    // this DuckDB build has no BLOB substring — index into the hex image
+    // of the payload instead (2 chars per byte, same unsigned value)
+    val pixList =
+      s"""list_transform(generate_series(0, ${cells - 1}),
+         |           k -> CASE WHEN nb > 0 THEN CAST(('0x' || substring(hx, CAST(((k * nb) // $cells) * 2 + 1 AS INTEGER), 2)) AS INTEGER)
+         |                     ELSE 0 END)""".stripMargin
+    val fold = (0 until dhashBits).map { k =>
+      val r = k / (dhashCols - 1)
+      val c = k % (dhashCols - 1)
+      val i = r * dhashCols + c
+      s"CASE WHEN pix[${i + 1}] < pix[${i + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, CAST(text AS BLOB) AS pb FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, CAST('#' || substring(text, 2) AS BLOB)
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |sized AS (SELECT media_id, hex(pb) AS hx, octet_length(pb) AS nb FROM m),
+       |grids AS (
+       |  SELECT media_id,
+       |         $pixList AS pix
+       |  FROM sized),
+       |d AS (SELECT media_id, CAST($fold AS BIGINT) AS dhash FROM grids)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |FROM d a JOIN d b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY media_a, media_b""".stripMargin
+  }
 }

@@ -108,6 +108,51 @@ class MediaDedupSpec extends SparkSuite {
     assert(out.filter($"n_copies" < 2).count() == 0)
     out.unpersist()
   }
+
+  test("perceptual near-dup: single-byte edits pair, decoys don't, banded == brute force") {
+    // constructed payloads: base assets, one-byte-edited variants
+    // (near-dups), and structurally different decoys
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val rows = Seq(
+      (1L, bytes(base)),
+      (2L, bytes("#" + base.substring(1))),      // 1-byte edit of 1
+      (3L, bytes(base.reverse)),                  // same bytes, other order
+      (4L, bytes("completely different content here, nothing shared " * 7)),
+      (5L, bytes(base.substring(0, base.length - 1) + "!")) // tail edit of 1
+    ).toDF("media_id", "payload")
+    val got = Multimodal.mediaNearDup(rows, thr = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over the same dhash values
+    val h = rows.select($"media_id",
+      Multimodal.dhash60($"payload").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- h.keys; b <- h.keys if a < b
+      if java.lang.Long.bitCount(h(a) ^ h(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"banded $got != brute $brute")
+    // the planted edits pair with the original; the decoys pair with nothing
+    assert(got.contains((1L, 2L)) && got.contains((1L, 5L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dhash locality: flipping one sampled byte moves few bits; empty payload is 0") {
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val base = ("x" * 30) ++ ("A@zQ9" * 30) // varied bytes, length 180
+    val edited = "#" + base.substring(1)
+    val df = Seq((1L, bytes(base)), (2L, bytes(edited)),
+      (3L, Array.empty[Byte])).toDF("media_id", "payload")
+    val h = df.select($"media_id", Multimodal.dhash60($"payload").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // byte 0 is sampled by grid cell (0,0) only → at most the bit
+    // comparing cells (0,0)-(0,1) flips
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <= 1)
+    assert(h(3L) == 0L)
+    // hashes stay inside the 60-bit budget (sign bit clear)
+    h.values.foreach(v => assert(v >= 0L && v < (1L << 60)))
+  }
 }
 
 /** Unpivot round-trip + winsorization (round 3). */
