@@ -27,6 +27,59 @@ class OptimizerEvidenceSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop"), plan.take(900))
   }
 
+  test("AQE skew join: OptimizeSkewedJoin splits the hot key, answers unchanged") {
+    // SCALE.md's skewed-fact-join story leans on Spark's built-in skew
+    // split (manual salting in functions/Skew.scala is the fallback for
+    // when it can't fire). Pin that it actually engages: one key owning
+    // ~75% of a fat fact, thresholds scaled down to test size, and the
+    // final adaptive plan must contain a SortMergeJoin with
+    // isSkewJoin=true — the runtime split of the straggler partition.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50k",
+      // both thresholds off or AQE flips the SMJ to broadcast instead
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def run(skewEnabled: Boolean) = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewEnabled.toString)
+      val fact = spark.range(0, 200000).select(
+        when($"id" < 150000, lit(0L)).otherwise($"id").as("k"),
+        lpad($"id".cast("string"), 100, "x").as("payload"))
+      val dim = spark.range(0, 1000).select($"id".as("k"),
+        ($"id" % 7).as("seg"))
+      // the skew split exists only in the EXECUTED query's final
+      // adaptive plan — build the aggregate, run it, then inspect it
+      val agg = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)), sum(length($"payload") + $"seg"))
+      val result = agg.collect().head
+      (agg, (result.getLong(0), result.getLong(1)))
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (agg, withSplit) = run(skewEnabled = true)
+      val adaptive = agg.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+      // string-match: query stages are traversal leaves, so a collect{}
+      // over the final plan never reaches the SMJ inside ResultQueryStage
+      val finalPlan = adaptive.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin(skew=true)"),
+        s"no skew-split SMJ in final plan:\n${finalPlan.take(1200)}")
+      assert(finalPlan.contains("AQEShuffleRead coalesced and skewed"),
+        s"hot side not split by AQEShuffleRead:\n${finalPlan.take(1200)}")
+      // and the split changed nothing about the answer
+      val (_, noSplit) = run(skewEnabled = false)
+      assert(withSplit == noSplit)
+    } finally {
+      prev.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) } }
+    }
+  }
+
   test("CBO: ANALYZE TABLE statistics flip a stats-less join to broadcast") {
     // the dim must be a PARTITIONED catalog table: a non-partitioned
     // datasource table derives sizeInBytes from the file listing and
