@@ -64,16 +64,45 @@ object Versioned {
 
   /** Publish `df` as the next snapshot; returns its version number.
     * Numbering skips over orphan directories left by crashed publishes,
-    * and the commit marker is one atomic file create — a reader never
-    * observes a half-written snapshot. */
-  def publish(df: DataFrame, dir: String): Int = {
+    * and the commit marker appears atomically — a reader never observes
+    * a half-written snapshot.
+    *
+    * `meta`, when given, is recorded INSIDE the commit marker (staged
+    * to a temp file, atomic rename) so it becomes visible in the same
+    * atomic step as the commit itself. Streaming sinks use it to store
+    * the micro-batch id ([[commitMetas]]): version numbers skip over
+    * orphans, so "version == batchId" does NOT hold across a crashed
+    * publish, and a replay guard must key on the recorded id, never on
+    * [[currentVersion]]. */
+  def publish(df: DataFrame, dir: String, meta: Option[String] = None): Int = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val next = (dataDirs(spark, dir) ++ versions(spark, dir))
       .maxOption.getOrElse(-1) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/v=$next")
-    f.create(p(s"$dir/_commit_$next"), false).close()
+    meta match {
+      case None => f.create(p(s"$dir/_commit_$next"), false).close()
+      case Some(m) =>
+        val tmp = p(s"$dir/.commit_tmp_$next")
+        val out = f.create(tmp, true)
+        try out.write(m.getBytes("UTF-8")) finally out.close()
+        require(f.rename(tmp, p(s"$dir/_commit_$next")),
+          s"versioned: commit rename failed for v=$next")
+    }
     next
+  }
+
+  /** (version, marker content) for every committed snapshot, ascending
+    * by version — empty content for markers published without meta. */
+  def commitMetas(spark: SparkSession, dir: String): Seq[(Int, String)] = {
+    val f = fs(spark, dir)
+    versions(spark, dir).map { v =>
+      val in = f.open(p(s"$dir/_commit_$v"))
+      val body =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      v -> body
+    }
   }
 
   /** Read a snapshot; `version = -1` (default) reads the current one.

@@ -37,9 +37,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     comparison predicates are evaluated inside the partition reader so
   *     non-matching rows never surface into the query. Like the built-in
   *     parquet source, every filter is *also* returned as a residual for
-  *     Spark to re-evaluate — the pushdown is an efficiency contract, not
-  *     a correctness dependency, so a subtle reader-side comparison bug
-  *     cannot produce wrong answers, only wasted rows.
+  *     Spark to re-evaluate — but note the residual guarantee is
+  *     ONE-SIDED: Spark's re-check can only REMOVE extra rows the reader
+  *     over-delivers; it cannot restore a row a buggy reader-side
+  *     predicate wrongly rejected. [[GraftCsvFilters.compile]] must
+  *     therefore never return false where the SQL tri-state evaluation is
+  *     TRUE (UNKNOWN may go either way — dropping at a leaf and keeping
+  *     under Not are both safe). That invariant is load-bearing and
+  *     pinned by the never-under-approximates property test in Dsv2Spec,
+  *     alongside the seeded fuzz differential.
   *  4. **Statistics** ([[GraftCsvScan.estimateStatistics]]): total byte
   *     size from the file listing, so the planner can pick a broadcast
   *     join when the graftcsv side is small.
@@ -122,7 +128,17 @@ class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
-    if (truncate) GraftCsvIO.listFiles(path).foreach(_.delete())
+    if (truncate) {
+      GraftCsvIO.listFiles(path).foreach(_.delete())
+      // replace semantics = exclusive ownership of the path: reclaim
+      // orphan temp files of ANY previous crashed writer here (the
+      // per-job sweep below deliberately leaves other jobs' files alone)
+      dir.listFiles((_, n) => n.startsWith(".graft-tmp-") &&
+        !n.startsWith(s".graft-tmp-$writeId-")) match {
+        case null => ()
+        case stale => stale.foreach(_.delete())
+      }
+    }
     messages.foreach { case GraftCsvCommit(tmp, finalName) =>
       val src = new File(tmp)
       if (src.length == 0) src.delete() // empty partition: no file
@@ -140,12 +156,17 @@ class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
     sweepTmp()
   }
 
-  /** Crashed attempts never reach commit/abort messages; their orphans
-    * are swept here. Safe under the format's single-writer contract. */
+  /** Crashed/speculative attempts never reach commit/abort messages;
+    * their orphans are swept here. Scoped to THIS job's writeId so a
+    * concurrent append job's live temp files survive the sweep (an
+    * unscoped sweep would delete them and fail the other job's commit
+    * rename). Orphans of a writer that crashed before commit are
+    * invisible to readers (dot-prefixed) and reclaimed by that path's
+    * next truncate-mode write. */
   private def sweepTmp(): Unit = {
     val d = new File(path)
     if (d.isDirectory)
-      d.listFiles((_, n) => n.startsWith(".graft-tmp-")).foreach(_.delete())
+      d.listFiles((_, n) => n.startsWith(s".graft-tmp-$writeId-")).foreach(_.delete())
   }
 }
 

@@ -36,8 +36,18 @@ object GraftCsvQuery {
       .select("event_id", "ts", "user_id", "event_type", "value")
     // fingerprinted marker: a bare exists() check would keep serving a
     // stale pre-change dump across writer/format changes forever, and
-    // the oracle gate would "pass" without exercising the new code
-    val fingerprint = s"v2|${schema.catalogString}|n=${src.count()}"
+    // the oracle gate would "pass" without exercising the new code.
+    // Fingerprint on source-file metadata (names + lengths + mtimes),
+    // not a count() — counting scanned the whole events table on every
+    // call even when the dump was already current
+    val srcMeta = {
+      val root = new File(s"$sfDir/events.parquet")
+      val files = if (root.isDirectory) root.listFiles().filter(_.isFile)
+        else Array(root)
+      files.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+    }
+    val fingerprint = s"v3|${schema.catalogString}|$srcMeta"
     if (!marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) != fingerprint) {
       src.write.format("graftcsv").mode("overwrite").save(s"$dir/events")

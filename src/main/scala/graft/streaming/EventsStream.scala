@@ -802,20 +802,26 @@ object EventsStream {
       .parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // replay guard: version k holds batches 0..k, so a replayed
-        // batch (checkpoint lagging the publish after a crash) is
-        // recognizable as batchId <= currentVersion and skipped — the
-        // fold is NOT idempotent, exactly like the sketch stream's
-        // applied-batch watermark (applySketchBatch)
-        val cur = graft.sources.Versioned.currentVersion(spark, tableDir)
-        if (batchId > cur) {
+        // replay guard: the applied batchId is recorded INSIDE each
+        // commit marker (atomic with the commit), so a replayed batch
+        // (checkpoint lagging the publish after a crash) is recognized
+        // by the recorded id and skipped — the fold is NOT idempotent,
+        // exactly like the sketch stream's applied-batch watermark
+        // (applySketchBatch). Keying on currentVersion instead would
+        // desync after a crashed publish: version numbering skips
+        // orphan v= directories, so "version == batchId" does not hold.
+        val applied = graft.sources.Versioned.commitMetas(spark, tableDir)
+          .flatMap(m => m._2.toLongOption).maxOption.getOrElse(-1L)
+        if (batchId > applied) {
+          val cur = graft.sources.Versioned.currentVersion(spark, tableDir)
           val delta = Tables.decodeEventTs(batch)
           val merged =
             if (cur >= 0)
               graft.operators.MaterializedView.maintain(
                 graft.sources.Versioned.read(spark, tableDir), delta)
             else graft.operators.MaterializedView.viewOf(delta)
-          graft.sources.Versioned.publish(merged, tableDir)
+          graft.sources.Versioned.publish(merged, tableDir,
+            meta = Some(batchId.toString))
         }
         ()
       }

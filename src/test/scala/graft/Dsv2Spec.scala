@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
-import graft.sources.v2.{GraftCsvIO, GraftCsvQuery, GraftCsvScan}
+import graft.sources.v2.{GraftCsvFilters, GraftCsvIO, GraftCsvQuery, GraftCsvScan}
 
 /** The graftcsv DataSource V2 connector: differential vs the parquet
   * path, pushdown/pruning visible in the plan, byte-range split
@@ -207,6 +207,79 @@ class Dsv2Spec extends SparkSuite {
       .option("splitBytes", "257").load(s"$dir/v2").collect().toSet
     assert(viaV2Writer == src.collect().toSet, "V2 writer round-trip diverged")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("pushdown never under-approximates TRUE (one-sided residual guarantee)") {
+    // Spark's residual re-check can only drop rows the reader
+    // over-delivers — it cannot resurrect a wrongly-rejected one. So the
+    // compiled reader predicate must keep every row the SQL tri-state
+    // evaluation calls TRUE; on UNKNOWN either way is safe. Randomized
+    // filter trees (seeded) over rows with nulls in every column.
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, StringType}
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("s", StringType)))
+    val rnd = new scala.util.Random(424242L)
+    def leaf(): Filter = rnd.nextInt(9) match {
+      case 0 => EqualTo("i", rnd.nextInt(6))
+      case 1 => GreaterThan("i", rnd.nextInt(6))
+      case 2 => LessThan("i", rnd.nextInt(6))
+      case 3 => GreaterThanOrEqual("i", rnd.nextInt(6))
+      case 4 => LessThanOrEqual("s", ('a' + rnd.nextInt(4)).toChar.toString)
+      case 5 => In("i", Array.tabulate(1 + rnd.nextInt(3))(_ => rnd.nextInt(6): Any))
+      case 6 => IsNull(if (rnd.nextBoolean()) "i" else "s")
+      case 7 => IsNotNull(if (rnd.nextBoolean()) "i" else "s")
+      case 8 => StringStartsWith("s", ('a' + rnd.nextInt(4)).toChar.toString)
+    }
+    def tree(depth: Int): Filter =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => And(tree(depth - 1), tree(depth - 1))
+        case 1 => Or(tree(depth - 1), tree(depth - 1))
+        case 2 => Not(tree(depth - 1))
+        case _ => leaf()
+      }
+    // reference: SQL three-valued logic, None = UNKNOWN
+    def ref(f: Filter, i: Option[Int], s: Option[String]): Option[Boolean] = {
+      def cmpI(v: Any)(p: Int => Boolean) = i.map(x => p(Integer.compare(x, v.asInstanceOf[Int])))
+      def cmpS(v: Any)(p: Int => Boolean) = s.map(x => p(x.compareTo(v.asInstanceOf[String])))
+      f match {
+        case And(l, r) => (ref(l, i, s), ref(r, i, s)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+        case Or(l, r) => (ref(l, i, s), ref(r, i, s)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+        case Not(c) => ref(c, i, s).map(!_)
+        case EqualTo("i", v) => cmpI(v)(_ == 0)
+        case GreaterThan("i", v) => cmpI(v)(_ > 0)
+        case LessThan("i", v) => cmpI(v)(_ < 0)
+        case GreaterThanOrEqual("i", v) => cmpI(v)(_ >= 0)
+        case LessThanOrEqual("s", v) => cmpS(v)(_ <= 0)
+        case In("i", vs) => i.map(x => vs.contains(x))
+        case IsNull(c) => Some(if (c == "i") i.isEmpty else s.isEmpty)
+        case IsNotNull(c) => Some(if (c == "i") i.nonEmpty else s.nonEmpty)
+        case StringStartsWith("s", p) => s.map(_.startsWith(p))
+        case other => fail(s"unexpected $other")
+      }
+    }
+    (1 to 3000).foreach { trial =>
+      val f = tree(2)
+      val i = if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(6))
+      val str = if (rnd.nextInt(4) == 0) None
+        else Some(('a' + rnd.nextInt(4)).toChar.toString)
+      val row: Array[Any] = Array(
+        i.map(Int.box).orNull,
+        str.map(UTF8String.fromString).orNull)
+      val kept = GraftCsvFilters.compile(schema, Array(f))(row)
+      if (ref(f, i, str).contains(true))
+        assert(kept, s"trial $trial: reader dropped a TRUE row: $f on i=$i s=$str")
+    }
   }
 
   test("runtime filtering: a broadcast dim's keys reach the scan and skip rows") {

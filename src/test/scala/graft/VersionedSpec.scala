@@ -73,6 +73,28 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.versions(spark, dir) == Seq(1, 8))
   }
 
+  test("commit meta survives orphan desync: replay guard keys on batchId, not version") {
+    // the streaming-sink scenario: batch ids recorded in commit markers;
+    // a crashed publish leaves an orphan dir, so version numbers skip
+    // ahead of batch ids — the guard must still work
+    val dir = tmpTable()
+    def applied() = Versioned.commitMetas(spark, dir)
+      .flatMap(_._2.toLongOption).maxOption.getOrElse(-1L)
+    Versioned.publish(Seq(1).toDF("id"), dir, meta = Some("0"))
+    assert(applied() == 0L)
+    // batch 1's publish crashes after the data write, before the commit
+    Seq(2).toDF("id").write.parquet(s"$dir/v=1")
+    assert(applied() == 0L) // orphan contributes nothing
+    // the replayed batch 1 IS unapplied and lands on version 2
+    assert(applied() < 1L)
+    val v = Versioned.publish(Seq(2).toDF("id"), dir, meta = Some("1"))
+    assert(v == 2 && applied() == 1L)
+    // a second replay of batch 1 is now recognizable as applied even
+    // though currentVersion (2) != batchId (1)
+    assert(applied() >= 1L && Versioned.currentVersion(spark, dir) == 2)
+    assert(Versioned.commitMetas(spark, dir) == Seq(0 -> "0", 2 -> "1"))
+  }
+
   test("empty table: currentVersion -1, read fails loudly") {
     val dir = tmpTable()
     assert(Versioned.currentVersion(spark, dir) == -1)
