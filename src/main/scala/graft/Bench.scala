@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   *  - a query that THROWS is recorded as -1 with its error in a
   *    separate `errors` map and excluded from the total — a crashed
   *    query must not look like a fast one;
+  *  - `bench_sentinel_spin_start`/`_end`: a fixed single-thread spin
+  *    calibration (machine constant when quiet). If a run's sentinels
+  *    are well above the quiet-box constant, that run was taken under
+  *    external CPU contention and its totals are not comparable
+  *    round-over-round (min-of-N defends within a run, not across the
+  *    run);
   *  - the shared dedup-stage build (shingles → pairs → clusters,
   *    consumed by 4 queries) is timed explicitly as
   *    `bench_dedup_stage_build` and INCLUDED in the total: the work is
@@ -48,6 +54,26 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+
+    // contention sentinel: a fixed single-thread LCG spin whose cost is
+    // a machine constant (~0.15 s quiet on this box) — NOT data- or
+    // code-dependent, so any inflation is external CPU contention, and a
+    // poisoned run self-identifies (r3's official snapshot was a 1.5×
+    // contention outlier with no way to tell from the artifact alone).
+    // Measured at start AND end; excluded from the headline total.
+    def spinSentinel(): Double = {
+      def spin(iters: Long): Long = {
+        var x = 0x9E3779B97F4A7C15L; var i = 0L
+        while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        x
+      }
+      val sink = spin(10L * 1000 * 1000) // JIT warm-up, untimed
+      val t0 = System.nanoTime()
+      val sink2 = spin(400L * 1000 * 1000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink == 42L || sink2 == 42L) println("") // defeat DCE
+      dt
+    }
     // caches are dropped before EVERY run, not just between queries:
     // several builders cache-and-pin intermediates (jaccard prefix,
     // quality fact, cluster edges), and an un-cleared second run would
@@ -65,6 +91,8 @@ object Bench {
     def sanitize(e: Throwable): String =
       (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
         .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+
+    results("bench_sentinel_spin_start") = spinSentinel()
 
     // shared DAG stages, each timed once, explicitly (single run: the
     // artifact persists, so a second run would measure nothing)
@@ -222,12 +250,15 @@ object Bench {
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def entry(k: String, v: Double): String = "\"" + k + "\":" + fmt(v)
 
+    results("bench_sentinel_spin_end") = spinSentinel()
+
     // *_files_read / *_rows_scanned entries are pruning evidence (counts,
     // not seconds), *_hot entries are duplicate re-runs of already-timed
-    // queries, and -1 marks a failed query — all excluded from the
-    // headline seconds total
+    // queries, sentinel entries are the contention probe, and -1 marks a
+    // failed query — all excluded from the headline seconds total
     def isEvidence(k: String) =
-      k.endsWith("_files_read") || k.endsWith("_rows_scanned") || k.endsWith("_hot")
+      k.endsWith("_files_read") || k.endsWith("_rows_scanned") ||
+        k.endsWith("_hot") || k.startsWith("bench_sentinel")
     val total = results.collect {
       case (k, v) if !isEvidence(k) && v >= 0 => v
     }.sum

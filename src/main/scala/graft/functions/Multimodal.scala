@@ -251,13 +251,8 @@ object Multimodal {
     array(pix: _*)
   }
 
-  /** 60-bit perceptual hash of a binary payload: bit r·10+c set iff
-    * luma(r,c) < luma(r,c+1). A localized payload edit moves only the
-    * grid cells that sample the edited bytes, so near-identical
-    * payloads land within small hamming distance — the property exact
-    * content hashing ([[mediaDedup]]) cannot provide. */
-  def dhash60(payload: Column): Column = {
-    val pix = lumaGrid(payload)
+  /** Fold a 66-cell luma array into the 60 gradient bits. */
+  private def foldBits(pix: Column): Column =
     (0 until dhashBits).map { k =>
       val r = k / (dhashCols - 1)
       val c = k % (dhashCols - 1)
@@ -265,6 +260,34 @@ object Multimodal {
       when(element_at(pix, i + 1) < element_at(pix, i + 2), lit(1L << k))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** 60-bit perceptual hash of a binary payload: bit r·10+c set iff
+    * luma(r,c) < luma(r,c+1). A localized payload edit moves only the
+    * grid cells that sample the edited bytes, so near-identical
+    * payloads land within small hamming distance — the property exact
+    * content hashing ([[mediaDedup]]) cannot provide.
+    *
+    * As ONE column the fold's 120 array references each re-inline the
+    * 66-cell extraction under CollapseProject (~8k substr/hex/conv
+    * evals per row and megabyte-scale codegen — measured 40× slower on
+    * the gate corpus) — fine for spec-sized frames; query paths go
+    * through [[dhashFrame]], which materializes the array behind an
+    * exchange barrier. */
+  def dhash60(payload: Column): Column = foldBits(lumaGrid(payload))
+
+  /** (media_id, dhash) with the luma array materialized ONCE: the
+    * repartition is a load-bearing exchange (same trick as
+    * [[Dedup.bandKeys]]) that stops CollapseProject from re-inlining
+    * the extraction into each of the fold's 120 references; the
+    * checkpoint stops the band self-join from recomputing the hash on
+    * both sides. Tiny frame — one id + one long per asset. */
+  private def dhashFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select($"media_id", lumaGrid($"payload").as("pix"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"media_id", foldBits($"pix").as("dhash"))
+      .localCheckpoint(eager = true)
   }
 
   /** Perceptual near-duplicate pairs over any (media_id, payload)
@@ -277,7 +300,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     require(thr <= dhashBands - 1, s"recall guarantee needs thr <= ${dhashBands - 1}")
-    val h = media.select($"media_id", dhash60($"payload").as("dhash"))
+    val h = dhashFrame(media)
     val bands = h.select($"media_id", $"dhash",
       posexplode(array((0 until dhashBands).map(b =>
         shiftright($"dhash", b * dhashBandBits)
