@@ -275,9 +275,12 @@ object Graph {
     val ind = e.groupBy($"pb".as("node")).agg(count(lit(1)).as("ind"))
     val wN = outd.join(ind, Seq("node"))
       .agg(coalesce(sum($"outd" * $"ind"), lit(0L)).as("n_wedges"))
-    val tN = orientedWedges(e)
-      .join(degreeOriented(e).select($"src".as("u1"), $"dst".as("u2")),
-        Seq("u1", "u2"))
+    // one oriented-edge materialization feeds all three legs (both
+    // wedge sides + the closure probe) — without the checkpoint the
+    // degree aggregate and its two joins re-execute per leg
+    val o = degreeOriented(e).localCheckpoint(true)
+    val tN = wedgesOf(o)
+      .join(o.select($"src".as("u1"), $"dst".as("u2")), Seq("u1", "u2"))
       .agg(count(lit(1)).as("n_triangles"))
     eN.crossJoin(wN).crossJoin(tN)
       .select($"n_edges", $"n_wedges", $"n_triangles",
@@ -307,10 +310,12 @@ object Graph {
     * u1→u2 is present (and given the ordering, that IS the orientation
     * the closing edge received). Row count is the Σ min-deg² wedge
     * bound the hub-graph spec pins. */
-  private[graft] def orientedWedges(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private[graft] def orientedWedges(e: DataFrame): DataFrame =
+    wedgesOf(degreeOriented(e))
+
+  private def wedgesOf(o: DataFrame): DataFrame = {
+    val spark = o.sparkSession
     import spark.implicits._
-    val o = degreeOriented(e)
     o.select($"src", $"dst".as("u1"), $"dst_deg".as("d1"))
       .join(o.select($"src", $"dst".as("u2"), $"dst_deg".as("d2")), Seq("src"))
       .filter(($"d1" < $"d2") || ($"d1" === $"d2" && $"u1" < $"u2"))
