@@ -56,7 +56,8 @@ object Bench {
     }
 
     // contention sentinel: a fixed single-thread LCG spin whose cost is
-    // a machine constant (~0.15 s quiet on this box) — NOT data- or
+    // a machine constant (~0.5 s quiet on this box: 400M dependent
+    // multiply-adds at ~4 cycles each) — NOT data- or
     // code-dependent, so any inflation is external CPU contention, and a
     // poisoned run self-identifies (r3's official snapshot was a 1.5×
     // contention outlier with no way to tell from the artifact alone).

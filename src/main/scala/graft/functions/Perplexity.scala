@@ -27,15 +27,18 @@ import graft.sources.Tables
   * construction; avg_nll is derived for display via one pinned
   * cast-divide-divide sequence on identical inputs.
   *
-  * Scale: the two count tables are corpus-shuffle aggregates with
-  * partial combine; scoring re-joins the exploded bigram stream to
-  * them on the bigram / prefix key — at 100 TB those are co-keyed
-  * shuffle joins (bigram vocab is far beyond broadcast), at gate SF
-  * AQE broadcasts them. Nothing corpus-sized reaches the driver; the
-  * vocab size V is the only scalar collected (as a 1-row frame,
-  * cross-joined). Unlike [[graft.functions.Bpe]]'s distinct-word
-  * trick, bigram counting must see token ADJACENCY, so it runs over
-  * the exploded corpus once.
+  * Scale: the exploded bigram stream is scanned twice — once to build
+  * the count table (one shuffle with partial combine; prefix counts
+  * then derive from it as a vocab-sized aggregate, not a second
+  * corpus pass), once to score, re-joining each doc's bigrams to the
+  * counts — at 100 TB those are co-keyed shuffle joins (bigram vocab
+  * is far beyond broadcast), at gate SF AQE broadcasts them; to pay
+  * the explode once instead of twice, stage the bigram table to
+  * parquet between the two (the [[Dedup]] DedupStage pattern).
+  * Nothing corpus-sized reaches the driver; the vocab size V is the
+  * only scalar collected (as a 1-row frame, cross-joined). Unlike
+  * [[graft.functions.Bpe]]'s distinct-word trick, bigram counting
+  * must see token ADJACENCY, so it runs over the exploded corpus.
   */
 object Perplexity {
 
@@ -69,8 +72,11 @@ object Perplexity {
       .select($"doc_id", toks($"text").as("tk"))
     val bg = bigrams(docs)
     val cbg = bg.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
-    val cpre = bg.groupBy(split($"bg", " ").getItem(0).as("w"))
-      .agg(count(lit(1)).as("c_pre"))
+    // prefix counts derive from the bigram counts — c_pre(w) is exactly
+    // Σ c_bg over bigrams starting with w — so this is a vocab-sized
+    // aggregate, NOT a second full corpus explode+shuffle
+    val cpre = cbg.groupBy(split($"bg", " ").getItem(0).as("w"))
+      .agg(sum($"c_bg").as("c_pre"))
     val vocab = docs.select(explode($"tk").as("tok"))
       .agg(countDistinct($"tok").as("v"))
     val terms = bg

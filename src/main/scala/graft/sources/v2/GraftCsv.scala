@@ -130,13 +130,17 @@ class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
     val dir = new File(path)
     if (truncate) {
       GraftCsvIO.listFiles(path).foreach(_.delete())
-      // replace semantics = exclusive ownership of the path: reclaim
-      // orphan temp files of ANY previous crashed writer here (the
-      // per-job sweep below deliberately leaves other jobs' files alone)
+      // replace semantics = exclusive ownership of the DATA: reclaim
+      // orphan temp files of previous CRASHED writers, but only past an
+      // age threshold — a fresh temp may belong to a live concurrent
+      // append (which the per-job sweep below deliberately spares; its
+      // rows are truncated away semantically, but its commit must not
+      // crash on a vanished temp file)
+      val staleBefore = System.currentTimeMillis() - 10L * 60 * 1000
       dir.listFiles((_, n) => n.startsWith(".graft-tmp-") &&
         !n.startsWith(s".graft-tmp-$writeId-")) match {
         case null => ()
-        case stale => stale.foreach(_.delete())
+        case tmps => tmps.filter(_.lastModified < staleBefore).foreach(_.delete())
       }
     }
     messages.foreach { case GraftCsvCommit(tmp, finalName) =>

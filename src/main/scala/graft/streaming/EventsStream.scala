@@ -810,8 +810,18 @@ object EventsStream {
         // (applySketchBatch). Keying on currentVersion instead would
         // desync after a crashed publish: version numbering skips
         // orphan v= directories, so "version == batchId" does not hold.
+        // Batches apply in increasing id order, so only the NEWEST
+        // marker is read (O(1) per batch, not O(versions)); a newest
+        // marker WITHOUT a parseable id means the table wasn't written
+        // by this sink — fail loudly instead of silently re-applying
+        // (applied = -1 would fail open and double-count the batch).
         val applied = graft.sources.Versioned.commitMetas(spark, tableDir)
-          .flatMap(m => m._2.toLongOption).maxOption.getOrElse(-1L)
+          .lastOption match {
+            case None => -1L
+            case Some((v, m)) => m.toLongOption.getOrElse(sys.error(
+              s"snapshot stream: commit marker v=$v in $tableDir carries no " +
+                "batch id — table not owned by this sink; refusing to fold"))
+          }
         if (batchId > applied) {
           val cur = graft.sources.Versioned.currentVersion(spark, tableDir)
           val delta = Tables.decodeEventTs(batch)

@@ -15,6 +15,16 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
+
+  /** Session confs for the duration of `body`, previous values (set or
+    * unset) restored after — the one copy of the snapshot/restore
+    * dance the pressure/optimizer specs all need. */
+  def withConfs[T](confs: Map[String, String])(body: => T): T = {
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prev.foreach { case (k, v) => v match {
+      case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) } }
+  }
 }
 
 class PipelineSpec extends SparkSuite {

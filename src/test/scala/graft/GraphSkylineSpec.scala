@@ -205,13 +205,11 @@ class GraphSkylineSpec extends SparkSuite {
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try {
+    try withConfs(confs) {
       spark.range(0, 100000).select($"id".as("fact_key"),
         ($"id" % 97).as("payload")).write.parquet(s"$dir/fact")
       spark.range(0, 5000).select($"id".as("dim_key"),
         ($"id" % 7).as("seg")).write.parquet(s"$dir/dim")
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val fact = spark.read.parquet(s"$dir/fact")
       val dim = spark.read.parquet(s"$dir/dim").filter($"seg" === 3)
       val joined = fact.join(dim, $"fact_key" === $"dim_key")
@@ -221,8 +219,6 @@ class GraphSkylineSpec extends SparkSuite {
       // and it actually filters: result matches the no-filter join
       assert(joined.count() == (0 until 5000).count(_ % 7 == 3))
     } finally {
-      prev.foreach { case (k, v) => v match {
-        case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) } }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
     }
   }

@@ -44,7 +44,6 @@ class OptimizerEvidenceSpec extends SparkSuite {
       // both thresholds off or AQE flips the SMJ to broadcast instead
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     def run(skewEnabled: Boolean) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewEnabled.toString)
       val fact = spark.range(0, 200000).select(
@@ -59,8 +58,7 @@ class OptimizerEvidenceSpec extends SparkSuite {
       val result = agg.collect().head
       (agg, (result.getLong(0), result.getLong(1)))
     }
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    withConfs(confs) {
       val (agg, withSplit) = run(skewEnabled = true)
       val adaptive = agg.queryExecution.executedPlan
         .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
@@ -74,9 +72,6 @@ class OptimizerEvidenceSpec extends SparkSuite {
       // and the split changed nothing about the answer
       val (_, noSplit) = run(skewEnabled = false)
       assert(withSplit == noSplit)
-    } finally {
-      prev.foreach { case (k, v) => v match {
-        case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) } }
     }
   }
 

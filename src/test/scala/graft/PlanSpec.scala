@@ -39,20 +39,33 @@ class PlanSpec extends SparkSuite {
   }
 
   test("tpch q6: all range predicates pushed to the scan, no shuffle") {
-    val qe = graft.operators.TpchQueries.q6(spark, sf).queryExecution
-    val plan = qe.executedPlan.toString
+    val df = graft.operators.TpchQueries.q6(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
     // the query's whole cost model is min/max row-group skipping — every
     // predicate must reach the parquet reader
     val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
       assert(pushed.contains(c), s"$c not pushed: $pushed"))
     // scalar aggregate: partial sums merge over a single-partition
-    // exchange only — no keyed shuffle
+    // exchange only — no keyed shuffle. Must execute first and walk
+    // through the adaptive wrapper: a collect{} on the pre-execution
+    // plan never descends into AdaptiveSparkPlanExec (a leaf) and would
+    // pass vacuously
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val keyed = qe.executedPlan.collect {
-      case s: ShuffleExchangeLike
-        if s.outputPartitioning.numPartitions > 1 => s }
-    assert(keyed.isEmpty, "q6 must not shuffle on a key")
+    var keyed = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeLike =>
+        if (s.outputPartitioning.numPartitions > 1) keyed += 1
+        s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(keyed == 0, "q6 must not shuffle on a key")
   }
 
   test("demand query: dims broadcast, fact side never broadcast") {

@@ -46,13 +46,6 @@ class SpillSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  private def withConfs[T](confs: Map[String, String])(body: => T): T = {
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally prev.foreach { case (k, v) => v match {
-      case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) } }
-  }
-
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
 
