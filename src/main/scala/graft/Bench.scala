@@ -62,18 +62,33 @@ object Bench {
     // poisoned run self-identifies (r3's official snapshot was a 1.5×
     // contention outlier with no way to tell from the artifact alone).
     // Measured at start AND end; excluded from the headline total.
+    def spin(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      x
+    }
     def spinSentinel(): Double = {
-      def spin(iters: Long): Long = {
-        var x = 0x9E3779B97F4A7C15L; var i = 0L
-        while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
-        x
-      }
       val sink = spin(10L * 1000 * 1000) // JIT warm-up, untimed
       val t0 = System.nanoTime()
       val sink2 = spin(400L * 1000 * 1000)
       val dt = (System.nanoTime() - t0) / 1e9
       if (sink == 42L || sink2 == 42L) println("") // defeat DCE
       dt
+    }
+    // the parallel twin: cpus threads spinning at once. On an idle box
+    // with >= cpus free cores its wall time equals the single-thread
+    // constant; inflation HERE with a clean single-thread sentinel means
+    // the box has fewer free cores than the bench assumes (another
+    // tenant, cgroup quota) — exactly the contention that stretches
+    // 32-thread query stages but leaves one-core probes untouched.
+    def spinSentinelMt(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (1 to n).map { _ =>
+        new Thread(() => { if (spin(400L * 1000 * 1000) == 42L) println("") })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
     }
     // caches are dropped before EVERY run, not just between queries:
     // several builders cache-and-pin intermediates (jaccard prefix,
@@ -94,6 +109,7 @@ object Bench {
         .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
 
     results("bench_sentinel_spin_start") = spinSentinel()
+    results("bench_sentinel_spin_mt") = spinSentinelMt()
 
     // shared DAG stages, each timed once, explicitly (single run: the
     // artifact persists, so a second run would measure nothing)
