@@ -157,7 +157,9 @@ object SparkEntry {
     "q_sql_recursive" -> (Analytics.sqlRecursive _),
     "q_tpch_q1" -> (TpchQueries.q1 _),
     "q_tpch_q3" -> (TpchQueries.q3 _),
+    "q_tpch_q4" -> (TpchQueries.q4 _),
     "q_tpch_q6" -> (TpchQueries.q6 _),
+    "q_tpch_q19" -> (TpchQueries.q19 _),
     "q_clamped_balance" -> ((s: SparkSession, d: String) =>
       StatefulBatch.clampedBalance(s, d)),
     "q_clamped_balance_sorted" -> ((s: SparkSession, d: String) =>
@@ -359,7 +361,9 @@ object SparkEntry {
     "q_sql_recursive" -> Analytics.recursiveSpineSql,
     "q_tpch_q1" -> TpchQueries.q1Sql,
     "q_tpch_q3" -> TpchQueries.q3Sql,
+    "q_tpch_q4" -> TpchQueries.q4Sql,
     "q_tpch_q6" -> TpchQueries.q6Sql,
+    "q_tpch_q19" -> TpchQueries.q19Sql,
     "q_clamped_balance" -> StatefulBatch.clampedBalanceSql,
     // secondary-sort strategy, same contract — same oracle string
     "q_clamped_balance_sorted" -> StatefulBatch.clampedBalanceSql,

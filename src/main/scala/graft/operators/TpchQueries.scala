@@ -92,6 +92,71 @@ object TpchQueries {
        |  AND l_discount >= 0.05 AND l_discount <= 0.07
        |  AND l_quantity < 24.0""".stripMargin
 
+  /** Q4 shape: order-priority checking — the canonical EXISTS
+    * decorrelation plan. The correlated EXISTS (a line shipped after
+    * the order date) becomes a LEFT SEMI join: equi key on orderkey,
+    * the cross-table date comparison as the join residual; the fact
+    * never duplicates orders with many qualifying lines the way an
+    * inner join + distinct would. */
+  def q4(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Q19 shape: discounted revenue under an OR of brand/size/quantity
+    * conjunct groups — the disjunctive-predicate plan. The shared
+    * equi key (partkey) stays a single hash join; the disjunction is a
+    * post-join filter, and the common quantity/size bounds are pushed
+    * to both scans (Catalyst extracts them from the OR). */
+  def q19(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val part = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val arm1 = $"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+      $"l_quantity".between(1.0, 11.0)
+    val arm2 = $"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+      $"l_quantity".between(10.0, 20.0)
+    val arm3 = $"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
+      $"l_quantity".between(20.0, 30.0)
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(arm1 || arm2 || arm3)
+      .agg(Exact.sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT ${Exact.sumExactSql("l_extendedprice * (1.0 - l_discount)")}
+       |         AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1.0 AND 11.0)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10.0 AND 20.0)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
   /** Q3 shape: unshipped-order revenue by order, for one market
     * segment — 3-way join, date split on both sides, top-10 by
     * revenue. (o_shippriority isn't in the test schema;

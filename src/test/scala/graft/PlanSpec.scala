@@ -68,6 +68,12 @@ class PlanSpec extends SparkSuite {
     assert(keyed == 0, "q6 must not shuffle on a key")
   }
 
+  test("tpch q4: EXISTS compiles to a left-semi join (no inner-join + distinct blowup)") {
+    val plan = planOf(graft.operators.TpchQueries.q4(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(!plan.contains("Distinct"), "semi join must not need a dedup")
+  }
+
   test("demand query: dims broadcast, fact side never broadcast") {
     val plan = planOf(Analytics.demandByZone(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
