@@ -268,17 +268,21 @@ object Graph {
     val spark = e.sparkSession
     import spark.implicits._
     val eN = e.agg(count(lit(1)).as("n_edges"))
-    // id-oriented wedge count, closed form: Σ_b in-deg(b)·out-deg(b).
-    // Nodes missing a side contribute 0 — inner join drops them; an
-    // empty product sum coalesces to 0.
-    val outd = e.groupBy($"pa".as("node")).agg(count(lit(1)).as("outd"))
-    val ind = e.groupBy($"pb".as("node")).agg(count(lit(1)).as("ind"))
-    val wN = outd.join(ind, Seq("node"))
-      .agg(coalesce(sum($"outd" * $"ind"), lit(0L)).as("n_wedges"))
+    // ONE shuffled aggregate yields total degree AND the id-form
+    // in/out split (out = times seen as pa): deg drives orientation,
+    // Σ outd·ind is the closed-form id-wedge denominator — three
+    // separate degree aggregates fused into this node-sized table
+    val dcounts = e.select($"pa".as("node"), lit(1L).as("is_out"))
+      .unionAll(e.select($"pb".as("node"), lit(0L).as("is_out")))
+      .groupBy($"node")
+      .agg(count(lit(1)).as("deg"), sum($"is_out").as("outd"))
+      .localCheckpoint(true)
+    val wN = dcounts
+      .agg(coalesce(sum($"outd" * ($"deg" - $"outd")), lit(0L)).as("n_wedges"))
     // one oriented-edge materialization feeds all three legs (both
     // wedge sides + the closure probe) — without the checkpoint the
-    // degree aggregate and its two joins re-execute per leg
-    val o = degreeOriented(e).localCheckpoint(true)
+    // degree joins re-execute per leg
+    val o = degreeOriented(e, dcounts.select($"node", $"deg")).localCheckpoint(true)
     val tN = wedgesOf(o)
       .join(o.select($"src".as("u1"), $"dst".as("u2")), Seq("u1", "u2"))
       .agg(count(lit(1)).as("n_triangles"))
@@ -296,6 +300,12 @@ object Graph {
     import spark.implicits._
     val deg = e.select($"pa".as("node")).unionAll(e.select($"pb".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
+    degreeOriented(e, deg)
+  }
+
+  private def degreeOriented(e: DataFrame, deg: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val fwd = ($"da" < $"db") || ($"da" === $"db" && $"pa" < $"pb")
     e.join(deg.select($"node".as("pa"), $"deg".as("da")), Seq("pa"))
       .join(deg.select($"node".as("pb"), $"deg".as("db")), Seq("pb"))
