@@ -159,7 +159,21 @@ object SparkEntry {
     "q_tpch_q3" -> (TpchQueries.q3 _),
     "q_tpch_q4" -> (TpchQueries.q4 _),
     "q_tpch_q6" -> (TpchQueries.q6 _),
-    "q_tpch_q19" -> (TpchQueries.q19 _),
+        "q_tpch_q19" -> (TpchQueries.q19 _),
+    "q_tpch_q2" -> (TpchSuite.q2 _),
+    "q_tpch_q7" -> (TpchSuite.q7 _),
+    "q_tpch_q8" -> (TpchSuite.q8 _),
+    "q_tpch_q9" -> (TpchSuite.q9 _),
+    "q_tpch_q11" -> (TpchSuite.q11 _),
+    "q_tpch_q12" -> (TpchSuite.q12 _),
+    "q_tpch_q13" -> (TpchSuite.q13 _),
+    "q_tpch_q14" -> (TpchSuite.q14 _),
+    "q_tpch_q15" -> (TpchSuite.q15 _),
+    "q_tpch_q16" -> (TpchSuite.q16 _),
+    "q_tpch_q17" -> (TpchSuite.q17 _),
+    "q_tpch_q20" -> (TpchSuite.q20 _),
+    "q_tpch_q21" -> (TpchSuite.q21 _),
+    "q_tpch_q22" -> (TpchSuite.q22 _),
     "q_clamped_balance" -> ((s: SparkSession, d: String) =>
       StatefulBatch.clampedBalance(s, d)),
     "q_clamped_balance_sorted" -> ((s: SparkSession, d: String) =>
@@ -363,7 +377,21 @@ object SparkEntry {
     "q_tpch_q3" -> TpchQueries.q3Sql,
     "q_tpch_q4" -> TpchQueries.q4Sql,
     "q_tpch_q6" -> TpchQueries.q6Sql,
-    "q_tpch_q19" -> TpchQueries.q19Sql,
+        "q_tpch_q19" -> TpchQueries.q19Sql,
+    "q_tpch_q2" -> TpchSuite.q2Sql,
+    "q_tpch_q7" -> TpchSuite.q7Sql,
+    "q_tpch_q8" -> TpchSuite.q8Sql,
+    "q_tpch_q9" -> TpchSuite.q9Sql,
+    "q_tpch_q11" -> TpchSuite.q11Sql,
+    "q_tpch_q12" -> TpchSuite.q12Sql,
+    "q_tpch_q13" -> TpchSuite.q13Sql,
+    "q_tpch_q14" -> TpchSuite.q14Sql,
+    "q_tpch_q15" -> TpchSuite.q15Sql,
+    "q_tpch_q16" -> TpchSuite.q16Sql,
+    "q_tpch_q17" -> TpchSuite.q17Sql,
+    "q_tpch_q20" -> TpchSuite.q20Sql,
+    "q_tpch_q21" -> TpchSuite.q21Sql,
+    "q_tpch_q22" -> TpchSuite.q22Sql,
     "q_clamped_balance" -> StatefulBatch.clampedBalanceSql,
     // secondary-sort strategy, same contract — same oracle string
     "q_clamped_balance_sorted" -> StatefulBatch.clampedBalanceSql,
