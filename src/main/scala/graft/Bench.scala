@@ -252,6 +252,48 @@ object Bench {
       errors("bench_bloom_experiment") = sanitize(e)
     }
 
+    // MV auto-rewrite experiment: the same rollup served from the base
+    // scan vs from the registered daily MV (plans/MvRewrite). Wall
+    // clock at sf0.1 is mostly fixed overhead — the scale evidence is
+    // rows scanned: |events| direct vs |groups| served. At the
+    // reference's 826M-row fact this gap IS the clustered-92 ms story,
+    // with IVM keeping the MV current for O(|delta|) per batch.
+    try {
+      val mvDir = s"/tmp/graft_mv_${new java.io.File(sfDir).getName}"
+      val events = graft.sources.Tables.events(spark, sfDir)
+      results("bench_mv_build") = time {
+        operators.MaterializedView.dailyMv(events)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$mvDir/mv")
+      }
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, min => fmin, max => fmax, sum => fsum, to_date => fto_date, col => fcol}
+      def rollup = events
+        .filter(fto_date(fcol("ts")) >= flit("2024-01-10") &&
+          fcol("event_type") =!= "error")
+        .groupBy(fcol("event_type"))
+        .agg(fcount(flit(1)).as("n"),
+          fsum(fcol("value").cast("decimal(27,6)")).as("total_dec"),
+          fmin(fcol("value")).as("min_value"), fmax(fcol("value")).as("max_value"))
+      val direct = rollup
+      results("bench_mv_direct") = minOf(2)(direct.collect())
+      results("bench_mv_direct_rows_scanned") =
+        scanMetric(direct, "numOutputRows").toDouble
+      operators.MaterializedView.registerDailyMv(spark, sfDir, s"$mvDir/mv")
+      graft.plans.MvRewrite.enable(spark)
+      try {
+        val served = rollup
+        results("bench_mv_serve") = minOf(2)(served.collect())
+        results("bench_mv_serve_rows_scanned") =
+          scanMetric(served, "numOutputRows").toDouble
+        require(served.queryExecution.executedPlan.toString.contains(mvDir),
+          "MV rewrite did not fire in bench")
+      } finally {
+        graft.plans.MvRewrite.disable(spark)
+        graft.plans.MvRewrite.unregister("events_daily")
+      }
+    } catch { case e: Throwable =>
+      errors("bench_mv_experiment") = sanitize(e)
+    }
+
     // ---- output. Two artifacts:
     //  1. BENCH_FULL.json (cwd): every entry, pretty-ish, for the judge.
     //  2. ONE compact stdout line for the driver. The driver keeps only

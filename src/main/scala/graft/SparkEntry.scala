@@ -152,6 +152,7 @@ object SparkEntry {
     "q_table_diff" -> (Reconcile.tableDiffQuery _),
     "q_schema_evolution" -> (graft.sources.Ingest.schemaEvolutionQuery _),
     "q_stream_ivm" -> (graft.streaming.EventsStream.ivmStreamQuery _),
+    "q_mv_rewrite" -> (MaterializedView.mvRewriteQuery _),
     // the oracle string IS the Spark program (SQL-surface parity)
     "q_sql_e2e" -> (Analytics.sqlE2e _),
     "q_sql_recursive" -> (Analytics.sqlRecursive _),
@@ -371,6 +372,7 @@ object SparkEntry {
     // additive maintenance is batch-split independent: same oracle as
     // the single-fold IVM query
     "q_stream_ivm" -> MaterializedView.incrementalAggSql,
+    "q_mv_rewrite" -> MaterializedView.mvRewriteSql,
     "q_sql_e2e" -> Analytics.monthlyAggSql,
     "q_sql_recursive" -> Analytics.recursiveSpineSql,
     "q_tpch_q1" -> TpchQueries.q1Sql,

@@ -65,4 +65,100 @@ object MaterializedView {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
+
+  // -------------------------------------------------- MV auto-rewrite
+
+  /** The serve-side MV for [[graft.plans.MvRewrite]]: per
+    * (event_type, day) partials — row count, exact decimal sum,
+    * min/max. Richer than [[viewOf]] (which stays minimal for the
+    * maintain-path queries) but the same IVM algebra applies: all four
+    * partials are insert-only self-maintainable. */
+  private[graft] def dailyMv(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,6)")).as("total_dec"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Register the daily events MV with the rewrite rule. The dim and
+    * measure expressions resolve through `Tables.events`' own decode
+    * projection, so a user query written against the decoded table
+    * matches even though the relation column is raw int64 nanos. */
+  private[graft] def registerDailyMv(spark: SparkSession, sfDir: String,
+      mvPath: String): graft.plans.MvRewrite.MvDef = {
+    import graft.plans.MvRewrite
+    val base = Tables.events(spark, sfDir)
+    val d = MvRewrite.MvDef(
+      name = "events_daily",
+      basePathSuffix = s"$sfDir/events.parquet",
+      mvPath = mvPath,
+      dims = Map(
+        MvRewrite.resolvedSql(base, col("event_type")) -> "event_type",
+        MvRewrite.resolvedSql(base, to_date(col("ts"))) -> "day"),
+      sums = Map(
+        MvRewrite.resolvedSql(base, col("value").cast("decimal(27,6)")) -> "total_dec"),
+      mins = Map(MvRewrite.resolvedSql(base, col("value")) -> "min_value"),
+      maxs = Map(MvRewrite.resolvedSql(base, col("value")) -> "max_value"),
+      countCol = Some("n"),
+      dayDims = Map(MvRewrite.resolvedSql(base, col("ts")) -> "day"),
+      // the decode chain (div, timestamp_micros, to_date) is
+      // null-intolerant, so day is null exactly when raw ts is
+      nullDims = Map("ts" -> "day"))
+    MvRewrite.register(d)
+    d
+  }
+
+  /** Gated query: build the daily MV, register it, and run a plain
+    * aggregate over the BASE table — a dim-subset rollup (event_type
+    * only) with dim filters (day range + type exclusion) and
+    * count/sum/min/max measures. The rule must serve it from the MV:
+    * the `require` pins the rewrite (a silently-broken matcher would
+    * still return correct rows via the base scan — loud beats lucky),
+    * and the DuckDB oracle recomputes from the base table, so the
+    * rewrite must be bit-exact, rollup and all. */
+  def mvRewriteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.MvRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    try {
+      val events = Tables.events(spark, sfDir)
+      dailyMv(events).write.mode(SaveMode.Overwrite).parquet(s"$tmp/mv")
+      registerDailyMv(spark, sfDir, s"$tmp/mv")
+      MvRewrite.enable(spark)
+      val out = events
+        .filter(to_date($"ts") >= lit("2024-01-10") && $"event_type" =!= "error")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(27,6)")).as("total_dec"),
+          min($"value").as("min_value"),
+          max($"value").as("max_value"))
+        .select($"event_type", $"n",
+          $"total_dec".cast("double").as("total_value"),
+          round($"total_dec".cast("double") / $"n", 6).as("avg_value"),
+          $"min_value", $"max_value")
+        .orderBy($"event_type")
+      val physical = out.queryExecution.executedPlan.toString
+      require(physical.contains(tmp),
+        "MV rewrite did not fire: plan still scans the base table")
+      require(!physical.contains("events.parquet"),
+        "MV rewrite left a base-table scan in the plan")
+      out.localCheckpoint(eager = true)
+    } finally {
+      graft.plans.MvRewrite.disable(spark)
+      graft.plans.MvRewrite.unregister("events_daily")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  val mvRewriteSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+      |       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6)
+      |         AS avg_value,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-10' AND event_type <> 'error'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }
