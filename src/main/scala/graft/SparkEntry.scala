@@ -160,7 +160,7 @@ object SparkEntry {
     "q_tpch_q3" -> (TpchQueries.q3 _),
     "q_tpch_q4" -> (TpchQueries.q4 _),
     "q_tpch_q6" -> (TpchQueries.q6 _),
-        "q_tpch_q19" -> (TpchQueries.q19 _),
+    "q_tpch_q19" -> (TpchQueries.q19 _),
     "q_tpch_q2" -> (TpchSuite.q2 _),
     "q_tpch_q7" -> (TpchSuite.q7 _),
     "q_tpch_q8" -> (TpchSuite.q8 _),
@@ -379,7 +379,7 @@ object SparkEntry {
     "q_tpch_q3" -> TpchQueries.q3Sql,
     "q_tpch_q4" -> TpchQueries.q4Sql,
     "q_tpch_q6" -> TpchQueries.q6Sql,
-        "q_tpch_q19" -> TpchQueries.q19Sql,
+    "q_tpch_q19" -> TpchQueries.q19Sql,
     "q_tpch_q2" -> TpchSuite.q2Sql,
     "q_tpch_q7" -> TpchSuite.q7Sql,
     "q_tpch_q8" -> TpchSuite.q8Sql,

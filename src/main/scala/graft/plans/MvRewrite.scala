@@ -89,9 +89,20 @@ object MvRewrite {
       nullDims: Map[String, String] = Map.empty)
 
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  // one parquet read per mvPath — rewrites take newInstance() copies, so
+  // a rule left enabled session-wide costs no I/O per optimized query.
+  // Register/unregister invalidate, so refreshing an MV in place (the
+  // IVM maintain step overwrites the parquet) means re-registering it —
+  // a stale file index would otherwise serve deleted files.
+  private[plans] val mvRelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LogicalRelation]()
 
-  def register(d: MvDef): Unit = { defs.put(d.name, d); () }
-  def unregister(name: String): Unit = { defs.remove(name); () }
+  def register(d: MvDef): Unit = {
+    mvRelCache.remove(d.mvPath); defs.put(d.name, d); ()
+  }
+  def unregister(name: String): Unit = {
+    Option(defs.remove(name)).foreach(d => mvRelCache.remove(d.mvPath)); ()
+  }
   def registered: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     defs.values.asScala.toSeq
@@ -198,10 +209,11 @@ object MvRewrite {
       }
 
     private def freshMvRelation(d: MvDef): Option[LogicalRelation] =
-      spark.read.parquet(d.mvPath).queryExecution.analyzed match {
-        case r: LogicalRelation => Some(r.newInstance())
-        case _ => None
-      }
+      Option(mvRelCache.computeIfAbsent(d.mvPath,
+        _ => spark.read.parquet(d.mvPath).queryExecution.analyzed match {
+          case r: LogicalRelation => r
+          case _ => null
+        })).map(_.newInstance())
 
     private def dbg(msg: => String): Unit =
       if (sys.env.contains("GRAFT_MV_DEBUG")) println("[mv-dbg] " + msg)
@@ -229,6 +241,14 @@ object MvRewrite {
         rawFilters: Seq[Expression],
         ge: Seq[Expression],
         ae: Seq[NamedExpression]): Option[LogicalPlan] = {
+      // cheap key-membership pre-check before touching the MV relation:
+      // most non-matching aggregates bail here on string lookups alone
+      val geResolved = ge.map(g =>
+        resolveExpr(g match { case a: Alias => a.child; case x => x }, sub))
+      if (!geResolved.forall(g => d.dims.contains(g.sql))) {
+        dbg("grouping not all dims: " + geResolved.map(_.sql))
+        return None
+      }
       val mvRel = freshMvRelation(d).getOrElse(return None)
       val mvAttr: Map[String, Attribute] = mvRel.output.map(a => a.name -> a).toMap
       if (!(d.dims.values ++ d.sums.values ++ d.mins.values ++ d.maxs.values ++
@@ -252,13 +272,13 @@ object MvRewrite {
       // non-midnight bounds and other comparisons stay unmapped and the
       // whole rewrite bails. UTC-session-only: day boundaries in any
       // other zone don't align with the literal's epoch arithmetic.
-      val micicrosPerDay = 86400000000L
+      val microsPerDay = 86400000000L
       val utcSession =
         spark.sessionState.conf.sessionLocalTimeZone == "UTC"
       def asDayBound(v: Any): Option[Literal] = v match {
         case micros: java.lang.Long if utcSession &&
-            java.lang.Math.floorMod(micros.longValue, micicrosPerDay) == 0L =>
-          Some(Literal(java.lang.Math.floorDiv(micros.longValue, micicrosPerDay).toInt,
+            java.lang.Math.floorMod(micros.longValue, microsPerDay) == 0L =>
+          Some(Literal(java.lang.Math.floorDiv(micros.longValue, microsPerDay).toInt,
             org.apache.spark.sql.types.DateType))
         case _ => None
       }
@@ -281,24 +301,21 @@ object MvRewrite {
         case IsNotNull(t) if nullDimFor(t).isDefined => IsNotNull(nullDimFor(t).get)
       }
 
-      // dim-subtree replacement; None if base columns survive
+      // dim-subtree replacement; None if base columns survive or the
+      // expression is non-deterministic (rand() row-filters would turn
+      // into group-filters over the MV — a different distribution)
       def mapDims(e: Expression): Option[Expression] = {
         val out = invertDayBounds(e).transformDown {
           case sub0 if dimFor(sub0).isDefined => dimFor(sub0).get
         }
-        if (out.references.map(_.exprId).exists(baseIds.contains)) None else Some(out)
+        if (!out.deterministic ||
+          out.references.map(_.exprId).exists(baseIds.contains)) None
+        else Some(out)
       }
 
-      // groupings: every one must BE a dim (aliases stripped, resolved)
-      val geMapped: Seq[Option[(Expression, Attribute)]] = ge.map { g0 =>
-        val g = resolveExpr(g0 match { case a: Alias => a.child; case x => x }, sub)
-        dimFor(g).map(attr => (g, attr))
-      }
-      if (geMapped.exists(_.isEmpty)) {
-        dbg("grouping not all dims: " + ge.map(g => resolveExpr(g match { case a: Alias => a.child; case x => x }, sub).sql))
-        return None
-      }
-      val groupAttrs = geMapped.flatten
+      // groupings: every one must BE a dim (pre-checked above by key)
+      val groupAttrs: Seq[(Expression, Attribute)] =
+        geResolved.map(g => (g, dimFor(g).getOrElse(return None)))
 
       // filters: resolved, then dim-mapped; any base residue → bail
       val filtersMapped = rawFilters.map(f => mapDims(resolveExpr(f, sub)))

@@ -8,6 +8,30 @@ import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Shared session: one per suite, local[4], UTC, small shuffle count. */
 trait SparkSuite extends AnyFunSuite {
+
+  /** AQE/QueryStage-aware physical-plan walk (executes the frame first
+    * so the adaptive plan is final; query stages are traversal leaves
+    * unless descended explicitly, and the identity set collapses reused
+    * stages to one visit). The ONE copy the plan-shape specs share. */
+  def walkPlan(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+      out += p
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    out.toSeq
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

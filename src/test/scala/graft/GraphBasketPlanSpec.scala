@@ -12,25 +12,6 @@ import graft.operators.{Graph, MarketBasket, TpchQueries}
 class GraphBasketPlanSpec extends SparkSuite {
   import spark.implicits._
 
-  /** One AQE/QueryStage-aware walk; planOf and shuffles both derive
-    * from it so the two views of a plan can never disagree. */
-  private def walkPlan(df: DataFrame): Seq[SparkPlan] = {
-    df.collect()
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
-    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
-      out += p
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case other => other.children.foreach(walk)
-      }
-    }
-    walk(df.queryExecution.executedPlan)
-    out.toSeq
-  }
-
   private def planOf(df: DataFrame): String =
     walkPlan(df).map(_.nodeName).mkString("\n")
 

@@ -104,7 +104,14 @@ class MvRewriteSpec extends SparkSuite {
           .agg(min($"user_id").as("m")),
         // grouping on a non-dim
         "non-dim grouping" -> events.groupBy($"user_id")
-          .agg(count(lit(1)).as("n")))
+          .agg(count(lit(1)).as("n")),
+        // non-deterministic row filter: over the MV it would become a
+        // GROUP filter — a different sampling distribution entirely.
+        // (0.5, not an always-true bound: the optimizer knows rand's
+        // range and would delete an always-true filter outright,
+        // making the case vacuous)
+        "non-deterministic filter" -> events.filter(rand() < 0.5)
+          .groupBy($"event_type").agg(count(lit(1)).as("n")))
       for ((label, df) <- cases) {
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("events.parquet") && !plan.contains(tmp),

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import graft.operators.TpchSuite
 
@@ -10,26 +7,6 @@ import graft.operators.TpchSuite
   * Q11–Q17, Q20–Q22 — correctness is oracle-gated per query; these
   * pin the SCALE claims the scaladocs make). */
 class TpchSuitePlanSpec extends SparkSuite {
-
-  /** AQE/QueryStage-aware walk (same recipe as GraphBasketPlanSpec:
-    * query stages are traversal leaves unless descended explicitly;
-    * the identity set also collapses reused stages to one visit). */
-  private def walkPlan(df: DataFrame): Seq[SparkPlan] = {
-    df.collect()
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
-    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
-      out += p
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case other => other.children.foreach(walk)
-      }
-    }
-    walk(df.queryExecution.executedPlan)
-    out.toSeq
-  }
 
   test("q2/q16: dim legs broadcast; q2 top-k never global-sorts") {
     val q2Plan = walkPlan(TpchSuite.q2(spark, sf)).map(_.nodeName)
