@@ -77,6 +77,9 @@ object MaterializedView {
     events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(27,6)")).as("total_dec"),
+        // non-null count partial: what a rewritten AVG divides by
+        // (the row count n over-divides when the measure has nulls)
+        count(col("value")).as("n_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
@@ -99,6 +102,8 @@ object MaterializedView {
         MvRewrite.resolvedSql(base, col("value").cast("decimal(27,6)")) -> "total_dec"),
       mins = Map(MvRewrite.resolvedSql(base, col("value")) -> "min_value"),
       maxs = Map(MvRewrite.resolvedSql(base, col("value")) -> "max_value"),
+      cnts = Map(
+        MvRewrite.resolvedSql(base, col("value").cast("decimal(27,6)")) -> "n_value"),
       countCol = Some("n"),
       dayDims = Map(MvRewrite.resolvedSql(base, col("ts")) -> "day"),
       // the decode chain (div, timestamp_micros, to_date) is
@@ -130,11 +135,14 @@ object MaterializedView {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(27,6)")).as("total_dec"),
+          // native AVG exercises the sum/count-partial division rewrite
+          avg($"value".cast("decimal(27,6)")).as("avg_dec"),
           min($"value").as("min_value"),
           max($"value").as("max_value"))
         .select($"event_type", $"n",
           $"total_dec".cast("double").as("total_value"),
           round($"total_dec".cast("double") / $"n", 6).as("avg_value"),
+          $"avg_dec".cast("double").as("avg_native"),
           $"min_value", $"max_value")
         .orderBy($"event_type")
       val physical = out.queryExecution.executedPlan.toString
@@ -151,14 +159,31 @@ object MaterializedView {
     }
   }
 
+  /** The avg_native oracle replicates Spark's decimal AVG digit for
+    * digit from exact integers: avg(decimal(27,6)) divides at the
+    * precision-loss-adjusted scale 17 (HALF_UP), casts to the (31,10)
+    * result (HALF_UP again), and the double display is one exact IEEE
+    * division R10/1e10 (both operands exactly representable, one
+    * correctly-rounded op ≡ Spark's BigDecimal.doubleValue). S is the
+    * unscaled sum (×1e6, exact), C the non-null count; values are
+    * positive so HALF_UP(x) = (2·num + den) // (2·den). */
   val mvRewriteSql: String =
-    """SELECT event_type, count(*) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
-      |       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6)
-      |         AS avg_value,
-      |       min(value) AS min_value, max(value) AS max_value
-      |FROM events
-      |WHERE CAST(ts AS DATE) >= DATE '2024-01-10' AND event_type <> 'error'
-      |GROUP BY 1
+    """WITH partials AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(27,6))) AS sum_dec,
+      |         CAST(sum(CAST(value AS DECIMAL(27,6))) * 1000000 AS HUGEINT) AS s6,
+      |         count(value) AS cnt,
+      |         min(value) AS min_value, max(value) AS max_value
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) >= DATE '2024-01-10' AND event_type <> 'error'
+      |  GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |       CAST(sum_dec AS DOUBLE) AS total_value,
+      |       round(CAST(sum_dec AS DOUBLE) / n, 6) AS avg_value,
+      |       CAST(((2 * s6 * 100000000000 + cnt) // (2 * cnt) + 5000000)
+      |              // 10000000 AS DOUBLE) / 1e10 AS avg_native,
+      |       min_value, max_value
+      |FROM partials
       |ORDER BY 1""".stripMargin
 }

@@ -32,9 +32,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    dims works — rollups re-aggregate the partials);
   *  - every pre-aggregation filter references only dim expressions
   *    (a row predicate on a dim is a group predicate);
-  *  - every aggregate is COUNT(*) / COUNT(lit) → SUM(count_col), or
+  *  - every aggregate is COUNT(*) / COUNT(lit) → SUM(count_col),
   *    SUM/MIN/MAX of a registered measure expression with a
-  *    decimal or integral type (never SUM(double));
+  *    decimal or integral type (never SUM(double)), or AVG of a
+  *    registered DECIMAL measure that also has a non-null-count
+  *    partial (rebuilt as Average's own sum/count division over the
+  *    re-aggregated partials — bit-identical, see matchAggregate);
   *  - grouping is non-empty (a global aggregate over an empty base
   *    would yield COUNT=0 where SUM-of-partials yields NULL).
   *
@@ -62,6 +65,12 @@ object MvRewrite {
     * @param sums     resolved base expression SQL → MV SUM-partial column
     * @param mins     resolved base expression SQL → MV MIN-partial column
     * @param maxs     resolved base expression SQL → MV MAX-partial column
+    * @param cnts     resolved base expression SQL → MV column counting
+    *                 NON-NULL values of that expression (what AVG
+    *                 divides by — the row count over-divides when the
+    *                 measure has nulls). An AVG of a decimal measure
+    *                 rewrites only when BOTH its sum partial and its
+    *                 non-null count partial are registered.
     * @param countCol MV column holding the per-group row count
     * @param dayDims  resolved TIMESTAMP expression SQL → MV date dim
     *                 column defined as `to_date` of that expression.
@@ -84,6 +93,7 @@ object MvRewrite {
       sums: Map[String, String] = Map.empty,
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
+      cnts: Map[String, String] = Map.empty,
       countCol: Option[String] = None,
       dayDims: Map[String, String] = Map.empty,
       nullDims: Map[String, String] = Map.empty)
@@ -252,7 +262,7 @@ object MvRewrite {
       val mvRel = freshMvRelation(d).getOrElse(return None)
       val mvAttr: Map[String, Attribute] = mvRel.output.map(a => a.name -> a).toMap
       if (!(d.dims.values ++ d.sums.values ++ d.mins.values ++ d.maxs.values ++
-          d.countCol).forall(mvAttr.contains)) {
+          d.cnts.values ++ d.countCol).forall(mvAttr.contains)) {
         dbg("MV columns missing: have " + mvAttr.keys)
         return None
       }
@@ -326,21 +336,53 @@ object MvRewrite {
 
       def matchAggregate(ag: AggregateExpression): Option[Expression] = {
         if (ag.isDistinct || ag.filter.isDefined) return None
-        val rewritten: Option[AggregateFunction] = ag.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) | Count(Seq()) =>
-            d.countCol.map(c => Sum(mvAttr(c)))
-          case s: Sum if isExactType(s.child.dataType) =>
-            d.sums.get(s.child.sql).map(c => Sum(mvAttr(c)))
-          case m: Min => d.mins.get(m.child.sql).map(c => Min(mvAttr(c)))
-          case m: Max => d.maxs.get(m.child.sql).map(c => Max(mvAttr(c)))
-          case _ => None
-        }
-        rewritten.map { f =>
-          val newAg = ag.copy(aggregateFunction = f)
-          // sum-of-partials can widen (decimal(37,6) → 38,6): cast back,
-          // exact because the value equals the original single-level sum
-          if (newAg.dataType == ag.dataType) newAg
-          else Cast(newAg, ag.dataType)
+        ag.aggregateFunction match {
+          // AVG of a decimal measure: replicate Average's own evaluate
+          // expression over the partials — Divide(sum AT THE CHILD'S
+          // decimal type, count cast decimal(20,0)) in LEGACY mode,
+          // cast to the avg result type. The left operand's type drives
+          // the division's precision-loss adjustment (hence its rounding
+          // scale), and Average divides the sum checked against the
+          // CHILD type (p,s), not its widened (p+10,s) buffer — using
+          // the buffer type here yields scale 7 instead of 17 on a
+          // (27,6) measure, visibly truncating the quotient. Divides by
+          // the NON-NULL count partial, never the row count; LEGACY
+          // division yields NULL for an all-null group exactly as
+          // Average does.
+          case avg: Average =>
+            val dt = avg.child.dataType match {
+              case t: org.apache.spark.sql.types.DecimalType => t
+              case _ => return None
+            }
+            for {
+              sCol <- d.sums.get(avg.child.sql)
+              cCol <- d.cnts.get(avg.child.sql)
+            } yield {
+              import org.apache.spark.sql.types.DecimalType
+              val sumAgg = AggregateExpression(Sum(mvAttr(sCol)), ag.mode, isDistinct = false)
+              val cntAgg = AggregateExpression(Sum(mvAttr(cCol)), ag.mode, isDistinct = false)
+              Cast(
+                Divide(Cast(sumAgg, dt),
+                  Cast(cntAgg, DecimalType(20, 0)), EvalMode.LEGACY),
+                ag.dataType)
+            }
+          case other =>
+            val rewritten: Option[AggregateFunction] = other match {
+              case Count(Seq(Literal(_, _))) | Count(Seq()) =>
+                d.countCol.map(c => Sum(mvAttr(c)))
+              case s: Sum if isExactType(s.child.dataType) =>
+                d.sums.get(s.child.sql).map(c => Sum(mvAttr(c)))
+              case m: Min => d.mins.get(m.child.sql).map(c => Min(mvAttr(c)))
+              case m: Max => d.maxs.get(m.child.sql).map(c => Max(mvAttr(c)))
+              case _ => None
+            }
+            rewritten.map { f =>
+              val newAg = ag.copy(aggregateFunction = f)
+              // sum-of-partials can widen (decimal(37,6) → 38,6): cast back,
+              // exact because the value equals the original single-level sum
+              if (newAg.dataType == ag.dataType) newAg
+              else Cast(newAg, ag.dataType)
+            }
         }
       }
 

@@ -80,6 +80,35 @@ class MvRewriteSpec extends SparkSuite {
     }
   }
 
+  test("AVG of the decimal measure rewrites bit-exactly (divides by the non-null count)") {
+    withMv { tmp =>
+      // dim-subset rollup + dim filter + avg alongside the other
+      // measures — the avg must come back as Average's own division
+      // over the re-aggregated sum/count partials
+      def q = graft.sources.Tables.events(spark, sf)
+        .filter($"event_type" =!= "error")
+        .groupBy($"event_type")
+        .agg(avg($"value".cast("decimal(27,6)")).as("avg_dec"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+      val rewritten = q
+      assert(usesMv(rewritten, tmp), "expected the MV scan in:\n" +
+        rewritten.queryExecution.executedPlan)
+      MvRewrite.disable(spark)
+      val direct = q
+      assert(!usesMv(direct, tmp))
+      MvRewrite.enable(spark)
+      sameRows(rewritten, direct)
+      // avg of a DOUBLE measure must NOT rewrite: its sum partial is
+      // order-dependent and was never registered
+      val dblAvg = graft.sources.Tables.events(spark, sf)
+        .groupBy($"event_type").agg(avg($"value").as("a"))
+      val plan = dblAvg.queryExecution.executedPlan.toString
+      assert(plan.contains("events.parquet") && !plan.contains(tmp),
+        s"avg(double) must NOT rewrite, got:\n$plan")
+    }
+  }
+
   test("fail-closed: every unprovable shape keeps the base scan") {
     withMv { tmp =>
       val events = graft.sources.Tables.events(spark, sf)
