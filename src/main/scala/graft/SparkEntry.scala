@@ -189,6 +189,7 @@ object SparkEntry {
     "q_hll_union" -> (Analytics.hllUnionRollup _),
     // round 3: substring-level dedup, weighted sampling, MMR, BPE encode
     "q_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
+    "q_paragraph_dedup" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     // greedy MMR recurrence isn't relational: rows-only gate, step-wise
     // optimality pinned in RetrievalSpec
@@ -403,6 +404,7 @@ object SparkEntry {
     "q_unpivot" -> Analytics.unpivotStatusSql,
     "q_winsorize" -> Analytics.winsorizeSql,
     "q_substring_dup" -> Dedup.substringSpansSql(),
+    "q_paragraph_dedup" -> Dedup.paragraphDedupSql(),
     "q_weighted_sample" -> graft.functions.Sampling.weightedSampleSql(),
     "q_dsv2_source" -> graft.sources.v2.GraftCsvQuery.dsv2Sql,
     "q_tpch_q10" -> TpchQueries.q10Sql,

@@ -677,4 +677,88 @@ object Dedup {
        |       start_a - diag AS start_b, span_tokens
        |FROM spans WHERE span_tokens >= $minSpan
        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
+  /** CCNet-style PARAGRAPH-level deduplication: drop repeated
+    * paragraphs corpus-wide, keeping only the globally first
+    * occurrence (by doc_id, then position), and reassemble each
+    * document from its surviving paragraphs. This is the shape CCNet
+    * and its successors run before document-level dedup — boilerplate
+    * (headers, navbars, license blocks) repeats across documents that
+    * are otherwise unique, so document-level hashing never catches it.
+    * The synthetic corpus has no newlines, so "paragraph" here is a
+    * fixed `window`-word block — same operator, deterministic splitter
+    * (CCNet splits on newline; the dedup algebra is identical).
+    *
+    * Scale: paragraph blocks are a narrow `transform`/`slice` over the
+    * split array (no explode-then-regroup — each paragraph is built by
+    * slicing, so there is no (doc, word) shuffle at all). The ONE
+    * corpus-sized shuffle keys the first-occurrence window by paragraph
+    * text; at 100 TB key it by xxhash64(para) and carry the text only
+    * through the winner join. Reassembly groups by doc_id (second
+    * shuffle, output-sized) and sorts each doc's surviving blocks by
+    * position — no global window anywhere.
+    *
+    * A full-duplicate document loses every paragraph to the earlier
+    * copy and comes back empty (n_kept = 0) — exact-document dedup
+    * falls out as a special case. */
+  def paragraphDedup(spark: SparkSession, sfDir: String, window: Int = 20): DataFrame =
+    paragraphDedupOn(Tables.documents(spark, sfDir), window)
+
+  /** [[paragraphDedup]] over any (doc_id, text) frame. */
+  def paragraphDedupOn(docs: DataFrame, window: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = window
+    val words = split(col("text"), " ")
+    val nParas = floor((size(words) + lit(w - 1)).cast("double") / lit(w)).cast("int")
+    val paras = transform(sequence(lit(0), nParas - 1),
+      i => array_join(slice(words, i * w + 1, lit(w)), " "))
+    val exploded = docs.select($"doc_id", posexplode(paras).as(Seq("pidx", "para")))
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"para").orderBy($"doc_id", $"pidx")
+    val kept = exploded
+      .withColumn("rn", row_number().over(firstWin))
+      .filter($"rn" === 1)
+    val rebuilt = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct($"pidx", $"para"))),
+          s => s.getField("para")), " ").as("text_dedup"))
+    docs.select($"doc_id", nParas.cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_paras",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        md5(coalesce($"text_dedup", lit(""))).as("dedup_md5"),
+        length(coalesce($"text_dedup", lit(""))).cast("long").as("n_chars_kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the identical first-occurrence rule in DuckDB (1-based
+    * inclusive list slicing clamps exactly like Spark's `slice`). */
+  def paragraphDedupSql(window: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ptext AS (
+       |  SELECT doc_id, i.i AS pidx,
+       |         array_to_string(t[i.i*$window+1 : i.i*$window+$window], ' ') AS para
+       |  FROM toks, LATERAL (SELECT unnest(range(0,
+       |         CAST(ceil(len(t) / $window.0) AS INT))) AS i) i),
+       |ranked AS (
+       |  SELECT doc_id, pidx, para,
+       |         row_number() OVER (PARTITION BY para
+       |                            ORDER BY doc_id, pidx) AS rn
+       |  FROM ptext),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(para, ' ' ORDER BY pidx) AS text_dedup
+       |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+       |np AS (
+       |  SELECT doc_id, CAST(ceil(len(t) / $window.0) AS BIGINT) AS n_paras
+       |  FROM toks)
+       |SELECT d.doc_id, np.n_paras,
+       |       coalesce(r.n_kept, 0) AS n_kept,
+       |       md5(coalesce(r.text_dedup, '')) AS dedup_md5,
+       |       CAST(length(coalesce(r.text_dedup, '')) AS BIGINT) AS n_chars_kept
+       |FROM documents d JOIN np ON d.doc_id = np.doc_id
+       |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -255,6 +255,23 @@ class RollingWindowSpec extends SparkSuite {
   import spark.implicits._
   import org.apache.spark.sql.expressions.Window
 
+  test("paragraph dedup: global first occurrence wins; unique docs round-trip; full dups empty out") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // both 3-word blocks globally first → intact
+      (2L, "a b c x y z"), // first block repeats doc 1's → dropped
+      (3L, "a b c d e f"), // full duplicate → every block lost
+      (4L, "p q r")        // unique, shorter than one window
+    ).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.paragraphDedupOn(docs, window = 3)
+      .select("doc_id", "n_paras", "n_kept", "dedup_md5").collect()
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq((1L, 2L, 2L, h("a b c d e f")),
+        (2L, 2L, 1L, h("x y z")),
+        (3L, 2L, 0L, h("")),
+        (4L, 1L, 1L, h("p q r"))))
+  }
+
   test("RANGE frame: trailing-hour bounds are inclusive on both ends") {
     val df = Seq((1L, 0L), (1L, 1800L), (1L, 3600L), (1L, 7200L))
       .toDF("user_id", "ts_sec")
