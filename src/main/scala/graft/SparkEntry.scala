@@ -179,6 +179,7 @@ object SparkEntry {
       StatefulBatch.clampedBalance(s, d)),
     "q_clamped_balance_sorted" -> ((s: SparkSession, d: String) =>
       StatefulBatch.clampedBalanceSorted(s, d)),
+    "q_stream_balance" -> (streaming.TwsOps.twsBalanceQuery(_, _)),
     "q_tpch_q5" -> (TpchQueries.q5 _),
     "q_media_dedup" -> (Multimodal.mediaDedupQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
@@ -187,6 +188,7 @@ object SparkEntry {
     // sketch re-aggregation: rows-only gate (estimates have no SQL
     // oracle); error envelope + re-agg identity pinned in spec
     "q_hll_union" -> (Analytics.hllUnionRollup _),
+    "q_hll_registers" -> (Analytics.hllRegisterRollup _),
     // round 3: substring-level dedup, weighted sampling, MMR, BPE encode
     "q_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "q_paragraph_dedup" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -362,6 +364,10 @@ object SparkEntry {
     "q_map_funcs" -> Analytics.mapFuncsSql,
     "q_ts_anomaly" -> TimeSeries.dailyAnomalySql,
     "q_histogram" -> Analytics.histogramSql(),
+    // from-scratch register HLL: integer-exact registers + pinned-IEEE
+    // estimate make the sketch itself hash-gateable (unlike the
+    // black-box hll_sketch_agg of q_hll_union, which stays rows-only)
+    "q_hll_registers" -> Analytics.hllRegisterSql,
     "q_phrase_search" -> graft.functions.Retrieval.phraseSearchSql(),
     "q_cluster_split" -> Sampling.clusterSplitSql(),
     "q_incremental_dedup" -> Dedup.incrementalDedupSql,
@@ -398,6 +404,8 @@ object SparkEntry {
     "q_clamped_balance" -> StatefulBatch.clampedBalanceSql,
     // secondary-sort strategy, same contract — same oracle string
     "q_clamped_balance_sorted" -> StatefulBatch.clampedBalanceSql,
+    // transformWithState streaming strategy, same contract — same oracle
+    "q_stream_balance" -> StatefulBatch.clampedBalanceSql,
     "q_tpch_q5" -> TpchQueries.q5Sql,
     "q_media_dedup" -> Multimodal.mediaDedupSql,
     "q_media_neardup" -> Multimodal.mediaNearDupSql,

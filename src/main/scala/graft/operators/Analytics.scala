@@ -591,6 +591,106 @@ object Analytics {
       .orderBy($"week")
   }
 
+  /** Register-level HLL built from scratch — the cross-engine-EXACT
+    * twin of [[hllUnionRollup]]. Spark's `hll_sketch_agg` is a black
+    * box no other engine reproduces bit-for-bit, so that query can only
+    * be rows-gated; this one IS hash-gated, because every step is
+    * integer-exact in both engines:
+    *
+    *   - 60-bit md5 item hash ([[graft.functions.Dedup.hash60]]),
+    *     bucket = low 8 bits (m = 256), w = high 52 bits;
+    *   - rho = leading-zero rank of w via `length(bin(w))` — string
+    *     length of the minimal binary rendering, identical in Spark and
+    *     DuckDB, no floating log2;
+    *   - per-day registers = max(rho) per bucket (duplicates are
+    *     absorbed by max — no pre-distinct shuffle needed);
+    *   - weekly union = REGISTER-WISE MAX of daily registers — the HLL
+    *     union is lossless and commutative, which is the whole point of
+    *     storing sketches: any coarser rollup is a tiny merge, never a
+    *     rescan;
+    *   - the harmonic denominator as an exact integer:
+    *     znum = Σ 2^(rmax − reg) over live buckets + V·2^rmax (empty
+    *     buckets carry reg = 0; rho ≥ 1 so reg = 0 never collides),
+    *     ≤ 2^62 — no overflow;
+    *   - est_raw = ((α·m²)·2^rmax)/znum as ONE pinned IEEE op sequence
+    *     over exact operands (α from literals both engines fold with
+    *     correctly-rounded arithmetic) — bit-identical doubles, the
+    *     [[statsMoments]] discipline.
+    *
+    * est_raw is the UNCORRECTED estimator (no linear-counting branch:
+    * its m·ln(m/V) needs a transcendental the two engines don't
+    * guarantee to round identically). The spec bounds est_raw against
+    * exact weekly distincts within the published error envelope.
+    *
+    * At 100 TB: the stored artifact is 256 small ints per (day) — the
+    * rollup table pattern for distinct metrics; re-aggregation cost is
+    * |days|·256 rows, independent of corpus size. */
+  def hllRegisterRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val item = concat($"user_id".cast("string"), lit("#"), $"event_type",
+      lit("|hll_v1"))
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"),
+        graft.functions.Dedup.hash60(item).as("h"))
+    val r = ev.select($"day", ($"h" % 256).as("bucket"),
+        shiftright($"h", 8).as("w"))
+      .select($"day", $"bucket",
+        when($"w" === 0, lit(53))
+          .otherwise(lit(53) - length(bin($"w"))).as("rho"))
+    val daily = r.groupBy($"day", $"bucket").agg(max($"rho").as("reg"))
+    val weekly = daily
+      .groupBy(date_trunc("week", $"day").cast("date").as("week"), $"bucket")
+      .agg(max($"reg").as("reg"))
+    val wk = weekly.withColumn("rmax",
+      max($"reg").over(Window.partitionBy($"week")))
+    val agg = wk.groupBy($"week").agg(
+      max($"rmax").as("rmax_i"),
+      (lit(256) - count(lit(1))).as("v_zero_i"),
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), rmax - reg)")) +
+        (lit(256) - count(lit(1))).cast("long") *
+          expr("shiftleft(CAST(1 AS BIGINT), max(rmax))")).as("znum"))
+    val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+      lit(65536.0)
+    agg.select($"week",
+        $"rmax_i".cast("long").as("rmax"),
+        $"v_zero_i".cast("long").as("v_zero"),
+        $"znum",
+        (alphaM2 *
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax_i) AS DOUBLE)") /
+          $"znum".cast("double")).as("est_raw"))
+      .orderBy($"week")
+  }
+
+  val hllRegisterSql: String =
+    """WITH h AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || event_type || '|hll_v1'), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT day, h % 256 AS bucket,
+      |         CASE WHEN h // 256 = 0 THEN 53
+      |              ELSE 53 - length(bin(h // 256)) END AS rho
+      |  FROM h),
+      |daily AS (SELECT day, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+      |weekly AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week, bucket,
+      |                  max(reg) AS reg
+      |           FROM daily GROUP BY 1, 2),
+      |wk AS (SELECT week, bucket, reg,
+      |              max(reg) OVER (PARTITION BY week) AS rmax
+      |       FROM weekly),
+      |agg AS (SELECT week,
+      |               CAST(max(rmax) AS BIGINT) AS rmax,
+      |               CAST(256 - count(*) AS BIGINT) AS v_zero,
+      |               CAST(sum(1::BIGINT << (rmax - reg))
+      |                    + (256 - count(*)) * (1::BIGINT << max(rmax)) AS BIGINT) AS znum
+      |        FROM wk GROUP BY week)
+      |SELECT week, rmax, v_zero, znum,
+      |       ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+      |         * CAST(65536.0 AS DOUBLE))
+      |         * CAST(1::BIGINT << rmax AS DOUBLE) / CAST(znum AS DOUBLE) AS est_raw
+      |FROM agg ORDER BY week""".stripMargin
+
   /** Mergeable QUANTILE sketch rollup — the percentile analog of
     * [[hllUnionRollup]], via a KMV bottom-k sample: every row gets a
     * deterministic md5 priority, each day keeps its k lowest-priority

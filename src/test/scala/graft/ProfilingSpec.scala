@@ -230,6 +230,56 @@ class SketchHintSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("register HLL: daily-then-merge == single-shot weekly (lossless union), estimate in envelope") {
+    // sf0.01: weekly (user, type) cardinality ~450-720 sits above m=256,
+    // where the uncorrected estimator is valid (sf0.001 would land in
+    // the linear-counting region the op deliberately doesn't implement)
+    val sf01 = "/root/testdata/sf0.01"
+    val viaDaily = Analytics.hllRegisterRollup(spark, sf01).collect()
+    // single-shot twin: identical pipeline with the daily level removed —
+    // if register-wise max were lossy these would diverge
+    import org.apache.spark.sql.expressions.Window
+    val item = concat($"user_id".cast("string"), lit("#"), $"event_type",
+      lit("|hll_v1"))
+    val ev = graft.sources.Tables.events(spark, sf01)
+      .select(date_trunc("week", to_date($"ts")).cast("date").as("week"),
+        graft.functions.Dedup.hash60(item).as("h"))
+    val weekly = ev.select($"week", ($"h" % 256).as("bucket"),
+        shiftright($"h", 8).as("w"))
+      .select($"week", $"bucket",
+        when($"w" === 0, lit(53))
+          .otherwise(lit(53) - length(bin($"w"))).as("rho"))
+      .groupBy($"week", $"bucket").agg(max($"rho").as("reg"))
+    val wk = weekly.withColumn("rmax",
+      max($"reg").over(Window.partitionBy($"week")))
+    val oneShot = wk.groupBy($"week").agg(
+        max($"rmax").cast("long").as("rmax"),
+        (lit(256) - count(lit(1))).cast("long").as("v_zero"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), rmax - reg)")) +
+          (lit(256) - count(lit(1))).cast("long") *
+            expr("shiftleft(CAST(1 AS BIGINT), max(rmax))")).as("znum"))
+      .orderBy($"week").collect()
+    assert(viaDaily.length == oneShot.length && viaDaily.nonEmpty)
+    viaDaily.zip(oneShot).foreach { case (d, s) =>
+      assert(d.getAs[java.sql.Date]("week") == s.getAs[java.sql.Date]("week"))
+      assert(d.getAs[Long]("rmax") == s.getAs[Long]("rmax"))
+      assert(d.getAs[Long]("v_zero") == s.getAs[Long]("v_zero"))
+      assert(d.getAs[Long]("znum") == s.getAs[Long]("znum"),
+        s"union not lossless at week ${d.get(0)}")
+    }
+    // envelope: raw estimator, m=256 => ~6.5% rel std err; generous 4 sigma
+    val exact = graft.sources.Tables.events(spark, sf01)
+      .groupBy(date_trunc("week", $"ts").cast("date").as("week"))
+      .agg(count_distinct(concat($"user_id".cast("string"), lit("#"),
+        $"event_type")).as("ex"))
+      .collect().map(r => r.getAs[java.sql.Date]("week") -> r.getAs[Long]("ex")).toMap
+    viaDaily.foreach { r =>
+      val ex = exact(r.getAs[java.sql.Date]("week")).toDouble
+      val est = r.getAs[Double]("est_raw")
+      assert(math.abs(est - ex) / ex < 0.26, s"week ${r.get(0)}: $est vs $ex")
+    }
+  }
+
   test("join hints steer the physical strategy") {
     val ev = graft.sources.Tables.events(spark, sf)
     val dim = graft.sources.Tables.nation(spark, sf)
