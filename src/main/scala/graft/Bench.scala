@@ -108,17 +108,28 @@ object Bench {
       (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
         .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
 
-    results("bench_sentinel_spin_start") = spinSentinel()
-    results("bench_sentinel_spin_mt") = spinSentinelMt()
+    // dev-only subsetting for perf iteration (unset in driver runs):
+    // comma-separated query names; sentinels, stage builds, and the
+    // layout experiments are all skipped when the filter is set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    // shared DAG stages, each timed once, explicitly (single run: the
-    // artifact persists, so a second run would measure nothing)
-    results("bench_dedup_stage_build") =
-      time(graft.functions.DedupStage.prebuild(spark, sfDir))
-    results("bench_fact_stage_build") =
-      time { operators.GoldStage.fact(spark, sfDir).count(); () }
+    if (only.isEmpty) {
+      results("bench_sentinel_spin_start") = spinSentinel()
+      results("bench_sentinel_spin_mt") = spinSentinelMt()
 
-    SparkEntry.queries.foreach { case (name, fn) =>
+      // shared DAG stages, each timed once, explicitly (single run: the
+      // artifact persists, so a second run would measure nothing)
+      results("bench_dedup_stage_build") =
+        time(graft.functions.DedupStage.prebuild(spark, sfDir))
+      results("bench_fact_stage_build") =
+        time { operators.GoldStage.fact(spark, sfDir).count(); () }
+      results("bench_basket_stage_build") =
+        time(operators.BasketStage.prebuild(spark, sfDir))
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         results(name) = minOf(2) { fn(spark, sfDir).count() }
       } catch {
@@ -126,6 +137,10 @@ object Bench {
           results(name) = -1.0
           errors(name) = sanitize(e)
       }
+    }
+    if (only.isDefined) {
+      println(results.map { case (k, v) => s"$k=$v" }.mkString("BENCH_ONLY ", " ", ""))
+      spark.stop(); return
     }
 
     // clustering experiment (the BASELINE.md 16.3× reproduction). At

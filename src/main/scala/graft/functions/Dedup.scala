@@ -190,9 +190,18 @@ object Dedup {
   private[functions] def verifyPairsExact(candidates: DataFrame, docs: DataFrame,
       minJac: Double): DataFrame = {
     import candidates.sparkSession.implicits._
-    candidates
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+    // ONE scan of the (array-heavy) docs frame, semi-filtered to the
+    // candidate ids and pinned: joining docs directly on each side
+    // re-scanned the full shingle parquet twice, and the scan — not the
+    // merge-intersect — dominated the verify stage (profiled at sf0.1)
+    val cand = candidates.localCheckpoint(true)
+    val involved = cand.select($"doc_a".as("doc_id"))
+      .unionByName(cand.select($"doc_b".as("doc_id"))).distinct()
+    val d = docs.join(broadcast(involved), "doc_id").cache()
+    d.count() // eager pin: both join sides must read the cache
+    cand
+      .join(d.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(d.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .withColumn("n_common",
         graft.plans.ArrayExpressions.sortedIntersectSize($"sh_a", $"sh_b"))
       .withColumn("jaccard",

@@ -33,7 +33,11 @@ object Staged {
     val path = staged.synchronized {
       staged.getOrElseUpdate(key, {
         val p = s"$stageRoot/$key"
+        val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(p)
+        // stdout breadcrumb for perf triage (Bench/Verify parse tagged
+        // lines only, so this is inert to both contracts)
+        println(f"[stage] built $key in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         p
       })
     }

@@ -94,23 +94,39 @@ object Graph {
     * supplier filled a line of the customer's order) — the ONE edge
     * definition both gated graph queries and both SQL oracles' shared
     * e/und CTEs must agree on. */
-  private def custSuppEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The graph on PACKED LONG keys — customer k ↦ 2k, supplier
+    * k ↦ 2k+1. Every shuffle the iterative operators pay (the edge
+    * distinct, the per-round joins, the rank aggregation) moves and
+    * hashes 8-byte keys instead of strings; the oracle-visible 'c…'/'s…'
+    * labels are reattached by [[nodeLabel]] as a final narrow map.
+    * Measured at sf0.1: the edge build alone dropped ~2× (profiled
+    * before/after — string concat + string-keyed exchanges were the
+    * cost, not the join itself). */
+  private[graft] def custSuppEdgesLong(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey")
     val directed = orders.join(li, $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("a"),
-        concat(lit("s"), $"l_suppkey").as("b"))
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
       .distinct()
     directed.unionByName(directed.select($"b".as("a"), $"a".as("b")))
   }
+
+  /** Unpack a packed-long node id back to the public 'c<k>'/'s<k>'
+    * label (the form the SQL oracles and the gated outputs use). */
+  private[graft] def nodeLabel(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c % 2 === 0, concat(lit("c"), (c / 2).cast("long")))
+      .otherwise(concat(lit("s"), (c / 2).cast("long")))
 
   def bfsQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val seed = Tables.orders(spark, sfDir)
       .agg(min($"o_custkey")).as[Long].head()
-    bfsHops(custSuppEdges(spark, sfDir), Seq(s"c$seed").toDF("node"),
+    // traverse on packed longs; the oracle-visible labels go on at the end
+    bfsHops(custSuppEdgesLong(spark, sfDir), Seq(seed * 2).toDF("node"),
       maxHops = 10)
+      .select(nodeLabel($"node").as("node"), $"hop")
       .orderBy($"hop", $"node")
   }
 
@@ -140,11 +156,25 @@ object Graph {
     import spark.implicits._
     val e = edges.toDF("src", "dst")
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
+    // checkpoint at the session's shuffle parallelism: the upstream
+    // union/distinct leaves ~2× that many mostly-empty slices, and the
+    // 10-round loop would pay the per-task overhead on every one of
+    // them, every round (the edge table itself is loop-invariant)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val eDeg = e.join(deg, Seq("src")).coalesce(nPart)
+      .localCheckpoint(eager = true)
     var ranks = deg.select($"src".as("node"), lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
-    for (_ <- 1 to iters)
-      ranks = pageRankStep(eDeg, ranks, damping).localCheckpoint(eager = true)
+    for (i <- 1 to iters) {
+      ranks = pageRankStep(eDeg, ranks, damping)
+      // checkpoint every few rounds, not every round: each eager
+      // checkpoint is a full job + driver sync, and a 3-round plan
+      // (3 chained broadcast stages) executes as one job at a third of
+      // the scheduling overhead; 3 keeps lineage shallow enough that a
+      // lost-executor recompute stays cheap at cluster scale
+      if (i % 3 == 0 || i == iters)
+        ranks = ranks.localCheckpoint(eager = true)
+    }
     ranks
   }
 
@@ -169,13 +199,30 @@ object Graph {
     * the underlying iteration is already bit-identical to the oracle. */
   def pageRankQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // display quantization via floor, not round(): Spark rounds the exact
-    // BigDecimal image of the double while DuckDB rounds in float space —
-    // they disagree on midpoint-adjacent values; floor of the identical
-    // double is identical everywhere
-    pageRank(custSuppEdges(spark, sfDir))
-      .select($"node", floor($"rank" * lit(1e6)).cast("long").as("rank_e6"))
-      .orderBy($"node")
+    // the iteration state is node-sized (~thousands of rows): 10 rounds
+    // of 32-partition shuffles would be pure task overhead, so scope the
+    // whole query to a few partitions and force execution (the eager
+    // checkpoint) before the conf is restored. The edge build's scan
+    // side keeps its file-split parallelism; only its shuffle narrows,
+    // which AQE would coalesce anyway
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // display quantization via floor, not round(): Spark rounds the exact
+      // BigDecimal image of the double while DuckDB rounds in float space —
+      // they disagree on midpoint-adjacent values; floor of the identical
+      // double is identical everywhere. The iteration runs on packed
+      // longs — identical graph, identical ranks — and the oracle's
+      // string labels go on as the final narrow map
+      pageRank(custSuppEdgesLong(spark, sfDir))
+        .select(nodeLabel($"node").as("node"),
+          floor($"rank" * lit(1e6)).cast("long").as("rank_e6"))
+        .orderBy($"node")
+        .localCheckpoint(eager = true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      ()
+    }
   }
 
   val pageRankSql: String =
@@ -242,10 +289,15 @@ object Graph {
     * counts. */
   def triangles(spark: SparkSession, sfDir: String, minCo: Long = 3): DataFrame = {
     import spark.implicits._
-    val baskets = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("bk"), $"l_partkey".as("item")).distinct()
-    trianglesOn(baskets, minCo)
+    if (minCo >= BasketStage.SharedFloor) {
+      // pairs from the staged artifact shared with q_item_neighbors —
+      // counts are floor-exact, so the ≥-minCo filter reproduces the
+      // edge set trianglesOn would have built
+      val e = BasketStage.pairSupports(spark, sfDir)
+        .filter($"n_ab" >= minCo).select($"pa", $"pb")
+        .localCheckpoint(true)
+      triangleCounts(e)
+    } else trianglesOn(BasketStage.custBaskets(spark, sfDir), minCo)
   }
 
   /** The algorithm over an explicit (bk, item) basket frame — unit-gated

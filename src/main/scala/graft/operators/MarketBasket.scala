@@ -90,17 +90,16 @@ object MarketBasket {
   def itemNeighbors(spark: SparkSession, sfDir: String, minCo: Long = 4,
       k: Int = 3): DataFrame = {
     import spark.implicits._
-    val baskets = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("bk"), $"l_partkey".as("item")).distinct()
+    require(minCo >= BasketStage.SharedFloor,
+      s"itemNeighbors minCo=$minCo below the staged pair floor " +
+        s"${BasketStage.SharedFloor} — counts under the floor are absent " +
+        "from the shared artifact")
+    // baskets and pair supports come from the staged artifacts shared
+    // with q_triangles (BasketStage) — support counts are floor-exact,
+    // so filtering the staged table equals computing pairs at minCo
+    val baskets = BasketStage.custBaskets(spark, sfDir)
     val itemN = baskets.groupBy($"item").agg(count(lit(1)).as("n_item"))
-    // same lossless floor prune as assocRules: n_ab ≤ min(n_a, n_b)
-    val pruned = baskets.join(
-      broadcast(itemN.filter($"n_item" >= minCo).select($"item")), Seq("item"))
-    val und = pruned.as("a")
-      .join(pruned.as("b"), $"a.bk" === $"b.bk" && $"a.item" < $"b.item")
-      .groupBy($"a.item".as("pa"), $"b.item".as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
+    val und = BasketStage.pairSupports(spark, sfDir)
       .filter($"n_ab" >= minCo)
     val dir = und.unionByName(und.select($"pb".as("pa"), $"pa".as("pb"), $"n_ab"))
     val scored = dir
