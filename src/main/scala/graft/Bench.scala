@@ -117,6 +117,10 @@ object Bench {
     if (only.isEmpty) {
       results("bench_sentinel_spin_start") = spinSentinel()
       results("bench_sentinel_spin_mt") = spinSentinelMt()
+      // I/O twin of the CPU sentinel (fixed 128 MB write+fsync+read on
+      // the stage/checkpoint filesystem): r4's 16× stage-build blow-up
+      // had a clean CPU sentinel — only a disk probe exposes that mode
+      results("bench_sentinel_disk_start") = Sentinel.diskSeconds()
 
       // shared DAG stages, each timed once, explicitly (single run: the
       // artifact persists, so a second run would measure nothing)
@@ -333,6 +337,12 @@ object Bench {
     def entry(k: String, v: Double): String = "\"" + k + "\":" + fmt(v)
 
     results("bench_sentinel_spin_end") = spinSentinel()
+    results("bench_sentinel_disk_end") = Sentinel.diskSeconds()
+    // per-stage build seconds (subsets of the lump-sum *_stage_build
+    // entries above — evidence, excluded from the total)
+    graft.functions.Staged.buildTimes.foreach { case (k, v) =>
+      results(s"bench_stage_$k") = v
+    }
 
     // *_files_read / *_rows_scanned entries are pruning evidence (counts,
     // not seconds), *_hot entries are duplicate re-runs of already-timed
@@ -340,7 +350,8 @@ object Bench {
     // failed query — all excluded from the headline seconds total
     def isEvidence(k: String) =
       k.endsWith("_files_read") || k.endsWith("_rows_scanned") ||
-        k.endsWith("_hot") || k.startsWith("bench_sentinel")
+        k.endsWith("_hot") || k.startsWith("bench_sentinel") ||
+        k.startsWith("bench_stage_")
     val total = results.collect {
       case (k, v) if !isEvidence(k) && v >= 0 => v
     }.sum

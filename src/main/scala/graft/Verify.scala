@@ -27,6 +27,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // environment-health record for THIS artifact (VERDICT r4 item 6:
+    // the verify pass is environment-sensitive too — streaming drains
+    // time out on a contended box). Constants when quiet: spin ~0.5 s,
+    // disk ~1 s; inflation here flags a poisoned correctness run.
+    val spinStart = Sentinel.spinSeconds()
+    val diskStart = Sentinel.diskSeconds()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -55,6 +61,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val sentinelJson =
+      f"""{"spin_start_sec":$spinStart%.3f,"disk_start_sec":$diskStart%.3f,""" +
+      f""""spin_end_sec":${Sentinel.spinSeconds()}%.3f,"disk_end_sec":${Sentinel.diskSeconds()}%.3f}"""
+    Files.writeString(Paths.get(s"$outDir/sentinel.json"), sentinelJson)
+    println(s"[verify] sentinel $sentinelJson")
     spark.stop()
   }
 }

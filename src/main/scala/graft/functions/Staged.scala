@@ -17,6 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Staged {
 
   private val staged = scala.collection.mutable.HashMap[String, String]()
+
+  /** Build seconds per stage key, in build order — Bench surfaces these
+    * as `bench_stage_*` JSON entries so a blown-up stage build is
+    * attributable per stage from the artifact alone (r4's 181 s
+    * dedup-stage anomaly was only visible as an opaque lump sum). */
+  private val buildSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+  def buildTimes: Map[String, Double] = staged.synchronized { buildSecs.toMap }
   private lazy val stageRoot = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_")
     // artifacts are per-process by design — remove them when the JVM
@@ -35,9 +42,11 @@ object Staged {
         val p = s"$stageRoot/$key"
         val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(p)
+        val secs = (System.nanoTime() - t0) / 1e9
+        buildSecs(key) = secs
         // stdout breadcrumb for perf triage (Bench/Verify parse tagged
         // lines only, so this is inert to both contracts)
-        println(f"[stage] built $key in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[stage] built $key in $secs%.2f s")
         p
       })
     }

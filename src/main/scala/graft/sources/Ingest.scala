@@ -218,12 +218,12 @@ object Ingest {
   /** Gated query: shatter the events table into 64 micro-batch files,
     * compact, and return the compacted table's rows — the oracle (the
     * events table itself) pins that compaction is content-preserving.
-    * (ts surfaces as epoch seconds, same as the stream-dedup query:
-    * the raw column is nanos in the file and micros in Spark.) */
+    * (ts surfaces as epoch seconds, same as the stream-dedup query;
+    * the raw long column's unit is probed from the footer.) */
   def compactionQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
     try {
       spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
@@ -324,7 +324,14 @@ object Ingest {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try batch.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(dir)
+    // co-locate each partition key into one task before the write:
+    // without this every shuffle task writes its own small file into
+    // every partition dir it holds rows for (r4 bench: 19 s mostly
+    // spent committing a files × partitions matrix). One shuffle, one
+    // file per partition — for a fact-scale table swap this for
+    // repartition(n, partCols) to cap file size instead.
+    val placed = batch.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+    try placed.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(dir)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -354,6 +361,7 @@ object Ingest {
       val orders = Tables.orders(spark, sfDir)
       val stale = orders.filter($"o_orderkey" % 7 =!= 0)
       monthlyOrderRevenue(stale)
+        .repartition(org.apache.spark.sql.functions.col("order_month"))
         .write.partitionBy("order_month").parquet(s"$tmp/t")
       val batch = monthlyOrderRevenue(orders.filter(year($"o_orderdate") === 1997))
       insertOverwritePartitions(spark, s"$tmp/t", batch, Seq("order_month"))

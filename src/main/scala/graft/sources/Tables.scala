@@ -68,11 +68,16 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark 4 refuses
-    * to read as TimestampType ([PARQUET_TYPE_ILLEGAL]); it is read as raw
-    * nanos (LongType, legacy.parquet.nanosAsLong) and floor-divided to
-    * micros — the same truncation DuckDB applies reading nanos natively,
-    * so both engines see identical microsecond timestamps. Integer `div`
+  /** events.parquet stores `ts` physically as INT64; the logical
+    * TIMESTAMP TimeUnit has drifted across driver testdata regenerations
+    * (NANOS through round 3, MICROS since round 4's regen), so the unit
+    * is PROBED from the parquet footer at load time ([[prepareEvents]])
+    * and the decode dispatches on it — never hard-coded. `ts` is always
+    * read as raw LongType (valid for every unit; NANOS additionally
+    * needs the legacy flag because Spark 4 refuses TIMESTAMP(NANOS) as
+    * TimestampType, [PARQUET_TYPE_ILLEGAL]) and converted with the
+    * unit's divisor — for NANOS that is the same floor-to-micros
+    * truncation DuckDB applies, so both engines agree. Integer `div`
     * (not `/`) because epoch-nanos ≈ 1.7e18 exceeds double's 2^53. */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -113,18 +118,104 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** THE single copy of the nanos-read recipe (batch + streaming call
-    * through here): enable the legacy long-read of TIMESTAMP(NANOS)
-    * and floor-divide to micros — DuckDB's truncation exactly. */
-  def enableNanosAsLong(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Session-conf key holding the probed events timestamp unit
+    * (NANOS / MICROS / MILLIS). Repo-written feed copies store `ts` as
+    * a plain INT64 with no logical annotation, so they inherit the
+    * unit of the original file through this conf. */
+  val TsUnitKey = "graft.events.tsUnit"
 
-  def decodeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** Probe the `ts` column's TIMESTAMP TimeUnit and footer min
+    * statistic from the parquet footer — O(footer), no data scanned.
+    * Returns (unit-or-"NONE", footer min in that unit). "NONE" = plain
+    * INT64 (a repo-written raw feed copy). */
+  private def findParquetFile(f: java.io.File): Option[java.io.File] =
+    if (f.isFile) Some(f).filter(_.getName.endsWith(".parquet"))
+    else Option(f.listFiles()).toSeq.flatten
+      .filterNot(_.getName.startsWith("_")).sortBy(_.getName)
+      .iterator.flatMap(findParquetFile).nextOption()
+
+  def probeEventsTsUnit(spark: SparkSession, path: String): (String, Option[Long]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val fileOpt = findParquetFile(new java.io.File(path.stripPrefix("file://")))
+    if (fileOpt.isEmpty) return ("NONE", None)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(fileOpt.get.getPath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val footer = reader.getFooter
+      if (!footer.getFileMetaData.getSchema.containsField("ts")) return ("NONE", None)
+      val schema = footer.getFileMetaData.getSchema
+      val col = schema.getFields.get(schema.getFieldIndex("ts")).asPrimitiveType()
+      val unit = col.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit.toString
+        case _ => "NONE"
+      }
+      val statMin = footer.getBlocks.asScala.headOption.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "ts").flatMap { c =>
+          Option(c.getStatistics).filter(_.hasNonNullValue).map(
+            _.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+        }
+      }
+      (unit, statMin)
+    } finally reader.close()
+  }
+
+  /** THE single copy of the events-read preparation (batch + streaming
+    * call through here): probe the file's timestamp unit, pin it in the
+    * session conf for [[decodeEventTs]], arm the legacy NANOS long-read
+    * flag only when the file actually is NANOS, and run the
+    * fixture-drift tripwire — the footer min stat, decoded with the
+    * probed unit, must land in [2000, 2100), else fail loudly with the
+    * footer logical type in the message (VERDICT r4: pinned assumptions
+    * about driver-owned data must be verified, not trusted). */
+  def prepareEvents(spark: SparkSession, path: String): String = {
+    val (unit, statMin) = probeEventsTsUnit(spark, path)
+    val effective =
+      if (unit == "NONE") spark.conf.get(TsUnitKey, "MICROS") else unit
+    spark.conf.set(TsUnitKey, effective)
+    if (effective == "NANOS")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (unit != "NONE") statMin.foreach { m =>
+      val micros = effective match {
+        case "NANOS"  => m / 1000L
+        case "MICROS" => m
+        case "MILLIS" => m * 1000L
+        case other => throw new IllegalArgumentException(
+          s"events ts: unsupported TIMESTAMP unit $other in $path")
+      }
+      val lo = 946684800000000L  // 2000-01-01T00:00:00Z in micros
+      val hi = 4102444800000000L // 2100-01-01T00:00:00Z in micros
+      require(micros >= lo && micros < hi,
+        s"events ts fixture-drift tripwire: footer logical unit=$unit, min stat=$m " +
+        s"decodes to ${java.time.Instant.ofEpochSecond(micros / 1000000L)} — outside " +
+        s"[2000-01-01, 2100-01-01). The testdata fixture changed shape; fix the " +
+        s"unit dispatch in Tables.decodeEventTs ($path)")
+    }
+    effective
+  }
+
+  /** Convenience: prepare from an sf directory (probes
+    * `$sfDir/events.parquet`). */
+  def prepareEventsDir(spark: SparkSession, sfDir: String): String =
+    prepareEvents(spark, s"$sfDir/events.parquet")
+
+  /** Unit-aware long→timestamp decode; dispatches on the unit pinned by
+    * [[prepareEvents]]. Call prepareEvents/prepareEventsDir first. */
+  def decodeEventTs(df: DataFrame): DataFrame = {
+    val e = df.sparkSession.conf.get(TsUnitKey, "MICROS") match {
+      case "NANOS"  => "timestamp_micros(ts div 1000)"
+      case "MICROS" => "timestamp_micros(ts)"
+      case "MILLIS" => "timestamp_millis(ts)"
+      case other => throw new IllegalArgumentException(
+        s"unknown events ts unit '$other' — call Tables.prepareEvents first")
+    }
+    df.withColumn("ts", org.apache.spark.sql.functions.expr(e))
+  }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    enableNanosAsLong(spark)
+    prepareEventsDir(spark, sfDir)
     decodeEventTs(spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet"))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -47,7 +47,7 @@ object GraftCsvQuery {
       files.sortBy(_.getName)
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
     }
-    val fingerprint = s"v3|${schema.catalogString}|$srcMeta"
+    val fingerprint = s"v4|${schema.catalogString}|$srcMeta"
     if (!marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) != fingerprint) {
       src.write.format("graftcsv").mode("overwrite").save(s"$dir/events")

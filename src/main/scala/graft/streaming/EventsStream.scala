@@ -56,7 +56,7 @@ object EventsStream {
     * executors drain a backlog in parallel with no duplicate loads. */
   def incrementalIngest(spark: SparkSession, landingDir: String,
       bronzeDir: String, checkpointDir: String): Long = {
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEvents(spark, landingDir)
     // glob: each arrival is a directory of part-files (a "month" in
     // reference terms) — the glob makes new directories discoverable
     val q = Tables.decodeEventTs(spark.readStream
@@ -92,7 +92,7 @@ object EventsStream {
       queryName: String = "user_rollup"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val events = Tables.decodeEventTs(spark.readStream
         .schema(Tables.eventsRaw)
         .option("pathGlobFilter", "events.parquet")
@@ -167,7 +167,7 @@ object EventsStream {
   def runStreamingDedup(spark: SparkSession, landingDir: String,
       queryName: String = "events_deduped"): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEvents(spark, landingDir)
     val stream = Tables.decodeEventTs(spark.readStream
         .schema(Tables.eventsRaw)
         .parquet(s"$landingDir/*"))
@@ -212,7 +212,7 @@ object EventsStream {
     * nanos in the file and micros in Spark.) */
   def streamDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val landing = java.nio.file.Files
       .createTempDirectory("graft_stream_dedup_").toString
     // state-partition tuning, same rationale as the stream-stream join
@@ -260,7 +260,7 @@ object EventsStream {
   def runStreamStreamJoin(spark: SparkSession, sfDir: String,
       queryName: String = "events_attribution"): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     // a stream-stream join runs 4 state stores per shuffle partition;
     // on this per-user key space a handful of partitions carries the
     // state with far less store open/commit overhead than the session's
@@ -382,7 +382,7 @@ object EventsStream {
     * O(open sessions), merged incrementally as batches arrive. */
   def runSessionStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     // state-partition tuning, same rationale as the stream-stream join
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -429,7 +429,7 @@ object EventsStream {
   def runHourlyStream(spark: SparkSession, sfDir: String,
       queryName: String = "events_hourly"): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     // FileStreamSource wants a directory: stream the sf dir, glob-limited
     // to the events table (in production this is the landing directory
     // new files arrive into — the reference's monthly-download target)
@@ -504,7 +504,7 @@ object EventsStream {
     * is exactly what the shared upsert oracle pins. */
   def cdcApplyQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -575,7 +575,7 @@ object EventsStream {
 
   def runIvmStream(spark: SparkSession, viewDir: String, feedDir: String,
       checkpointDir: String): Int = {
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEvents(spark, feedDir)
     var batches = 0
     val q = spark.readStream
       .schema(Tables.eventsRaw)
@@ -599,7 +599,7 @@ object EventsStream {
     * final view must equal the FULL recompute (the q_incr_agg oracle). */
   def ivmStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val work = java.nio.file.Files.createTempDirectory("graft_ivm_stream_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -679,7 +679,7 @@ object EventsStream {
 
   def runSketchStream(spark: SparkSession, sketchDir: String, feedDir: String,
       checkpointDir: String): Int = {
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEvents(spark, feedDir)
     var batches = 0
     val q = spark.readStream
       .schema(Tables.eventsRaw)
@@ -705,7 +705,7 @@ object EventsStream {
     * stream == batch == oracle, hash-exact). */
   def sketchStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val work = java.nio.file.Files.createTempDirectory("graft_sketch_stream_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -757,7 +757,7 @@ object EventsStream {
     * inline VALUES join) pins row-for-row. */
   def runStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val stream = Tables.decodeEventTs(spark.readStream
         .schema(Tables.eventsRaw)
         .option("pathGlobFilter", "events.parquet")
@@ -795,7 +795,7 @@ object EventsStream {
     * WHOLE version history, not just the final state. */
   def runSnapshotStream(spark: SparkSession, tableDir: String,
       feedDir: String, checkpointDir: String): Int = {
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEvents(spark, feedDir)
     val q = spark.readStream
       .schema(Tables.eventsRaw)
       .option("maxFilesPerTrigger", "1")
@@ -851,7 +851,7 @@ object EventsStream {
     * later batch corrupting an earlier version would flip its hash). */
   def snapshotStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.enableNanosAsLong(spark)
+    Tables.prepareEventsDir(spark, sfDir)
     val work = java.nio.file.Files.createTempDirectory("graft_snap_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -578,7 +578,7 @@ class CdcApplySpec extends SparkSuite {
   import spark.implicits._
 
   test("cdc apply: multi-batch foreachBatch MERGE converges to the single-shot upsert") {
-    graft.sources.Tables.enableNanosAsLong(spark)
+    graft.sources.Tables.prepareEventsDir(spark, sf)
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_spec_").toString
     try {
       val base = graft.sources.Tables.events(spark, sf)

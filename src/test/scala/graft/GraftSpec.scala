@@ -362,7 +362,7 @@ class StreamingSpec extends SparkSuite {
     val base = "/tmp/graft_incremental"
     val (landing, bronze, ckpt) = (s"$base/landing", s"$base/bronze", s"$base/ckpt")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    graft.sources.Tables.enableNanosAsLong(spark)
+    graft.sources.Tables.prepareEvents(spark, "/root/testdata/sf0.001/events.parquet")
     val src = spark.read.schema(graft.sources.Tables.eventsRaw)
       .parquet("/root/testdata/sf0.001/events.parquet")
     val n = src.count()
@@ -413,7 +413,7 @@ class StreamingSpec extends SparkSuite {
     val landing = java.nio.file.Files.createTempDirectory("graft_dedup_stream_").toString
     // the same RAW source delivered twice (a re-downloaded month /
     // retried batch — every event_id arrives exactly two times)
-    graft.sources.Tables.enableNanosAsLong(spark)
+    graft.sources.Tables.prepareEvents(spark, "/root/testdata/sf0.001/events.parquet")
     val src = spark.read.schema(graft.sources.Tables.eventsRaw)
       .parquet("/root/testdata/sf0.001/events.parquet")
     src.write.parquet(s"$landing/arrival1")

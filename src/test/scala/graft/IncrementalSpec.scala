@@ -41,6 +41,31 @@ class IncrementalSpec extends SparkSuite {
     }
   }
 
+  test("insert-overwrite writes one file per partition dir (bounded commit)") {
+    // r4 bench: a 4-task batch spanning 7 keys committed up to 4 files
+    // into EVERY partition dir; the pre-write repartition(partCols)
+    // bounds it to exactly one per key regardless of upstream layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iow_files_").toString
+    try {
+      spark.range(100)
+        .select(($"id" % 7).cast("string").as("part"), $"id", ($"id" * 1.5).as("v"))
+        .repartition(col("part"))
+        .write.partitionBy("part").parquet(s"$tmp/t")
+      val batch = spark.range(500)
+        .select(($"id" % 7).cast("string").as("part"), ($"id" + 1000).as("id"),
+          ($"id" * 2.5).as("v"))
+        .repartition(4) // deliberately scattered: every task holds every key
+      Ingest.insertOverwritePartitions(spark, s"$tmp/t", batch, Seq("part"))
+      (0 until 7).foreach { p =>
+        val files = listing(new java.io.File(s"$tmp/t/part=$p"))
+        assert(files.size == 1, s"part=$p has ${files.size} data files, want 1")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
   test("partitionOverwriteMode is restored after the write") {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val tmp = java.nio.file.Files.createTempDirectory("graft_iow_conf_").toString

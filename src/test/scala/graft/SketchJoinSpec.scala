@@ -69,7 +69,7 @@ class SketchStreamSpec extends SparkSuite {
   import spark.implicits._
 
   test("replayed batch does not distort the sketch; k bound holds") {
-    graft.sources.Tables.enableNanosAsLong(spark)
+    graft.sources.Tables.prepareEventsDir(spark, sf)
     val work = java.nio.file.Files.createTempDirectory("graft_sketch_spec_").toString
     try {
       val events = graft.sources.Tables.events(spark, sf)
