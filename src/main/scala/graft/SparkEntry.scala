@@ -106,10 +106,12 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "q_quality_gate" -> (TextAnalysis.qualityGate _),
     "q_corpus_shuffle" -> ((s: SparkSession, d: String) => Sampling.corpusShuffle(s, d)),
-    // iterative ML loop: rows-only gate (no closed-form SQL oracle),
-    // correctness pinned by KMeansSpec invariants instead
+    // hash-exact gate: INTEGER-quantized Lloyd's — the whole 5-iteration
+    // loop is exact integer arithmetic, replayed by an unrolled DuckDB
+    // CTE chain. (The double-precision kmeansFull stays spec-gated in
+    // KMeansSpec; r4 left this rows-only.)
     "q_kmeans" -> ((s: SparkSession, d: String) =>
-      graft.functions.Clustering.kmeansSummary(s, d)),
+      graft.functions.Clustering.kmeansQuantSummary(s, d)),
     // behavioral / product analytics (round 3)
     "q_funnel" -> (Behavioral.funnel _),
     "q_retention" -> (Behavioral.retention _),
@@ -193,17 +195,20 @@ object SparkEntry {
     "q_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "q_paragraph_dedup" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
-    // greedy MMR recurrence isn't relational: rows-only gate, step-wise
-    // optimality pinned in RetrievalSpec
+    // hash-exact gate: fixed-point MMR — integer micro-unit sims make
+    // the greedy recurrence replayable as k unrolled SQL steps. (FP
+    // twin mmrRerank stays spec-gated in RetrievalSpec.)
     "q_mmr_rerank" -> ((s: SparkSession, d: String) =>
-      graft.functions.Retrieval.mmrRerank(s, d)),
+      graft.functions.Retrieval.mmrRerankQuant(s, d)),
     // iterative encoder: rows-only gate, BpeSpec differential
     "q_bpe_encode" -> ((s: SparkSession, d: String) =>
       graft.functions.Bpe.encodeTokenCounts(s, d)),
-    // k-means partitioning isn't relational: rows-only gate, drop-rule
-    // invariants pinned in SemDedupSpec
+    // hash-exact gate: quantized-cluster SemDeDup — integer cosine
+    // threshold + pinned-IEEE reported cosine, replayed in DuckDB on
+    // top of the unrolled quantized-Lloyd's CTEs. (FP twin semDedup
+    // stays spec-gated in SemDedupSpec.)
     "q_semdedup" -> ((s: SparkSession, d: String) =>
-      graft.functions.Clustering.semDedup(s, d)),
+      graft.functions.Clustering.semDedupQuant(s, d)),
     // deterministic sketch: hash-exact oracle (md5 priorities, bottom-k,
     // within-sample percentiles) + mergeability identity in spec
     "q_quantile_sketch" -> ((s: SparkSession, d: String) =>
@@ -292,6 +297,7 @@ object SparkEntry {
     "q_set_ops" -> Analytics.setOpsSql,
     "q_pivot_status" -> Analytics.pivotStatusSql,
     "q_frame_index" -> Multimodal.frameIndexSql(),
+    "q_frame_sample" -> Multimodal.frameSampleSql(),
     "q_asof_join" -> AsOfJoin.eventsAsOfDailySql,
     "q_asof_join_native" -> AsOfJoin.eventsAsOfDailySql,
     "q_range_join" -> AsOfJoin.eventsRangeJoinSql,
@@ -352,6 +358,9 @@ object SparkEntry {
     "q_insert_overwrite" -> graft.sources.Ingest.insertOverwriteSql,
     "q_bpe_pairs" -> graft.functions.Bpe.pairCountsSql,
     "q_covariance" -> graft.functions.Pca.covarianceSql,
+    "q_kmeans" -> graft.functions.Clustering.kmeansQuantSql(),
+    "q_semdedup" -> graft.functions.Clustering.semDedupQuantSql(),
+    "q_mmr_rerank" -> graft.functions.Retrieval.mmrRerankQuantSql(),
     "q_profile" -> Profile.profileEventsSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,

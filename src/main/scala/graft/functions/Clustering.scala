@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.plans.VectorExpressions.dotProduct
@@ -160,4 +160,211 @@ object Clustering {
     assigned.unpersist()
     summary
   }
+
+  // ---- integer-quantized Lloyd's (the hash-gateable twin) ----------------
+
+  /** Quantize an embedding to integers: `floor(x · scale)` per dim.
+    * float→double is exact, ×scale (a power of two) is exact, floor is
+    * deterministic — so the quantized vector is a PURE function of the
+    * stored floats, identical in any engine. Every downstream distance/
+    * centroid/inertia op is then integer arithmetic: exact, overflow-
+    * safe (|q| ≤ 2.2e3, d² ≤ 1.2e9, inertia ≤ 6e11), and
+    * order-independent — which is what makes the whole iterative loop
+    * reproducible by a DuckDB oracle ([[kmeansQuantSql]]), where the
+    * double-precision twin ([[kmeansFull]]) can only be spec-gated. */
+  private def quantized(scale: Int): Column =
+    transform(col("embedding"),
+      x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Lloyd's over quantized vectors — same structure as [[kmeansFull]]
+    * (deterministic init from the k smallest vec_ids, literal-centroid
+    * assignment map, argmin tie → lower cluster id, empty clusters keep
+    * their centroid) with integer centroids: the update is
+    * `floor(sum / n)` per dim (double divide of small exact ints +
+    * floor — deterministic). Returns the final (vec_id, cluster_id, d2)
+    * assignment. */
+  def kmeansQuantAssign(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 5, scale: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val vq = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantized(scale).as("q"))
+      .cache()
+    var centroids: Array[(Int, Seq[Long])] = vq
+      .orderBy($"vec_id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val distStructs = centroids.toSeq.map { case (cid, c) =>
+        struct(
+          aggregate(
+            zip_with($"q", typedLit(c), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(cid).as("cluster_id"))
+      }
+      assigned = vq
+        .select($"vec_id", $"q", array_min(array(distStructs: _*)).as("best"))
+        .select($"vec_id", $"q",
+          $"best.cluster_id".as("cluster_id"), $"best.d2".as("d2"))
+      if (it == iters) assigned = assigned.localCheckpoint(eager = true)
+      if (it < iters) {
+        val sums = assigned
+          .select($"cluster_id", posexplode($"q").as(Seq("dim", "x")))
+          .groupBy($"cluster_id", $"dim")
+          .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1))
+              .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+              .toSeq)
+          }
+        centroids = centroids.map { case (cid, prevC) =>
+          (cid, sums.getOrElse(cid, prevC))
+        }
+      }
+    }
+    vq.unpersist()
+    assigned.drop("q")
+  }
+
+  /** Gated query (hash-exact): per-cluster size + integer inertia of
+    * the quantized Lloyd's run — [[kmeansQuantSql]] replays the whole
+    * loop in DuckDB. */
+  def kmeansQuantSummary(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    kmeansQuantAssign(spark, sfDir, k, iters)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("inertia"))
+      .orderBy($"cluster_id")
+  }
+
+  /** The unrolled oracle: `vq` (one row per vec×dim, quantized), `c0`
+    * (init centroids), then per iteration an assignment CTE (argmin by
+    * (d2, cid) via row_number) and — for all but the last — a centroid
+    * update CTE with floor-div means and keep-previous for empty
+    * clusters. Pure integer arithmetic end to end, so the hash gate is
+    * exact, not approximate. */
+  def kmeansQuantSql(k: Int = 8, iters: Int = 5, scale: Int = 4096,
+      dims: Int = 64): String =
+    s"""WITH ${kmeansQuantCtes(k, iters, scale, dims)}
+      |SELECT CAST(cid AS INTEGER) AS cluster_id, COUNT(*) AS n_vecs,
+      |       CAST(SUM(d2) AS BIGINT) AS inertia
+      |FROM best$iters GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  /** The CTE body (everything after WITH, ending at `best$iters`) —
+    * shared by [[kmeansQuantSql]] and [[semDedupQuantSql]]. */
+  private def kmeansQuantCtes(k: Int, iters: Int, scale: Int,
+      dims: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""vq AS (
+      |  SELECT vec_id, i AS dim,
+      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS qx
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) d),
+      |init AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT DISTINCT vec_id FROM vq ORDER BY vec_id LIMIT $k)),
+      |c0 AS (
+      |  SELECT init.cid, vq.dim, vq.qx FROM init JOIN vq USING (vec_id))""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = s"c${t - 1}"
+      sb ++= s""",
+        |d$t AS (
+        |  SELECT v.vec_id, c.cid, SUM((v.qx - c.qx) * (v.qx - c.qx)) AS d2
+        |  FROM vq v JOIN $prev c USING (dim) GROUP BY v.vec_id, c.cid),
+        |best$t AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d$t) WHERE rn = 1)""".stripMargin
+      if (t < iters) sb ++= s""",
+        |u$t AS (
+        |  SELECT b.cid, v.dim,
+        |         CAST(floor(CAST(SUM(v.qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qx
+        |  FROM best$t b JOIN vq v USING (vec_id) GROUP BY b.cid, v.dim),
+        |c$t AS (
+        |  SELECT p.cid, p.dim, COALESCE(u.qx, p.qx) AS qx
+        |  FROM $prev p LEFT JOIN u$t u ON p.cid = u.cid AND p.dim = u.dim)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** SemDeDup, hash-gateable twin of [[semDedup]]: clusters come from
+    * the quantized Lloyd's run ([[kmeansQuantAssign]]) and the cosine
+    * threshold is decided in EXACT integer arithmetic at `scale` 1024 —
+    * cos(u,v) ≥ τ (= tauNum/tauDen) ⇔ dot > 0 ∧ tauDen²·dot² ≥
+    * tauNum²·‖u‖²·‖v‖² (all BIGINT-safe at this scale: dot ≤ 1.9e7,
+    * 25·dot² ≤ 8.6e15). The REPORTED cosine is one pinned IEEE op
+    * sequence over those exact integers (÷, ×, sqrt are each correctly
+    * rounded, so both engines produce bit-identical doubles — the
+    * statsMoments discipline). Same drop rule / witness semantics as
+    * the FP twin: drop v iff a same-cluster u < v passes τ; witness =
+    * the u with the highest cosine, ties to the lower id. */
+  def semDedupQuant(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 5, scale: Int = 1024, tauNum: Int = 2, tauDen: Int = 5)
+      : DataFrame = {
+    import spark.implicits._
+    val assigned = kmeansQuantAssign(spark, sfDir, k, iters)
+      .select($"vec_id", $"cluster_id")
+    val vq = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantized(scale).as("p"))
+    val vecs = assigned.join(vq, "vec_id")
+      .withColumn("nrm2",
+        aggregate(transform($"p", x => x * x), lit(0L), (a, b) => a + b))
+      .localCheckpoint(eager = true) // tiny (n × (d+2)); break the lineage
+    val pairs = vecs.as("x").join(vecs.as("y"),
+        $"x.cluster_id" === $"y.cluster_id" && $"x.vec_id" < $"y.vec_id")
+      .withColumn("dot",
+        aggregate(zip_with($"x.p", $"y.p", (a, b) => a * b),
+          lit(0L), (a, b) => a + b))
+      .filter($"dot" > 0 &&
+        lit(tauDen.toLong * tauDen) * $"dot" * $"dot" >=
+          lit(tauNum.toLong * tauNum) * $"x.nrm2" * $"y.nrm2")
+      .withColumn("cos",
+        $"dot".cast("double") / sqrt(($"x.nrm2" * $"y.nrm2").cast("double")))
+    pairs
+      .groupBy($"y.vec_id".as("vec_id"), $"y.cluster_id".as("cluster_id"))
+      .agg(max(struct($"cos", (-$"x.vec_id").as("neg_id"))).as("w"))
+      .select($"vec_id", $"cluster_id", (-$"w.neg_id").as("witness_id"),
+        round($"w.cos", 6).as("cosine"))
+      .orderBy($"vec_id")
+  }
+
+  def semDedupQuantSql(k: Int = 8, iters: Int = 5, kmScale: Int = 4096,
+      scale: Int = 1024, tauNum: Int = 2, tauDen: Int = 5,
+      dims: Int = 64): String =
+    s"""WITH ${kmeansQuantCtes(k, iters, kmScale, dims)},
+      |vp AS (
+      |  SELECT vec_id, i AS dim,
+      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS px
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) d2_),
+      |nr AS (SELECT vec_id, CAST(SUM(px * px) AS BIGINT) AS nrm2
+      |       FROM vp GROUP BY vec_id),
+      |dots AS (
+      |  SELECT bx.vec_id AS xid, by_.vec_id AS yid, by_.cid,
+      |         CAST(SUM(xv.px * yv.px) AS BIGINT) AS dot
+      |  FROM best$iters bx
+      |  JOIN best$iters by_ ON bx.cid = by_.cid AND bx.vec_id < by_.vec_id
+      |  JOIN vp xv ON xv.vec_id = bx.vec_id
+      |  JOIN vp yv ON yv.vec_id = by_.vec_id AND yv.dim = xv.dim
+      |  GROUP BY bx.vec_id, by_.vec_id, by_.cid),
+      |cand AS (
+      |  SELECT d.xid, d.yid, d.cid, d.dot, nx.nrm2 AS nx, ny.nrm2 AS ny
+      |  FROM dots d
+      |  JOIN nr nx ON nx.vec_id = d.xid
+      |  JOIN nr ny ON ny.vec_id = d.yid
+      |  WHERE d.dot > 0
+      |    AND ${tauDen.toLong * tauDen} * d.dot * d.dot >=
+      |        ${tauNum.toLong * tauNum} * nx.nrm2 * ny.nrm2),
+      |wit AS (
+      |  SELECT yid, cid, xid,
+      |         CAST(dot AS DOUBLE) / sqrt(CAST(nx * ny AS DOUBLE)) AS cos,
+      |         row_number() OVER (PARTITION BY yid
+      |           ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nx * ny AS DOUBLE)) DESC,
+      |                    xid ASC) AS rn
+      |  FROM cand)
+      |SELECT yid AS vec_id, CAST(cid AS INTEGER) AS cluster_id,
+      |       xid AS witness_id, round(cos, 6) AS cosine
+      |FROM wit WHERE rn = 1 ORDER BY vec_id""".stripMargin
 }

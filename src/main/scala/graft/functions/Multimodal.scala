@@ -150,20 +150,46 @@ object Multimodal {
   /** Frame-sample stage: every asset yields ceil(n_frames / stride)
     * sampled "frames" as byte slices — the explode-shaped stage of a
     * video pipeline (one input row → n output rows), kept as pure
-    * column expressions so it stays in codegen. */
+    * column expressions so it stays in codegen.
+    *
+    * The slice surfaces as HEX (`substring(hex(payload), off·16+1, 16)`
+    * — 8 payload bytes): bit-for-bit content, engine-portable, and the
+    * reason this query is hash-gateable at all — DuckDB has no BLOB
+    * substring, but hex-string slicing is byte-slicing in both engines
+    * (r4 left this rows-only; the hex detour closes it). */
   def frameSample(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, sfDir)
       .withColumn("n_frames", (lit(1) + pmod(octet_length($"payload"), lit(16))).cast("int"))
     media
-      .select($"media_id", $"kind", $"payload", $"n_frames",
+      .select($"media_id", $"kind", hex($"payload").as("payload_hex"), $"n_frames",
         explode(sequence(lit(0),
           floor(($"n_frames" - 1) / lit(stride)).cast("int"))).as("sample_idx"))
       .withColumn("frame_offset", $"sample_idx" * stride)
-      .withColumn("frame_bytes",
-        substring($"payload", ($"frame_offset" * 8 + 1).cast("int"), lit(8)))
-      .drop("payload")
+      .withColumn("frame_hex",
+        substring($"payload_hex", ($"frame_offset" * 16 + 1).cast("int"), lit(16)))
+      .drop("payload_hex")
+      .orderBy($"media_id", $"sample_idx")
   }
+
+  /** Full oracle for [[frameSample]] — index math AND slice content
+    * (the hex detour above). */
+  def frameSampleSql(stride: Int = 4): String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       |         hex(encode(text)) AS payload_hex,
+       |         CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+       |  FROM documents),
+       |s AS (
+       |  SELECT media_id, kind, payload_hex, n_frames,
+       |         CAST(unnest(range(0, (n_frames - 1) // $stride + 1)) AS INTEGER) AS sample_idx
+       |  FROM m)
+       |SELECT media_id, kind, n_frames, sample_idx,
+       |       sample_idx * $stride AS frame_offset,
+       |       substring(payload_hex, sample_idx * $stride * 16 + 1, 16) AS frame_hex
+       |FROM s
+       |ORDER BY media_id, sample_idx""".stripMargin
 
   /** Binary content dedup — the media twin of the text exact-dedup:
     * group on the payload's content hash, keep the lowest media_id per

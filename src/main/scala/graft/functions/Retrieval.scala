@@ -304,4 +304,143 @@ object Retrieval {
       }
       .toDF("rank", "vec_id", "relevance", "mmr_score")
   }
+
+  // ---- hash-gateable MMR (integer fixed-point) ---------------------------
+
+  /** MMR over FIXED-POINT similarities — the hash-gateable twin of
+    * [[mmrRerank]] (same greedy semantics, λ = 7/10):
+    *
+    *  - vectors quantized to integers (`floor(x·1024)` per dim — exact,
+    *    engine-independent; the [[graft.functions.Clustering]] recipe);
+    *  - cosine from exact integer dot/norms via ONE pinned IEEE op
+    *    sequence (÷, ×, sqrt are correctly rounded → bit-identical
+    *    doubles in Spark / DuckDB / the JVM driver loop), then floored
+    *    to micro-units (`floor(cos·1e6)` as BIGINT);
+    *  - pool = top-`nCandidates` by (rel_micro DESC, vec_id) — an
+    *    integer sort key, so the pool cut is exact;
+    *  - greedy objective in integers: score = 7·rel_micro −
+    *    3·max_sim_micro (λ·rel − (1−λ)·sim, ×10), ties to lower vec_id.
+    *
+    * Every comparison the greedy loop makes is on integers, so the
+    * whole recurrence replays exactly as `k` unrolled SQL steps
+    * ([[mmrRerankQuantSql]]). Distributed shape identical to the FP
+    * twin: scored top-N pool via TakeOrderedAndProject, driver loop
+    * over the model-sized pool. */
+  def mmrRerankQuant(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      nCandidates: Int = 50, k: Int = 10, scale: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val qz = transform(col("embedding"),
+      x => floor(x.cast("double") * scale).cast("long"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", qz.as("p"))
+      .withColumn("nrm2",
+        aggregate(transform($"p", x => x * x), lit(0L), (a, b) => a + b))
+    val q = emb.filter($"vec_id" === queryId)
+      .select($"p".as("qp"), $"nrm2".as("q_nrm2"))
+    // rel_micro = floor(1e6 · dot/sqrt(nq·nc)) — integer-keyed top-N
+    val pool = emb.filter($"vec_id" =!= queryId).crossJoin(broadcast(q))
+      .withColumn("dot",
+        aggregate(zip_with($"p", $"qp", (a, b) => a * b),
+          lit(0L), (a, b) => a + b))
+      .withColumn("rel_micro",
+        floor($"dot".cast("double") /
+          sqrt(($"nrm2" * $"q_nrm2").cast("double")) * 1e6).cast("long"))
+      .orderBy($"rel_micro".desc, $"vec_id")
+      .limit(nCandidates)
+      .select($"vec_id", $"p", $"nrm2", $"rel_micro")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2),
+        r.getLong(3)))
+
+    def simMicro(a: (Long, Array[Long], Long, Long),
+        b: (Long, Array[Long], Long, Long)): Long = {
+      var d = 0L; var i = 0
+      while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+      math.floor(d.toDouble / math.sqrt((a._3 * b._3).toDouble) * 1e6).toLong
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val remaining = scala.collection.mutable.ArrayBuffer(pool.toSeq: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val maxSim = if (selected.isEmpty) 0L
+          else remaining0(pool, selected, c).max
+        (c, 7L * c._4 - 3L * maxSim)
+      }
+      val picked = scored.maxBy { case (c, s) => (s, -c._1) }
+      selected += ((picked._1._1, picked._1._4, picked._2))
+      remaining -= picked._1
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, relm, score), i) => (i + 1, id, relm, score) }
+      .toDF("rank", "vec_id", "rel_micro", "mmr_decimicro")
+  }
+
+  /** max-sim helper: similarities of candidate `c` to every selected
+    * pool member (by id), in integer micro-units. */
+  private def remaining0(pool: Array[(Long, Array[Long], Long, Long)],
+      selected: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)],
+      c: (Long, Array[Long], Long, Long)): Seq[Long] = {
+    val byId = pool.iterator.map(x => x._1 -> x).toMap
+    selected.toSeq.map { s =>
+      val b = byId(s._1)
+      var d = 0L; var i = 0
+      while (i < c._2.length) { d += c._2(i) * b._2(i); i += 1 }
+      math.floor(d.toDouble / math.sqrt((c._3 * b._3).toDouble) * 1e6).toLong
+    }
+  }
+
+  /** Unrolled oracle: pool + pairwise sims as CTEs, then one
+    * (pick, selected) CTE pair per greedy step. */
+  def mmrRerankQuantSql(queryId: Long = 0L, nCandidates: Int = 50,
+      k: Int = 10, scale: Int = 1024, dims: Int = 64): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH vp AS MATERIALIZED (
+      |  SELECT vec_id, i AS dim,
+      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS px
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) dd),
+      |nr AS MATERIALIZED (SELECT vec_id, CAST(SUM(px * px) AS BIGINT) AS nrm2
+      |       FROM vp GROUP BY vec_id),
+      |pool AS MATERIALIZED (
+      |  SELECT v.vec_id,
+      |         CAST(floor(CAST(CAST(SUM(v.px * q.px) AS BIGINT) AS DOUBLE)
+      |           / sqrt(CAST(nv.nrm2 * nq.nrm2 AS DOUBLE)) * 1e6) AS BIGINT) AS rel_micro
+      |  FROM vp v
+      |  JOIN vp q ON q.vec_id = $queryId AND q.dim = v.dim
+      |  JOIN nr nv ON nv.vec_id = v.vec_id
+      |  JOIN nr nq ON nq.vec_id = $queryId
+      |  WHERE v.vec_id <> $queryId
+      |  GROUP BY v.vec_id, nv.nrm2, nq.nrm2
+      |  ORDER BY rel_micro DESC, v.vec_id LIMIT $nCandidates),
+      |sims AS MATERIALIZED (
+      |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+      |         CAST(floor(CAST(CAST(SUM(av.px * bv.px) AS BIGINT) AS DOUBLE)
+      |           / sqrt(CAST(na.nrm2 * nb.nrm2 AS DOUBLE)) * 1e6) AS BIGINT) AS sim_micro
+      |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      |  JOIN vp av ON av.vec_id = a.vec_id
+      |  JOIN vp bv ON bv.vec_id = b.vec_id AND bv.dim = av.dim
+      |  JOIN nr na ON na.vec_id = a.vec_id
+      |  JOIN nr nb ON nb.vec_id = b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id, na.nrm2, nb.nrm2),
+      |pick1 AS (
+      |  SELECT 1 AS rank, vec_id, rel_micro, 7 * rel_micro AS mmr_decimicro
+      |  FROM pool ORDER BY 7 * rel_micro DESC, vec_id LIMIT 1),
+      |sel1 AS (SELECT rank, vec_id, rel_micro, mmr_decimicro FROM pick1)""".stripMargin
+    for (t <- 2 to k) {
+      sb ++= s""",
+        |pick$t AS (
+        |  SELECT $t AS rank, p.vec_id, p.rel_micro,
+        |         7 * p.rel_micro - 3 * max(s.sim_micro) AS mmr_decimicro
+        |  FROM pool p
+        |  JOIN sims s ON s.aid = p.vec_id
+        |  JOIN sel${t - 1} z ON z.vec_id = s.bid
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+        |  GROUP BY p.vec_id, p.rel_micro
+        |  ORDER BY mmr_decimicro DESC, p.vec_id LIMIT 1),
+        |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel_micro, mmr_decimicro
+      |FROM sel$k ORDER BY rank""".stripMargin
+    sb.toString
+  }
 }
