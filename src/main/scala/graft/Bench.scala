@@ -339,7 +339,10 @@ object Bench {
     results("bench_sentinel_spin_end") = spinSentinel()
     results("bench_sentinel_disk_end") = Sentinel.diskSeconds()
     // per-stage build seconds (subsets of the lump-sum *_stage_build
-    // entries above — evidence, excluded from the total)
+    // entries above — evidence, excluded from the total). NESTED: a
+    // stage that triggers upstream stages inside its build block times
+    // them too (dedup_clusters includes dedup_pairs includes
+    // dedup_shingles) — read the largest enclosing number per chain.
     graft.functions.Staged.buildTimes.foreach { case (k, v) =>
       results(s"bench_stage_$k") = v
     }

@@ -173,7 +173,9 @@ object Analytics {
       .withColumn("trip_duration_hours",
         (unix_timestamp($"l_shipdate") - unix_timestamp($"o_orderdate")) / 3600.0)
       .filter($"trip_duration_hours" > 0 && $"trip_duration_hours" < 24 * 365)
-      .groupBy($"n_name".as("zone_name"))
+      // location_id alongside the name: the reference output carries
+      // both (duracion_percentiles.csv: PICKUP_ZONE + LOCATIONID)
+      .groupBy($"n_name".as("zone_name"), $"n_nationkey".as("location_id"))
       .agg(
         count(lit(1)).as("total_trips"),
         expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY trip_duration_hours)").as("p50_duration"),
@@ -186,7 +188,7 @@ object Analytics {
 
   val durationPercentilesSql: String =
     s"""WITH base AS (
-       |  SELECT n_name AS zone_name,
+       |  SELECT n_name AS zone_name, n_nationkey AS location_id,
        |         -- floor(epoch()) matches Spark unix_timestamp's second
        |         -- truncation (DuckDB epoch() is fractional)
        |         (CAST(floor(epoch(l_shipdate)) AS BIGINT)
@@ -195,13 +197,13 @@ object Analytics {
        |  JOIN orders ON l_orderkey = o_orderkey
        |  JOIN customer ON o_custkey = c_custkey
        |  JOIN nation ON c_nationkey = n_nationkey)
-       |SELECT zone_name, COUNT(*) AS total_trips,
+       |SELECT zone_name, location_id, COUNT(*) AS total_trips,
        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY trip_duration_hours) AS p50_duration,
        |       percentile_cont(0.9) WITHIN GROUP (ORDER BY trip_duration_hours) AS p90_duration,
        |       ${avgExactSql("trip_duration_hours")} AS avg_duration
        |FROM base
        |WHERE trip_duration_hours > 0 AND trip_duration_hours < 24 * 365
-       |GROUP BY 1
+       |GROUP BY 1, 2
        |HAVING COUNT(*) > 200
        |ORDER BY total_trips DESC, zone_name
        |LIMIT 20""".stripMargin
@@ -227,17 +229,17 @@ object Analytics {
        |ORDER BY trip_year, pickup_hour""".stripMargin
 
   /** evidencias/velocidad_franja.csv: hour-band CASE decode (F16) +
-    * group-by — avg value per (type, hour, Nocturno/Diurno band). */
+    * group-by — avg value per (type, hour, franja). The band decode is
+    * the REFERENCE's exact two-value domain (velocidad_franja.csv
+    * pins it row-for-row: Nocturno = hours 0-5 and 19-23, Diurno =
+    * 6-18 — EvidenciasShapeSpec replays that contract). */
   def speedBand(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h = hour($"ts")
     Tables.events(spark, sfDir)
       .withColumn("pickup_hour", h.cast("int"))
       .withColumn("franja",
-        when(h < 6 || h >= 22, lit("Nocturno"))
-          .when(h >= 6 && h < 12, lit("Manana"))
-          .when(h >= 12 && h < 18, lit("Tarde"))
-          .otherwise(lit("Noche")))
+        when(h < 6 || h >= 19, lit("Nocturno")).otherwise(lit("Diurno")))
       .groupBy($"event_type", $"pickup_hour", $"franja")
       .agg(avgExact($"value").as("avg_speed"), count(lit(1)).as("total_trips"))
       .orderBy($"event_type", $"pickup_hour")
@@ -245,10 +247,8 @@ object Analytics {
 
   val speedBandSql: String =
     s"""SELECT event_type, CAST(hour(ts) AS INTEGER) AS pickup_hour,
-       |       CASE WHEN hour(ts) < 6 OR hour(ts) >= 22 THEN 'Nocturno'
-       |            WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'Manana'
-       |            WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 'Tarde'
-       |            ELSE 'Noche' END AS franja,
+       |       CASE WHEN hour(ts) < 6 OR hour(ts) >= 19 THEN 'Nocturno'
+       |            ELSE 'Diurno' END AS franja,
        |       ${avgExactSql("value")} AS avg_speed,
        |       COUNT(*) AS total_trips
        |FROM events
