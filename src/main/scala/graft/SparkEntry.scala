@@ -45,11 +45,16 @@ object SparkEntry {
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
     "q_media_features" -> (Multimodal.mediaFeatures _),
-    // approximate / binary-plumbing ops: rows-only check (no SQL oracle)
-    "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
-    "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    // hash-exact gates: integer-quantized ANN twins (buckets, probes
+    // and top-k are exact integer decisions; FP scale paths stay
+    // recall-gated in SimilaritySpec)
+    "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLshQuant(s, d)),
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfQuant(s, d)),
     "q_knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)),
-    "q_approx_stats" -> (Analytics.approxStats _),
+    // hash-exact gate: deterministic-sketch stats (KMV median +
+    // register HLL); the engine-internal approx builtins stay
+    // error-envelope-gated in GraftSpec
+    "q_approx_stats" -> (Analytics.approxStatsSketch(_, _)),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // ingestion manifest + streaming batch-twin
     "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),
@@ -361,6 +366,9 @@ object SparkEntry {
     "q_kmeans" -> graft.functions.Clustering.kmeansQuantSql(),
     "q_semdedup" -> graft.functions.Clustering.semDedupQuantSql(),
     "q_mmr_rerank" -> graft.functions.Retrieval.mmrRerankQuantSql(),
+    "q_knn_lsh" -> Similarity.knnLshQuantSql(),
+    "q_knn_ivf" -> Similarity.knnIvfQuantSql(),
+    "q_approx_stats" -> Analytics.approxStatsSketchSql,
     "q_profile" -> Profile.profileEventsSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,

@@ -294,4 +294,169 @@ object Similarity {
         round($"cos", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
+
+  // ---- hash-gateable quantized twins of the ANN paths --------------------
+  //
+  // The FP knnLsh/knnIvf above are the SCALE path (codegen DotProduct,
+  // recall-gated in SimilaritySpec). These twins pin the gate instead:
+  // floor(x*1024) integer vectors, integer sign-projections / integer
+  // micro-unit cosines, so bucket membership, probe choice and the
+  // final top-k are all exact integer decisions a DuckDB oracle
+  // replays verbatim (the graft.functions.Clustering recipe).
+
+  private def quantCol(scale: Int): Column =
+    transform(col("embedding"), x => floor(x.cast("double") * scale).cast("long"))
+  private def qnorm2(c: Column): Column =
+    aggregate(transform(c, x => x * x), lit(0L), (a, b) => a + b)
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (u, v) => u + v)
+  private def cosMicro(d: Column, na: Column, nb: Column): Column =
+    floor(d.cast("double") / sqrt((na * nb).cast("double")) * 1e6).cast("long")
+
+  /** Integer sign signature: bit p = [Σ s(p,i)·q_i >= 0] with the same
+    * ±1 pseudo-random planes as [[signSignature]] — but over quantized
+    * components, so the sum is an exact integer and the bucket is
+    * engine-independent. */
+  private def signSigQuant(p: Column): Column =
+    (0 until numPlanes).map { pl =>
+      val signs = typedLit((0 until dim).map(i =>
+        if (((pl * 1315423911L + i * 2654435761L) >>> 7) % 2 == 0) 1L else -1L))
+      when(qdot(p, signs) >= 0, lit(1L << pl)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def knnLshQuant(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, scale: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantCol(scale).as("p"))
+      .withColumn("nrm2", qnorm2($"p"))
+      .withColumn("bucket", signSigQuant($"p"))
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"p".as("qp"),
+        $"nrm2".as("q_nrm2"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cos_micro".desc, $"vec_id")
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos_micro", cosMicro(qdot($"qp", $"p"), $"q_nrm2", $"nrm2"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cos_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
+  def knnIvfQuant(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbes: Int = 4,
+      scale: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantCol(scale).as("p"))
+      .withColumn("nrm2", qnorm2($"p"))
+    val centroids = emb
+      .filter($"vec_id" >= nQueries && $"vec_id" < nQueries + nCells)
+      .select($"vec_id".as("cell_id"), $"p".as("cp"), $"nrm2".as("cn"))
+    def nearestCells(vecs: DataFrame, n: Int, idCol: String) = {
+      val w = Window.partitionBy(col(idCol)).orderBy($"c_cm".desc, $"cell_id")
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("c_cm", cosMicro(qdot($"p", $"cp"), $"nrm2", $"cn"))
+        .withColumn("c_rank", row_number().over(w))
+        .filter($"c_rank" <= n)
+        .drop("cp", "cn", "c_cm", "c_rank")
+    }
+    val corpusCells = nearestCells(emb, 1, "vec_id")
+    val queryCells = nearestCells(emb.filter($"vec_id" < nQueries), nProbes, "vec_id")
+      .select($"vec_id".as("query_id"), $"p".as("qp"),
+        $"nrm2".as("q_nrm2"), $"cell_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos_micro".desc, $"vec_id")
+    corpusCells.join(queryCells, Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos_micro", cosMicro(qdot($"qp", $"p"), $"q_nrm2", $"nrm2"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cos_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private def vqCtes(scale: Int): String =
+    s"""vq AS MATERIALIZED (
+       |  SELECT vec_id, i AS dim,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS px
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) dd),
+       |nr AS MATERIALIZED (SELECT vec_id, CAST(SUM(px * px) AS BIGINT) AS nrm2
+       |       FROM vq GROUP BY vec_id)""".stripMargin
+
+  /** Scoring tail shared by both oracles: exact integer pair dots over
+    * a (query_id, neighbor_id) candidate CTE named `cand`, micro-unit
+    * cosine, per-query rank, top-k. */
+  private def scoreTail(k: Int): String =
+    s"""sc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         CAST(floor(CAST(CAST(SUM(qv.px * ev.px) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(nq.nrm2 * ne.nrm2 AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro
+       |  FROM cand c
+       |  JOIN vq qv ON qv.vec_id = c.query_id
+       |  JOIN vq ev ON ev.vec_id = c.neighbor_id AND ev.dim = qv.dim
+       |  JOIN nr nq ON nq.vec_id = c.query_id
+       |  JOIN nr ne ON ne.vec_id = c.neighbor_id
+       |  GROUP BY c.query_id, c.neighbor_id, nq.nrm2, ne.nrm2),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, cos_micro,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_micro DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_micro
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def knnLshQuantSql(nQueries: Int = 10, k: Int = 5,
+      scale: Int = 1024): String =
+    s"""WITH ${vqCtes(scale)},
+       |planes AS (
+       |  SELECT pp.p, ii.i,
+       |         CASE WHEN ((pp.p * 1315423911 + ii.i * 2654435761) >> 7) % 2 = 0
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, $numPlanes)) AS p) pp
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) ii),
+       |proj AS (
+       |  SELECT v.vec_id, pl.p, CAST(SUM(pl.s * v.px) AS BIGINT) AS t
+       |  FROM vq v JOIN planes pl ON pl.i = v.dim - 1
+       |  GROUP BY v.vec_id, pl.p),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN t >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+       |  FROM bk q JOIN bk e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |${scoreTail(k)}""".stripMargin
+
+  def knnIvfQuantSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+      nProbes: Int = 4, scale: Int = 1024): String =
+    s"""WITH ${vqCtes(scale)},
+       |cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cell_id,
+       |         CAST(floor(CAST(CAST(SUM(v.px * c.px) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(nv.nrm2 * nc.nrm2 AS DOUBLE)) * 1e6) AS BIGINT) AS c_cm
+       |  FROM vq v
+       |  JOIN vq c ON c.vec_id >= $nQueries AND c.vec_id < ${nQueries + nCells}
+       |            AND c.dim = v.dim
+       |  JOIN nr nv ON nv.vec_id = v.vec_id
+       |  JOIN nr nc ON nc.vec_id = c.vec_id
+       |  GROUP BY v.vec_id, c.vec_id, nv.nrm2, nc.nrm2),
+       |cranks AS (
+       |  SELECT vec_id, cell_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY c_cm DESC, cell_id) AS c_rank
+       |  FROM cdots),
+       |corpus_cell AS MATERIALIZED (
+       |  SELECT vec_id, cell_id FROM cranks WHERE c_rank = 1),
+       |query_cell AS (
+       |  SELECT vec_id AS query_id, cell_id FROM cranks
+       |  WHERE c_rank <= $nProbes AND vec_id < $nQueries),
+       |cand AS (
+       |  SELECT qc.query_id, cc.vec_id AS neighbor_id
+       |  FROM query_cell qc JOIN corpus_cell cc ON cc.cell_id = qc.cell_id
+       |  WHERE cc.vec_id <> qc.query_id),
+       |${scoreTail(k)}""".stripMargin
 }

@@ -506,6 +506,105 @@ object Analytics {
       .orderBy($"service_type")
   }
 
+  /** Hash-gateable twin of [[approxStats]]: the same approximate
+    * statistics from DETERMINISTIC sketches instead of Spark's
+    * engine-internal ones — p50 off a KMV bottom-k sample (md5
+    * priorities, exact median within the sample — the
+    * [[quantileSketchRollup]] recipe) and distinct parts off the
+    * register HLL with pinned integer/IEEE arithmetic (the
+    * hllRegisterRollup recipe, grouped by return flag). Same mergeable
+    * 100 TB shape as the built-ins; gains an exact DuckDB oracle. */
+  def approxStatsSketch(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("service_type"), $"l_extendedprice",
+        $"l_partkey", $"l_orderkey", $"l_linenumber")
+    // KMV sample per group -> exact median within sample
+    val pri = graft.functions.Dedup.hash60(concat_ws("|",
+      $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
+      lit("astat_v1")))
+    val w = Window.partitionBy($"service_type").orderBy($"pri", $"l_extendedprice")
+    val p50 = li.withColumn("pri", pri)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .groupBy($"service_type")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6)
+        .as("p50_price_approx"))
+    // register HLL per group on l_partkey (m = 256, est_raw pinned)
+    val h = graft.functions.Dedup.hash60(
+      concat_ws("|", $"l_partkey".cast("string"), lit("astat_hll_v1")))
+    val r = li.select($"service_type", h.as("h"))
+      .select($"service_type", ($"h" % 256).as("bucket"),
+        shiftright($"h", 8).as("hw"))
+      .select($"service_type", $"bucket",
+        when($"hw" === 0, lit(53)).otherwise(lit(53) - length(bin($"hw"))).as("rho"))
+    val regs = r.groupBy($"service_type", $"bucket").agg(max($"rho").as("reg"))
+    val wr = regs.withColumn("rmax",
+      max($"reg").over(Window.partitionBy($"service_type")))
+    val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0)
+    val hll = wr.groupBy($"service_type").agg(
+        max($"rmax").as("rmax_i"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), rmax - reg)")) +
+          (lit(256) - count(lit(1))).cast("long") *
+            expr("shiftleft(CAST(1 AS BIGINT), max(rmax))")).as("znum"))
+      .select($"service_type",
+        (alphaM2 * expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax_i) AS DOUBLE)") /
+          $"znum".cast("double")).as("distinct_parts_est"))
+    val counts = li.groupBy($"service_type").agg(count(lit(1)).as("trips"))
+    p50.join(hll, "service_type").join(counts, "service_type")
+      .orderBy($"service_type")
+  }
+
+  val approxStatsSketchSql: String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag AS service_type, l_extendedprice, l_partkey,
+       |         l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |pr AS (
+       |  SELECT service_type, l_extendedprice,
+       |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+       |           || CAST(l_linenumber AS VARCHAR) || '|astat_v1'), 1, 15)) AS BIGINT) AS pri
+       |  FROM li),
+       |kept AS (
+       |  SELECT service_type, l_extendedprice,
+       |         row_number() OVER (PARTITION BY service_type
+       |           ORDER BY pri, l_extendedprice) AS rn
+       |  FROM pr),
+       |p50 AS (
+       |  SELECT service_type,
+       |         round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price_approx
+       |  FROM kept WHERE rn <= 256 GROUP BY service_type),
+       |hh AS (
+       |  SELECT service_type,
+       |         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)
+       |           || '|astat_hll_v1'), 1, 15)) AS BIGINT) AS h
+       |  FROM li),
+       |rr AS (
+       |  SELECT service_type, h % 256 AS bucket,
+       |         CASE WHEN h // 256 = 0 THEN 53
+       |              ELSE 53 - length(bin(h // 256)) END AS rho
+       |  FROM hh),
+       |regs AS (SELECT service_type, bucket, max(rho) AS reg
+       |         FROM rr GROUP BY 1, 2),
+       |wr AS (SELECT service_type, bucket, reg,
+       |              max(reg) OVER (PARTITION BY service_type) AS rmax
+       |       FROM regs),
+       |hll AS (
+       |  SELECT service_type,
+       |         ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |             + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+       |           * CAST(65536.0 AS DOUBLE))
+       |           * CAST(1::BIGINT << CAST(max(rmax) AS BIGINT) AS DOUBLE)
+       |           / CAST(CAST(sum(1::BIGINT << (rmax - reg))
+       |               + (256 - count(*)) * (1::BIGINT << max(rmax)) AS BIGINT) AS DOUBLE)
+       |           AS distinct_parts_est
+       |  FROM wr GROUP BY service_type),
+       |cnt AS (SELECT service_type, COUNT(*) AS trips FROM li GROUP BY 1)
+       |SELECT service_type, p50.p50_price_approx, hll.distinct_parts_est, cnt.trips
+       |FROM p50 JOIN hll USING (service_type) JOIN cnt USING (service_type)
+       |ORDER BY service_type""".stripMargin
+
   /** evidencias/matriz-cobertura.csv: per (year, month, service) coverage
     * with COUNT/SUM/MIN/MAX (A7) — the loader-manifest analog. */
   def coverageMatrix(spark: SparkSession, sfDir: String): DataFrame = {
