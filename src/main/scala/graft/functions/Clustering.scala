@@ -184,7 +184,17 @@ object Clustering {
     * floor — deterministic). Returns the final (vec_id, cluster_id, d2)
     * assignment. */
   def kmeansQuantAssign(spark: SparkSession, sfDir: String, k: Int = 8,
-      iters: Int = 5, scale: Int = 4096): DataFrame = {
+      iters: Int = 5, scale: Int = 4096): DataFrame =
+    // staged: q_kmeans and q_semdedup both consume this assignment —
+    // the 5-iteration loop runs once per (params, corpus) per process,
+    // downstream reads the artifact (the DedupStage DAG-edge pattern)
+    Staged.materialize(
+        s"kmeans_quant_${k}_${iters}_${scale}_${Staged.sfKey(sfDir)}", spark) {
+      kmeansQuantAssignBuild(spark, sfDir, k, iters, scale)
+    }
+
+  private def kmeansQuantAssignBuild(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int, scale: Int): DataFrame = {
     import spark.implicits._
     val vq = Tables.embeddings(spark, sfDir)
       .select($"vec_id", quantized(scale).as("q"))
