@@ -192,9 +192,10 @@ object SparkEntry {
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
     "q_unpivot" -> (Analytics.unpivotStatus _),
     "q_winsorize" -> (Analytics.winsorize _),
-    // sketch re-aggregation: rows-only gate (estimates have no SQL
-    // oracle); error envelope + re-agg identity pinned in spec
-    "q_hll_union" -> (Analytics.hllUnionRollup _),
+    // black-box sketch gated by CONTRACT: exact weekly distincts are
+    // hash-pinned, the engine-private estimate folds into a pinned
+    // envelope boolean (re-agg identity still spec-pinned)
+    "q_hll_union" -> (Analytics.hllUnionGate _),
     "q_hll_registers" -> (Analytics.hllRegisterRollup _),
     // round 3: substring-level dedup, weighted sampling, MMR, BPE encode
     "q_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
@@ -369,6 +370,7 @@ object SparkEntry {
     "q_knn_lsh" -> Similarity.knnLshQuantSql(),
     "q_knn_ivf" -> Similarity.knnIvfQuantSql(),
     "q_approx_stats" -> Analytics.approxStatsSketchSql,
+    "q_hll_union" -> Analytics.hllUnionGateSql,
     "q_profile" -> Profile.profileEventsSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,

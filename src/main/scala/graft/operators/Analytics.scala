@@ -690,6 +690,36 @@ object Analytics {
       .orderBy($"week")
   }
 
+  /** Hash-gateable wrapper for the black-box sketch: `hll_sketch_agg`
+    * is engine-internal (no DuckDB twin), but its CONTRACT is — emit
+    * the exact weekly distinct (oracle-recomputable) plus the estimate
+    * folded into a pinned envelope boolean. The oracle pins n_exact
+    * hash-exactly and within_5pct ≡ TRUE, so a broken union or a
+    * drifted estimator flips the gate red; only the estimate's exact
+    * digits stay engine-private. (The exact count re-pays the (week,
+    * user) shuffle the production rollup avoids — gate-only cost,
+    * documented; the register-HLL twin below is the cross-engine-exact
+    * path.) */
+  def hllUnionGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val est = hllUnionRollup(spark, sfDir)
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("week", to_date($"ts")).cast("date").as("week"))
+      .agg(countDistinct($"user_id").as("n_exact"))
+    est.join(exact, "week")
+      .select($"week", $"n_exact",
+        (abs($"approx_weekly" - $"n_exact") / $"n_exact" < 0.05).as("within_5pct"))
+      .orderBy($"week")
+  }
+
+  val hllUnionGateSql: String =
+    """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+      |       count(DISTINCT user_id) AS n_exact,
+      |       TRUE AS within_5pct
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY week""".stripMargin
+
   /** Register-level HLL built from scratch — the cross-engine-EXACT
     * twin of [[hllUnionRollup]]. Spark's `hll_sketch_agg` is a black
     * box no other engine reproduces bit-for-bit, so that query can only

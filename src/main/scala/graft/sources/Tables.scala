@@ -105,10 +105,65 @@ object Tables {
     "lineitem" -> lineitem, "events" -> eventsRaw,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Read one table from an sf directory with its declared schema. */
+  /** Per-path probe cache: the footer is immutable for a given mtime;
+    * keyed on (path, mtime) so a driver-side regeneration invalidates. */
+  private val nanosCols =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Set[String]]()
+
+  /** Declared-TimestampType columns stored as TIMESTAMP(NANOS) in the
+    * file footer — Spark 4 refuses those as TimestampType, so [[load]]
+    * reads them as raw longs and floor-divides (the events recipe,
+    * generalized: the driver has regenerated fixtures mid-round twice;
+    * any table's unit may drift next). */
+  private def nanosTimestampCols(spark: SparkSession, path: String,
+      schema: StructType): Set[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val declared = schema.fields.filter(_.dataType == TimestampType).map(_.name)
+    if (declared.isEmpty) return Set.empty
+    val f = new java.io.File(path.stripPrefix("file://"))
+    val key = (f.getCanonicalPath, f.lastModified)
+    nanosCols.computeIfAbsent(key, { _ =>
+      findParquetFile(f) match {
+        case None => Set.empty[String]
+        case Some(file) =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(file.getPath),
+              spark.sessionState.newHadoopConf()))
+          try {
+            val msg = reader.getFooter.getFileMetaData.getSchema
+            declared.filter { c =>
+              msg.containsField(c) &&
+                (msg.getFields.get(msg.getFieldIndex(c)).asPrimitiveType()
+                  .getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                  case _ => false
+                })
+            }.toSet
+          } finally reader.close()
+      }
+    })
+  }
+
+  /** Read one table from an sf directory with its declared schema.
+    * Timestamp columns whose file unit drifted to NANOS are read as raw
+    * longs and converted — MICROS/MILLIS read natively; the declared
+    * schema is what callers see either way. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") return events(spark, sfDir)
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val declared = schemas(name)
+    val nanos = nanosTimestampCols(spark, path, declared)
+    if (nanos.isEmpty)
+      return spark.read.schema(declared).parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val readSchema = StructType(declared.fields.map(f =>
+      if (nanos.contains(f.name)) f.copy(dataType = LongType) else f))
+    nanos.foldLeft(spark.read.schema(readSchema).parquet(path)) { (df, c) =>
+      df.withColumn(c,
+        org.apache.spark.sql.functions.expr(s"timestamp_micros(`$c` div 1000)"))
+    }
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")

@@ -106,6 +106,41 @@ class TsUnitSpec extends SparkSuite {
     assert(e.getMessage.contains("tripwire"))
   }
 
+  test("generalized NANOS dispatch: a NANOS orders file loads with valid dates") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val work = java.nio.file.Files.createTempDirectory("graft_tsunit_ord_").toString
+    val schema = Types.buildMessage()
+      .required(INT64).named("o_orderkey")
+      .required(INT64).named("o_custkey")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("o_orderstatus")
+      .required(DOUBLE).named("o_totalprice")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.NANOS)).named("o_orderdate")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("o_orderpriority")
+      .named("orders")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$work/orders.parquet"))
+      .withType(schema).withConf(new org.apache.hadoop.conf.Configuration()).build()
+    val fac = new SimpleGroupFactory(schema)
+    try (0 until 5).foreach { i =>
+      val g = fac.newGroup()
+      g.add("o_orderkey", i.toLong); g.add("o_custkey", i.toLong)
+      g.add("o_orderstatus", "O"); g.add("o_totalprice", 100.0 + i)
+      g.add("o_orderdate", (baseSec + i * 86400) * 1000000000L)
+      g.add("o_orderpriority", "1-URGENT")
+      writer.write(g)
+    } finally writer.close()
+    val df = Tables.load(spark, work, "orders")
+    assert(df.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val lo = df.agg(min(col("o_orderdate"))).collect()(0).getTimestamp(0)
+    assert(lo == java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(baseSec)),
+      s"NANOS orders decode drift: $lo")
+  }
+
   test("the driver fixture itself passes the tripwire and decodes into 2024") {
     val unit = Tables.prepareEventsDir(spark, sf)
     assert(Set("NANOS", "MICROS", "MILLIS").contains(unit))
