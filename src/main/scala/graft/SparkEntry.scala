@@ -125,15 +125,17 @@ object SparkEntry {
     "q_fuzzy_match" -> (graft.functions.Fuzzy.fuzzyMatch _),
     "q_insert_overwrite" -> (graft.sources.Ingest.insertOverwriteQuery _),
     "q_bpe_pairs" -> (graft.functions.Bpe.pairCounts _),
-    // iterative vocabulary induction: rows-only gate, correctness
-    // pinned by BpeSpec's plain-Scala differential
+    // merge loop gated by CONTRACT: first merge == pair-count argmax
+    // (exactly SQL-recomputable) + structural booleans pinned TRUE;
+    // the full table stays BpeSpec-differentialed
     "q_bpe_merges" -> ((s: SparkSession, d: String) =>
-      graft.functions.Bpe.stagedMerges(s, d)),
+      graft.functions.Bpe.mergesContract(s, d)),
     "q_covariance" -> (graft.functions.Pca.covariance _),
-    // eigensolve has no SQL oracle: rows-only gate, PcaSpec pins
-    // orthonormality/residuals/projection differential
+    // eigensolve gated by CONTRACT (hll_union pattern): exact decimal
+    // covariance trace hash-pinned + invariants evaluated on the data
+    // pinned TRUE; the projection itself stays PcaSpec-differentialed
     "q_pca_project" -> ((s: SparkSession, d: String) =>
-      graft.functions.Pca.pcaProject(s, d)),
+      graft.functions.Pca.pcaContract(s, d)),
     "q_profile" -> (Profile.profileEvents _),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
@@ -206,9 +208,10 @@ object SparkEntry {
     // twin mmrRerank stays spec-gated in RetrievalSpec.)
     "q_mmr_rerank" -> ((s: SparkSession, d: String) =>
       graft.functions.Retrieval.mmrRerankQuant(s, d)),
-    // iterative encoder: rows-only gate, BpeSpec differential
+    // encoder gated by CONTRACT: exact per-doc word counts + pinned
+    // tokenization bounds; totals stay BpeSpec-differentialed
     "q_bpe_encode" -> ((s: SparkSession, d: String) =>
-      graft.functions.Bpe.encodeTokenCounts(s, d)),
+      graft.functions.Bpe.encodeContract(s, d)),
     // hash-exact gate: quantized-cluster SemDeDup — integer cosine
     // threshold + pinned-IEEE reported cosine, replayed in DuckDB on
     // top of the unrolled quantized-Lloyd's CTEs. (FP twin semDedup
@@ -371,6 +374,9 @@ object SparkEntry {
     "q_knn_ivf" -> Similarity.knnIvfQuantSql(),
     "q_approx_stats" -> Analytics.approxStatsSketchSql,
     "q_hll_union" -> Analytics.hllUnionGateSql,
+    "q_pca_project" -> graft.functions.Pca.pcaContractSql(),
+    "q_bpe_merges" -> graft.functions.Bpe.mergesContractSql,
+    "q_bpe_encode" -> graft.functions.Bpe.encodeContractSql,
     "q_profile" -> Profile.profileEventsSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,

@@ -209,6 +209,65 @@ object Bpe {
       .orderBy($"doc_id")
   }
 
+  // ---- contract gates (the hll_union pattern) ----------------------------
+
+  /** Hash-gateable CONTRACT of the merge learner: the full merge table
+    * is the iterative loop's private output, but its anchors are not —
+    * the FIRST merge must equal the pair-count argmax (exactly
+    * recomputable in SQL: q_bpe_pairs' own ordering), ranks must be
+    * contiguous from 1, every `merged` must be `left||right`, and the
+    * table must not exceed nMerges. One row; any broken loop step
+    * (wrong tie-break, skipped rank, corrupt concat) flips it red. */
+  def mergesContract(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    val mt = stagedMerges(spark, sfDir, nMerges).orderBy(col("rank")).collect()
+    require(mt.nonEmpty, "BPE learner produced no merges — corpus drift?")
+    val first = mt.head
+    val ranksContiguous = mt.map(_.getInt(0)).toSeq == (1 to mt.length)
+    val mergedIsConcat =
+      mt.forall(r => r.getString(3) == r.getString(1) + r.getString(2))
+    Seq((first.getString(1), first.getString(2), ranksContiguous,
+        mergedIsConcat, mt.length <= nMerges))
+      .toDF("first_left", "first_right", "ranks_contiguous",
+        "merged_is_concat", "n_merges_le_max")
+  }
+
+  val mergesContractSql: String =
+    s"""SELECT left_sym AS first_left, right_sym AS first_right,
+       |       TRUE AS ranks_contiguous, TRUE AS merged_is_concat,
+       |       TRUE AS n_merges_le_max
+       |FROM ($pairCountsSql)
+       |LIMIT 1""".stripMargin
+
+  /** Hash-gateable CONTRACT of the encoder: per doc, the exact word
+    * count (SQL-recomputable) plus the pinned bound n_words ≤
+    * bpe_tokens ≤ n_chars — every word encodes to between 1 symbol and
+    * its own length. An encoder that drops words, double-counts, or
+    * merges across word boundaries flips the boolean. */
+  def encodeContract(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    val enc = encodeTokenCounts(spark, sfDir, nMerges)
+    val bounds = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words_b"), sum(length($"word")).as("n_chars"))
+    enc.join(bounds, "doc_id")
+      .select($"doc_id", $"n_words",
+        ($"bpe_tokens" >= $"n_words" && $"bpe_tokens" <= $"n_chars")
+          .as("tokens_in_bounds"))
+      .orderBy($"doc_id")
+  }
+
+  val encodeContractSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_words, TRUE AS tokens_in_bounds
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Plain-Scala reference BPE for the differential spec — same
     * counting (overlapping), same merge (greedy non-overlapping),
     * same tie-break. */

@@ -268,4 +268,76 @@ object Pca {
     emb.select(col("vec_id") +: scoreCols.toSeq: _*)
       .orderBy(col("vec_id"))
   }
+
+  /** Hash-gateable CONTRACT view of the eigensolve (the hll_union-gate
+    * pattern): the eigenvector digits are driver-FP and engine-private,
+    * but what they must SATISFY is not. Per top-k component the gate
+    * emits
+    *  - `trace` — Σ diag of the ROUNDED covariance, summed in
+    *    DECIMAL(20,9) (order-free, so DuckDB recomputes it bit-exactly
+    *    from the same fixed-point moments the q_covariance oracle
+    *    pins, surfaced as one exact double);
+    *  - pinned-TRUE invariants evaluated on the actual data: columns
+    *    orthonormal, eigen-residual ‖Av − λv‖∞ small, eigenvalues
+    *    sorted non-increasing and non-negative, cumulative explained
+    *    variance ≤ trace.
+    * A broken eigensolve (wrong matrix, lost symmetry, bad rotation)
+    * flips a boolean and the hash gate goes red. */
+  def pcaContract(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = momentsFrom(emb).cache()
+    val covDf = covarianceFrom(emb, Some(m))
+      .withColumn("cov", round(col("cov"), 9)).cache()
+    val trace = covDf.filter(col("i") === col("j"))
+      .agg(sum(col("cov").cast("decimal(20,9)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val mat = Array.ofDim[Double](dim, dim)
+    covDf.collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      mat(i)(j) = c; mat(j)(i) = c
+    }
+    covDf.unpersist(); m.unpersist()
+    val (vals, vecs) = jacobiEigen(mat)
+    def dotA(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rows = (0 until k).map { c =>
+      val v = vecs(c)
+      val ortho = (0 until k).forall { d =>
+        val expect = if (c == d) 1.0 else 0.0
+        math.abs(dotA(v, vecs(d)) - expect) < 1e-9
+      }
+      val av = mat.map(row => dotA(row, v))
+      val residual = av.zip(v.map(_ * vals(c)))
+        .map { case (x, y) => math.abs(x - y) }.max < 1e-8
+      val sorted = c == 0 || vals(c) <= vals(c - 1)
+      val explainedOk = vals.take(c + 1).sum <= trace + 1e-9 && vals(c) >= -1e-12
+      (c + 1, trace, ortho && residual && sorted && explainedOk)
+    }
+    rows.toDF("component", "trace", "invariants_hold")
+      .orderBy(col("component"))
+  }
+
+  def pcaContractSql(k: Int = 2): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |         CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(0, $dim)) AS t(i)),
+      |m AS (
+      |  SELECT i, CAST(sum(CAST(floor(x * 1e10) AS BIGINT)) AS BIGINT) AS si,
+      |         count(*) AS n
+      |  FROM e GROUP BY i),
+      |dd AS (
+      |  SELECT a.i AS i,
+      |         CAST(sum(CAST(floor(a.x * a.x * 1e10) AS BIGINT)) AS BIGINT) AS sii
+      |  FROM e a GROUP BY 1),
+      |diag AS (
+      |  SELECT round((CAST(dd.sii AS DOUBLE) / 1e10
+      |           - (CAST(m.si AS DOUBLE) / 1e10) * (CAST(m.si AS DOUBLE) / 1e10) / m.n)
+      |           / (m.n - 1), 9) AS cov
+      |  FROM dd JOIN m ON dd.i = m.i),
+      |tr AS (SELECT CAST(SUM(CAST(cov AS DECIMAL(20,9))) AS DOUBLE) AS trace FROM diag)
+      |SELECT CAST(c AS INTEGER) AS component, tr.trace, TRUE AS invariants_hold
+      |FROM (SELECT unnest(range(1, ${k + 1})) AS c), tr
+      |ORDER BY component""".stripMargin
 }
