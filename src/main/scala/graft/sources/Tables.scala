@@ -229,9 +229,8 @@ object Tables {
     val (unit, statMin) = probeEventsTsUnit(spark, path)
     val effective =
       if (unit == "NONE") spark.conf.get(TsUnitKey, "MICROS") else unit
-    spark.conf.set(TsUnitKey, effective)
-    if (effective == "NANOS")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // tripwire BEFORE any conf mutation: a failed prepare must not
+    // leave the session pinned to the bad unit
     if (unit != "NONE") statMin.foreach { m =>
       val micros = effective match {
         case "NANOS"  => m / 1000L
@@ -248,6 +247,9 @@ object Tables {
         s"[2000-01-01, 2100-01-01). The testdata fixture changed shape; fix the " +
         s"unit dispatch in Tables.decodeEventTs ($path)")
     }
+    spark.conf.set(TsUnitKey, effective)
+    if (effective == "NANOS")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     effective
   }
 

@@ -574,3 +574,29 @@ class TemperatureMixSpec extends SparkSuite {
       .collect().toSeq)
   }
 }
+
+/** Plan shapes of the round-5 quantized gate twins: the integer paths
+  * must keep the same distribution discipline as their FP scale twins
+  * (broadcast the query/centroid side, never shuffle the corpus for
+  * model-sized state). */
+class QuantGatePlanSpec extends SparkSuite {
+
+  private def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+    walkPlan(df).exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+
+  test("knnLshQuant joins the corpus against BROADCAST queries") {
+    assert(hasBroadcast(graft.functions.Similarity.knnLshQuant(spark, sf)))
+  }
+
+  test("knnIvfQuant assigns cells via BROADCAST centroids") {
+    assert(hasBroadcast(graft.functions.Similarity.knnIvfQuant(spark, sf)))
+  }
+
+  test("quantized gates agree with themselves across runs (determinism)") {
+    val a = graft.functions.Similarity.knnLshQuant(spark, sf).collect().toSeq
+    val b = graft.functions.Similarity.knnLshQuant(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+}

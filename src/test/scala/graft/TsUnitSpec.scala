@@ -101,9 +101,12 @@ class TsUnitSpec extends SparkSuite {
     // values that would be plausible as MICROS, but the file says NANOS:
     // exactly the r4 fixture-drift shape, caught at prepare time now
     val bad = writeEvents(work, Some(TimeUnit.NANOS), i => (baseSec + i) * 1000000L)
+    spark.conf.set(Tables.TsUnitKey, "MICROS")
     val e = intercept[IllegalArgumentException](Tables.prepareEvents(spark, bad))
     assert(e.getMessage.contains("unit=NANOS"))
     assert(e.getMessage.contains("tripwire"))
+    // a failed prepare must not poison the session's pinned unit
+    assert(spark.conf.get(Tables.TsUnitKey) == "MICROS")
   }
 
   test("generalized NANOS dispatch: a NANOS orders file loads with valid dates") {
