@@ -39,6 +39,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // a failed query must not leave a STALE dump from a previous
+        // run in place — that reads as a false green downstream
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
