@@ -196,8 +196,10 @@ object Clustering {
   private def kmeansQuantAssignBuild(spark: SparkSession, sfDir: String,
       k: Int, iters: Int, scale: Int): DataFrame = {
     import spark.implicits._
+    import graft.plans.VectorExpressions.longDotProduct
     val vq = Tables.embeddings(spark, sfDir)
       .select($"vec_id", quantized(scale).as("q"))
+      .withColumn("q_sq", longDotProduct($"q", $"q"))
       .cache()
     var centroids: Array[(Int, Seq[Long])] = vq
       .orderBy($"vec_id").limit(k).collect()
@@ -205,11 +207,14 @@ object Clustering {
       .map { case (r, i) => (i, r.getSeq[Long](1)) }
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
+      // exact-integer expansion ||q - c||^2 = q.q - 2 q.c + c.c through
+      // the codegen MAC loop (algebraically identical over longs, so
+      // the oracle hash cannot move; the HOF zip_with form interpreted
+      // its lambda 64x per row per centroid)
       val distStructs = centroids.toSeq.map { case (cid, c) =>
+        val cSq = c.map(x => x * x).sum
         struct(
-          aggregate(
-            zip_with($"q", typedLit(c), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"),
+          ($"q_sq" - lit(2L) * longDotProduct($"q", typedLit(c)) + lit(cSq)).as("d2"),
           lit(cid).as("cluster_id"))
       }
       assigned = vq
@@ -320,14 +325,12 @@ object Clustering {
     val vq = Tables.embeddings(spark, sfDir)
       .select($"vec_id", quantized(scale).as("p"))
     val vecs = assigned.join(vq, "vec_id")
-      .withColumn("nrm2",
-        aggregate(transform($"p", x => x * x), lit(0L), (a, b) => a + b))
+      .withColumn("nrm2", graft.plans.VectorExpressions.longDotProduct($"p", $"p"))
       .localCheckpoint(eager = true) // tiny (n × (d+2)); break the lineage
     val pairs = vecs.as("x").join(vecs.as("y"),
         $"x.cluster_id" === $"y.cluster_id" && $"x.vec_id" < $"y.vec_id")
       .withColumn("dot",
-        aggregate(zip_with($"x.p", $"y.p", (a, b) => a * b),
-          lit(0L), (a, b) => a + b))
+        graft.plans.VectorExpressions.longDotProduct($"x.p", $"y.p"))
       .filter($"dot" > 0 &&
         lit(tauDen.toLong * tauDen) * $"dot" * $"dot" >=
           lit(tauNum.toLong * tauNum) * $"x.nrm2" * $"y.nrm2")

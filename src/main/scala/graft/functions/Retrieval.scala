@@ -333,15 +333,13 @@ object Retrieval {
       x => floor(x.cast("double") * scale).cast("long"))
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", qz.as("p"))
-      .withColumn("nrm2",
-        aggregate(transform($"p", x => x * x), lit(0L), (a, b) => a + b))
+      .withColumn("nrm2", graft.plans.VectorExpressions.longDotProduct($"p", $"p"))
     val q = emb.filter($"vec_id" === queryId)
       .select($"p".as("qp"), $"nrm2".as("q_nrm2"))
     // rel_micro = floor(1e6 · dot/sqrt(nq·nc)) — integer-keyed top-N
     val pool = emb.filter($"vec_id" =!= queryId).crossJoin(broadcast(q))
       .withColumn("dot",
-        aggregate(zip_with($"p", $"qp", (a, b) => a * b),
-          lit(0L), (a, b) => a + b))
+        graft.plans.VectorExpressions.longDotProduct($"p", $"qp"))
       .withColumn("rel_micro",
         floor($"dot".cast("double") /
           sqrt(($"nrm2" * $"q_nrm2").cast("double")) * 1e6).cast("long"))

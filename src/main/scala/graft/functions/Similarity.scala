@@ -306,10 +306,12 @@ object Similarity {
 
   private def quantCol(scale: Int): Column =
     transform(col("embedding"), x => floor(x.cast("double") * scale).cast("long"))
+  // codegen'd exact integer MAC loop — the HOF aggregate/zip_with
+  // formulation ran interpreted lambdas per element (see LongDotProduct)
   private def qnorm2(c: Column): Column =
-    aggregate(transform(c, x => x * x), lit(0L), (a, b) => a + b)
+    graft.plans.VectorExpressions.longDotProduct(c, c)
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (u, v) => u + v)
+    graft.plans.VectorExpressions.longDotProduct(a, b)
   private def cosMicro(d: Column, na: Column, nb: Column): Column =
     floor(d.cast("double") / sqrt((na * nb).cast("double")) * 1e6).cast("long")
 
