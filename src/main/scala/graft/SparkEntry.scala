@@ -43,7 +43,10 @@ object SparkEntry {
     "q_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
     "q_sequence_pack" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    // exact complete mining as a block-pair equi-join (1-Bucket-Theta);
+    // the sub-quadratic banded-LSH miner is its own gate below
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
+    "q_cosine_neardup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupLsh(s, d)),
     "q_media_features" -> (Multimodal.mediaFeatures _),
     // hash-exact gates: integer-quantized ANN twins (buckets, probes
     // and top-k are exact integer decisions; FP scale paths stay
@@ -292,6 +295,9 @@ object SparkEntry {
     // brute-force oracle, which would catch any quantization drift
     "q_knn_quantized" -> Similarity.knnBruteForceSql(),
     "q_cosine_neardup" -> Similarity.cosineNearDupSql(),
+    // oracle replays the integer sign-banding, then exact-FP verifies —
+    // hash-exact for any corpus; the LSH recall bound is spec-gated
+    "q_cosine_neardup_lsh" -> Similarity.cosineNearDupLshSql(),
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
