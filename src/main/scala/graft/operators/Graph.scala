@@ -148,10 +148,17 @@ object Graph {
     * each iteration costs exactly one map-side-combined shuffle of
     * |nodes|-sized partial sums. Broadcast holds while the node table
     * fits an executor (entity graphs: nodes ≪ edges by orders of
-    * magnitude); beyond that, pre-partition edges by src and co-key the
-    * rank join instead. `localCheckpoint` truncates the 10-deep
+    * magnitude); past `broadcastRowLimit` (the BFS bound — same state
+    * shape, same executor budget) the loop pre-partitions the
+    * deg-attached edge table by src ONCE and every round co-keys the
+    * rank join instead: the checkpoint preserves the hash partitioning,
+    * so each iteration moves only the |nodes|-sized rank state — never
+    * the edges — at any graph size. Unlike BFS (whose frontier/visited
+    * sizes evolve), |nodes| is loop-invariant, so the regime is decided
+    * once, before the loop. `localCheckpoint` truncates the 10-deep
     * lineage. */
-  def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 10): DataFrame = {
+  def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
+      broadcastRowLimit: Long = BfsBroadcastRowLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.toDF("src", "dst")
@@ -161,12 +168,17 @@ object Graph {
     // 10-round loop would pay the per-task overhead on every one of
     // them, every round (the edge table itself is loop-invariant)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val eDeg = e.join(deg, Seq("src")).coalesce(nPart)
-      .localCheckpoint(eager = true)
     var ranks = deg.select($"src".as("node"), lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
+    val small = ranks.count() <= broadcastRowLimit
+    // co-keyed regime: hash-partition the edges by the join key ONCE —
+    // the eager checkpoint pins the partitioning, so the per-round
+    // shuffle_hash join exchanges only the rank state
+    val eDeg = (if (small) e.join(deg, Seq("src")).coalesce(nPart)
+                else e.join(deg, Seq("src")).repartition($"src"))
+      .localCheckpoint(eager = true)
     for (i <- 1 to iters) {
-      ranks = pageRankStep(eDeg, ranks, damping)
+      ranks = pageRankStep(eDeg, ranks, damping, broadcastOk = small)
       // checkpoint every few rounds, not every round: each eager
       // checkpoint is a full job + driver sync, and a 3-round plan
       // (3 chained broadcast stages) executes as one job at a third of
@@ -180,12 +192,17 @@ object Graph {
 
   /** One PageRank round over the deg-attached edge table — split out so
     * plan tests can assert the iteration's physical shape (the public
-    * loop checkpoints each round, which erases the plan). */
+    * loop checkpoints each round, which erases the plan).
+    * `broadcastOk=true` broadcasts the node-sized rank state so the
+    * edge table never shuffles; `false` co-keys instead (`shuffle_hash`
+    * hint — rank state sized beyond one executor never lands on one),
+    * and with eDeg pre-partitioned by src only the ranks move. */
   private[graft] def pageRankStep(eDeg: DataFrame, ranks: DataFrame,
-      damping: Double): DataFrame = {
+      damping: Double, broadcastOk: Boolean = true): DataFrame = {
     val spark = eDeg.sparkSession
     import spark.implicits._
-    eDeg.join(broadcast(ranks), $"src" === $"node")
+    val r = if (broadcastOk) broadcast(ranks) else ranks.hint("shuffle_hash")
+    eDeg.join(r, $"src" === $"node")
       .select($"dst", floor($"rank" / $"deg" * lit(1e6)).cast("long").as("c"))
       .groupBy($"dst")
       .agg(sum($"c").as("in_sum"))

@@ -32,6 +32,32 @@ class GraphBasketPlanSpec extends SparkSuite {
       s"edge table must not shuffle for the rank join:\n$plan")
   }
 
+  test("pagerank co-keyed regime: no broadcast in the iteration plan") {
+    // past the rank-state row bound the step must co-key, not broadcast
+    // (the bfsStep pattern): pre-partitioned edges + shuffle_hash ranks
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val und = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val eDeg = und.join(deg, Seq("src")).repartition($"src")
+      .localCheckpoint(eager = true)
+    val ranks0 = deg.select($"src".as("node"), lit(1.0).as("rank"))
+    val step = Graph.pageRankStep(eDeg, ranks0, 0.85, broadcastOk = false)
+    val plan = planOf(step)
+    assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+      s"co-keyed regime must not broadcast the rank state:\n$plan")
+  }
+
+  test("pagerank: both regimes produce identical ranks") {
+    // the per-round arithmetic is integer-quantized, so a forced
+    // co-keyed run (broadcastRowLimit = 1) must be bit-identical to the
+    // broadcast run — the regime switch cannot move the gate
+    val edges = Graph.custSuppEdgesLong(spark, sf)
+    val a = Graph.pageRank(edges).orderBy($"node").collect().toSeq
+    val b = Graph.pageRank(edges, broadcastRowLimit = 1)
+      .orderBy($"node").collect().toSeq
+    assert(a == b)
+  }
+
   test("tpch q5: all five dimension-side joins broadcast; <= 2 shuffles total") {
     val df = TpchQueries.q5(spark, sf)
     val plan = planOf(df)
