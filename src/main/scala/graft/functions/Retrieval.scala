@@ -356,12 +356,16 @@ object Retrieval {
       while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
       math.floor(d.toDouble / math.sqrt((a._3 * b._3).toDouble) * 1e6).toLong
     }
+    // pool index built ONCE: the greedy loop evaluates O(k·n) candidate
+    // × selected similarities and must not rebuild model-sized state
+    // per evaluation
+    val byId = pool.iterator.map(x => x._1 -> x).toMap
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     val remaining = scala.collection.mutable.ArrayBuffer(pool.toSeq: _*)
     while (selected.length < k && remaining.nonEmpty) {
       val scored = remaining.map { c =>
         val maxSim = if (selected.isEmpty) 0L
-          else remaining0(pool, selected, c).max
+          else selected.iterator.map(s => simMicro(c, byId(s._1))).max
         (c, 7L * c._4 - 3L * maxSim)
       }
       val picked = scored.maxBy { case (c, s) => (s, -c._1) }
@@ -371,20 +375,6 @@ object Retrieval {
     selected.toSeq.zipWithIndex
       .map { case ((id, relm, score), i) => (i + 1, id, relm, score) }
       .toDF("rank", "vec_id", "rel_micro", "mmr_decimicro")
-  }
-
-  /** max-sim helper: similarities of candidate `c` to every selected
-    * pool member (by id), in integer micro-units. */
-  private def remaining0(pool: Array[(Long, Array[Long], Long, Long)],
-      selected: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)],
-      c: (Long, Array[Long], Long, Long)): Seq[Long] = {
-    val byId = pool.iterator.map(x => x._1 -> x).toMap
-    selected.toSeq.map { s =>
-      val b = byId(s._1)
-      var d = 0L; var i = 0
-      while (i < c._2.length) { d += c._2(i) * b._2(i); i += 1 }
-      math.floor(d.toDouble / math.sqrt((c._3 * b._3).toDouble) * 1e6).toLong
-    }
   }
 
   /** Unrolled oracle: pool + pairwise sims as CTEs, then one
