@@ -359,12 +359,22 @@ object Bench {
       case (k, v) if !isEvidence(k) && v >= 0 => v
     }.sum
 
+    // machine-readable contention verdict: any sentinel ≥ 1.5× its
+    // committed quiet-box constant marks the whole artifact contended —
+    // totals from such a run are not comparable round-over-round
+    def sentinels(names: String*): Seq[Double] =
+      names.flatMap(results.get)
+    val contended = Sentinel.contendedVerdict(
+      sentinels("bench_sentinel_spin_start", "bench_sentinel_spin_end"),
+      sentinels("bench_sentinel_spin_mt"),
+      sentinels("bench_sentinel_disk_start", "bench_sentinel_disk_end"))
+
     val fullJson = results.map { case (k, v) => entry(k, v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,"queries":$fullJson,"errors":$errJson,"sf":"$sfDir"}"""
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
     try fw.println(fullLine) finally fw.close()
 
@@ -383,7 +393,7 @@ object Bench {
     val dropped = results.toSeq.filterNot { case (k, _) => included.contains(k) }
     val otherSec = dropped.collect { case (k, v) if !isEvidence(k) && v >= 0 => v }.sum
     val qs = included.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"other_sec":${fmt(otherSec)},"n_other":${dropped.size},"errors":$errJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,"queries":$qs,"other_sec":${fmt(otherSec)},"n_other":${dropped.size},"errors":$errJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,24 +33,56 @@ object Sentinel {
     import java.nio.channels.FileChannel
     import java.nio.file.StandardOpenOption._
     val path = java.nio.file.Files.createTempFile("graft_disk_probe_", ".bin")
-    val buf = new Array[Byte](1 << 20)
-    var i = 0
-    while (i < buf.length) { buf(i) = (i * 31 + 7).toByte; i += 1 }
-    val t0 = System.nanoTime()
-    val wch = FileChannel.open(path, WRITE, TRUNCATE_EXISTING)
+    // whole probe under try/finally: an exception mid-probe must not
+    // leak the 128 MB temp file
     try {
-      var k = 0
-      while (k < mb) { wch.write(java.nio.ByteBuffer.wrap(buf)); k += 1 }
-      wch.force(true) // fsync — the part that feels a saturated device
-    } finally wch.close()
-    val rch = FileChannel.open(path, READ)
-    try {
-      val rbuf = java.nio.ByteBuffer.allocate(1 << 20)
-      var n = rch.read(rbuf)
-      while (n >= 0) { rbuf.clear(); n = rch.read(rbuf) }
-    } finally rch.close()
-    val dt = (System.nanoTime() - t0) / 1e9
-    java.nio.file.Files.deleteIfExists(path)
-    dt
+      val buf = new Array[Byte](1 << 20)
+      var i = 0
+      while (i < buf.length) { buf(i) = (i * 31 + 7).toByte; i += 1 }
+      val t0 = System.nanoTime()
+      val wch = FileChannel.open(path, WRITE, TRUNCATE_EXISTING)
+      try {
+        var k = 0
+        while (k < mb) {
+          // FileChannel.write may write fewer bytes than requested —
+          // loop to completion or the probe silently shrinks
+          val wbuf = java.nio.ByteBuffer.wrap(buf)
+          while (wbuf.hasRemaining) wch.write(wbuf)
+          k += 1
+        }
+        wch.force(true) // fsync — the part that feels a saturated device
+      } finally wch.close()
+      val rch = FileChannel.open(path, READ)
+      try {
+        val rbuf = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = rch.read(rbuf)
+        while (n >= 0) { rbuf.clear(); n = rch.read(rbuf) }
+      } finally rch.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      java.nio.file.Files.deleteIfExists(path)
+      ()
+    }
   }
+
+  // ---- machine-readable contention verdict (VERDICT r5 #4) ---------------
+
+  /** Quiet-box constants, committed with the round records (README
+    * "Bench methodology"): what the probes cost on this box with
+    * nothing else running. Artifacts compare their measured sentinels
+    * against these so a judge/driver can discount contended numbers
+    * without forensics. */
+  val QuietSpinSec = 0.60
+  val QuietSpinMtSec = 0.70 // cpus threads at once: slightly above 1-thread
+  val QuietDiskSec = 0.80
+  val ContentionFactor = 1.5
+
+  /** True when any probe ran ≥ [[ContentionFactor]]× its quiet-box
+    * constant — the artifact was taken under external CPU or I/O
+    * contention and its wall numbers are not comparable across rounds. */
+  def contendedVerdict(spin: Seq[Double], spinMt: Seq[Double],
+      disk: Seq[Double]): Boolean =
+    spin.exists(_ > QuietSpinSec * ContentionFactor) ||
+      spinMt.exists(_ > QuietSpinMtSec * ContentionFactor) ||
+      disk.exists(_ > QuietDiskSec * ContentionFactor)
 }

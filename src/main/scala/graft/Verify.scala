@@ -65,9 +65,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val (spinEnd, diskEnd) = (Sentinel.spinSeconds(), Sentinel.diskSeconds())
+    // machine-readable verdict vs the committed quiet-box constants
+    val contended = Sentinel.contendedVerdict(
+      Seq(spinStart, spinEnd), Nil, Seq(diskStart, diskEnd))
     val sentinelJson =
       f"""{"spin_start_sec":$spinStart%.3f,"disk_start_sec":$diskStart%.3f,""" +
-      f""""spin_end_sec":${Sentinel.spinSeconds()}%.3f,"disk_end_sec":${Sentinel.diskSeconds()}%.3f}"""
+      f""""spin_end_sec":$spinEnd%.3f,"disk_end_sec":$diskEnd%.3f,""" +
+      s""""contended":$contended}"""
     Files.writeString(Paths.get(s"$outDir/sentinel.json"), sentinelJson)
     println(s"[verify] sentinel $sentinelJson")
     spark.stop()
