@@ -53,6 +53,36 @@ object Staged {
     spark.read.parquet(path)
   }
 
+  /** Compute-once-per-JVM DIRECTORY artifact — the [[materialize]]
+    * discipline for things that are a tree of files rather than one
+    * frame (streaming feed dirs with staggered mtimes, seeded table
+    * dirs). `build` populates the returned path on first request; later
+    * requests reuse it. Consumers must treat the artifact as READ-ONLY —
+    * a consumer that mutates its copy takes [[copyInto]] first. Same
+    * per-process temp root as the frame artifacts, so there is no
+    * cross-run staleness and the shutdown hook reclaims everything. */
+  def materializeDir(key: String)(build: String => Unit): String = {
+    staged.synchronized {
+      staged.getOrElseUpdate(s"dir_$key", {
+        val p = s"$stageRoot/dir_$key"
+        val t0 = System.nanoTime()
+        build(p)
+        val secs = (System.nanoTime() - t0) / 1e9
+        buildSecs(s"dir_$key") = secs
+        println(f"[stage] built dir $key in $secs%.2f s")
+        p
+      })
+    }
+  }
+
+  /** Copy a staged directory artifact into a consumer-owned path (for
+    * consumers that mutate state in place — CDC tables, maintained
+    * views): an OS file copy of an already-materialized tree, instead
+    * of recomputing and rewriting it per invocation. */
+  def copyInto(stagedPath: String, dest: String): Unit =
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(stagedPath), new java.io.File(dest))
+
   /** Corpus key piece: basename for readability PLUS a hash of the full
     * canonical path — two data dirs that merely share a basename
     * (…/a/sf0.01 vs …/b/sf0.01) must never collide. */

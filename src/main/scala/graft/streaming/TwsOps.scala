@@ -92,33 +92,38 @@ object TwsOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val src = graft.sources.Tables.events(spark, sfDir)
+      def src = graft.sources.Tables.events(spark, sfDir)
         .select($"user_id", $"event_id",
           unix_micros($"ts").as("ts_micros"), $"value")
       // time-ranged quarters: every equal-ts row lands in ONE file, so
       // file order (staggered mtimes, FileStreamSource replays oldest
-      // first) IS global (ts, event_id) order up to in-batch sorting
-      val Row2 = src.agg(min($"ts_micros"), max($"ts_micros")).head()
-      val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
-      val feed = new java.io.File(s"$work/feed"); feed.mkdirs()
-      val t0 = System.currentTimeMillis() - 3600 * 1000L
-      val cuts = (0 to 4).map(k => lo + (hi - lo) / 4 * k)
-      (0 until 4).foreach { b =>
-        val upper = if (b == 3) hi + 1 else cuts(b + 1)
-        val staging = s"$work/stage$b"
-        src.filter($"ts_micros" >= cuts(b) && $"ts_micros" < upper)
-          .coalesce(1).write.parquet(staging)
-        val part = new java.io.File(staging).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(feed, f"quarter-$b%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(t0 + b * 10000L)
-        ()
+      // first) IS global (ts, event_id) order up to in-batch sorting.
+      // Read-only to the stream → staged once per process.
+      val feedDir = graft.functions.Staged.materializeDir(
+          s"tws_feed_${graft.functions.Staged.sfKey(sfDir)}") { p =>
+        val Row2 = src.agg(min($"ts_micros"), max($"ts_micros")).head()
+        val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
+        val feed = new java.io.File(p); feed.mkdirs()
+        val t0 = System.currentTimeMillis() - 3600 * 1000L
+        val cuts = (0 to 4).map(k => lo + (hi - lo) / 4 * k)
+        (0 until 4).foreach { b =>
+          val upper = if (b == 3) hi + 1 else cuts(b + 1)
+          val staging = s"$p/../tws_stage$b"
+          src.filter($"ts_micros" >= cuts(b) && $"ts_micros" < upper)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(feed, f"quarter-$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + b * 10000L)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+          ()
+        }
       }
       val stream = spark.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$work/feed")
+        .parquet(feedDir)
         .as[BalanceRow]
       val q = stream.groupByKey(_.user_id)
         .transformWithState(
