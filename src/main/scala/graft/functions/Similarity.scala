@@ -480,7 +480,10 @@ object Similarity {
        |  GROUP BY v.vec_id, pl.p),
        |bk AS MATERIALIZED (
        |  SELECT vec_id,
-       |         CAST(SUM(CASE WHEN t >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |         -- CAST(1 AS BIGINT): a bare 1 is INT32 in DuckDB and the
+       |         -- shift would overflow if numPlanes ever exceeds 31
+       |         CAST(SUM(CASE WHEN t >= 0 THEN CAST(1 AS BIGINT) << p
+       |                       ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id),
        |cand AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id

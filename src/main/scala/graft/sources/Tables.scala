@@ -228,7 +228,27 @@ object Tables {
   def prepareEvents(spark: SparkSession, path: String): String = {
     val (unit, statMin) = probeEventsTsUnit(spark, path)
     val effective =
-      if (unit == "NONE") spark.conf.get(TsUnitKey, "MICROS") else unit
+      if (unit != "NONE") unit
+      else spark.conf.getOption(TsUnitKey).getOrElse {
+        // un-annotated INT64 feed in a session with no pinned unit:
+        // never assume a default (a NANOS-era copy would decode 1000×
+        // off with no tripwire) — INFER from the footer min under the
+        // [2000, 2100) plausibility window. The windows of the three
+        // units are 1000× apart and never overlap, so at most one fits.
+        val lo = 946684800000000L  // 2000-01-01 in micros
+        val hi = 4102444800000000L // 2100-01-01 in micros
+        def fits(toMicros: Long => Long): Boolean =
+          statMin.exists { m => val x = toMicros(m); x >= lo && x < hi }
+        if (fits(_ / 1000L)) "NANOS"
+        else if (fits(identity)) "MICROS"
+        else if (fits(m => if (m > 0 && m <= Long.MaxValue / 1000L) m * 1000L
+                           else 0L)) "MILLIS"
+        else throw new IllegalStateException(
+          s"events ts: $path stores ts as un-annotated INT64, no unit is " +
+          s"pinned in this session, and the footer min ($statMin) decodes " +
+          s"into [2000, 2100) under no known unit — cannot infer. Call " +
+          s"prepareEvents on the original events file first, or fix the feed.")
+      }
     // tripwire BEFORE any conf mutation: a failed prepare must not
     // leave the session pinned to the bad unit
     if (unit != "NONE") statMin.foreach { m =>

@@ -95,6 +95,30 @@ class TsUnitSpec extends SparkSuite {
     assert(Tables.prepareEvents(spark, raw) == "MICROS")
   }
 
+  test("raw INT64 feed in a FRESH session: unit inferred from footer min, never assumed") {
+    // ADVICE r5: with no previously pinned unit, a silent MICROS default
+    // would decode a NANOS-era copy 1000x off with no tripwire. The
+    // plausibility windows of the three units never overlap, so the
+    // footer min identifies the unit — or prepare fails loudly.
+    val work = java.nio.file.Files.createTempDirectory("graft_tsunit_fresh_").toString
+    def mk(name: String) = { val d = s"$work/$name"; new java.io.File(d).mkdirs(); d }
+    val rawNanos = writeEvents(mk("n"), None, i => (baseSec + i) * 1000000000L)
+    val rawMicros = writeEvents(mk("u"), None, i => (baseSec + i) * 1000000L)
+    val rawMillis = writeEvents(mk("m"), None, i => (baseSec + i) * 1000L)
+    val rawJunk = writeEvents(mk("x"), None, i => 42L + i)
+    def fresh[T](body: => T): T = {
+      val prev = spark.conf.getOption(Tables.TsUnitKey)
+      spark.conf.unset(Tables.TsUnitKey)
+      try body finally { prev.foreach(spark.conf.set(Tables.TsUnitKey, _)); () }
+    }
+    assert(fresh(Tables.prepareEvents(spark, rawNanos)) == "NANOS")
+    assert(fresh(Tables.prepareEvents(spark, rawMicros)) == "MICROS")
+    assert(fresh(Tables.prepareEvents(spark, rawMillis)) == "MILLIS")
+    val e = fresh(intercept[IllegalStateException](
+      Tables.prepareEvents(spark, rawJunk)))
+    assert(e.getMessage.contains("cannot infer"))
+  }
+
   test("tripwire: implausible footer min fails loudly with the footer unit") {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val work = java.nio.file.Files.createTempDirectory("graft_tsunit_bad_").toString
