@@ -120,7 +120,7 @@ object Similarity {
     * miner therefore stays exact — equal to the brute oracle on every
     * corpus by construction, not by a recall bound. */
   def cosineNearDupPairs(spark: SparkSession, sfDir: String,
-      minCos: Double = 0.45, numBlocks: Int = 16): DataFrame =
+      minCos: Double = 0.45, numBlocks: Int = 8): DataFrame =
     cosineNearDupPairsOn(Tables.embeddings(spark, sfDir), minCos, numBlocks)
 
   private[graft] def cosineNearDupPairsOn(embIn: DataFrame, minCos: Double,
@@ -140,8 +140,11 @@ object Similarity {
     val b = rep.select($"k1".as("kb1"), $"k2".as("kb2"), $"blk".as("blk_b"),
       $"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("norm_b"))
     // a cross-block pair co-occurs at exactly one key {blk_a, blk_b};
-    // a same-block pair co-occurs at ALL its keys — keep only (blk, blk)
-    a.join(b, $"ka1" === $"kb1" && $"ka2" === $"kb2" && $"vec_a" < $"vec_b" &&
+    // a same-block pair co-occurs at ALL its keys — keep only (blk, blk).
+    // shuffle_hash: the per-key partitions are bounded by construction,
+    // and hash build/probe streams pairs without SMJ's two sorts
+    a.join(b.hint("shuffle_hash"),
+        $"ka1" === $"kb1" && $"ka2" === $"kb2" && $"vec_a" < $"vec_b" &&
         ($"blk_a" =!= $"blk_b" || ($"ka1" === $"blk_a" && $"ka2" === $"blk_a")))
       .withColumn("cos", dot($"emb_a", $"emb_b") / ($"norm_a" * $"norm_b"))
       .filter($"cos" >= minCos)
