@@ -21,12 +21,15 @@ import graft.sources.Tables
   *     the projection is a codegen'd [[dotProduct]] per component, a
   *     narrow map over the corpus.
   *
-  * At 100 TB step 1's explode+self-join shuffles n·d rows; the
-  * documented alternative is per-partition Gramian accumulation
-  * (mapPartitions: local d×d BigDecimal accumulate, then one d²-sized
-  * reduce) — same exact result, shuffle bytes independent of n. The
-  * join form is kept here because it stays in whole-stage codegen and
-  * its shuffle is well within this corpus' budget.
+  * Step 1 runs as per-partition Gramian accumulation
+  * ([[covarianceGramian]]: each task folds its rows into a local
+  * d·(d+1)/2 fixed-point array; only those d²-sized partials are
+  * exchanged), so shuffle bytes are independent of n — the form that
+  * survives a 100 TB corpus. The explode+self-join formulation
+  * ([[covarianceFrom]]) computes the SAME fixed-point longs (addition
+  * is associative/commutative, so the two are bit-identical — asserted
+  * in GramianSpec) and is retained as the differential twin mirroring
+  * the DuckDB oracle's shape.
   */
 object Pca {
 
@@ -50,12 +53,13 @@ object Pca {
     * are not correctly rounded, so the unrounded last ulp can differ;
     * [[fitFrom]] keeps full precision for the eigensolve. */
   def covariance(spark: SparkSession, sfDir: String): DataFrame =
-    covarianceFrom(Tables.embeddings(spark, sfDir))
+    covarianceGramian(Tables.embeddings(spark, sfDir))
       .withColumn("cov", round(col("cov"), 9))
 
-  /** Per-dimension first moments (i, si, n) — the small table both the
-    * covariance join and the mean derivation read; [[fitFrom]] caches
-    * it so the mean never costs a second corpus scan. */
+  /** Per-dimension first moments (i, si, n) — the small table the
+    * differential pair-join covariance reads (the same longs land in
+    * [[gramianMoments]]'s `sums`, which is what the production fit
+    * consumes). */
   private[graft] def momentsFrom(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -119,7 +123,12 @@ object Pca {
     * because the accumulator is a mutable triangular matrix carried
     * across rows, which no built-in aggregate expresses without
     * shuffling the expanded pairs.) */
-  private[graft] def covarianceGramian(embeddings: DataFrame): DataFrame = {
+  /** The one-row Gramian moment frame (gram[d·(d+1)/2], sums[d], n) —
+    * the constant-size sufficient statistic every PCA consumer derives
+    * from: [[covarianceGramian]] finishes it into the gated (i, j, cov)
+    * table distributed; [[fitFrom]] collects the single row and fits
+    * driver-side with the identical IEEE expression. */
+  private[graft] def gramianMoments(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
     val d = dim
     val fpLocal = fp
@@ -150,18 +159,35 @@ object Pca {
         else Iterator((gram.toSeq, sums.toSeq, n))
       }
       .toDF("gram", "sums", "n")
-    // one d²-sized reduction: elementwise long sums of the partials
-    val agg = partials.agg(
-      array((0 until nTri).map(k => sum(col("gram").getItem(k))): _*).as("gram"),
-      array((0 until d).map(k => sum(col("sums").getItem(k))): _*).as("sums"),
-      sum(col("n")).as("n"))
+    // one d²-sized reduction. NOT a 2 145-column `agg(sum, sum, …)`:
+    // Catalyst pays seconds planning that many aggregate expressions
+    // (measured 3.2s warm vs 0.1s for this shape on identical data) —
+    // instead flatten each partial to (idx, v) cells and reduce with a
+    // single narrow sum over ~partitions·d² rows, then repack. The
+    // shuffle stays d²-per-partition-sized, independent of n.
+    val cells = partials
+      .select(posexplode(concat(col("gram"), col("sums"), array(col("n"))))
+        .as(Seq("idx", "v")))
+      .groupBy(col("idx")).agg(sum(col("v")).as("v"))
+    cells.agg(sort_array(collect_list(struct(col("idx"), col("v")))).as("kv"))
+      .select(
+        expr(s"transform(slice(kv, 1, $nTri), x -> x.v)").as("gram"),
+        expr(s"transform(slice(kv, ${nTri + 1}, $d), x -> x.v)").as("sums"),
+        expr(s"element_at(kv, ${nTri + d + 1}).v").as("n"))
+  }
+
+  private[graft] def covarianceGramian(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val d = dim
+    val fpLocal = fp
     // exact (idx -> i, j) unflattening, driver-built (nTri rows) and
     // broadcast — no closed-form float inversion to get subtly wrong
     val idxMap = broadcast(
       (for (i <- 0 until d; j <- i until d) yield (i, j))
         .zipWithIndex.map { case ((i, j), idx) => (idx, i, j) }
         .toDF("idx", "i", "j"))
-    agg.select(posexplode(col("gram")).as(Seq("idx", "sij")),
+    gramianMoments(embeddings)
+      .select(posexplode(col("gram")).as(Seq("idx", "sij")),
         col("sums"), col("n"))
       .join(idxMap, "idx")
       .select(col("i"), col("j"),
@@ -230,24 +256,28 @@ object Pca {
     (vals, vecs)
   }
 
-  /** Collect the covariance into a full symmetric matrix + the mean
-    * vector (both driver-side models, d-sized). */
+  /** Fit the d-sized driver model (mean, eigenvalues, eigenvectors)
+    * from ONE corpus pass: collect the single-row [[gramianMoments]]
+    * statistic and finish driver-side with the exact IEEE expression
+    * the distributed finisher evaluates — the covariance matrix is
+    * bit-identical to collecting [[covarianceGramian]] (and, by
+    * GramianSpec, to the pair-join form), so the eigendata and every
+    * downstream projection are unchanged by where the division runs. */
   private[graft] def fitFrom(embeddings: DataFrame)
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
-    // moments cached: one corpus explode feeds BOTH the covariance
-    // join and the mean — the mean used to cost its own full scan
-    val m = momentsFrom(embeddings).cache()
-    val covRows = covarianceFrom(embeddings, Some(m)).collect()
+    val row = gramianMoments(embeddings).collect()(0)
+    val gram = row.getSeq[Long](0)
+    val sums = row.getSeq[Long](1)
+    val n = row.getLong(2)
     val mat = Array.ofDim[Double](dim, dim)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = (gram(idx).toDouble / fp
+        - (sums(i).toDouble / fp) * (sums(j).toDouble / fp) / n) / (n - 1)
       mat(i)(j) = c; mat(j)(i) = c
+      idx += 1
     }
-    val mean = Array.ofDim[Double](dim)
-    m.collect().foreach { r =>
-      mean(r.getInt(0)) = r.getLong(1).toDouble / fp / r.getLong(2)
-    }
-    m.unpersist()
+    val mean = Array.tabulate(dim)(i => sums(i).toDouble / fp / n)
     val (vals, vecs) = jacobiEigen(mat)
     (mean, vals, vecs)
   }
@@ -286,8 +316,7 @@ object Pca {
   def pcaContract(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    val m = momentsFrom(emb).cache()
-    val covDf = covarianceFrom(emb, Some(m))
+    val covDf = covarianceGramian(emb)
       .withColumn("cov", round(col("cov"), 9)).cache()
     val trace = covDf.filter(col("i") === col("j"))
       .agg(sum(col("cov").cast("decimal(20,9)")).cast("double"))
@@ -297,7 +326,7 @@ object Pca {
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       mat(i)(j) = c; mat(j)(i) = c
     }
-    covDf.unpersist(); m.unpersist()
+    covDf.unpersist()
     val (vals, vecs) = jacobiEigen(mat)
     def dotA(a: Array[Double], b: Array[Double]) =
       a.zip(b).map { case (x, y) => x * y }.sum
