@@ -61,6 +61,8 @@ object SparkEntry {
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // ingestion manifest + streaming batch-twin
     "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),
+    // scheduler cadence: trigger catalog → owed run expansion
+    "q_schedule_due" -> ((s: SparkSession, _: String) => Scheduler.dueRuns(s)),
     "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
     "q_stream_dedup" -> (graft.streaming.EventsStream.streamDedupQuery _),
     "q_stream_join" -> (graft.streaming.EventsStream.runStreamStreamJoin(_, _)),
@@ -300,6 +302,7 @@ object SparkEntry {
     "q_cosine_neardup_lsh" -> Similarity.cosineNearDupLshSql(),
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,
+    "q_schedule_due" -> Scheduler.dueRunsSql(),
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
     "q_stream_dedup" -> graft.streaming.EventsStream.streamDedupSql,
     "q_stream_join" -> graft.streaming.EventsStream.attributionSql,

@@ -56,11 +56,33 @@ object PipelineRunner {
 
   /** Run the DAG: independent roots concurrently, dependents after
     * their upstreams; returns (model → materialized row count). */
-  def run(spark: SparkSession, sfDir: String, outRoot: String): Map[String, Long] = {
+  def run(spark: SparkSession, sfDir: String, outRoot: String): Map[String, Long] =
+    runModels(spark, sfDir, outRoot, models)
+
+  /** dbt `--select`-style subset run: the named models plus their
+    * transitive dependency closure (a model never builds against a
+    * stale or missing upstream), in dependency order. Unknown names
+    * fail loudly. */
+  def runSubset(spark: SparkSession, sfDir: String, outRoot: String,
+      names: Seq[String]): Map[String, Long] = {
+    if (names.isEmpty) return Map.empty
+    val byName = models.map(m => m.name -> m).toMap
+    names.foreach(n => require(byName.contains(n), s"unknown model $n"))
+    val selected = scala.collection.mutable.LinkedHashSet[String]()
+    def close(n: String): Unit = if (!selected.contains(n)) {
+      byName(n).deps.foreach(close)
+      selected += n
+    }
+    names.foreach(close)
+    runModels(spark, sfDir, outRoot, models.filter(m => selected.contains(m.name)))
+  }
+
+  private def runModels(spark: SparkSession, sfDir: String, outRoot: String,
+      ms: Seq[Model]): Map[String, Long] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val ordered = topoOrder(models)
+    val ordered = topoOrder(ms)
     val done = scala.collection.concurrent.TrieMap[String, Future[DataFrame]]()
     ordered.foreach { m =>
       val depFutures = m.deps.map(d => done(d))
