@@ -63,6 +63,9 @@ object SparkEntry {
     "q_ingest_manifest" -> (graft.sources.Ingest.manifest _),
     // scheduler cadence: trigger catalog → owed run expansion
     "q_schedule_due" -> ((s: SparkSession, _: String) => Scheduler.dueRuns(s)),
+    // in-engine trained quality classifier (fixed-point batch GD —
+    // the training loop itself is hash-gated, unrolled in the oracle)
+    "q_quality_classifier" -> (graft.functions.QualityModel.trainAndScore _),
     "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
     "q_stream_dedup" -> (graft.streaming.EventsStream.streamDedupQuery _),
     "q_stream_join" -> (graft.streaming.EventsStream.runStreamStreamJoin(_, _)),
@@ -303,6 +306,7 @@ object SparkEntry {
     "q_media_features" -> Multimodal.mediaFeaturesSql,
     "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,
     "q_schedule_due" -> Scheduler.dueRunsSql(),
+    "q_quality_classifier" -> graft.functions.QualityModel.trainAndScoreSql,
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
     "q_stream_dedup" -> graft.streaming.EventsStream.streamDedupSql,
     "q_stream_join" -> graft.streaming.EventsStream.attributionSql,

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Trainable document-quality classifier — the learned counterpart of
+  * [[TextAnalysis.qualityScore]]'s hand-set heuristic: a linear
+  * classifier over hashed bag-of-token counts (the fastText/CCNet
+  * quality-filter shape), trained IN the engine with full-batch
+  * gradient descent.
+  *
+  * Training arithmetic is fixed-point ("micro" = 1e-6 units) with a
+  * hard sigmoid σ̂(z) = clamp(z/4 + ½, 0, 1) — the quantized-training
+  * formulation: weights, scores, residuals, and gradient sums are all
+  * exact integers, so the entire T-round optimization is
+  * order-independent, bit-reproducible, and DuckDB-oracle-gateable
+  * (the same discipline as the k-means/ANN quantized gates, applied to
+  * the TRAINING loop itself, unrolled to T CTE rounds in the oracle).
+  *
+  * Distributed shape (the k-means control pattern): features are
+  * corpus-sized and stay put — built once, localCheckpoint-pinned,
+  * re-joined each round; the MODEL (D+1 weights) is the only thing
+  * that moves, broadcast out per round and collected back as the D+1
+  * gradient rows. Per round: one broadcast-join + doc-keyed partial
+  * agg for scores, one feature-keyed partial agg for the gradient —
+  * two map-side-combined shuffles of bounded width, zero corpus-sized
+  * driver traffic. At 100 TB the same loop holds: rounds cost
+  * O(|corpus features|) map work and |model|-sized exchanges.
+  *
+  * Supervision is a deterministic weak label (count("row") >
+  * count("key")) — separable by construction on the synthetic corpus,
+  * so the gate proves the LEARNING MACHINERY (accuracy rises from the
+  * ~0.56 majority baseline to ~0.95; total |residual| falls) rather
+  * than a modeling claim. A real pipeline swaps in curated labels; the
+  * plumbing is identical.
+  *
+  * Feature hashing is md5-prefix mod D (the [[TextAnalysis.fingerprint]]
+  * cross-engine discipline); bucket −1 carries the bias (x = 1 on
+  * every doc), so one update rule covers all D+1 parameters.
+  */
+object QualityModel {
+
+  val Dim = 512
+  val Iters = 8
+  val LrDen = 16 // step = floor(gradient / (LrDen · n))
+  private val Micro = 1000000L
+
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private def hashBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % Dim
+
+  /** (doc_id, j, x): hashed token counts + the j = −1 bias feature. */
+  private def features(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode($"t").as("tok"))
+      .select($"doc_id", hashBucket($"tok").as("j"))
+      .groupBy($"doc_id", $"j").agg(count(lit(1)).as("x"))
+      .unionByName(docs.select($"doc_id", lit(-1L).as("j"), lit(1L).as("x")))
+  }
+
+  /** Hard-sigmoid score in micro units from a raw margin; floor keeps
+    * the integer image identical in both engines (CAST would round). */
+  private def sMicro(z: Column): Column =
+    least(greatest(floor(z / 4.0).cast("long") + Micro / 2, lit(0L)),
+      lit(Micro))
+
+  /** Train T rounds and score the corpus: (doc_id, label,
+    * score_micro, predicted) — exact integers, hash-gated. */
+  def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+    val labeled = docs.select($"doc_id",
+      (size(filter($"t", tk => tk === "row")) >
+        size(filter($"t", tk => tk === "key"))).cast("long").as("y"))
+    // pinned, not cached: 8 rounds × 2 consumers re-read these
+    val feat = features(docs).localCheckpoint(true)
+    val lab = labeled.localCheckpoint(true)
+    val n = lab.count() // control-plane scalar (the lr normalizer)
+
+    // model state lives on the driver: D+1 longs (the k-means shape)
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    def scores(wm: Map[Long, Long]): DataFrame = {
+      val wDf = wm.toSeq.toDF("j", "w")
+      val joined =
+        if (wm.isEmpty) feat.withColumn("w", lit(0L))
+        else feat.join(broadcast(wDf), Seq("j"), "left")
+          .withColumn("w", coalesce($"w", lit(0L)))
+      joined.groupBy($"doc_id").agg(sum($"x" * $"w").as("z"))
+        .join(lab, "doc_id")
+        .select($"doc_id", $"y", sMicro($"z").as("s"),
+          (sMicro($"z") - $"y" * Micro).as("r"))
+    }
+    for (_ <- 1 to Iters) {
+      val grad = feat.join(scores(w).select($"doc_id", $"r"), "doc_id")
+        .groupBy($"j").agg(sum($"x" * $"r").as("g"))
+        .collect() // D+1 rows — the model-sized exchange
+      w = grad.foldLeft(w) { (acc, row) =>
+        val j = row.getLong(0)
+        acc.updated(j, acc(j) - Math.floorDiv(row.getLong(1), LrDen * n))
+      }
+    }
+    scores(w)
+      .select($"doc_id", $"y".as("label"), $"s".as("score_micro"),
+        ($"s" >= Micro / 2).as("predicted"))
+      .orderBy($"doc_id")
+  }
+
+  /** The full T-round optimization unrolled into CTE rounds — an
+    * independent re-derivation of the same exact integers. */
+  val trainAndScoreSql: String = {
+    val prelude =
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |lab AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(t, tk -> tk = 'row'))
+         |              > len(list_filter(t, tk -> tk = 'key')) AS BIGINT) AS y
+         |  FROM docs),
+         |n AS (SELECT COUNT(*) AS n FROM docs),
+         |feat AS (
+         |  SELECT doc_id, j, COUNT(*) AS x FROM (
+         |    SELECT doc_id,
+         |           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $Dim AS j
+         |    FROM (SELECT doc_id, unnest(t) AS tok FROM docs))
+         |  GROUP BY doc_id, j
+         |  UNION ALL SELECT doc_id, -1, 1 FROM docs),
+         |w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feat)""".stripMargin
+    val rounds = (1 to Iters).map { t =>
+      val (wp, z, r, g, wn) = (s"w${t - 1}", s"z$t", s"r$t", s"g$t", s"w$t")
+      s"""$z AS (
+         |  SELECT f.doc_id, SUM(f.x * $wp.w) AS z
+         |  FROM feat f JOIN $wp ON f.j = $wp.j GROUP BY f.doc_id),
+         |$r AS (
+         |  SELECT l.doc_id,
+         |         least(greatest(CAST(floor(z.z / 4.0) AS BIGINT)
+         |           + ${Micro / 2}, 0), $Micro) - l.y * $Micro AS r
+         |  FROM $z z JOIN lab l ON z.doc_id = l.doc_id),
+         |$g AS (
+         |  SELECT f.j, SUM(f.x * r.r) AS g
+         |  FROM feat f JOIN $r r ON f.doc_id = r.doc_id GROUP BY f.j),
+         |$wn AS (
+         |  SELECT $wp.j,
+         |         $wp.w - CAST(floor(COALESCE(g.g, 0)
+         |                 / ($LrDen.0 * n.n)) AS BIGINT) AS w
+         |  FROM $wp LEFT JOIN $g g ON $wp.j = g.j CROSS JOIN n)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val serve =
+      s"""zf AS (
+         |  SELECT f.doc_id, SUM(f.x * w$Iters.w) AS z
+         |  FROM feat f JOIN w$Iters ON f.j = w$Iters.j GROUP BY f.doc_id)
+         |SELECT z.doc_id, l.y AS label,
+         |       least(greatest(CAST(floor(z.z / 4.0) AS BIGINT)
+         |         + ${Micro / 2}, 0), $Micro) AS score_micro,
+         |       least(greatest(CAST(floor(z.z / 4.0) AS BIGINT)
+         |         + ${Micro / 2}, 0), $Micro) >= ${Micro / 2} AS predicted
+         |FROM zf z JOIN lab l ON z.doc_id = l.doc_id
+         |ORDER BY z.doc_id""".stripMargin
+    s"$prelude$rounds,\n$serve"
+  }
+}
