@@ -66,6 +66,7 @@ object SparkEntry {
     // in-engine trained quality classifier (fixed-point batch GD —
     // the training loop itself is hash-gated, unrolled in the oracle)
     "q_quality_classifier" -> (graft.functions.QualityModel.trainAndScore _),
+    "q_classifier_eval" -> ((s: SparkSession, d: String) => graft.functions.QualityModel.evalHoldout(s, d)),
     "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
     "q_stream_dedup" -> (graft.streaming.EventsStream.streamDedupQuery _),
     "q_stream_join" -> (graft.streaming.EventsStream.runStreamStreamJoin(_, _)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "q_ingest_manifest" -> graft.sources.Ingest.manifestSql,
     "q_schedule_due" -> Scheduler.dueRunsSql(),
     "q_quality_classifier" -> graft.functions.QualityModel.trainAndScoreSql,
+    "q_classifier_eval" -> graft.functions.QualityModel.evalHoldoutSql(),
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
     "q_stream_dedup" -> graft.streaming.EventsStream.streamDedupSql,
     "q_stream_join" -> graft.streaming.EventsStream.attributionSql,

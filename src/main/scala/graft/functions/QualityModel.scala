@@ -66,9 +66,9 @@ object QualityModel {
     least(greatest(floor(z / 4.0).cast("long") + Micro / 2, lit(0L)),
       lit(Micro))
 
-  /** Train T rounds and score the corpus: (doc_id, label,
-    * score_micro, predicted) — exact integers, hash-gated. */
-  def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, y) + pinned feature/label frames for a corpus. */
+  private def prepare(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", toks($"text").as("t"))
@@ -76,25 +76,33 @@ object QualityModel {
       (size(filter($"t", tk => tk === "row")) >
         size(filter($"t", tk => tk === "key"))).cast("long").as("y"))
     // pinned, not cached: 8 rounds × 2 consumers re-read these
-    val feat = features(docs).localCheckpoint(true)
-    val lab = labeled.localCheckpoint(true)
-    val n = lab.count() // control-plane scalar (the lr normalizer)
+    (features(docs).localCheckpoint(true), labeled.localCheckpoint(true))
+  }
 
-    // model state lives on the driver: D+1 longs (the k-means shape)
+  /** (doc_id, y, s, r) under weight map `wm` over `feat`⋈`lab`. */
+  private def scoresWith(wm: Map[Long, Long], feat: DataFrame,
+      lab: DataFrame): DataFrame = {
+    import feat.sparkSession.implicits._
+    val joined =
+      if (wm.isEmpty) feat.withColumn("w", lit(0L))
+      else feat.join(broadcast(wm.toSeq.toDF("j", "w")), Seq("j"), "left")
+        .withColumn("w", coalesce($"w", lit(0L)))
+    joined.groupBy($"doc_id").agg(sum($"x" * $"w").as("z"))
+      .join(lab, "doc_id")
+      .select($"doc_id", $"y", sMicro($"z").as("s"),
+        (sMicro($"z") - $"y" * Micro).as("r"))
+  }
+
+  /** T rounds of fixed-point batch GD over the given (already
+    * train-filtered) feature/label frames. Model state lives on the
+    * driver: D+1 longs (the k-means control shape). */
+  private def fit(feat: DataFrame, lab: DataFrame): Map[Long, Long] = {
+    import feat.sparkSession.implicits._
+    val n = lab.count() // control-plane scalar (the lr normalizer)
     var w = Map.empty[Long, Long].withDefaultValue(0L)
-    def scores(wm: Map[Long, Long]): DataFrame = {
-      val wDf = wm.toSeq.toDF("j", "w")
-      val joined =
-        if (wm.isEmpty) feat.withColumn("w", lit(0L))
-        else feat.join(broadcast(wDf), Seq("j"), "left")
-          .withColumn("w", coalesce($"w", lit(0L)))
-      joined.groupBy($"doc_id").agg(sum($"x" * $"w").as("z"))
-        .join(lab, "doc_id")
-        .select($"doc_id", $"y", sMicro($"z").as("s"),
-          (sMicro($"z") - $"y" * Micro).as("r"))
-    }
     for (_ <- 1 to Iters) {
-      val grad = feat.join(scores(w).select($"doc_id", $"r"), "doc_id")
+      val grad = feat
+        .join(scoresWith(w, feat, lab).select($"doc_id", $"r"), "doc_id")
         .groupBy($"j").agg(sum($"x" * $"r").as("g"))
         .collect() // D+1 rows — the model-sized exchange
       w = grad.foldLeft(w) { (acc, row) =>
@@ -102,63 +110,155 @@ object QualityModel {
         acc.updated(j, acc(j) - Math.floorDiv(row.getLong(1), LrDen * n))
       }
     }
-    scores(w)
+    w
+  }
+
+  /** Train T rounds and score the corpus: (doc_id, label,
+    * score_micro, predicted) — exact integers, hash-gated. */
+  def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (feat, lab) = prepare(spark, sfDir)
+    scoresWith(fit(feat, lab), feat, lab)
       .select($"doc_id", $"y".as("label"), $"s".as("score_micro"),
         ($"s" >= Micro / 2).as("predicted"))
       .orderBy($"doc_id")
   }
 
-  /** The full T-round optimization unrolled into CTE rounds — an
-    * independent re-derivation of the same exact integers. */
-  val trainAndScoreSql: String = {
-    val prelude =
-      s"""WITH docs AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-         |  FROM documents),
-         |lab AS (
-         |  SELECT doc_id,
-         |         CAST(len(list_filter(t, tk -> tk = 'row'))
-         |              > len(list_filter(t, tk -> tk = 'key')) AS BIGINT) AS y
-         |  FROM docs),
-         |n AS (SELECT COUNT(*) AS n FROM docs),
-         |feat AS (
-         |  SELECT doc_id, j, COUNT(*) AS x FROM (
-         |    SELECT doc_id,
-         |           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $Dim AS j
-         |    FROM (SELECT doc_id, unnest(t) AS tok FROM docs))
-         |  GROUP BY doc_id, j
-         |  UNION ALL SELECT doc_id, -1, 1 FROM docs),
-         |w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feat)""".stripMargin
-    val rounds = (1 to Iters).map { t =>
+  /** Honest held-out evaluation: fit on the deterministic hash-split
+    * train share ([[Sampling.splitAssign]] — the SAME assignment the
+    * split/leakage gates use), score the held-out share, and report
+    * the confusion matrix with exact integer precision / recall / F1
+    * (micro units, floor division — identical in both engines). One
+    * row; generalization, not memorization, is what's measured. */
+  def evalHoldout(spark: SparkSession, sfDir: String, testPct: Int = 30,
+      salt: String = "split_v1"): DataFrame = {
+    import spark.implicits._
+    val (feat, lab) = prepare(spark, sfDir)
+    val sp = lab.select($"doc_id",
+      Sampling.splitAssign($"doc_id", 0, testPct, salt).as("split"))
+    def side(s: String) = sp.filter($"split" === s).select($"doc_id")
+    val w = fit(feat.join(side("train"), "doc_id"),
+      lab.join(side("train"), "doc_id"))
+    val test = scoresWith(w, feat.join(side("test"), "doc_id"),
+      lab.join(side("test"), "doc_id"))
+    val pred = ($"s" >= Micro / 2).cast("long")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, floor(num * Micro / den.cast("double")).cast("long"))
+        .otherwise(0L)
+    test
+      .select($"y", pred.as("p"))
+      .agg(sum(($"p" * $"y")).as("tp"),
+        sum($"p" * (lit(1L) - $"y")).as("fp"),
+        sum((lit(1L) - $"p") * $"y").as("fn"),
+        sum((lit(1L) - $"p") * (lit(1L) - $"y")).as("tn"))
+      .select($"tp", $"fp", $"fn", $"tn",
+        ratio($"tp", $"tp" + $"fp").as("precision_micro"),
+        ratio($"tp", $"tp" + $"fn").as("recall_micro"),
+        ratio($"tp" * 2, $"tp" * 2 + $"fp" + $"fn").as("f1_micro"))
+  }
+
+  /** Shared oracle prelude: docs, labels, hashed features, zero
+    * weights. The feature space (`w0`) always spans ALL docs so served
+    * docs score under the full weight vector (unseen features stay 0,
+    * matching the Scala default-0 map). */
+  private def preludeSql: String =
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(t, tk -> tk = 'row'))
+       |              > len(list_filter(t, tk -> tk = 'key')) AS BIGINT) AS y
+       |  FROM docs),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, j, COUNT(*) AS x FROM (
+       |    SELECT doc_id,
+       |           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $Dim AS j
+       |    FROM (SELECT doc_id, unnest(t) AS tok FROM docs))
+       |  GROUP BY doc_id, j
+       |  UNION ALL SELECT doc_id, -1, 1 FROM docs),
+       |w0 AS MATERIALIZED (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feat)""".stripMargin
+
+  /** T unrolled GD rounds reading training features from `featName`
+    * (docs absent from it contribute nothing to any gradient). */
+  private def roundsSql(featName: String): String =
+    (1 to Iters).map { t =>
       val (wp, z, r, g, wn) = (s"w${t - 1}", s"z$t", s"r$t", s"g$t", s"w$t")
-      s"""$z AS (
+      s"""$z AS MATERIALIZED (
          |  SELECT f.doc_id, SUM(f.x * $wp.w) AS z
-         |  FROM feat f JOIN $wp ON f.j = $wp.j GROUP BY f.doc_id),
-         |$r AS (
+         |  FROM $featName f JOIN $wp ON f.j = $wp.j GROUP BY f.doc_id),
+         |$r AS MATERIALIZED (
          |  SELECT l.doc_id,
          |         least(greatest(CAST(floor(z.z / 4.0) AS BIGINT)
          |           + ${Micro / 2}, 0), $Micro) - l.y * $Micro AS r
          |  FROM $z z JOIN lab l ON z.doc_id = l.doc_id),
-         |$g AS (
+         |$g AS MATERIALIZED (
          |  SELECT f.j, SUM(f.x * r.r) AS g
-         |  FROM feat f JOIN $r r ON f.doc_id = r.doc_id GROUP BY f.j),
-         |$wn AS (
+         |  FROM $featName f JOIN $r r ON f.doc_id = r.doc_id GROUP BY f.j),
+         |$wn AS MATERIALIZED (
          |  SELECT $wp.j,
          |         $wp.w - CAST(floor(COALESCE(g.g, 0)
          |                 / ($LrDen.0 * n.n)) AS BIGINT) AS w
          |  FROM $wp LEFT JOIN $g g ON $wp.j = g.j CROSS JOIN n)""".stripMargin
-    }.mkString(",\n", ",\n", "")
+    }.mkString(",\n")
+
+  private def sMicroSql(zExpr: String): String =
+    s"least(greatest(CAST(floor($zExpr / 4.0) AS BIGINT) + ${Micro / 2}, 0), $Micro)"
+
+  /** The full T-round optimization unrolled into CTE rounds — an
+    * independent re-derivation of the same exact integers. */
+  val trainAndScoreSql: String = {
     val serve =
-      s"""zf AS (
+      s"""zf AS MATERIALIZED (
          |  SELECT f.doc_id, SUM(f.x * w$Iters.w) AS z
          |  FROM feat f JOIN w$Iters ON f.j = w$Iters.j GROUP BY f.doc_id)
          |SELECT z.doc_id, l.y AS label,
-         |       least(greatest(CAST(floor(z.z / 4.0) AS BIGINT)
-         |         + ${Micro / 2}, 0), $Micro) AS score_micro,
-         |       least(greatest(CAST(floor(z.z / 4.0) AS BIGINT)
-         |         + ${Micro / 2}, 0), $Micro) >= ${Micro / 2} AS predicted
+         |       ${sMicroSql("z.z")} AS score_micro,
+         |       ${sMicroSql("z.z")} >= ${Micro / 2} AS predicted
          |FROM zf z JOIN lab l ON z.doc_id = l.doc_id
          |ORDER BY z.doc_id""".stripMargin
-    s"$prelude$rounds,\n$serve"
+    s"""$preludeSql,
+       |n AS (SELECT COUNT(*) AS n FROM docs),
+       |${roundsSql("feat")},
+       |$serve""".stripMargin
+  }
+
+  /** Oracle twin of [[evalHoldout]]: same split hash, train-only
+    * gradients, held-out confusion + integer metrics. */
+  def evalHoldoutSql(testPct: Int = 30, salt: String = "split_v1"): String = {
+    val split = Sampling.splitAssignSql("doc_id", 0, testPct, salt)
+    val serve =
+      s"""zf AS MATERIALIZED (
+         |  SELECT f.doc_id, SUM(f.x * w$Iters.w) AS z
+         |  FROM feat f JOIN sp ON f.doc_id = sp.doc_id
+         |  JOIN w$Iters ON f.j = w$Iters.j
+         |  WHERE sp.split = 'test' GROUP BY f.doc_id),
+         |conf AS MATERIALIZED (
+         |  SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
+         |         CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+         |         CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
+         |         CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn
+         |  FROM (SELECT l.y,
+         |               CAST(${sMicroSql("z.z")} >= ${Micro / 2} AS BIGINT) AS p
+         |        FROM zf z JOIN lab l ON z.doc_id = l.doc_id))
+         |SELECT tp, fp, fn, tn,
+         |       CASE WHEN tp + fp > 0
+         |            THEN CAST(floor(tp * $Micro / CAST(tp + fp AS DOUBLE)) AS BIGINT)
+         |            ELSE 0 END AS precision_micro,
+         |       CASE WHEN tp + fn > 0
+         |            THEN CAST(floor(tp * $Micro / CAST(tp + fn AS DOUBLE)) AS BIGINT)
+         |            ELSE 0 END AS recall_micro,
+         |       CASE WHEN 2 * tp + fp + fn > 0
+         |            THEN CAST(floor(2 * tp * $Micro
+         |                 / CAST(2 * tp + fp + fn AS DOUBLE)) AS BIGINT)
+         |            ELSE 0 END AS f1_micro
+         |FROM conf""".stripMargin
+    s"""$preludeSql,
+       |sp AS MATERIALIZED (SELECT doc_id, $split AS split FROM docs),
+       |n AS (SELECT COUNT(*) AS n FROM sp WHERE split = 'train'),
+       |tfeat AS MATERIALIZED (SELECT f.* FROM feat f
+       |          JOIN sp ON f.doc_id = sp.doc_id WHERE sp.split = 'train'),
+       |${roundsSql("tfeat")},
+       |$serve""".stripMargin
   }
 }

@@ -78,6 +78,29 @@ class QualityModelSpec extends SparkSuite {
     }
   }
 
+  test("held-out eval: confusion partitions the test split; metrics consistent") {
+    val r = QualityModel.evalHoldout(spark, sfDir).collect().head
+    val Seq(tp, fp, fn, tn, prec, rec, f1) = (0 to 6).map(r.getLong)
+    // the split itself, recomputed independently
+    val test = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        graft.functions.Sampling.splitAssign($"doc_id", 0, 30, "split_v1")
+          .as("split"),
+        (size(filter(split(trim(lower($"text")), "\\s+"), t => t === "row")) >
+          size(filter(split(trim(lower($"text")), "\\s+"), t => t === "key")))
+          .cast("long").as("y"))
+      .filter($"split" === "test")
+    assert(tp + fp + fn + tn == test.count())
+    assert(tp + fn == test.agg(sum($"y")).collect().head.getLong(0),
+      "actual positives partition into tp + fn")
+    if (tp + fp > 0) assert(prec == tp * 1000000L / (tp + fp))
+    if (tp + fn > 0) assert(rec == tp * 1000000L / (tp + fn))
+    assert(f1 >= math.min(prec, rec) && f1 <= math.max(prec, rec),
+      "F1 is the harmonic mean — between precision and recall")
+    // generalization: the held-out F1 clears a floor far above chance
+    assert(f1 >= 700000L, s"held-out f1_micro $f1")
+  }
+
   test("scores are valid probabilities in micro units; decisions match scores") {
     scored.foreach { r =>
       val s = r.getLong(2)
