@@ -130,6 +130,8 @@ object Bench {
         time { operators.GoldStage.fact(spark, sfDir).count(); () }
       results("bench_basket_stage_build") =
         time(operators.BasketStage.prebuild(spark, sfDir))
+      results("bench_model_stage_build") =
+        time(graft.functions.QualityModel.prebuild(spark, sfDir))
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

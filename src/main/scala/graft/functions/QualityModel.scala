@@ -113,12 +113,36 @@ object QualityModel {
     w
   }
 
+  /** The trained model as a staged artifact (dbt-table semantics: fit
+    * once per process + corpus, every consumer serves from it — what a
+    * real pipeline does with a trained filter). The 513-row weight
+    * table round-trips through parquet and back to a driver map; the
+    * fit itself is deterministic, so the artifact is too. */
+  private def weightsMap(spark: SparkSession, sfDir: String,
+      variant: String, feat: => DataFrame,
+      lab: => DataFrame): Map[Long, Long] = {
+    import spark.implicits._
+    Staged.materialize(s"qm_weights_${variant}_${Staged.sfKey(sfDir)}",
+      spark)(fit(feat, lab).toSeq.toDF("j", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+  }
+
+  /** Force-fit both model variants (Bench times the shared train cost
+    * once, explicitly — the [[graft.operators.BasketStage.prebuild]]
+    * convention). */
+  def prebuild(spark: SparkSession, sfDir: String): Unit = {
+    trainAndScore(spark, sfDir).count()
+    evalHoldout(spark, sfDir).count()
+    ()
+  }
+
   /** Train T rounds and score the corpus: (doc_id, label,
     * score_micro, predicted) — exact integers, hash-gated. */
   def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (feat, lab) = prepare(spark, sfDir)
-    scoresWith(fit(feat, lab), feat, lab)
+    scoresWith(weightsMap(spark, sfDir, "full", feat, lab), feat, lab)
       .select($"doc_id", $"y".as("label"), $"s".as("score_micro"),
         ($"s" >= Micro / 2).as("predicted"))
       .orderBy($"doc_id")
@@ -137,7 +161,8 @@ object QualityModel {
     val sp = lab.select($"doc_id",
       Sampling.splitAssign($"doc_id", 0, testPct, salt).as("split"))
     def side(s: String) = sp.filter($"split" === s).select($"doc_id")
-    val w = fit(feat.join(side("train"), "doc_id"),
+    val w = weightsMap(spark, sfDir, s"train$testPct$salt",
+      feat.join(side("train"), "doc_id"),
       lab.join(side("train"), "doc_id"))
     val test = scoresWith(w, feat.join(side("test"), "doc_id"),
       lab.join(side("test"), "doc_id"))
