@@ -66,17 +66,21 @@ object QualityModel {
     least(greatest(floor(z / 4.0).cast("long") + Micro / 2, lit(0L)),
       lit(Micro))
 
-  /** (doc_id, y) + pinned feature/label frames for a corpus. */
+  /** Staged feature/label artifacts for a corpus — the tokenize +
+    * hash + count pass runs once per process and BOTH model variants
+    * (full fit, held-out fit) and all 8×2 GD rounds read the parquet. */
   private def prepare(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
+    def docs = Tables.documents(spark, sfDir)
       .select($"doc_id", toks($"text").as("t"))
-    val labeled = docs.select($"doc_id",
-      (size(filter($"t", tk => tk === "row")) >
-        size(filter($"t", tk => tk === "key"))).cast("long").as("y"))
-    // pinned, not cached: 8 rounds × 2 consumers re-read these
-    (features(docs).localCheckpoint(true), labeled.localCheckpoint(true))
+    val feat = Staged.materialize(
+      s"qm_feat_${Staged.sfKey(sfDir)}", spark)(features(docs))
+    val lab = Staged.materialize(s"qm_lab_${Staged.sfKey(sfDir)}", spark)(
+      docs.select($"doc_id",
+        (size(filter($"t", tk => tk === "row")) >
+          size(filter($"t", tk => tk === "key"))).cast("long").as("y")))
+    (feat, lab)
   }
 
   /** (doc_id, y, s, r) under weight map `wm` over `feat`⋈`lab`. */
@@ -95,22 +99,60 @@ object QualityModel {
 
   /** T rounds of fixed-point batch GD over the given (already
     * train-filtered) feature/label frames. Model state lives on the
-    * driver: D+1 longs (the k-means control shape). */
+    * driver: D+1 longs (the k-means control shape).
+    *
+    * Round shape: ONE scan of the label-carrying feature rows —
+    * broadcast-join the weights, window-sum the margin per doc (the
+    * same hash shuffle a groupBy would pay, but the per-row x·r
+    * gradient term falls out without a second feature join/scan), then
+    * the D+1-wide gradient aggregate. Two bounded exchanges per round. */
   private def fit(feat: DataFrame, lab: DataFrame): Map[Long, Long] = {
-    import feat.sparkSession.implicits._
-    val n = lab.count() // control-plane scalar (the lr normalizer)
-    var w = Map.empty[Long, Long].withDefaultValue(0L)
-    for (_ <- 1 to Iters) {
-      val grad = feat
-        .join(scoresWith(w, feat, lab).select($"doc_id", $"r"), "doc_id")
-        .groupBy($"j").agg(sum($"x" * $"r").as("g"))
-        .collect() // D+1 rows — the model-sized exchange
-      w = grad.foldLeft(w) { (acc, row) =>
-        val j = row.getLong(0)
-        acc.updated(j, acc(j) - Math.floorDiv(row.getLong(1), LrDen * n))
-      }
+    val spark = feat.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // GD rounds shuffle D+1-bounded aggregates of a modest feature
+    // table — 32-way rounds are pure task overhead at gate scale, so
+    // scope the loop to a few partitions (the pageRankQuery pattern);
+    // at real corpus scale the session default applies upstream where
+    // the feature build runs
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // each round is a fixed 2-exchange plan over a cached table: AQE's
+    // per-stage re-planning only adds scheduling latency × 8 rounds
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = lab.count() // control-plane scalar (the lr normalizer)
+      // label lands on every feature row once; the round loop then
+      // never touches a second table. Memory-pinned: 16 round scans
+      // read columnar cache, not parquet
+      val featY = feat.join(lab, "doc_id").cache()
+      featY.count()
+      try {
+        var w = Map.empty[Long, Long].withDefaultValue(0L)
+        val byDoc = Window.partitionBy($"doc_id")
+        for (_ <- 1 to Iters) {
+          val wDf = broadcast(w.toSeq.toDF("j", "w"))
+          val joined =
+            if (w.isEmpty) featY.withColumn("w", lit(0L))
+            else featY.join(wDf, Seq("j"), "left")
+              .withColumn("w", coalesce($"w", lit(0L)))
+          val grad = joined
+            .withColumn("z", sum($"x" * $"w").over(byDoc))
+            .withColumn("r", sMicro($"z") - $"y" * Micro)
+            .groupBy($"j").agg(sum($"x" * $"r").as("g"))
+            .collect() // D+1 rows — the model-sized exchange
+          w = grad.foldLeft(w) { (acc, row) =>
+            val j = row.getLong(0)
+            acc.updated(j, acc(j) - Math.floorDiv(row.getLong(1), LrDen * n))
+          }
+        }
+        w
+      } finally { featY.unpersist(); () }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    w
   }
 
   /** The trained model as a staged artifact (dbt-table semantics: fit
