@@ -100,12 +100,15 @@ object Scheduler {
         coalesce(unix_timestamp(to_timestamp($"last_run")),
           unix_timestamp(to_timestamp($"anchor")) - 1).as("lb_e"),
         unix_timestamp(to_timestamp(lit(now))).as("now_e"))
-    // first owed tick strictly after the last run; last owed tick at
-    // or before now. Double division then floor: both engines round
-    // identically (exact IEEE doubles at epoch magnitude)
+    // first owed tick strictly after the last run — clamped to the
+    // anchor (k = 0): a last_run recorded BEFORE the anchor must not
+    // manufacture pre-anchor ticks. Last owed tick at or before now.
+    // Double division then floor: both engines round identically
+    // (exact IEEE doubles at epoch magnitude)
     val ks = base
-      .withColumn("k0",
-        floor(($"lb_e" - $"a_e") / $"p_e".cast("double")).cast("long") + 1)
+      .withColumn("k0", greatest(
+        floor(($"lb_e" - $"a_e") / $"p_e".cast("double")).cast("long") + 1,
+        lit(0L)))
       .withColumn("kmax",
         floor(($"now_e" - $"a_e") / $"p_e".cast("double")).cast("long"))
       .filter($"kmax" >= $"k0")
@@ -138,8 +141,10 @@ object Scheduler {
        |  FROM trig WHERE enabled),
        |ks AS (
        |  SELECT pipeline, policy, p_e, a_e,
-       |         CAST(floor((lb_e - a_e) / CAST(p_e AS DOUBLE)) AS BIGINT)
-       |           + 1 AS k0,
+       |         -- clamped to the anchor tick: a pre-anchor last_run
+       |         -- must not manufacture negative-k runs
+       |         greatest(CAST(floor((lb_e - a_e) / CAST(p_e AS DOUBLE))
+       |           AS BIGINT) + 1, 0) AS k0,
        |         CAST(floor((now_e - a_e) / CAST(p_e AS DOUBLE)) AS BIGINT)
        |           AS kmax
        |  FROM base),
