@@ -144,15 +144,19 @@ object Dedup {
     // immune to that AND is shared with the MinHash/cluster queries
     val docs = DedupStage.shingleDocs(spark, sfDir)
     val sh = docs.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
-    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
     // candidate join on the shingle HASH, not the string: smaller
     // shuffle rows and long-compare joins. A hash collision can only
     // ADD candidates (still a superset of true pairs); the exact
     // verification below filters them, so correctness is unaffected.
     // CACHED + pinned: both sides of the candidate self-join read this —
-    // uncached, the dfreq aggregation + window would run twice
-    val prefix = sh.join(dfreq, "shingle")
+    // uncached, the doc-frequency window would run twice.
+    // Doc frequency as a WINDOW count over the shingle key, not a
+    // groupBy + join-back: the join formulation shuffles the exploded
+    // corpus-sized sh frame twice (agg input + join probe); the window
+    // pays one shingle-keyed shuffle before the doc-keyed rank shuffle
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(minJac) * $"n") + 1)
       .select($"doc_id", xxhash64($"shingle").as("sh_h"))
@@ -296,13 +300,18 @@ object Dedup {
       .toDF("doc_id", "band_idx", "band_hash")
       .cache()
     banded.count() // eager pin: concurrent stages must not race the cache
-    // skew guard (optional, lossy — see scaladoc): drop pathological
-    // buckets before the self-join
-    val bucketSizes = banded.groupBy($"band_idx", $"band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
+    // singleton-bucket prune + skew guard (optional, lossy — see
+    // scaladoc) as ONE window count over the bucket key: the former
+    // groupBy-then-join formulation shuffled the corpus-sized banded
+    // frame TWICE (once into the agg, once into the join); the window
+    // pays a single bucket-keyed shuffle and filters in place
+    val active = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_idx", $"band_hash")))
       .filter($"bucket_n" > 1 &&
         bucketCap.map(c => $"bucket_n" <= c).getOrElse(lit(true)))
-    val active = banded.join(bucketSizes, Seq("band_idx", "band_hash"))
+      .drop("bucket_n")
     val candidates = active.as("a").join(active.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -342,12 +351,30 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String, minJac: Double = 0.9): DataFrame =
     dupClustersFromPairs(DedupStage.pairs(spark, sfDir, minJac))
 
+  /** Below this many mined pair rows, connected components run as ONE
+    * driver-side union-find over the collected pair list instead of the
+    * iterative distributed label propagation — the same small-regime
+    * switch discipline as [[graft.operators.Graph.BfsBroadcastRowLimit]]
+    * and PageRank's co-keyed regime. The pair list is
+    * collision-bounded (≈ one row per duplicated document, NOT corpus-
+    * sized), so at gate scale it is a few thousand rows while the
+    * distributed loop still pays 4–6 Spark jobs per propagation round;
+    * past the bound (a high-dup-rate 100 TB corpus mines millions of
+    * pairs) the O(log diameter) label-propagation loop takes over.
+    * Both regimes compute identical components — asserted in
+    * ChainClusterSpec. Var so specs can force either regime. */
+  private[graft] var ClusterLocalPairLimit: Long = 200000L
+
   /** Label propagation over an already-computed pairs frame — the
     * downstream half of [[dupClusters]], consuming the staged artifact. */
   private[graft] def dupClustersFromPairs(pairsIn: DataFrame): DataFrame = {
     val spark = pairsIn.sparkSession
     import spark.implicits._
     val pairs = pairsIn.select($"doc_a", $"doc_b")
+    // regime pick: the count is one cheap aggregate over the staged
+    // artifact (the same frame every regime reads anyway)
+    if (pairs.count() <= ClusterLocalPairLimit)
+      return dupClustersLocal(pairs)
     // undirected edges, both directions
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
@@ -398,6 +425,40 @@ object Dedup {
     edges.unpersist()
     labels.select($"doc_id", $"label".as("cluster_keeper"))
       .orderBy($"doc_id")
+  }
+
+  /** Small-regime component solver: path-halving union-find over the
+    * collected pair list (≤ [[ClusterLocalPairLimit]] rows by the
+    * caller's count check). Union-by-minimum keeps the invariant the
+    * distributed fixpoint also reaches — every node labeled with its
+    * component's minimum doc_id — so the two regimes are value-equal,
+    * not just cluster-equal. */
+  private def dupClustersLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp; x = gp; p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union by minimum: the root IS the keeper
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      } else ()
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      union(a, b)
+    }
+    val rows = parent.keysIterator.map(id => (id, find(id))).toSeq
+    rows.toDF("doc_id", "cluster_keeper").orderBy($"doc_id")
   }
 
   def dupClustersSql(minJac: Double = 0.9): String =
