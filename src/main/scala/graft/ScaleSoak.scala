@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak main (NOT part of the driver contract): replicates the
+  * base tables ×m into a temp dir and runs a representative slice of
+  * the registered queries through their real public entry points, so
+  * the library's scaling SLOPE is measured instead of asserted.
+  *
+  * The point: sf0.1 correctness runs prove semantics; this proves the
+  * plans. A query whose cost grows like O(n·log n) or better shows a
+  * scaling exponent α = log(t_m/t_1)/log(m) ≤ ~1 as m grows; a hidden
+  * quadratic (all-pairs join, driver loop over rows) shows α → 2 and
+  * is flagged loudly. Results land as one JSON line per (query, m) on
+  * stdout plus a summary with per-query α — recorded in SCALE.md.
+  *
+  * Replication remaps the join keys (orderkey ×m + r on both sides of
+  * the orders⋈lineitem edge, doc/vec/event ids likewise) so key
+  * cardinality scales with the data — replicating WITHOUT remapping
+  * would turn every key into an m-way hot key and measure skew, not
+  * scale. Document text is salted with the replica index so the
+  * near-dup rate stays constant as the corpus grows (the realistic
+  * regime; un-salted replication would make every document an m-way
+  * duplicate and measure cluster blow-up instead).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base> runMain graft.ScaleSoak [m1,m2,...]
+  * (default multipliers 1,4,16).
+  */
+object ScaleSoak {
+
+  /** Queries chosen to cover the distinct cost shapes: scan+agg,
+    * multi-join star, shuffle join + top-k, window/sessionization,
+    * hash dedup, LSH banded near-dup + components, text analysis,
+    * LSH ANN over embeddings. */
+  val SoakQueries: Seq[String] = Seq(
+    "q_monthly_agg",     // scan + group-by (flagship)
+    "q_tpch_q3",         // 3-way join + agg + top-k
+    "q_demand_by_zone",  // dim join + count + top-k
+    "q_sessionize",      // per-user window gaps over events
+    "q_dedup_exact",     // hash group-by dedup
+    "q_minhash_dedup",   // shingle → minhash → banded LSH join
+    "q_dup_clusters",    // components over mined pairs (regime switch)
+    "q_token_counts",    // text tokenization + agg
+    "q_knn_lsh")         // sign-hyperplane bucketed ANN
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mults = args.headOption.getOrElse("1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // un-timed warm-up circuit at the smallest multiplier: the first
+    // execution of each query shape absorbs session/codegen/JIT
+    // warm-up (~1-3 s), which would otherwise land entirely on the
+    // m=min timings and fake a negative scaling exponent
+    // warmed against the BASE dir, not a soak dir: per-dir staged
+    // artifacts mean warming an m that is also timed would pre-pay
+    // that m's stage builds and skew its timings against the others'
+    locally {
+      SoakQueries.foreach(q => SparkEntry.queries(q)(spark, base).count())
+      spark.catalog.clearCache()
+    }
+
+    val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    for (m <- mults) {
+      val dir = replicate(spark, base, m)
+      for (q <- SoakQueries) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times((q, m)) = dt
+        println(f"""{"soak":"$q","m":$m,"sec":$dt%.3f,"rows":$n}""")
+      }
+    }
+    // scaling exponent α over the largest step: α = log(t_M/t_1)/log(M).
+    // Sub-second t_1 entries are fixed-cost dominated — α is then an
+    // overestimate; read it with the absolute numbers alongside.
+    val m1 = mults.min; val mM = mults.max
+    if (mM > m1) {
+      val summary = SoakQueries.map { q =>
+        val a = math.log(times((q, mM)) / times((q, m1))) / math.log(mM.toDouble / m1)
+        f""""$q":{"t1":${times((q, m1))}%.2f,"tM":${times((q, mM))}%.2f,"alpha":$a%.2f}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"soak":"summary","m1":$m1,"mM":$mM,"alpha_by_query":$summary}""")
+    }
+    spark.stop()
+  }
+
+  /** Write the ×m replicated table set under /tmp (raw parquet in, raw
+    * parquet out — loaders re-apply declared schemas downstream).
+    * Reuses an existing soak dir: the replication is deterministic. */
+  def replicate(spark: SparkSession, base: String, m: Int): String = {
+    val name = new java.io.File(base).getName
+    val dir = s"/tmp/graft_soak_${name}_x$m"
+    val marker = new java.io.File(s"$dir/_SOAK_DONE")
+    if (marker.exists()) return dir
+    def raw(t: String) = spark.read.parquet(s"$base/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    val rep = explode(sequence(lit(0L), lit(m - 1L))).as("rep")
+    def remap(c: String) = (col(c) * m + col("rep")).as(c)
+
+    // dimension-shaped tables: copied verbatim (a 100 TB growth story
+    // grows facts, not region/nation/part catalogs)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(raw(t), t))
+    write(raw("orders").select(rep, col("*"))
+      .select(raw("orders").columns.map {
+        case "o_orderkey" => remap("o_orderkey"); case c => col(c) }: _*), "orders")
+    write(raw("lineitem").select(rep, col("*"))
+      .select(raw("lineitem").columns.map {
+        case "l_orderkey" => remap("l_orderkey"); case c => col(c) }: _*), "lineitem")
+    write(raw("events").select(rep, col("*"))
+      .select(raw("events").columns.map {
+        case "event_id" => remap("event_id"); case c => col(c) }: _*), "events")
+    write(raw("documents").select(rep, col("*"))
+      .select(raw("documents").columns.map {
+        case "doc_id" => remap("doc_id")
+        // constant dup-rate regime: replica k>0 interleaves a
+        // rep-specific token between every word, so every 3-gram
+        // shingle of a replica contains its rep token — replicas share
+        // NO shingles with the base or with other reps, while each
+        // rep's copy of a true base near-dup pair stays a near-dup
+        // (both members carry the same interleave). Near-dup pairs
+        // therefore scale ×m (linear), corpus ×2m tokens. A tail-only
+        // salt would leave replicas ≥0.9-similar to their base doc and
+        // measure m-way dup-cluster blow-up instead of corpus growth.
+        case "text" => when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("\\s+"),
+            concat(lit(" q"), col("rep"), lit("q ")))).as("text")
+        case c => col(c) }: _*), "documents")
+    write(raw("embeddings").select(rep, col("*"))
+      .select(raw("embeddings").columns.map {
+        case "vec_id" => remap("vec_id"); case c => col(c) }: _*), "embeddings")
+    marker.createNewFile()
+    dir
+  }
+}
