@@ -121,6 +121,10 @@ object Bench {
       // the stage/checkpoint filesystem): r4's 16× stage-build blow-up
       // had a clean CPU sentinel — only a disk probe exposes that mode
       results("bench_sentinel_disk_start") = Sentinel.diskSeconds()
+      // memory-bandwidth twin: r6 observed broad ~8% drift with clean
+      // spin AND disk probes — bus contention is the remaining
+      // invisible mode (a register-only spin never touches DRAM)
+      results("bench_sentinel_membw_start") = Sentinel.membwSeconds()
 
       // shared DAG stages, each timed once, explicitly (single run: the
       // artifact persists, so a second run would measure nothing)
@@ -340,6 +344,7 @@ object Bench {
 
     results("bench_sentinel_spin_end") = spinSentinel()
     results("bench_sentinel_disk_end") = Sentinel.diskSeconds()
+    results("bench_sentinel_membw_end") = Sentinel.membwSeconds()
     // per-stage build seconds (subsets of the lump-sum *_stage_build
     // entries above — evidence, excluded from the total). NESTED: a
     // stage that triggers upstream stages inside its build block times
@@ -369,7 +374,8 @@ object Bench {
     val contended = Sentinel.contendedVerdict(
       sentinels("bench_sentinel_spin_start", "bench_sentinel_spin_end"),
       sentinels("bench_sentinel_spin_mt"),
-      sentinels("bench_sentinel_disk_start", "bench_sentinel_disk_end"))
+      sentinels("bench_sentinel_disk_start", "bench_sentinel_disk_end"),
+      sentinels("bench_sentinel_membw_start", "bench_sentinel_membw_end"))
 
     val fullJson = results.map { case (k, v) => entry(k, v) }
       .mkString("{", ",", "}")

@@ -11,6 +11,12 @@ package graft
   *    on the temp filesystem the stage artifacts / checkpoints use —
   *    I/O probe. r4's bench showed a 16× dedup-stage-build blow-up with
   *    a CLEAN cpu sentinel; only an I/O probe can tell that story.
+  *  - [[membwSeconds]]: 4 GB of streamed reads over a 512 MB array —
+  *    memory-bandwidth probe. Round 6 observed ~8% total drift across
+  *    broad entries with CLEAN cpu and disk sentinels: a register-only
+  *    spin loop never touches DRAM and a co-tenant saturating the
+  *    shared memory bus is invisible to it, while every shuffle/scan
+  *    in the bench feels it. This probe closes that gap.
   */
 object Sentinel {
 
@@ -65,6 +71,40 @@ object Sentinel {
     }
   }
 
+  private def sumPass(arr: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < arr.length) { s += arr(i); i += 1 }
+    s
+  }
+
+  /** Streamed-read memory-bandwidth probe: one un-timed warm pass
+    * (JIT + page commit), then `passes` sequential sums over a `mb`-MB
+    * long array — 4 GB of DRAM traffic at the defaults, ~0.2-0.4 s at
+    * quiet single-thread bandwidth. A simple linear sum is used on
+    * purpose: the JIT vectorizes it enough to be bandwidth-bound, not
+    * ALU-bound, so inflation means bus contention, not CPU share. */
+  def membwSeconds(mb: Int = 512, passes: Int = 8): Double = {
+    val n = mb * 1024 * 1024 / 8
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    var sink = sumPass(arr) // warm pass, untimed
+    // per-pass timing, report min × passes: inside the bench's Spark
+    // JVM a GC pause could land mid-probe and fake a contended bus;
+    // the fastest pass is GC-free, while SUSTAINED bus contention
+    // inflates every pass including the minimum
+    var best = Double.MaxValue
+    var p = 0
+    while (p < passes) {
+      val t0 = System.nanoTime()
+      sink += sumPass(arr)
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      p += 1
+    }
+    if (sink == 42L) println("") // defeat DCE
+    best * passes
+  }
+
   // ---- machine-readable contention verdict (VERDICT r5 #4) ---------------
 
   /** Quiet-box constants, committed with the round records (README
@@ -75,14 +115,18 @@ object Sentinel {
   val QuietSpinSec = 0.60
   val QuietSpinMtSec = 0.70 // cpus threads at once: slightly above 1-thread
   val QuietDiskSec = 0.80
+  val QuietMembwSec = 0.65 // measured quiet: ~0.62-0.64 s (≈6.5 GB/s/thread)
   val ContentionFactor = 1.5
 
   /** True when any probe ran ≥ [[ContentionFactor]]× its quiet-box
-    * constant — the artifact was taken under external CPU or I/O
-    * contention and its wall numbers are not comparable across rounds. */
+    * constant — the artifact was taken under external CPU, I/O, or
+    * memory-bus contention and its wall numbers are not comparable
+    * across rounds. `membw` defaults empty so older call sites stay
+    * source-compatible. */
   def contendedVerdict(spin: Seq[Double], spinMt: Seq[Double],
-      disk: Seq[Double]): Boolean =
+      disk: Seq[Double], membw: Seq[Double] = Seq.empty): Boolean =
     spin.exists(_ > QuietSpinSec * ContentionFactor) ||
       spinMt.exists(_ > QuietSpinMtSec * ContentionFactor) ||
-      disk.exists(_ > QuietDiskSec * ContentionFactor)
+      disk.exists(_ > QuietDiskSec * ContentionFactor) ||
+      membw.exists(_ > QuietMembwSec * ContentionFactor)
 }

@@ -33,6 +33,7 @@ object Verify {
     // disk ~1 s; inflation here flags a poisoned correctness run.
     val spinStart = Sentinel.spinSeconds()
     val diskStart = Sentinel.diskSeconds()
+    val membwStart = Sentinel.membwSeconds()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -66,12 +67,16 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val (spinEnd, diskEnd) = (Sentinel.spinSeconds(), Sentinel.diskSeconds())
+    val membwEnd = Sentinel.membwSeconds()
     // machine-readable verdict vs the committed quiet-box constants
     val contended = Sentinel.contendedVerdict(
-      Seq(spinStart, spinEnd), Nil, Seq(diskStart, diskEnd))
+      Seq(spinStart, spinEnd), Nil, Seq(diskStart, diskEnd),
+      Seq(membwStart, membwEnd))
     val sentinelJson =
       f"""{"spin_start_sec":$spinStart%.3f,"disk_start_sec":$diskStart%.3f,""" +
+      f""""membw_start_sec":$membwStart%.3f,""" +
       f""""spin_end_sec":$spinEnd%.3f,"disk_end_sec":$diskEnd%.3f,""" +
+      f""""membw_end_sec":$membwEnd%.3f,""" +
       s""""contended":$contended}"""
     Files.writeString(Paths.get(s"$outDir/sentinel.json"), sentinelJson)
     println(s"[verify] sentinel $sentinelJson")
