@@ -36,12 +36,15 @@ object ScaleSoak {
   val SoakQueries: Seq[String] = Seq(
     "q_monthly_agg",     // scan + group-by (flagship)
     "q_tpch_q3",         // 3-way join + agg + top-k
+    "q_fct_trips",       // star-schema fact build (multi-join)
     "q_demand_by_zone",  // dim join + count + top-k
     "q_sessionize",      // per-user window gaps over events
     "q_dedup_exact",     // hash group-by dedup
     "q_minhash_dedup",   // shingle → minhash → banded LSH join
     "q_dup_clusters",    // components over mined pairs (regime switch)
+    "q_curation",        // composed funnel over the staged LSH index
     "q_token_counts",    // text tokenization + agg
+    "q_pagerank",        // iterative graph (10 rounds)
     "q_knn_lsh")         // sign-hyperplane bucketed ANN
 
   def main(args: Array[String]): Unit = {

@@ -144,19 +144,23 @@ object Dedup {
     // immune to that AND is shared with the MinHash/cluster queries
     val docs = DedupStage.shingleDocs(spark, sfDir)
     val sh = docs.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
     // candidate join on the shingle HASH, not the string: smaller
     // shuffle rows and long-compare joins. A hash collision can only
     // ADD candidates (still a superset of true pairs); the exact
     // verification below filters them, so correctness is unaffected.
     // CACHED + pinned: both sides of the candidate self-join read this —
-    // uncached, the doc-frequency window would run twice.
-    // Doc frequency as a WINDOW count over the shingle key, not a
-    // groupBy + join-back: the join formulation shuffles the exploded
-    // corpus-sized sh frame twice (agg input + join probe); the window
-    // pays one shingle-keyed shuffle before the doc-keyed rank shuffle
-    val prefix = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
+    // uncached, the dfreq aggregation + window would run twice.
+    // Doc frequency DELIBERATELY stays a groupBy + join-back (not a
+    // window count, which would save one corpus-sized shuffle): hot
+    // stop-shingles are EXPECTED here — Zipf's law guarantees them —
+    // and a window partitioned by shingle buffers each hot group in
+    // one unsplittable task, while this shape gets map-side partial
+    // aggregation AND an AQE-skew-splittable join (each probe row
+    // needs only its one dfreq row). The minhash banded path makes
+    // the opposite call — see minhashDupPairsOn
+    val prefix = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(minJac) * $"n") + 1)
       .select($"doc_id", xxhash64($"shingle").as("sh_h"))
@@ -304,7 +308,13 @@ object Dedup {
     // scaladoc) as ONE window count over the bucket key: the former
     // groupBy-then-join formulation shuffled the corpus-sized banded
     // frame TWICE (once into the agg, once into the join); the window
-    // pays a single bucket-keyed shuffle and filters in place
+    // pays a single bucket-keyed shuffle and filters in place. The
+    // window buffers each bucket in one task (spilling past memory) —
+    // acceptable HERE because the self-join below colocates the same
+    // bucket rows anyway at quadratic cost, which is exactly what
+    // bucketCap bounds; contrast ngramJaccardPairs, where hot
+    // stop-shingle groups are expected and the groupBy+join shape is
+    // kept for AQE skew-splitting
     val active = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window

@@ -246,6 +246,41 @@ class DedupSpec extends SparkSuite {
     clusters.values.foreach(k => assert(clusters(k) == k))
   }
 
+  test("minhash banded pipeline: bounded shuffle budget, no cartesian") {
+    // pins the window-count bucket-prune optimization: the banded
+    // frame shuffles ONCE into the window (whose hash partitioning the
+    // bucket self-join then reuses — no re-exchange), where the former
+    // groupBy + join-back formulation paid two banded-frame exchanges.
+    // Budget: sig repartition + band window + candidate distinct +
+    // 2 verify joins + result sort, with AQE coalescing on top.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      def walk(p: SparkPlan): Unit = if (seen.add(p)) p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.count(_.isInstanceOf[ShuffleExchangeLike])
+    }
+    // the capped entry builds the full pipeline inline (no staged
+    // parquet shortcut); a sky-high cap keeps it lossless
+    val pipeline = Dedup.minhashDupPairs(spark, "/root/testdata/sf0.01", 0.9,
+      bucketCap = Some(1000000))
+    val n = shuffles(pipeline)
+    assert(n <= 8, s"minhash banded pipeline shuffle budget blown: $n")
+    val plan = pipeline.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "banded pipeline must stay an equi-join")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val sh = Dedup.simhash(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
