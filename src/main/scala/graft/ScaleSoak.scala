@@ -75,6 +75,8 @@ object ScaleSoak {
     }
 
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    val rows = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
+    val monthly = scala.collection.mutable.LinkedHashMap[Int, Map[(String, String), Seq[String]]]()
     for (m <- mults) {
       val dir = replicate(spark, base, m)
       for (q <- SoakQueries) {
@@ -82,10 +84,44 @@ object ScaleSoak {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        times((q, m)) = dt
+        times((q, m)) = dt; rows((q, m)) = n
         println(f"""{"soak":"$q","m":$m,"sec":$dt%.3f,"rows":$n}""")
       }
+      // full flagship output for the value-level invariant below
+      monthly(m) = SparkEntry.queries("q_monthly_agg")(spark, dir)
+        .collect().map { r =>
+          (r.getString(0), String.valueOf(r.get(1))) ->
+            r.toSeq.drop(2).map(String.valueOf)
+        }.toMap
     }
+
+    // ---- correctness-at-scale invariants (loud failure, not just
+    // timings): replication semantics make exact expectations provable.
+    val m0 = mults.min
+    for (m <- mults) {
+      // flagship: groups identical; per-group count scales ×(m/m0);
+      // per-group averages are replication-invariant up to the final
+      // decimal-division rounding ulp (sum·k / count·k rounds at a
+      // different magnitude than sum/count) — compare at 1e-9 relative
+      val (b, c) = (monthly(m0), monthly(m))
+      require(b.keySet == c.keySet,
+        s"soak invariant: monthly groups differ at m=$m")
+      b.foreach { case (k, bv) =>
+        val cv = c(k)
+        require(cv.head.toLong * m0 == bv.head.toLong * m,
+          s"soak invariant: count at m=$m group $k: ${cv.head} vs base ${bv.head}")
+        cv.tail.zip(bv.tail).foreach { case (x, y) =>
+          val (dx, dy) = (BigDecimal(x), BigDecimal(y))
+          require((dx - dy).abs <= dy.abs * 1e-9,
+            s"soak invariant: average drifted at m=$m group $k: $x vs $y")
+        }
+      }
+      // linear row-count families: dedup output, near-dup pairs, text
+      for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts"))
+        require(rows((q, m)) * m0 == rows((q, m0)) * m,
+          s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ×${m}/${m0} of ${rows((q, m0))}")
+    }
+    println(s"""{"soak":"invariants","status":"ok","checked":${mults.size}}""")
     // scaling exponent α over the largest step: α = log(t_M/t_1)/log(M).
     // Sub-second t_1 entries are fixed-cost dominated — α is then an
     // overestimate; read it with the absolute numbers alongside.
