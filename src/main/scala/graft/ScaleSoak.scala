@@ -166,18 +166,21 @@ object ScaleSoak {
     write(raw("documents").select(rep, col("*"))
       .select(raw("documents").columns.map {
         case "doc_id" => remap("doc_id")
-        // constant dup-rate regime: replica k>0 interleaves a
-        // rep-specific token between every word, so every 3-gram
-        // shingle of a replica contains its rep token — replicas share
-        // NO shingles with the base or with other reps, while each
-        // rep's copy of a true base near-dup pair stays a near-dup
-        // (both members carry the same interleave). Near-dup pairs
-        // therefore scale ×m (linear), corpus ×2m tokens. A tail-only
-        // salt would leave replicas ≥0.9-similar to their base doc and
-        // measure m-way dup-cluster blow-up instead of corpus growth.
+        // constant dup-rate regime: replica k>0 SUFFIXES every word
+        // with a rep-specific token, which maps each base shingle
+        // (w1,w2,w3) to exactly one salted shingle (w1qkq,w2qkq,w3qkq)
+        // — pairwise Jaccard within a replica is IDENTICAL to the
+        // base corpus's, shingles across reps are disjoint, and token
+        // counts are unchanged. Near-dup pairs therefore scale ×m
+        // (linear). Two rejected salts, for the record: a tail-only
+        // salt leaves replicas ≥0.9-similar to their base doc
+        // (measures m-way dup blow-up, not corpus growth); a
+        // BETWEEN-words interleave degrades 3-gram matching to
+        // unigram matching ((qkq,w,qkq) shingles collide on any
+        // shared word) and exploded LSH candidates 500× over linear
         case "text" => when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("\\s+"),
-            concat(lit(" q"), col("rep"), lit("q ")))).as("text")
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1q"), col("rep"), lit("q")))).as("text")
         case c => col(c) }: _*), "documents")
     write(raw("embeddings").select(rep, col("*"))
       .select(raw("embeddings").columns.map {

@@ -125,8 +125,16 @@ object QualityModel {
       val n = lab.count() // control-plane scalar (the lr normalizer)
       // label lands on every feature row once; the round loop then
       // never touches a second table. Memory-pinned: 16 round scans
-      // read columnar cache, not parquet
-      val featY = feat.join(lab, "doc_id").cache()
+      // read columnar cache, not parquet. Pre-partitioned AND
+      // pre-sorted on doc_id BEFORE caching: InMemoryTableScan
+      // advertises the cached plan's partitioning/ordering, and the
+      // broadcast weight join preserves both, so every round's margin
+      // window reuses them instead of paying its own exchange + sort
+      // (8 rounds × 2 variants of pure overhead otherwise; falls back
+      // harmlessly to a per-round sort if a future cache
+      // implementation stops advertising order)
+      val featY = feat.join(lab, "doc_id")
+        .repartition($"doc_id").sortWithinPartitions($"doc_id").cache()
       featY.count()
       try {
         var w = Map.empty[Long, Long].withDefaultValue(0L)
