@@ -83,15 +83,21 @@ object QualityModel {
     (feat, lab)
   }
 
+  /** Attach the broadcast weight column (`w`, default 0) — the ONE
+    * definition shared by training rounds and serving-time scoring, so
+    * the two can never drift on join type / default / broadcast. */
+  private def withWeights(df: DataFrame, wm: Map[Long, Long]): DataFrame = {
+    import df.sparkSession.implicits._
+    if (wm.isEmpty) df.withColumn("w", lit(0L))
+    else df.join(broadcast(wm.toSeq.toDF("j", "w")), Seq("j"), "left")
+      .withColumn("w", coalesce($"w", lit(0L)))
+  }
+
   /** (doc_id, y, s, r) under weight map `wm` over `feat`⋈`lab`. */
   private def scoresWith(wm: Map[Long, Long], feat: DataFrame,
       lab: DataFrame): DataFrame = {
     import feat.sparkSession.implicits._
-    val joined =
-      if (wm.isEmpty) feat.withColumn("w", lit(0L))
-      else feat.join(broadcast(wm.toSeq.toDF("j", "w")), Seq("j"), "left")
-        .withColumn("w", coalesce($"w", lit(0L)))
-    joined.groupBy($"doc_id").agg(sum($"x" * $"w").as("z"))
+    withWeights(feat, wm).groupBy($"doc_id").agg(sum($"x" * $"w").as("z"))
       .join(lab, "doc_id")
       .select($"doc_id", $"y", sMicro($"z").as("s"),
         (sMicro($"z") - $"y" * Micro).as("r"))
@@ -140,19 +146,20 @@ object QualityModel {
         var w = Map.empty[Long, Long].withDefaultValue(0L)
         val byDoc = Window.partitionBy($"doc_id")
         for (_ <- 1 to Iters) {
-          val wDf = broadcast(w.toSeq.toDF("j", "w"))
-          val joined =
-            if (w.isEmpty) featY.withColumn("w", lit(0L))
-            else featY.join(wDf, Seq("j"), "left")
-              .withColumn("w", coalesce($"w", lit(0L)))
-          val grad = joined
+          val grad = withWeights(featY, w)
             .withColumn("z", sum($"x" * $"w").over(byDoc))
             .withColumn("r", sMicro($"z") - $"y" * Micro)
             .groupBy($"j").agg(sum($"x" * $"r").as("g"))
             .collect() // D+1 rows — the model-sized exchange
           w = grad.foldLeft(w) { (acc, row) =>
             val j = row.getLong(0)
-            acc.updated(j, acc(j) - Math.floorDiv(row.getLong(1), LrDen * n))
+            // floor of the DOUBLE quotient, not Math.floorDiv: the
+            // oracle's unrolled rounds divide in double space
+            // (floor(g / (16.0 · n))), and the two only agree while
+            // |g| stays clear of 2^53 — same-expression-both-engines
+            // is the house parity discipline (Scheduler.dueRuns)
+            acc.updated(j, acc(j) -
+              math.floor(row.getLong(1).toDouble / (LrDen.toDouble * n)).toLong)
           }
         }
         w

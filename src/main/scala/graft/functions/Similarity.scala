@@ -505,7 +505,14 @@ object Similarity {
     * point is recalled with higher probability. */
   def lshBandParams(minCos: Double, eps: Double = 1e-2): (Int, Int) = {
     val p1 = 1.0 - math.acos(minCos) / math.Pi
-    val r = math.max(1, math.round(math.log(0.5) / math.log(p1)).toInt)
+    // capped at 63: the band key packs one sign BIT per row into a
+    // 64-bit long (1L << j), and a JVM shift count wraps mod 64 while
+    // DuckDB's does not — r = 64 would silently alias row 0 on the
+    // Spark side only and decouple the gate from its oracle. Very high
+    // thresholds (minCos ≥ ~0.9995) ask for r > 63; the cap trades a
+    // little extra candidate density there, never correctness.
+    val r = math.min(63,
+      math.max(1, math.round(math.log(0.5) / math.log(p1)).toInt))
     val pBand = math.pow(p1, r)
     val b = math.max(1, math.ceil(math.log(eps) / math.log1p(-pBand)).toInt)
     (b, r)
@@ -519,6 +526,10 @@ object Similarity {
     * [b·r, (b+1)·r). */
   private[graft] def lshBandCandidates(embIn: DataFrame, bands: Int,
       rowsPerBand: Int, scale: Int): DataFrame = {
+    require(rowsPerBand <= 63,
+      s"rowsPerBand=$rowsPerBand: band keys pack one sign bit per row " +
+        "into a 64-bit long; a JVM shift count wraps mod 64 (silent " +
+        "plane aliasing) while the SQL oracle's does not")
     val spark = embIn.sparkSession
     import spark.implicits._
     def bandKey(q: Column, band: Int): Column =

@@ -65,6 +65,13 @@ object Staged {
     staged.synchronized {
       staged.getOrElseUpdate(s"dir_$key", {
         val p = s"$stageRoot/dir_$key"
+        // a build that threw midway (cancelled job, disk full) leaves a
+        // partial tree at the fixed path and is never recorded in
+        // `staged` — clear it first so the RETRY re-runs against a
+        // clean slate instead of dying on 'path already exists'
+        // (directory builders write with the default ErrorIfExists;
+        // the frame twin above is overwrite-mode and needs no sweep)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
         val t0 = System.nanoTime()
         build(p)
         val secs = (System.nanoTime() - t0) / 1e9

@@ -229,12 +229,15 @@ object Tables {
     val (unit, statMin) = probeEventsTsUnit(spark, path)
     val effective =
       if (unit != "NONE") unit
-      else spark.conf.getOption(TsUnitKey).getOrElse {
-        // un-annotated INT64 feed in a session with no pinned unit:
-        // never assume a default (a NANOS-era copy would decode 1000×
-        // off with no tripwire) — INFER from the footer min under the
-        // [2000, 2100) plausibility window. The windows of the three
+      else {
+        // un-annotated INT64 feed: INFER from the footer min under the
+        // [2000, 2100) plausibility window — the windows of the three
         // units are 1000× apart and never overlap, so at most one fits.
+        // Inference runs even when a session unit is pinned (round-6
+        // review: pin-first silently decoded a NANOS-era raw copy
+        // 1000× off whenever any earlier prepare had pinned MICROS —
+        // the exact failure mode the r5 inference was built to close);
+        // the pin is only the fallback for a stats-free footer.
         val lo = 946684800000000L  // 2000-01-01 in micros
         val hi = 4102444800000000L // 2100-01-01 in micros
         def fits(toMicros: Long => Long): Boolean =
@@ -243,11 +246,13 @@ object Tables {
         else if (fits(identity)) "MICROS"
         else if (fits(m => if (m > 0 && m <= Long.MaxValue / 1000L) m * 1000L
                            else 0L)) "MILLIS"
+        else if (statMin.isEmpty && spark.conf.getOption(TsUnitKey).isDefined)
+          spark.conf.get(TsUnitKey) // stats-free footer: pinned unit
         else throw new IllegalStateException(
-          s"events ts: $path stores ts as un-annotated INT64, no unit is " +
-          s"pinned in this session, and the footer min ($statMin) decodes " +
-          s"into [2000, 2100) under no known unit — cannot infer. Call " +
-          s"prepareEvents on the original events file first, or fix the feed.")
+          s"events ts: $path stores ts as un-annotated INT64 and the footer " +
+          s"min ($statMin) decodes into [2000, 2100) under no known unit — " +
+          s"cannot infer${if (statMin.isEmpty) " (no stats, no pinned unit)" else ""}. " +
+          s"Call prepareEvents on the original events file first, or fix the feed.")
       }
     // tripwire BEFORE any conf mutation: a failed prepare must not
     // leave the session pinned to the bad unit

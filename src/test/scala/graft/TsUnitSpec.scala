@@ -85,14 +85,22 @@ class TsUnitSpec extends SparkSuite {
     assert(Tables.probeEventsTsUnit(spark, millis)._1 == "MILLIS")
   }
 
-  test("raw INT64 feed copies keep the previously probed unit") {
+  test("raw INT64 feed: footer inference OVERRIDES a wrong session pin") {
+    // round-6 review: pin-first silently decoded a NANOS-era raw copy
+    // 1000x off whenever an earlier prepare had pinned MICROS in the
+    // same session. The footer stats identify the unit unambiguously
+    // (disjoint plausibility windows), so inference must win over a
+    // stale pin — in both directions.
     val work = java.nio.file.Files.createTempDirectory("graft_tsunit_raw_").toString
-    val raw = writeEvents(work, None, i => (baseSec + i) * 1000000L)
-    assert(Tables.probeEventsTsUnit(spark, raw)._1 == "NONE")
+    val rawMicros = writeEvents(work, None, i => (baseSec + i) * 1000000L)
+    assert(Tables.probeEventsTsUnit(spark, rawMicros)._1 == "NONE")
     spark.conf.set(Tables.TsUnitKey, "NANOS")
-    assert(Tables.prepareEvents(spark, raw) == "NANOS")
+    assert(Tables.prepareEvents(spark, rawMicros) == "MICROS")
+    val rawNanos = writeEvents(
+      java.nio.file.Files.createTempDirectory("graft_tsunit_raw2_").toString,
+      None, i => (baseSec + i) * 1000000000L)
     spark.conf.set(Tables.TsUnitKey, "MICROS")
-    assert(Tables.prepareEvents(spark, raw) == "MICROS")
+    assert(Tables.prepareEvents(spark, rawNanos) == "NANOS")
   }
 
   test("raw INT64 feed in a FRESH session: unit inferred from footer min, never assumed") {
