@@ -116,7 +116,15 @@ object ScaleSoak {
             s"soak invariant: average drifted at m=$m group $k: $x vs $y")
         }
       }
-      // linear row-count families: dedup output, near-dup pairs, text
+      // linear row-count families: dedup output, near-dup pairs, text.
+      // q_minhash_dedup's ×m equality is probabilistic, not structural:
+      // the per-replica salt re-rolls each true pair's band agreement,
+      // so a J < 1 pair can in principle be missed in one replica. The
+      // equality is still asserted exactly because the miss bound at
+      // the corpus's engineered pair strengths is negligible —
+      // (1-J^4)^16 ≤ 4e-8 per pair·replica at J = 0.9, ~2e-23 at the
+      // J ≈ 0.99 template dups — so a trip here means a real recall
+      // regression, not band luck.
       for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts"))
         require(rows((q, m)) * m0 == rows((q, m0)) * m,
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ×${m}/${m0} of ${rows((q, m0))}")

@@ -83,11 +83,22 @@ object Sentinel {
     * quiet single-thread bandwidth. A simple linear sum is used on
     * purpose: the JIT vectorizes it enough to be bandwidth-bound, not
     * ALU-bound, so inflation means bus contention, not CPU share. */
+  // probe buffer reused across calls (contents are deterministic):
+  // allocating 512 MB fresh at the END-of-run probe inside the bench's
+  // Spark JVM risks a humongous-allocation full GC / OOM after all the
+  // gate work but before the artifact is written
+  private var membwArr: Array[Long] = null
+
   def membwSeconds(mb: Int = 512, passes: Int = 8): Double = {
     val n = mb * 1024 * 1024 / 8
-    val arr = new Array[Long](n)
-    var i = 0
-    while (i < n) { arr(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    val arr = synchronized {
+      if (membwArr == null || membwArr.length != n) {
+        membwArr = new Array[Long](n)
+        var i = 0
+        while (i < n) { membwArr(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+      }
+      membwArr
+    }
     var sink = sumPass(arr) // warm pass, untimed
     // per-pass timing, report min × passes: inside the bench's Spark
     // JVM a GC pause could land mid-probe and fake a contended bus;

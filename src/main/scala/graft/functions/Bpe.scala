@@ -159,10 +159,31 @@ object Bpe {
     * The scan STOPS at the first inadmissible pair (prefix semantics:
     * skipping it would reorder sequential picks). Worst case the batch
     * is 1 — the unbatched algorithm. */
+  /** Code-point string order == UTF-8 binary order (what both engines'
+    * ORDER BY use), without allocating byte arrays per comparison. */
+  private[graft] val codePointOrdering: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        var i = 0; var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca); j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
+
   private[graft] def selectMergeBatch(counts: Array[(String, String, Long)],
       maxN: Int): Seq[(String, String)] = {
     if (counts.isEmpty) return Seq.empty
-    val sorted = counts.sortBy { case (l, r, c) => (-c, l, r) }
+    // tie-break by CODE POINT (≡ UTF-8 byte order, what Spark's orderBy
+    // and DuckDB's ORDER BY both use) — Java String.compareTo is UTF-16
+    // code-unit order, which disagrees for supplementary-plane symbols
+    // vs U+E000..U+FFFF and would pick a different merge than the oracle
+    val sorted = counts.sorted(
+      Ordering.Tuple3(Ordering.Long.reverse, codePointOrdering, codePointOrdering)
+        .on[(String, String, Long)](t => (t._3, t._1, t._2)))
     val maxEndingIn = counts.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
     val maxStartingWith = counts.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
     val alphabet: Set[String] =

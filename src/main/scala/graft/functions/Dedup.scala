@@ -305,23 +305,24 @@ object Dedup {
       .cache()
     banded.count() // eager pin: concurrent stages must not race the cache
     // singleton-bucket prune + skew guard (optional, lossy — see
-    // scaladoc) as ONE window count over the bucket key: the former
-    // groupBy-then-join formulation shuffled the corpus-sized banded
-    // frame TWICE (once into the agg, once into the join); the window
-    // pays a single bucket-keyed shuffle and filters in place. The
-    // window buffers each bucket in one task (spilling past memory) —
-    // acceptable HERE because the self-join below colocates the same
-    // bucket rows anyway at quadratic cost, which is exactly what
-    // bucketCap bounds; contrast ngramJaccardPairs, where hot
-    // stop-shingle groups are expected and the groupBy+join shape is
-    // kept for AQE skew-splitting
-    val active = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"band_idx", $"band_hash")))
+    // scaladoc) as a map-side-combined groupBy count + LEFT-SEMI
+    // join-back. NOT a window count over the bucket key (round-6
+    // review): a window must shuffle the corpus-sized banded frame and
+    // buffer each bucket in ONE task before the cap filter can drop it
+    // — the degenerate hot bucket (many identical docs) that bucketCap
+    // exists to bound is exactly the one that would be buffered whole.
+    // Here the agg shuffle is combiner-reduced to one row per bucket
+    // per map task, the surviving (multi-doc, ≤ cap) bucket list is
+    // collision-bounded — small — so AQE broadcasts the semi-join and
+    // the banded frame never shuffles; if a pathological corpus ever
+    // makes it big, AQE falls back to a sort-merge that costs what the
+    // window did, minus the buffering.
+    val bucketsOk = banded.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
       .filter($"bucket_n" > 1 &&
         bucketCap.map(c => $"bucket_n" <= c).getOrElse(lit(true)))
-      .drop("bucket_n")
+      .select($"band_idx", $"band_hash")
+    val active = banded.join(bucketsOk, Seq("band_idx", "band_hash"), "left_semi")
     val candidates = active.as("a").join(active.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -377,11 +377,18 @@ object Similarity {
     * ±1 pseudo-random planes as [[signSignature]] — but over quantized
     * components, so the sum is an exact integer and the bucket is
     * engine-independent. */
+  /** The ±1 pseudo-random hyperplane for plane `pl`, as a literal sign
+    * vector — THE single copy of the plane mixing formula, shared by the
+    * knn bucket signature and the near-dup band keys (and mirrored
+    * textually by both SQL oracles): a drift between the two Scala
+    * sites would silently decouple knn buckets from near-dup bands. */
+  private[graft] def planeSigns(pl: Int): Column =
+    typedLit((0 until dim).map(i =>
+      if (((pl * 1315423911L + i * 2654435761L) >>> 7) % 2 == 0) 1L else -1L))
+
   private def signSigQuant(p: Column): Column =
     (0 until numPlanes).map { pl =>
-      val signs = typedLit((0 until dim).map(i =>
-        if (((pl * 1315423911L + i * 2654435761L) >>> 7) % 2 == 0) 1L else -1L))
-      when(qdot(p, signs) >= 0, lit(1L << pl)).otherwise(lit(0L))
+      when(qdot(p, planeSigns(pl)) >= 0, lit(1L << pl)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def knnLshQuant(spark: SparkSession, sfDir: String, nQueries: Int = 10,
@@ -535,9 +542,7 @@ object Similarity {
     def bandKey(q: Column, band: Int): Column =
       (0 until rowsPerBand).map { j =>
         val pl = band * rowsPerBand + j
-        val signs = typedLit((0 until dim).map(i =>
-          if (((pl * 1315423911L + i * 2654435761L) >>> 7) % 2 == 0) 1L else -1L))
-        when(qdot(q, signs) >= 0, lit(1L << j)).otherwise(lit(0L))
+        when(qdot(q, planeSigns(pl)) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     val q = quantCol(scale)
     val banded = embIn

@@ -189,7 +189,8 @@ object Tables {
       .filterNot(_.getName.startsWith("_")).sortBy(_.getName)
       .iterator.flatMap(findParquetFile).nextOption()
 
-  def probeEventsTsUnit(spark: SparkSession, path: String): (String, Option[Long]) = {
+  def probeEventsTsUnit(spark: SparkSession,
+      path: String): (String, Option[(Long, Long)]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val fileOpt = findParquetFile(new java.io.File(path.stripPrefix("file://")))
@@ -207,13 +208,22 @@ object Tables {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit.toString
         case _ => "NONE"
       }
-      val statMin = footer.getBlocks.asScala.headOption.flatMap { b =>
+      // min AND max aggregated over ALL row groups: unit inference must
+      // not hinge on a single stat a lone corrupt row can poison — an
+      // outlier min of millis magnitude in a micros feed would flip the
+      // whole decode 1000× if min alone were consulted; requiring the
+      // max to fit the same unit defeats any single-row outlier
+      val stats = footer.getBlocks.asScala.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == "ts").flatMap { c =>
-          Option(c.getStatistics).filter(_.hasNonNullValue).map(
-            _.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+          Option(c.getStatistics).filter(_.hasNonNullValue).map(s => (
+            s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
         }
       }
-      (unit, statMin)
+      val statRange =
+        if (stats.isEmpty) None
+        else Some((stats.map(_._1).min, stats.map(_._2).max))
+      (unit, statRange)
     } finally reader.close()
   }
 
@@ -226,48 +236,55 @@ object Tables {
     * footer logical type in the message (VERDICT r4: pinned assumptions
     * about driver-owned data must be verified, not trusted). */
   def prepareEvents(spark: SparkSession, path: String): String = {
-    val (unit, statMin) = probeEventsTsUnit(spark, path)
+    val (unit, statRange) = probeEventsTsUnit(spark, path)
+    val lo = 946684800000000L  // 2000-01-01T00:00:00Z in micros
+    val hi = 4102444800000000L // 2100-01-01T00:00:00Z in micros
     val effective =
       if (unit != "NONE") unit
       else {
-        // un-annotated INT64 feed: INFER from the footer min under the
-        // [2000, 2100) plausibility window — the windows of the three
-        // units are 1000× apart and never overlap, so at most one fits.
-        // Inference runs even when a session unit is pinned (round-6
-        // review: pin-first silently decoded a NANOS-era raw copy
-        // 1000× off whenever any earlier prepare had pinned MICROS —
-        // the exact failure mode the r5 inference was built to close);
-        // the pin is only the fallback for a stats-free footer.
-        val lo = 946684800000000L  // 2000-01-01 in micros
-        val hi = 4102444800000000L // 2100-01-01 in micros
+        // un-annotated INT64 feed: INFER from the footer [min, max]
+        // under the [2000, 2100) plausibility window — the windows of
+        // the three units are 1000× apart and never overlap, so at most
+        // one fits, and requiring BOTH ends of the range to fit means no
+        // single corrupt row (which can poison min OR max, not both)
+        // can flip the unit. Inference runs even when a session unit is
+        // pinned (round-6 review: pin-first silently decoded a
+        // NANOS-era raw copy 1000× off whenever any earlier prepare had
+        // pinned MICROS); the pin is only the fallback for a stats-free
+        // or outlier-torn footer.
         def fits(toMicros: Long => Long): Boolean =
-          statMin.exists { m => val x = toMicros(m); x >= lo && x < hi }
+          statRange.exists { case (mn, mx) =>
+            val a = toMicros(mn); val b = toMicros(mx)
+            a >= lo && a < hi && b >= lo && b < hi
+          }
         if (fits(_ / 1000L)) "NANOS"
         else if (fits(identity)) "MICROS"
         else if (fits(m => if (m > 0 && m <= Long.MaxValue / 1000L) m * 1000L
                            else 0L)) "MILLIS"
-        else if (statMin.isEmpty && spark.conf.getOption(TsUnitKey).isDefined)
-          spark.conf.get(TsUnitKey) // stats-free footer: pinned unit
+        else if (spark.conf.getOption(TsUnitKey).isDefined)
+          // stats-free footer, or a range no unit explains (an outlier
+          // row): fall back to the explicitly pinned unit rather than
+          // guessing from a poisoned stat
+          spark.conf.get(TsUnitKey)
         else throw new IllegalStateException(
           s"events ts: $path stores ts as un-annotated INT64 and the footer " +
-          s"min ($statMin) decodes into [2000, 2100) under no known unit — " +
-          s"cannot infer${if (statMin.isEmpty) " (no stats, no pinned unit)" else ""}. " +
+          s"[min, max] ($statRange) decodes into [2000, 2100) under no known " +
+          s"unit — cannot infer" +
+          s"${if (statRange.isEmpty) " (no stats, no pinned unit)" else ""}. " +
           s"Call prepareEvents on the original events file first, or fix the feed.")
       }
     // tripwire BEFORE any conf mutation: a failed prepare must not
     // leave the session pinned to the bad unit
-    if (unit != "NONE") statMin.foreach { m =>
+    if (unit != "NONE") statRange.foreach { case (mn, _) =>
       val micros = effective match {
-        case "NANOS"  => m / 1000L
-        case "MICROS" => m
-        case "MILLIS" => m * 1000L
+        case "NANOS"  => mn / 1000L
+        case "MICROS" => mn
+        case "MILLIS" => mn * 1000L
         case other => throw new IllegalArgumentException(
           s"events ts: unsupported TIMESTAMP unit $other in $path")
       }
-      val lo = 946684800000000L  // 2000-01-01T00:00:00Z in micros
-      val hi = 4102444800000000L // 2100-01-01T00:00:00Z in micros
       require(micros >= lo && micros < hi,
-        s"events ts fixture-drift tripwire: footer logical unit=$unit, min stat=$m " +
+        s"events ts fixture-drift tripwire: footer logical unit=$unit, min stat=$mn " +
         s"decodes to ${java.time.Instant.ofEpochSecond(micros / 1000000L)} — outside " +
         s"[2000-01-01, 2100-01-01). The testdata fixture changed shape; fix the " +
         s"unit dispatch in Tables.decodeEventTs ($path)")

@@ -892,8 +892,11 @@ object EventsStream {
         val feed = new java.io.File(p); feed.mkdirs()
         val t0 = System.currentTimeMillis() - 3600 * 1000L
         (0 to 3).foreach { b =>
-          val staging = s"$p/../snap_stage$b"
-          raw.filter($"event_id" % 4 === b).coalesce(1).write.parquet(staging)
+          // staging INSIDE the artifact dir (retry sweep clears it),
+          // `_`-prefixed (file stream ignores it), overwrite-mode
+          val staging = s"$p/_snap_stage$b"
+          raw.filter($"event_id" % 4 === b).coalesce(1)
+            .write.mode("overwrite").parquet(staging)
           val part = new java.io.File(staging).listFiles()
             .find(_.getName.endsWith(".parquet")).get
           val dst = new java.io.File(feed, f"bucket-$b%02d.parquet")

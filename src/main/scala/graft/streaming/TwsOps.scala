@@ -108,9 +108,13 @@ object TwsOps {
         val cuts = (0 to 4).map(k => lo + (hi - lo) / 4 * k)
         (0 until 4).foreach { b =>
           val upper = if (b == 3) hi + 1 else cuts(b + 1)
-          val staging = s"$p/../tws_stage$b"
+          // staging lives INSIDE the artifact dir (so materializeDir's
+          // retry sweep clears it) with a `_` prefix (so the file stream
+          // source ignores it if a crash ever leaves it behind);
+          // overwrite-mode for the same retry reason
+          val staging = s"$p/_tws_stage$b"
           src.filter($"ts_micros" >= cuts(b) && $"ts_micros" < upper)
-            .coalesce(1).write.parquet(staging)
+            .coalesce(1).write.mode("overwrite").parquet(staging)
           val part = new java.io.File(staging).listFiles()
             .find(_.getName.endsWith(".parquet")).get
           val dst = new java.io.File(feed, f"quarter-$b%02d.parquet")

@@ -28,6 +28,23 @@ class BpeSpec extends SparkSuite {
     assert(m.toSeq == Seq((1, "a", "b", "ab"), (2, "c", "d", "cd")))
   }
 
+  test("tie-break compares CODE POINTS (UTF-8 order), not UTF-16 units") {
+    // U+E000 (one UTF-16 unit 0xE000) vs U+1F600 (surrogates
+    // 0xD83D,0xDE00): Java String order puts the emoji FIRST (its high
+    // surrogate 0xD83D < 0xE000); code-point / UTF-8 byte order — what
+    // Spark's orderBy and the DuckDB oracle use — puts U+E000 first.
+    // At equal counts the batch selector must agree with the engines.
+    val e000 = "\uE000"; val emoji = new String(Character.toChars(0x1F600))
+    val batch = Bpe.selectMergeBatch(
+      Array(("a", emoji, 5L), ("a", e000, 5L)), maxN = 1)
+    assert(batch == Seq(("a", e000)),
+      s"expected U+E000 to win the code-point tie-break, got $batch")
+    // and the comparator itself: supplementary > U+E000, prefix < longer
+    assert(Bpe.codePointOrdering.compare(emoji, e000) > 0)
+    assert(Bpe.codePointOrdering.compare("ab", "abc") < 0)
+    assert(Bpe.codePointOrdering.compare("ab", "ab") == 0)
+  }
+
   test("early stop: no pair with count >= 2 learns nothing") {
     val m = Bpe.learnMergesFrom(spark, docs("ab", "cd", "ef"), 10).collect()
     assert(m.isEmpty)

@@ -22,8 +22,10 @@ import graft.functions.Dedup
 class ChainClusterSpec extends SparkSuite {
   import spark.implicits._
 
-  /** Run in a forced regime: limit 0 ⇒ distributed loop, a large
-    * limit ⇒ driver union-find. */
+  /** Run in a forced regime: limit -1 ⇒ distributed loop even on an
+    * empty list (0 ⇒ distributed only for non-empty inputs, since the
+    * regime pick is `count <= limit`), a large limit ⇒ driver
+    * union-find. */
   private def clustersOf(pairs: Seq[(Long, Long)],
       localLimit: Long): Map[Long, Long] = {
     val saved = Dedup.ClusterLocalPairLimit
@@ -86,7 +88,10 @@ class ChainClusterSpec extends SparkSuite {
   }
 
   test("empty pair list yields an empty cluster frame in both regimes") {
-    for (limit <- Seq(0L, 1000000L))
+    // -1 forces the DISTRIBUTED branch (0 <= 0 would route the empty
+    // list to the local union-find and leave the distributed path's
+    // empty-edge-set behavior untested)
+    for (limit <- Seq(-1L, 1000000L))
       assert(clustersOf(Seq.empty, limit).isEmpty)
   }
 }

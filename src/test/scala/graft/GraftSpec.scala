@@ -247,12 +247,15 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash banded pipeline: bounded shuffle budget, no cartesian") {
-    // pins the window-count bucket-prune optimization: the banded
-    // frame shuffles ONCE into the window (whose hash partitioning the
-    // bucket self-join then reuses — no re-exchange), where the former
-    // groupBy + join-back formulation paid two banded-frame exchanges.
-    // Budget: sig repartition + band window + candidate distinct +
-    // 2 verify joins + result sort, with AQE coalescing on top.
+    // pins the groupBy + left-semi bucket-prune shape: the agg shuffle
+    // is combiner-reduced to one row per bucket per map task, the
+    // surviving bucket list is collision-bounded so AQE broadcasts the
+    // semi-join (banded never shuffles into it), and only the FILTERED
+    // active frame pays the self-join exchanges — a window count would
+    // shuffle the full banded frame and buffer each hot bucket in one
+    // task BEFORE the cap could drop it. Budget: sig repartition +
+    // bucket agg + self-join exchanges + candidate distinct + 2 verify
+    // joins + result sort, with AQE coalescing/broadcast on top.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
