@@ -38,14 +38,31 @@ object Graph {
     * limit sits far above it. */
   val BfsBroadcastRowLimit: Long = 10L * 1000 * 1000
 
+  /** Below this many EDGE rows the iterative graph operators run their
+    * whole loop on the driver over the collected edge list — the same
+    * small-regime switch discipline as
+    * [[graft.functions.Dedup.ClusterLocalPairLimit]]: a 10-round
+    * distributed iteration pays 10-20 Spark jobs of pure scheduling
+    * overhead to traverse a graph whose edge list is a few MB, while
+    * the driver loop is milliseconds and — because hop counts are
+    * integers and rank contributions are floor-quantized longs summed
+    * exactly — BIT-identical to the distributed rounds (regime parity
+    * asserted in GraphSkylineSpec/GraphBasketPlanSpec). 2M edge rows
+    * ≈ 32 MB of packed longs; past the bound the distributed loop
+    * takes over and the driver sees only per-round counts. Var so
+    * specs can force either regime. */
+  private[graft] var GraphLocalEdgeLimit: Long = 2L * 1000 * 1000
+
   /** Min-hop distance from `seed` to every reachable node, capped at
     * `maxHops`. `edges` must be directed pairs (a, b); pass both
     * directions for an undirected walk. */
   def bfsHops(edges: DataFrame, seed: DataFrame, maxHops: Int,
-      broadcastRowLimit: Long = BfsBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = BfsBroadcastRowLimit,
+      localEdgeLimit: Long = GraphLocalEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.toDF("a", "b").localCheckpoint(eager = true)
+    if (e.count() <= localEdgeLimit) return bfsLocal(e, seed, maxHops)
     var visited = seed.toDF("node").withColumn("hop", lit(0))
       .localCheckpoint(eager = true)
     var frontier = visited.select($"node")
@@ -83,6 +100,45 @@ object Graph {
       .select($"b".as("node")).distinct()
       .join(anti, Seq("node"), "left_anti")
       .withColumn("hop", lit(hop))
+  }
+
+  /** Small-regime BFS: the whole loop on the driver over the collected
+    * edge list. Exactly the distributed semantics — distinct next
+    * frontier, anti-join vs visited, hop = round index — on integer
+    * state, so the outputs are identical row sets (GraphSkylineSpec
+    * runs every BFS property in both regimes). */
+  private[graft] def bfsLocal(e: DataFrame, seed: DataFrame,
+      maxHops: Int): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]()).add(r.get(1))
+    }
+    val visited = new java.util.LinkedHashMap[Any, Int]()
+    seed.collect().foreach(r => visited.put(r.get(0), 0))
+    var frontier: Iterable[Any] = {
+      import scala.jdk.CollectionConverters._
+      visited.keySet().asScala.toVector
+    }
+    var hop = 0
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = new java.util.LinkedHashSet[Any]()
+      frontier.foreach { n =>
+        val out = adj.get(n)
+        if (out != null) out.forEach(b => if (!visited.containsKey(b)) { next.add(b); () })
+      }
+      next.forEach(b => { visited.put(b, hop); () })
+      import scala.jdk.CollectionConverters._
+      frontier = next.asScala.toVector
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = visited.entrySet().asScala.toSeq.map(kv =>
+      org.apache.spark.sql.Row(kv.getKey, kv.getValue))
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema.head.dataType),
+      org.apache.spark.sql.types.StructField("hop",
+        org.apache.spark.sql.types.IntegerType))))
   }
 
   /** Gated query: BFS over the undirected customer—supplier bipartite
@@ -158,10 +214,15 @@ object Graph {
     * once, before the loop. `localCheckpoint` truncates the 10-deep
     * lineage. */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
-      broadcastRowLimit: Long = BfsBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = BfsBroadcastRowLimit,
+      localEdgeLimit: Long = GraphLocalEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.toDF("src", "dst")
+    // checkpoint the edge list once: the count below decides the
+    // regime, and the distributed path's deg/eDeg both reread it
+    // (previously the upstream edge build ran twice)
+    val e = edges.toDF("src", "dst").localCheckpoint(eager = true)
+    if (e.count() <= localEdgeLimit) return pageRankLocal(e, damping, iters)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     // checkpoint at the session's shuffle parallelism: the upstream
     // union/distinct leaves ~2× that many mostly-empty slices, and the
@@ -188,6 +249,43 @@ object Graph {
         ranks = ranks.localCheckpoint(eager = true)
     }
     ranks
+  }
+
+  /** Small-regime PageRank: the whole iteration on the driver over the
+    * collected edge list. The update rule is the SAME quantized form —
+    * contributions floor(rank/deg·10⁶) as longs, summed exactly (order-
+    * free), one IEEE multiply-add — and the per-round rank map is keyed
+    * by dst exactly as the distributed groupBy is, so the two regimes
+    * are bit-identical (asserted in GraphBasketPlanSpec /
+    * GraphSkylineSpec three-regime parity). */
+  private[graft] def pageRankLocal(e: DataFrame, damping: Double,
+      iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import scala.collection.mutable
+    val arr = e.collect().map(r => (r.get(0), r.get(1)))
+    val deg = mutable.HashMap.empty[Any, Long]
+    arr.foreach { case (s, _) => deg.updateWith(s)(c => Some(c.getOrElse(0L) + 1L)) }
+    var rank: mutable.HashMap[Any, Double] =
+      deg.map { case (k, _) => k -> 1.0 }
+    for (_ <- 1 to iters) {
+      val in = mutable.HashMap.empty[Any, Long]
+      arr.foreach { case (s, d) =>
+        // a src absent from the rank state contributes nothing — the
+        // distributed round's inner join drops those edges the same way
+        rank.get(s).foreach { rs =>
+          val c = math.floor(rs / deg(s) * 1e6).toLong
+          in.updateWith(d)(p => Some(p.getOrElse(0L) + c))
+        }
+      }
+      rank = in.map { case (n, sum) =>
+        n -> ((1.0 - damping) + damping * (sum.toDouble / 1e6)) }
+    }
+    val rows = rank.toSeq.map { case (n, r) => org.apache.spark.sql.Row(n, r) }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema.head.dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType))))
   }
 
   /** One PageRank round over the deg-attached edge table — split out so

@@ -47,15 +47,19 @@ class GraphBasketPlanSpec extends SparkSuite {
       s"co-keyed regime must not broadcast the rank state:\n$plan")
   }
 
-  test("pagerank: both regimes produce identical ranks") {
-    // the per-round arithmetic is integer-quantized, so a forced
-    // co-keyed run (broadcastRowLimit = 1) must be bit-identical to the
-    // broadcast run — the regime switch cannot move the gate
+  test("pagerank: all three regimes produce identical ranks") {
+    // the per-round arithmetic is integer-quantized, so the driver
+    // small regime (default at this edge count), a forced broadcast
+    // run, and a forced co-keyed run (broadcastRowLimit = 1) must all
+    // be bit-identical — the regime switches cannot move the gate
     val edges = Graph.custSuppEdgesLong(spark, sf)
     val a = Graph.pageRank(edges).orderBy($"node").collect().toSeq
-    val b = Graph.pageRank(edges, broadcastRowLimit = 1)
+    val bcast = Graph.pageRank(edges, localEdgeLimit = 0)
       .orderBy($"node").collect().toSeq
-    assert(a == b)
+    val cokeyed = Graph.pageRank(edges, broadcastRowLimit = 1, localEdgeLimit = 0)
+      .orderBy($"node").collect().toSeq
+    assert(a == bcast, "driver regime diverges from broadcast rounds")
+    assert(bcast == cokeyed, "co-keyed rounds diverge from broadcast rounds")
   }
 
   test("tpch q5: all five dimension-side joins broadcast; <= 2 shuffles total") {

@@ -14,35 +14,48 @@ class GraphSkylineSpec extends SparkSuite {
   }
 
   test("bfs: min hop wins on multi-path graphs, cycles terminate") {
-    // a-b-c-d chain plus a shortcut a-d and a cycle b-c
+    // a-b-c-d chain plus a shortcut a-d and a cycle b-c.
+    // localEdgeLimit 0 forces the distributed loop; the default runs
+    // the driver small regime — both must agree on every property.
     val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("c", "b"))
-    val out = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    // d is 1 hop via the shortcut even though the chain path is 3
-    assert(out == Map("a" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+    for (localLimit <- Seq(0L, Graph.GraphLocalEdgeLimit)) {
+      val out = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10,
+          localEdgeLimit = localLimit)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      // d is 1 hop via the shortcut even though the chain path is 3
+      assert(out == Map("a" -> 0, "b" -> 1, "d" -> 1, "c" -> 2),
+        s"localEdgeLimit=$localLimit")
+    }
   }
 
   test("bfs: unreachable nodes absent; maxHops truncates the walk") {
     val e = edges(("a", "b"), ("b", "c"), ("x", "y")) // two components
-    val out = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(!out.contains("x") && !out.contains("y"))
-    val capped = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 1)
-      .collect().map(_.getString(0)).toSet
-    assert(capped == Set("a", "b")) // c is 2 hops out — beyond the cap
+    for (localLimit <- Seq(0L, Graph.GraphLocalEdgeLimit)) {
+      val out = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10,
+          localEdgeLimit = localLimit)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(!out.contains("x") && !out.contains("y"))
+      val capped = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 1,
+          localEdgeLimit = localLimit)
+        .collect().map(_.getString(0)).toSet
+      assert(capped == Set("a", "b")) // c is 2 hops out — beyond the cap
+    }
   }
 
   test("bfs: co-keyed regime above the broadcast row limit, same answers") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
-    // regime parity: forcing every round through the shuffle path
-    // changes nothing about the answer
-    val small = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10)
+    // three-regime parity: driver small regime (default), distributed
+    // broadcast rounds, and co-keyed shuffle rounds all agree
+    val local = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val small = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10,
+      localEdgeLimit = 0)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val sharded = Graph.bfsHops(e, Seq("a").toDF("node"), maxHops = 10,
-      broadcastRowLimit = 0)
+      broadcastRowLimit = 0, localEdgeLimit = 0)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(small == sharded && small("c") == 2)
+    assert(local == small && small == sharded && small("c") == 2)
     // declared plan shape: broadcastOk=false must not REQUEST a broadcast
     // for either the frontier probe or the visited anti-join (AQE may
     // still shrink a tiny side at runtime — that's its call, not ours)
@@ -78,8 +91,13 @@ class GraphSkylineSpec extends SparkSuite {
     // star graph plus a chain — asymmetric degrees so ranks separate
     val pairs = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"), ("c", "d"))
     val e = edges(pairs: _*)
+    // default = driver small regime; localEdgeLimit 0 = distributed
+    // rounds — BOTH must match the sequential reference bit for bit
     val out = Graph.pageRank(e, damping = 0.85, iters = 10)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = Graph.pageRank(e, damping = 0.85, iters = 10, localEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == dist, "driver and distributed PageRank regimes diverge")
     // reference implementation: same quantized update rule, sequential
     val undirected = pairs.flatMap(p => Seq(p, p.swap))
     val deg = undirected.groupBy(_._1).map { case (n, es) => n -> es.size }
