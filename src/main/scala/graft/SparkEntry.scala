@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -38,6 +38,7 @@ object SparkEntry {
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_perplexity" -> ((s: SparkSession, d: String) => Perplexity.score(s, d)),
+    "q_dsir_sample" -> ((s: SparkSession, d: String) => Dsir.sample(s, d)),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
@@ -291,6 +292,7 @@ object SparkEntry {
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_quality_score" -> TextAnalysis.qualityScoreSql,
     "q_perplexity" -> Perplexity.scoreSql(),
+    "q_dsir_sample" -> Dsir.sampleSql(),
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_chunking" -> TextAnalysis.chunkDocumentsSql(),
