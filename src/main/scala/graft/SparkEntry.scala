@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -39,6 +39,8 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_perplexity" -> ((s: SparkSession, d: String) => Perplexity.score(s, d)),
     "q_dsir_sample" -> ((s: SparkSession, d: String) => Dsir.sample(s, d)),
+    "q_gopher_rules" -> ((s: SparkSession, d: String) =>
+      GopherRules.score(s, d, minStops = 1)),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
@@ -293,6 +295,7 @@ object SparkEntry {
     "q_quality_score" -> TextAnalysis.qualityScoreSql,
     "q_perplexity" -> Perplexity.scoreSql(),
     "q_dsir_sample" -> Dsir.sampleSql(),
+    "q_gopher_rules" -> GopherRules.scoreSql(minStops = 1),
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_chunking" -> TextAnalysis.chunkDocumentsSql(),
