@@ -45,7 +45,9 @@ object ScaleSoak {
     "q_curation",        // composed funnel over the staged LSH index
     "q_token_counts",    // text tokenization + agg
     "q_pagerank",        // iterative graph (10 rounds)
-    "q_knn_lsh")         // sign-hyperplane bucketed ANN
+    "q_knn_lsh",         // sign-hyperplane bucketed ANN
+    "q_gopher_rules",    // pure per-doc rule map (α should be ~1)
+    "q_dsir_sample")     // two gram scans + B-sized broadcast + top-k
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,7 +127,8 @@ object ScaleSoak {
       // (1-J^4)^16 ≤ 4e-8 per pair·replica at J = 0.9, ~2e-23 at the
       // J ≈ 0.99 template dups — so a trip here means a real recall
       // regression, not band luck.
-      for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts"))
+      for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts",
+          "q_gopher_rules"))
         require(rows((q, m)) * m0 == rows((q, m0)) * m,
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ×${m}/${m0} of ${rows((q, m0))}")
     }
