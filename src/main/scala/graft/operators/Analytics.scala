@@ -514,6 +514,31 @@ object Analytics {
     * register HLL with pinned integer/IEEE arithmetic (the
     * hllRegisterRollup recipe, grouped by return flag). Same mergeable
     * 100 TB shape as the built-ins; gains an exact DuckDB oracle. */
+  /** THE single copy of the register-HLL formula pieces (m = 256),
+    * shared by [[approxStatsSketch]] and [[hllRegisterRollup]] — the
+    * pinned arithmetic must never diverge between the two gates
+    * (round-6 review). Callers keep the column-name contract: grouped
+    * registers named `reg`, window max named `rmax`, aggregate outputs
+    * `rmax_i`/`znum`. */
+  private object RegisterHll {
+    def bucket(h: Column): Column = h % 256
+    def rho(h: Column): Column = {
+      val w = shiftright(h, 8)
+      when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
+    }
+    /** Exact-integer harmonic numerator Σ2^(rmax−reg) + V·2^rmax. */
+    val znum: Column =
+      sum(expr("shiftleft(CAST(1 AS BIGINT), rmax - reg)")) +
+        (lit(256) - count(lit(1))).cast("long") *
+          expr("shiftleft(CAST(1 AS BIGINT), max(rmax))")
+    val alphaM2: Column =
+      (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0)
+    /** One pinned IEEE op chain over the exact integers. */
+    def estimate: Column =
+      alphaM2 * expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax_i) AS DOUBLE)") /
+        col("znum").cast("double")
+  }
+
   def approxStatsSketch(spark: SparkSession, sfDir: String,
       k: Int = 256): DataFrame = {
     import spark.implicits._
@@ -535,22 +560,14 @@ object Analytics {
     val h = graft.functions.Dedup.hash60(
       concat_ws("|", $"l_partkey".cast("string"), lit("astat_hll_v1")))
     val r = li.select($"service_type", h.as("h"))
-      .select($"service_type", ($"h" % 256).as("bucket"),
-        shiftright($"h", 8).as("hw"))
-      .select($"service_type", $"bucket",
-        when($"hw" === 0, lit(53)).otherwise(lit(53) - length(bin($"hw"))).as("rho"))
+      .select($"service_type", RegisterHll.bucket($"h").as("bucket"),
+        RegisterHll.rho($"h").as("rho"))
     val regs = r.groupBy($"service_type", $"bucket").agg(max($"rho").as("reg"))
     val wr = regs.withColumn("rmax",
       max($"reg").over(Window.partitionBy($"service_type")))
-    val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0)
     val hll = wr.groupBy($"service_type").agg(
-        max($"rmax").as("rmax_i"),
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), rmax - reg)")) +
-          (lit(256) - count(lit(1))).cast("long") *
-            expr("shiftleft(CAST(1 AS BIGINT), max(rmax))")).as("znum"))
-      .select($"service_type",
-        (alphaM2 * expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax_i) AS DOUBLE)") /
-          $"znum".cast("double")).as("distinct_parts_est"))
+        max($"rmax").as("rmax_i"), RegisterHll.znum.as("znum"))
+      .select($"service_type", RegisterHll.estimate.as("distinct_parts_est"))
     val counts = li.groupBy($"service_type").agg(count(lit(1)).as("trips"))
     p50.join(hll, "service_type").join(counts, "service_type")
       .orderBy($"service_type")
@@ -762,11 +779,8 @@ object Analytics {
     val ev = Tables.events(spark, sfDir)
       .select(to_date($"ts").as("day"),
         graft.functions.Dedup.hash60(item).as("h"))
-    val r = ev.select($"day", ($"h" % 256).as("bucket"),
-        shiftright($"h", 8).as("w"))
-      .select($"day", $"bucket",
-        when($"w" === 0, lit(53))
-          .otherwise(lit(53) - length(bin($"w"))).as("rho"))
+    val r = ev.select($"day", RegisterHll.bucket($"h").as("bucket"),
+      RegisterHll.rho($"h").as("rho"))
     val daily = r.groupBy($"day", $"bucket").agg(max($"rho").as("reg"))
     val weekly = daily
       .groupBy(date_trunc("week", $"day").cast("date").as("week"), $"bucket")
@@ -776,18 +790,12 @@ object Analytics {
     val agg = wk.groupBy($"week").agg(
       max($"rmax").as("rmax_i"),
       (lit(256) - count(lit(1))).as("v_zero_i"),
-      (sum(expr("shiftleft(CAST(1 AS BIGINT), rmax - reg)")) +
-        (lit(256) - count(lit(1))).cast("long") *
-          expr("shiftleft(CAST(1 AS BIGINT), max(rmax))")).as("znum"))
-    val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
-      lit(65536.0)
+      RegisterHll.znum.as("znum"))
     agg.select($"week",
         $"rmax_i".cast("long").as("rmax"),
         $"v_zero_i".cast("long").as("v_zero"),
         $"znum",
-        (alphaM2 *
-          expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax_i) AS DOUBLE)") /
-          $"znum".cast("double")).as("est_raw"))
+        RegisterHll.estimate.as("est_raw"))
       .orderBy($"week")
   }
 

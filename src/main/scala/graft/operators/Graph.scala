@@ -63,7 +63,10 @@ object Graph {
     import spark.implicits._
     val e = edges.toDF("a", "b").localCheckpoint(eager = true)
     if (e.count() <= localEdgeLimit) return bfsLocal(e, seed, maxHops)
-    var visited = seed.toDF("node").withColumn("hop", lit(0))
+    // seeds are a node SET: distinct here keeps the distributed regime
+    // value-identical to the driver loop (whose visited map dedups) on
+    // inputs with repeated seed rows
+    var visited = seed.toDF("node").distinct().withColumn("hop", lit(0))
       .localCheckpoint(eager = true)
     var frontier = visited.select($"node")
     var hop = 0

@@ -159,7 +159,10 @@ object Ingest {
     val df = spark.read
       .option("header", "true").option("inferSchema", "true")
       .csv(path)
-    df.toDF(df.columns.map(_.trim.toUpperCase).toIndexedSeq: _*)
+    // Locale.ROOT: default-locale toUpperCase corrupts 'i' -> 'İ' under
+    // Turkish-family locales, breaking every downstream col() reference
+    df.toDF(df.columns.map(_.trim.toUpperCase(java.util.Locale.ROOT))
+      .toIndexedSeq: _*)
   }
 
   /** S6/S9: replace-semantics materialization (exporter_taxi.py:26-32,
@@ -283,10 +286,28 @@ object Ingest {
     }
     val ok = audit(spark.read.parquet(staging))
     if (ok) {
+      // every rename's Boolean is CHECKED (round-6 review): a silently
+      // failed park would let the staging rename land INSIDE the still-
+      // existing dir (HDFS rename-into-directory semantics) and the
+      // final cleanup would then delete the only good copy while this
+      // function reports success
       val old = p(s"$dir.old")
       fs.delete(old, true)
-      if (fs.exists(p(dir))) fs.rename(p(dir), old)
-      fs.rename(p(staging), p(dir))
+      if (fs.exists(p(dir)) && !fs.rename(p(dir), old)) {
+        fs.delete(p(staging), true)
+        throw new java.io.IOException(
+          s"writeAudited: could not park current version $dir -> $old; " +
+            "table left at previous version, staging discarded")
+      }
+      if (!fs.rename(p(staging), p(dir))) {
+        // restore the parked version so the table never vanishes; only
+        // then fail loudly
+        val restored = !fs.exists(old) || fs.rename(old, p(dir))
+        fs.delete(p(staging), true)
+        throw new java.io.IOException(
+          s"writeAudited: publish rename $staging -> $dir failed; previous " +
+            s"version ${if (restored) "restored" else s"PARKED at $old"}")
+      }
       fs.delete(old, true)
     } else {
       fs.delete(p(staging), true)

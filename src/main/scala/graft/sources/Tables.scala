@@ -106,9 +106,21 @@ object Tables {
     "documents" -> documents, "embeddings" -> embeddings)
 
   /** Per-path probe cache: the footer is immutable for a given mtime;
-    * keyed on (path, mtime) so a driver-side regeneration invalidates. */
+    * keyed on (path, mtime) so a driver-side regeneration invalidates.
+    * For directory-shaped tables the DIRECTORY mtime only moves on
+    * entry create/delete/rename — an in-place part-file rewrite leaves
+    * it unchanged — so the key folds in the newest mtime of the files
+    * underneath (round-6 review). */
   private val nanosCols =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Set[String]]()
+
+  /** Newest lastModified reachable under `f` (the dir itself, its part
+    * files, nested dirs) — the invalidation stamp for probe caches. */
+  private def deepMtime(f: java.io.File): Long =
+    if (f.isFile) f.lastModified
+    else (f.lastModified +: Option(f.listFiles()).toSeq.flatten
+      .filterNot(_.getName.startsWith("."))
+      .map(deepMtime)).max
 
   /** Declared-TimestampType columns stored as TIMESTAMP(NANOS) in the
     * file footer — Spark 4 refuses those as TimestampType, so [[load]]
@@ -121,7 +133,7 @@ object Tables {
     val declared = schema.fields.filter(_.dataType == TimestampType).map(_.name)
     if (declared.isEmpty) return Set.empty
     val f = new java.io.File(path.stripPrefix("file://"))
-    val key = (f.getCanonicalPath, f.lastModified)
+    val key = (f.getCanonicalPath, deepMtime(f))
     nanosCols.computeIfAbsent(key, { _ =>
       findParquetFile(f) match {
         case None => Set.empty[String]
@@ -303,7 +315,15 @@ object Tables {
   /** Unit-aware long→timestamp decode; dispatches on the unit pinned by
     * [[prepareEvents]]. Call prepareEvents/prepareEventsDir first. */
   def decodeEventTs(df: DataFrame): DataFrame = {
-    val e = df.sparkSession.conf.get(TsUnitKey, "MICROS") match {
+    // NO default unit: a missing pin means prepareEvents was never
+    // called, and guessing MICROS on a NANOS feed would decode 1000×
+    // off silently — the same fail-loudly contract as the unknown-value
+    // branch below (round-6 review)
+    val unit = df.sparkSession.conf.getOption(TsUnitKey).getOrElse(
+      throw new IllegalArgumentException(
+        "events ts unit was never pinned — call Tables.prepareEvents/" +
+          "prepareEventsDir before decodeEventTs"))
+    val e = unit match {
       case "NANOS"  => "timestamp_micros(ts div 1000)"
       case "MICROS" => "timestamp_micros(ts)"
       case "MILLIS" => "timestamp_millis(ts)"

@@ -128,8 +128,18 @@ class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
+    // truncate = publish-new-THEN-delete-old (round-6 review): the old
+    // visible set is snapshotted first, the new files rename in (their
+    // writeId-unique names cannot collide with it), and only then is
+    // the snapshot deleted. A crash mid-commit leaves old∪new visible —
+    // duplicated rows, recoverable — where delete-first left a window
+    // of TOTAL data loss (old gone, new still dot-hidden). The doc'd
+    // isolation contract is per-FILE (no reader ever sees a partial or
+    // uncommitted file); the truncate swap itself is publish-then-
+    // retire, not atomic — the honest plain-FS bound, same as Spark's
+    // own non-transactional overwrite.
+    val oldVisible = if (truncate) GraftCsvIO.listFiles(path) else Seq.empty
     if (truncate) {
-      GraftCsvIO.listFiles(path).foreach(_.delete())
       // replace semantics = exclusive ownership of the DATA: reclaim
       // orphan temp files of previous CRASHED writers, but only past an
       // age threshold — a fresh temp may belong to a live concurrent
@@ -149,6 +159,7 @@ class GraftCsvBatchWrite(schema: StructType, path: String, truncate: Boolean)
       else require(src.renameTo(new File(dir, finalName)),
         s"graftcsv: publish rename failed for $tmp")
     }
+    oldVisible.foreach(_.delete())
     sweepTmp()
   }
 
