@@ -109,6 +109,8 @@ object SparkEntry {
     "q_stream_sessions" -> (graft.streaming.EventsStream.runSessionStream _),
     "q_contamination" -> ((s: SparkSession, d: String) =>
       graft.functions.Decontaminate.contamination(s, d)),
+    "q_contamination_bloom" -> ((s: SparkSession, d: String) =>
+      graft.functions.Decontaminate.bloomContamination(s, d)),
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
     "q_grouping_sets" -> (Analytics.groupingSetsRevenue _),
     "q_amount_outliers" -> (Analytics.amountOutliers _),
@@ -363,6 +365,7 @@ object SparkEntry {
     "q_scd2_users" -> Scd.userStatusScd2Sql,
     "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,
     "q_contamination" -> graft.functions.Decontaminate.contaminationSql(),
+    "q_contamination_bloom" -> graft.functions.Decontaminate.bloomContaminationSql(),
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
     "q_grouping_sets" -> Analytics.groupingSetsRevenueSql,
     "q_amount_outliers" -> Analytics.amountOutliersSql,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -81,4 +81,124 @@ object Decontaminate {
        |FROM agg
        |WHERE n_contaminated > 0
        |ORDER BY doc_id""".stripMargin
+
+  // ---- Bloom-filter decontamination (fixed-memory eval side) ------------
+  //
+  // [[contaminationOf]] broadcasts the eval set's RAW distinct n-grams —
+  // right for a benchmark suite (thousands of docs). When the held-out
+  // side is itself corpus-sized (decontaminating against an entire prior
+  // training run, or a customer's full blocklist), raw grams stop
+  // fitting an executor broadcast. The Bloom path replaces them with an
+  // m-bit filter: memory is FIXED at m/8 bytes regardless of eval-gram
+  // count (size m ≈ grams·k/ln2 for the target FP rate; 2^33 bits = 1 GB
+  // absorbs ~800M grams at k=7 with FP < 1%), the corpus side is still
+  // touched once with no shuffle before the per-doc aggregate, and the
+  // decision errs only toward FALSE POSITIVES — extra kill-list entries,
+  // never missed contamination (the safe direction for this operator).
+  //
+  // Everything is engine-neutral integer math: the gram hash is the
+  // md5-prefix [[Dedup.hash60]], bit positions are overflow-free
+  // Kirsch–Mitzenmacher double hashing (see [[graft.plans.BloomContains]]),
+  // so the DuckDB oracle rebuilds the identical filter as a distinct
+  // position SET and replays every probe — false positives included —
+  // making the gate hash-exact, not merely superset-consistent.
+
+  /** (h1, h2) double-hash bases of gram hash `h` for an `m`-bit filter:
+    * p_j = (h1 + j·h2) mod m. Mirrors BloomContains' codegen exactly. */
+  private def hashBases(h: Column, m: Long): (Column, Column) =
+    (h % lit(m), lit(1L) + shiftright(h, 20) % lit(m - 1L))
+
+  /** Build the m-bit filter over `grams`' distinct values as bit words:
+    * one shuffle of (position) longs, bit_or per word, ≤ m/64 rows back
+    * to the driver — the build is distributed; only the finished bitmap
+    * (m/8 bytes) ever sits in one place. */
+  private[graft] def bloomBitmap(grams: DataFrame, numBits: Long,
+      numHashes: Int): Array[Long] = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val (h1, h2) = hashBases(Dedup.hash60($"g"), numBits)
+    val positions = grams.select($"g").distinct()
+      .select(explode(array((0 until numHashes).map(j =>
+        (h1 + lit(j.toLong) * h2) % lit(numBits)): _*)).as("p"))
+    val words = positions
+      .select(shiftright($"p", 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("bitv"))
+      .groupBy($"w").agg(expr("bit_or(bitv)").as("word"))
+      .as[(Long, Long)].collect()
+    val arr = new Array[Long]((numBits / 64).toInt)
+    words.foreach { case (w, word) => arr(w.toInt) = word }
+    arr
+  }
+
+  /** Bloom-probed contamination report: per training doc, its distinct
+    * gram count and how many grams the filter flags. Flags are a
+    * SUPERSET of [[contaminationOf]]'s exact hits (never a miss); the
+    * FP surplus is bounded by fill^k and replayed verbatim by the SQL
+    * oracle. */
+  def bloomContaminationOf(docs: DataFrame, benchSource: String, n: Int,
+      numBits: Long, numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs
+      .select($"doc_id", $"source", Dedup.tokens($"text").as("t"))
+      .select($"doc_id", $"source", explode(gramArray(n)).as("g"))
+    val bitmap = bloomBitmap(grams.filter($"source" === benchSource),
+      numBits, numHashes)
+    val hit = graft.plans.BloomExpression.bloomContains(
+      Dedup.hash60($"g"), typedLit(bitmap.toSeq), numBits, numHashes)
+    grams.filter($"source" =!= benchSource)
+      .select($"doc_id", hit.cast("int").as("hit"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum($"hit").cast("int").as("n_bloom_hits"))
+      .filter($"n_bloom_hits" > 0)
+      .select($"doc_id", $"n_grams", $"n_bloom_hits")
+      .orderBy($"doc_id")
+  }
+
+  /** Gate defaults: m = 2^20 bits (128 KB — vastly oversized for the
+    * sf eval sets, as a production filter would be), k = 7. */
+  def bloomContamination(spark: SparkSession, sfDir: String,
+      benchSource: String = "src0", n: Int = 8,
+      numBits: Long = 1L << 20, numHashes: Int = 7): DataFrame =
+    bloomContaminationOf(Tables.documents(spark, sfDir), benchSource, n,
+      numBits, numHashes)
+
+  /** Oracle: the filter's set bits as a DISTINCT position set (bit p is
+    * set iff p is a position of some eval gram — definitionally the
+    * bitmap), then a probe is a hit iff all k of its positions match. */
+  def bloomContaminationSql(benchSource: String = "src0", n: Int = 8,
+      numBits: Long = 1L << 20, numHashes: Int = 7): String = {
+    val h = "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |gr AS (
+       |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+${n - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - ${n - 2})) AS i
+       |        FROM toks)),
+       |js AS (SELECT unnest(range(0, $numHashes)) AS j),
+       |pos AS MATERIALIZED (
+       |  SELECT DISTINCT (($h % $numBits) +
+       |      j * (1 + (($h >> 20) % ${numBits - 1L}))) % $numBits AS p
+       |  FROM (SELECT DISTINCT g FROM gr WHERE source = ${Sql.lit(benchSource)})
+       |  CROSS JOIN js),
+       |probes AS (
+       |  SELECT doc_id, g,
+       |         (($h % $numBits) +
+       |          j * (1 + (($h >> 20) % ${numBits - 1L}))) % $numBits AS p
+       |  FROM (SELECT doc_id, g FROM gr WHERE source <> ${Sql.lit(benchSource)})
+       |  CROSS JOIN js),
+       |hits AS (
+       |  SELECT doc_id, g, (COUNT(pos.p) = $numHashes) AS hit
+       |  FROM probes LEFT JOIN pos USING (p)
+       |  GROUP BY doc_id, g),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_grams,
+       |         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS INTEGER) AS n_bloom_hits
+       |  FROM hits GROUP BY 1)
+       |SELECT doc_id, n_grams, n_bloom_hits
+       |FROM agg WHERE n_bloom_hits > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 }
