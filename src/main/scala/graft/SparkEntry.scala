@@ -246,6 +246,7 @@ object SparkEntry {
     "q_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureMix(s, d)),
     "q_json_source" -> (graft.sources.Ingest.jsonSourceQuery _),
+    "q_orc_source" -> (graft.sources.Ingest.orcSourceQuery _),
     "q_time_travel" -> (graft.sources.Versioned.timeTravelQuery _),
     "q_stream_snapshots" -> (graft.streaming.EventsStream.snapshotStreamQuery _),
     "q_bfs_hops" -> (Graph.bfsQuery _),
@@ -344,6 +345,7 @@ object SparkEntry {
     "q_quantile_sketch" -> Analytics.quantileSketchSql(),
     "q_stream_sketch" -> Analytics.quantileSketchSql(),
     "q_json_source" -> graft.sources.Ingest.jsonSourceSql,
+    "q_orc_source" -> graft.sources.Ingest.orcSourceSql,
     "q_time_travel" -> graft.sources.Versioned.timeTravelSql,
     "q_stream_snapshots" -> graft.streaming.EventsStream.snapshotStreamSql,
     "q_bfs_hops" -> Graph.bfsSql,

@@ -496,6 +496,44 @@ object Ingest {
        |SELECT '_corrupt', 2, 0.0
        |ORDER BY event_type""".stripMargin
 
+  /** ORC round-trip: write an events slice to ORC (the other built-in
+    * columnar format — a lake this engine reads will hold both), read it
+    * back with a pushed-down predicate, aggregate. The oracle computes
+    * the same result from the parquet original, so the gate pins
+    * LOSSLESS round-trip of long/string/double columns through ORC's
+    * type system, not just "the files read". OrcSourceSpec separately
+    * pins that the filter reaches the ORC scan (pushedFilters) — ORC
+    * carries the same row-group min/max machinery the parquet layout
+    * experiments exploit, so the 100 TB skipping story transfers. */
+  def orcSourceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    try {
+      Tables.events(spark, sfDir)
+        .filter($"event_id" % 25 === 0)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .coalesce(4).write.orc(s"$tmp/orc")
+      spark.read.orc(s"$tmp/orc")
+        .filter($"event_type" =!= "error")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.sumExact($"value").as("total_value"))
+        .orderBy($"event_type")
+        .localCheckpoint(eager = true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  val orcSourceSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |       ${graft.functions.Exact.sumExactSql("value")} AS total_value
+       |FROM events
+       |WHERE event_id % 25 = 0 AND event_type <> 'error'
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
+
   val insertOverwriteSql: String =
     """WITH cur AS (
       |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
