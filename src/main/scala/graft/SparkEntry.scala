@@ -92,6 +92,7 @@ object SparkEntry {
     "q_label_norms" -> (Similarity.labelNorms _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q_deduped_corpus" -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
+    "q_deduped_corpus_longest" -> ((s: SparkSession, d: String) => Dedup.dedupedCorpusLongest(s, d)),
     // deterministic data-mixing ops (hash-bucket sampling, exact membership)
     "q_stratified_sample" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.stratifiedSample(s, d, Sampling.defaultRates)),
@@ -101,6 +102,7 @@ object SparkEntry {
       graft.functions.Sampling.splitLeakage(s, d)),
     // compliance / corpus-quality passes
     "q_pii_scan" -> (Pii.piiScan _),
+    "q_k_anonymity" -> ((s: SparkSession, d: String) => Pii.kAnonymity(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
     "q_hybrid_search" -> ((s: SparkSession, d: String) =>
@@ -357,10 +359,12 @@ object SparkEntry {
     "q_label_norms" -> Similarity.labelNormsSql,
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_deduped_corpus" -> Dedup.dedupedCorpusSql(),
+    "q_deduped_corpus_longest" -> Dedup.dedupedCorpusLongestSql(),
     "q_stratified_sample" -> graft.functions.Sampling.stratifiedSampleSql(Sampling.defaultRates),
     "q_train_val_test" -> graft.functions.Sampling.trainValTestSql(),
     "q_split_leakage" -> graft.functions.Sampling.splitLeakageSql(),
     "q_pii_scan" -> Pii.piiScanSql,
+    "q_k_anonymity" -> Pii.kAnonymitySql(),
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
     "q_hybrid_search" -> graft.functions.Retrieval.hybridSearchSql(),

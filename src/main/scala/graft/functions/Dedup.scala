@@ -522,6 +522,57 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware canonical selection: where [[dedupedCorpus]] keeps
+    * each cluster's MIN-ID member (arbitrary), this keeps its LONGEST
+    * (n_chars desc, doc_id tie-break) — near-dup clusters usually mix
+    * truncated/boilerplate copies with one fuller original, and a
+    * training pipeline wants the fullest representative, not the one
+    * that happened to be crawled first.
+    *
+    * Cost over [[dedupedCorpus]]: one extra broadcast-sized join of the
+    * cluster table against (doc_id, n_chars) and a window partitioned
+    * by cluster (cluster-sized partitions, not corpus-sized). The drop
+    * list stays |dup docs| − |clusters| rows — the same broadcastable
+    * kill-list. */
+  def dedupedCorpusLongest(spark: SparkSession, sfDir: String,
+      minJac: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val members = DedupStage.clusters(spark, sfDir, minJac)
+      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+    val w = Window.partitionBy($"cluster_keeper")
+      .orderBy($"n_chars".desc, $"doc_id")
+    val dropList = members.withColumn("rk", row_number().over(w))
+      .filter($"rk" > 1).select($"doc_id")
+    docs.join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
+  def dedupedCorpusLongestSql(minJac: Double = 0.9): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardSql(minJac)}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS reach FROM nodes
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reach),
+       |clusters AS (
+       |  SELECT doc_id, min(reach) AS keeper FROM reach GROUP BY 1),
+       |ranked AS (
+       |  SELECT c.doc_id,
+       |         row_number() OVER (PARTITION BY c.keeper
+       |           ORDER BY d.n_chars DESC, c.doc_id) AS rk
+       |  FROM clusters c JOIN documents d USING (doc_id)),
+       |drop_list AS (SELECT doc_id FROM ranked WHERE rk > 1)
+       |SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- SimHash -----------------------------------------------------------
 
   val simhashBits = 60 // md5-prefix parsing yields 60 cross-engine-safe bits

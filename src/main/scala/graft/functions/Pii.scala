@@ -139,4 +139,37 @@ object Pii {
        |FROM scanned
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- k-anonymity audit -------------------------------------------------
+
+  /** k-anonymity violations over a quasi-identifier combination
+    * (nation, market segment, account-balance band): any combination
+    * shared by fewer than k individuals can re-identify them, and a
+    * release pipeline must suppress or generalize those rows first.
+    * This is the audit that finds them — the complement of [[scan]],
+    * which catches DIRECT identifiers; quasi-identifiers leak through
+    * joins with outside data even with every direct field redacted.
+    *
+    * Scale: one map-side-combined group-by; output is bounded by the
+    * attribute cross product (|nations|·|segments|·|bands|), never the
+    * row count — the same shape at 1 500 or 150 B customers. */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long").as("acctbal_band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"acctbal_band")
+      .agg(count(lit(1)).as("n_members"))
+      .filter($"n_members" < k)
+      .orderBy($"c_nationkey", $"c_mktsegment", $"acctbal_band")
+  }
+
+  def kAnonymitySql(k: Int = 5): String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+       |       COUNT(*) AS n_members
+       |FROM customer
+       |GROUP BY 1, 2, 3
+       |HAVING COUNT(*) < $k
+       |ORDER BY c_nationkey, c_mktsegment, acctbal_band""".stripMargin
 }

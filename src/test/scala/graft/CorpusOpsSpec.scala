@@ -61,6 +61,47 @@ class PiiSpec extends SparkSuite {
     assert(q.filter(!$"has_pii").count() == 0)
     q.unpersist()
   }
+
+  test("k-anonymity: every reported combo is under k, and suppressed rows leave an anonymous table") {
+    val k = 5
+    val viol = Pii.kAnonymity(spark, sf, k).cache()
+    assert(viol.count() > 0, "sf fixture should contain small quasi-id groups")
+    assert(viol.filter($"n_members" >= k).count() == 0)
+    // the audit is complete: after dropping every member of a reported
+    // combo, the remaining table is k-anonymous under the same quasi-ids
+    val remaining = graft.sources.Tables.customer(spark, sf)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long").as("acctbal_band"))
+      .join(viol.select($"c_nationkey", $"c_mktsegment", $"acctbal_band"),
+        Seq("c_nationkey", "c_mktsegment", "acctbal_band"), "left_anti")
+      .groupBy($"c_nationkey", $"c_mktsegment", $"acctbal_band")
+      .agg(count(lit(1)).as("n"))
+    assert(remaining.filter($"n" < k).count() == 0,
+      "suppressing reported combos must leave no residual violations")
+    viol.unpersist()
+  }
+
+  test("longest-keeper dedup: kept member dominates its cluster on (n_chars, -doc_id)") {
+    val kept = graft.functions.Dedup.dedupedCorpusLongest(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val members = graft.functions.DedupStage.clusters(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1) // keeper label -> members (label, doc_id, n_chars)
+    assert(members.nonEmpty, "sf fixture should contain dup clusters")
+    members.foreach { case (label, ms) =>
+      val inKept = ms.filter(m => kept.contains(m._2))
+      assert(inKept.length == 1,
+        s"cluster $label must keep exactly one member, kept ${inKept.toSeq}")
+      val best = ms.minBy(m => (-m._3, m._2))
+      assert(inKept.head._2 == best._2,
+        s"cluster $label kept ${inKept.head} but longest is $best")
+    }
+    // same cluster count as the min-id variant — only the choice differs
+    val minIdCount = graft.functions.Dedup.dedupedCorpus(spark, sf).count()
+    assert(kept.size.toLong == minIdCount)
+  }
 }
 
 class ScdSpec extends SparkSuite {
