@@ -136,6 +136,11 @@ object Bench {
         time(operators.BasketStage.prebuild(spark, sfDir))
       results("bench_model_stage_build") =
         time(graft.functions.QualityModel.prebuild(spark, sfDir))
+      // disk probe RIGHT AFTER the write-heavy stage-build window: the
+      // start/end samples straddle ~6 min and a transient IO dip in
+      // between (observed: stage builds 3× slower with clean start/end
+      // sentinels) would otherwise leave the artifact claiming quiet
+      results("bench_sentinel_disk_mid") = Sentinel.diskSeconds()
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -374,7 +379,8 @@ object Bench {
     val contended = Sentinel.contendedVerdict(
       sentinels("bench_sentinel_spin_start", "bench_sentinel_spin_end"),
       sentinels("bench_sentinel_spin_mt"),
-      sentinels("bench_sentinel_disk_start", "bench_sentinel_disk_end"),
+      sentinels("bench_sentinel_disk_start", "bench_sentinel_disk_mid",
+        "bench_sentinel_disk_end"),
       sentinels("bench_sentinel_membw_start", "bench_sentinel_membw_end"))
 
     val fullJson = results.map { case (k, v) => entry(k, v) }
