@@ -47,7 +47,8 @@ object ScaleSoak {
     "q_pagerank",        // iterative graph (10 rounds)
     "q_knn_lsh",         // sign-hyperplane bucketed ANN
     "q_gopher_rules",    // pure per-doc rule map (α should be ~1)
-    "q_dsir_sample")     // two gram scans + B-sized broadcast + top-k
+    "q_dsir_sample",     // two gram scans + B-sized broadcast + top-k
+    "q_contamination_bloom") // bitmap build (eval-sized) + narrow probe scan
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
