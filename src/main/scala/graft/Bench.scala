@@ -139,7 +139,13 @@ object Bench {
       // disk probe RIGHT AFTER the write-heavy stage-build window: the
       // start/end samples straddle ~6 min and a transient IO dip in
       // between (observed: stage builds 3× slower with clean start/end
-      // sentinels) would otherwise leave the artifact claiming quiet
+      // sentinels) would otherwise leave the artifact claiming quiet.
+      // The bench's OWN writeback is drained first (untimed sync) so
+      // the sample measures external load, not our stage artifacts
+      // still flushing — QuietDiskSec was calibrated on a settled
+      // filesystem and a self-inflated sample would cry wolf every run
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: java.io.IOException => () } // non-POSIX: skip drain
       results("bench_sentinel_disk_mid") = Sentinel.diskSeconds()
     }
     SparkEntry.queries

@@ -73,7 +73,7 @@ case class BloomContains(left: Expression, right: Expression,
       val hit = ctx.freshName("hit")
       s"""
          |long $h1 = $a % ${numBits}L;
-         |long $h2 = 1L + ($a >> 20) % ${numBits - 1L};
+         |long $h2 = 1L + ($a >> 20) % ${numBits - 1L}L;
          |boolean $hit = true;
          |for (int $j = 0; $j < $numHashes; $j++) {
          |  long $p = ($h1 + $j * $h2) % ${numBits}L;

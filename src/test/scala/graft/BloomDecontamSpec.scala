@@ -88,6 +88,22 @@ class BloomDecontamSpec extends SparkSuite {
     assert(probeWords.exists(w => !got(w)), "sanity: some probes miss")
   }
 
+  test("BloomContains codegen compiles past 2^31 bits (the advertised 1 GB sizing)") {
+    // regression: the generated h2 literal (numBits-1) printed without an
+    // L suffix, so Janino rejected any filter over Int.MaxValue bits and
+    // Spark silently fell back to interpreted eval at exactly the corpus
+    // scale the expression exists for. Compile the generated Java
+    // directly — no eval (a real 2^33-bit words array would be 1 GB).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val expr = graft.plans.BloomContains(
+      Literal(123456789L),
+      Literal.create(Seq(0L), ArrayType(LongType)),
+      numBits = 1L << 33, numHashes = 7)
+    GenerateMutableProjection.generate(Seq(expr)) // throws on bad codegen
+  }
+
   test("plan: no raw-gram broadcast and no corpus shuffle before the per-doc aggregate") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
