@@ -385,9 +385,9 @@ object Bench {
     val contended = Sentinel.contendedVerdict(
       sentinels("bench_sentinel_spin_start", "bench_sentinel_spin_end"),
       sentinels("bench_sentinel_spin_mt"),
-      sentinels("bench_sentinel_disk_start", "bench_sentinel_disk_mid",
-        "bench_sentinel_disk_end"),
-      sentinels("bench_sentinel_membw_start", "bench_sentinel_membw_end"))
+      sentinels("bench_sentinel_disk_start", "bench_sentinel_disk_end"),
+      sentinels("bench_sentinel_membw_start", "bench_sentinel_membw_end"),
+      sentinels("bench_sentinel_disk_mid"))
 
     val fullJson = results.map { case (k, v) => entry(k, v) }
       .mkString("{", ",", "}")

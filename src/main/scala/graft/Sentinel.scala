@@ -127,17 +127,26 @@ object Sentinel {
   val QuietSpinMtSec = 0.70 // cpus threads at once: slightly above 1-thread
   val QuietDiskSec = 0.80
   val QuietMembwSec = 0.65 // measured quiet: ~0.62-0.64 s (≈6.5 GB/s/thread)
+  // the MID-RUN disk sample (right after Bench's stage builds + a sync
+  // drain of ~1 GB of freshly written artifacts) has its own quiet
+  // constant: even on an idle box the device is recovering from the
+  // forced flush when this probe lands — measured 1.28-1.36 s quiet
+  // vs 2.2 s+ under the external IO dips the sample exists to catch.
+  // Comparing it against the idle-disk constant cried wolf every run.
+  val QuietDiskMidSec = 1.0
   val ContentionFactor = 1.5
 
   /** True when any probe ran ≥ [[ContentionFactor]]× its quiet-box
     * constant — the artifact was taken under external CPU, I/O, or
     * memory-bus contention and its wall numbers are not comparable
-    * across rounds. `membw` defaults empty so older call sites stay
-    * source-compatible. */
+    * across rounds. `membw`/`diskMid` default empty so older call
+    * sites stay source-compatible. */
   def contendedVerdict(spin: Seq[Double], spinMt: Seq[Double],
-      disk: Seq[Double], membw: Seq[Double] = Seq.empty): Boolean =
+      disk: Seq[Double], membw: Seq[Double] = Seq.empty,
+      diskMid: Seq[Double] = Seq.empty): Boolean =
     spin.exists(_ > QuietSpinSec * ContentionFactor) ||
       spinMt.exists(_ > QuietSpinMtSec * ContentionFactor) ||
       disk.exists(_ > QuietDiskSec * ContentionFactor) ||
-      membw.exists(_ > QuietMembwSec * ContentionFactor)
+      membw.exists(_ > QuietMembwSec * ContentionFactor) ||
+      diskMid.exists(_ > QuietDiskMidSec * ContentionFactor)
 }
