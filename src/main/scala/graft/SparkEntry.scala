@@ -71,6 +71,7 @@ object SparkEntry {
     "q_quality_classifier" -> (graft.functions.QualityModel.trainAndScore _),
     "q_classifier_eval" -> ((s: SparkSession, d: String) => graft.functions.QualityModel.evalHoldout(s, d)),
     "q_stream_hourly" -> (graft.streaming.EventsStream.hourlyBatch _),
+    "q_stream_recovery" -> (graft.streaming.EventsStream.recoveryQuery _),
     "q_stream_dedup" -> (graft.streaming.EventsStream.streamDedupQuery _),
     "q_stream_join" -> (graft.streaming.EventsStream.runStreamStreamJoin(_, _)),
     "q_stream_enrich" -> (graft.streaming.EventsStream.runStreamEnrich _),
@@ -320,6 +321,7 @@ object SparkEntry {
     "q_quality_classifier" -> graft.functions.QualityModel.trainAndScoreSql,
     "q_classifier_eval" -> graft.functions.QualityModel.evalHoldoutSql(),
     "q_stream_hourly" -> graft.streaming.EventsStream.hourlyBatchSql,
+    "q_stream_recovery" -> graft.streaming.EventsStream.recoverySql,
     "q_stream_dedup" -> graft.streaming.EventsStream.streamDedupSql,
     "q_stream_join" -> graft.streaming.EventsStream.attributionSql,
     "q_stream_enrich" -> graft.streaming.EventsStream.streamEnrichSql,

@@ -931,4 +931,114 @@ object EventsStream {
        |FROM events WHERE event_id % 4 <= $v
        |GROUP BY 2, 3""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY version, event_type, day")
+
+  // ---- checkpoint recovery (restart semantics, oracle-gated) -------------
+
+  /** Checkpoint-recovery gate: the hourly windowed aggregation drained
+    * by TWO separate queries sharing one checkpoint. Query 1 sees only
+    * the first half of the feed files and is then discarded — the
+    * crash. A FRESH query resumes the same checkpoint over the full
+    * feed (plus a far-future sentinel event that pushes the watermark
+    * past every real window, so all of them finalize; the sentinel's
+    * own window never does and never appears). The append-sink parquet
+    * accumulated across both lives is the result.
+    *
+    * The oracle is the plain batch hourly aggregate ([[hourlyBatchSql]]
+    * shape): equality proves the file-source log resumed mid-stream
+    * (a replayed file would double-count its windows) and the state
+    * store recovered (state lost at the crash would drop or truncate
+    * the windows open at that point). The 13 other q_stream_* gates
+    * each drain in one uninterrupted run — this is the one that pins
+    * what the checkpoint is FOR. StreamRecoverySpec pins the sharper
+    * per-phase properties (pre-crash windows byte-stable, no dup
+    * window keys); this gate makes restart part of the hash-gated
+    * surface the driver re-verifies every round.
+    *
+    * Scale: recovery cost is O(state + unread backlog), never a
+    * reprocess of consumed input — the property that makes a 100 TB
+    * continuous pipeline restartable at all. */
+  def recoveryQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Staged
+    val work = java.nio.file.Files.createTempDirectory("graft_recov_").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // staged read-only feed: the decoded events in 8 files + the
+      // sentinel in its own file (schema is OURS — decoded timestamps —
+      // so no raw-unit dispatch applies to this derivative)
+      // TS-RANGE files (part-00000 = earliest range): the feed must
+      // arrive in event-time order, or the watermark — global max seen
+      // minus delay — would race past windows whose events are still
+      // in unread files and append mode would DROP them as late,
+      // making the output batch-inequal for reasons that have nothing
+      // to do with recovery. (A round-robin split did exactly that.)
+      val feed = Staged.materializeDir(
+          s"recovery_feed_${Staged.sfKey(sfDir)}") { p =>
+        val ev = Tables.events(spark, sfDir)
+          .select($"ts", $"event_type", $"value")
+        ev.repartitionByRange(8, $"ts").write.parquet(s"$p/real")
+        val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+        Seq((new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000),
+            "sentinel", 0.0))
+          .toDF("ts", "event_type", "value")
+          .coalesce(1).write.parquet(s"$p/sentinel")
+      }
+      val realFiles = new java.io.File(s"$feed/real").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toPath).sortBy(_.toString)
+      val sentinelFile = new java.io.File(s"$feed/sentinel").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val in = new java.io.File(s"$work/in"); in.mkdirs()
+      // the file source orders by modification time: stagger mtimes in
+      // landing order so batches consume the ranges in ts order (and
+      // the sentinel, landed last, cannot advance the watermark before
+      // the real tail is aggregated)
+      var mtime = System.currentTimeMillis()
+      def land(paths: Seq[java.nio.file.Path]): Unit = paths.foreach { p =>
+        val dst = new java.io.File(in, p.getFileName.toString)
+        java.nio.file.Files.copy(p, dst.toPath)
+        mtime += 2000L
+        require(dst.setLastModified(mtime), s"cannot stamp mtime on $dst")
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def drain(): Unit = {
+        // 4 files per batch: phase 1 = one data batch, phase 2 = the
+        // real tail then the sentinel alone (mtime order) — fewest
+        // state-store commits that still exercise multi-batch resume
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "4")
+          .parquet(in.toString)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            graft.functions.Exact.sumExact($"value").as("total_value"))
+          .select($"window.start".as("window_start"), $"event_type",
+            $"n_events", $"total_value")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      land(realFiles.take(4).toSeq); drain() // phase 1, then "crash"
+      land(realFiles.drop(4).toSeq :+ sentinelFile); drain() // recovery
+      spark.read.parquet(s"$work/out")
+        .localCheckpoint()
+        .orderBy($"window_start", $"event_type")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      ()
+    }
+  }
+
+  /** Oracle: the batch hourly aggregate — the recovered two-life stream
+    * must equal one uninterrupted computation over everything. */
+  val recoverySql: String = hourlyBatchSql
 }
