@@ -81,16 +81,22 @@ object Dsir {
     val spark = docs.sparkSession
     import spark.implicits._
     val g = gramBuckets(docs)
-    val rc = g.groupBy($"bucket").agg(count(lit(1)).as("rc"))
-    val tc = g.filter($"lang" === targetLang)
-      .groupBy($"bucket").agg(count(lit(1)).as("tc"))
-    val totals = rc.agg(sum($"rc").as("r_total")).crossJoin(
-      tc.agg(coalesce(sum($"tc"), lit(0L)).as("t_total")))
-    // per-bucket quantized log-ratio; raw counts cover every bucket any
-    // doc can produce (target ⊆ raw), so the left join is total
-    val w = rc.join(tc, Seq("bucket"), "left").crossJoin(totals)
+    // ONE gram scan + ONE bucket shuffle derives BOTH distributions:
+    // the target count is a conditional count inside the same
+    // aggregate. Values are identical to the former rc ⟕ tc join —
+    // target ⊆ raw, so a bucket with no target grams reads tc = 0
+    // exactly where the left join's coalesce(tc, 0) did — but the
+    // separate target-slice scan, its shuffle, and the join are gone
+    // (the gram build was this query's dominant cost, and it ran for
+    // each of the two count paths).
+    val cnts = g.groupBy($"bucket").agg(
+      count(lit(1)).as("rc"),
+      count(when($"lang" === targetLang, lit(1))).as("tc"))
+    val totals = cnts.agg(sum($"rc").as("r_total"),
+      sum($"tc").as("t_total"))
+    val w = cnts.crossJoin(totals)
       .select($"bucket",
-        (floor(log((coalesce($"tc", lit(0L)) + 1L).cast("double") /
+        (floor(log(($"tc" + 1L).cast("double") /
             ($"t_total" + NumBuckets).cast("double")) * lit(1e9)).cast("long")
           - floor(log(($"rc" + 1L).cast("double") /
             ($"r_total" + NumBuckets).cast("double")) * lit(1e9)).cast("long"))
