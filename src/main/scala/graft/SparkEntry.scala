@@ -81,6 +81,7 @@ object SparkEntry {
     "q_rollup_revenue" -> (Analytics.rollupRevenue _),
     "q_distinct_counts" -> (Analytics.distinctCounts _),
     "q_event_props" -> (Analytics.eventProps _),
+    "q_event_props_variant" -> (Analytics.eventPropsVariant _),
     "q_set_ops" -> (Analytics.setOps _),
     "q_pivot_status" -> (Analytics.pivotStatus _),
     "q_frame_index" -> ((s: SparkSession, d: String) => Multimodal.frameIndex(s, d)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,
     "q_distinct_counts" -> Analytics.distinctCountsSql,
     "q_event_props" -> Analytics.eventPropsSql,
+    "q_event_props_variant" -> Analytics.eventPropsSql, // shared: same values, typed path
     "q_set_ops" -> Analytics.setOpsSql,
     "q_pivot_status" -> Analytics.pivotStatusSql,
     "q_frame_index" -> Multimodal.frameIndexSql(),

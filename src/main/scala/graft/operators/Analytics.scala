@@ -489,6 +489,30 @@ object Analytics {
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
 
+  /** VARIANT-typed twin of [[eventProps]] (the Spark 4 semi-structured
+    * type): `parse_json` decodes each props string ONCE into the
+    * shredded binary VARIANT encoding; `variant_get` then extracts
+    * typed paths without re-parsing. Same values as the string-path
+    * query — the oracle is shared — but the 100 TB shape differs:
+    * `get_json_object` re-parses the JSON text per extraction call,
+    * while a VARIANT parse is paid once per row however many fields
+    * extract, and with parquet variant shredding the decode moves into
+    * the scan itself (the open-lakehouse direction for semi-structured
+    * columns). */
+  def eventPropsVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k",
+        variant_get(parse_json($"props"), "$.k", "int"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        avgExact($"k").as("avg_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   /** Sketch-path statistics — the 100 TB variants of A5/COUNT DISTINCT:
     * approx_percentile (single-pass, mergeable, bounded error instead
     * of percentile_cont's full per-group sort) and
