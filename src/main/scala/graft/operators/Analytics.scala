@@ -502,8 +502,13 @@ object Analytics {
   def eventPropsVariant(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
+      // try_parse_json, not parse_json: the string-path twin maps a
+      // malformed props row to NULL (get_json_object semantics), and
+      // the VARIANT twin must degrade identically rather than throw —
+      // value parity on clean data is the gate, parity on dirty data
+      // is this choice (pinned in a spec)
       .withColumn("k",
-        variant_get(parse_json($"props"), "$.k", "int"))
+        variant_get(try_parse_json($"props"), "$.k", "int"))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),
