@@ -115,6 +115,16 @@ object SparkEntry {
       graft.functions.Decontaminate.contamination(s, d)),
     "q_contamination_bloom" -> ((s: SparkSession, d: String) =>
       graft.functions.Decontaminate.bloomContamination(s, d)),
+    "q_contamination_fuzzy" -> ((s: SparkSession, d: String) =>
+      graft.functions.Decontaminate.fuzzyContamination(s, d)),
+    "q_unigram_seed" -> ((s: SparkSession, d: String) =>
+      graft.functions.Unigram.seedCandidates(s, d)),
+    "q_unigram_model" -> ((s: SparkSession, d: String) =>
+      graft.functions.Unigram.modelContract(s, d)),
+    "q_unigram_encode" -> ((s: SparkSession, d: String) =>
+      graft.functions.Unigram.encodeContract(s, d)),
+    "q_slice_divergence" -> ((s: SparkSession, d: String) =>
+      graft.functions.Divergence.sliceDivergence(s, d)),
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
     "q_grouping_sets" -> (Analytics.groupingSetsRevenue _),
     "q_amount_outliers" -> (Analytics.amountOutliers _),
@@ -376,6 +386,11 @@ object SparkEntry {
     "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,
     "q_contamination" -> graft.functions.Decontaminate.contaminationSql(),
     "q_contamination_bloom" -> graft.functions.Decontaminate.bloomContaminationSql(),
+    "q_contamination_fuzzy" -> graft.functions.Decontaminate.fuzzyContaminationSql(),
+    "q_unigram_seed" -> graft.functions.Unigram.seedCandidatesSql(),
+    "q_unigram_model" -> graft.functions.Unigram.modelContractSql,
+    "q_unigram_encode" -> graft.functions.Unigram.encodeContractSql,
+    "q_slice_divergence" -> graft.functions.Divergence.sliceDivergenceSql,
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
     "q_grouping_sets" -> Analytics.groupingSetsRevenueSql,
     "q_amount_outliers" -> Analytics.amountOutliersSql,

@@ -201,4 +201,80 @@ object Decontaminate {
        |FROM agg WHERE n_bloom_hits > 0
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- Fuzzy (MinHash-LSH) decontamination ------------------------------
+  //
+  // [[contaminationOf]] catches VERBATIM benchmark text (shared exact
+  // n-grams). Paraphrased or lightly-edited contamination — the kind
+  // dataset cards actually worry about — shares few exact 8-grams but
+  // keeps a high shingle-set Jaccard. This is the cross-set analog of
+  // [[Dedup.minhashDupPairs]]: train docs whose Jaccard with ANY
+  // benchmark doc clears the threshold, found through the SAME staged
+  // LSH index ([[DedupStage.bandKeys]] / shingleDocs — built once per
+  // corpus, shared with the whole dedup family), then exact-verified.
+  //
+  // Scale: the benchmark side of the band-bucket join is eval-suite-
+  // sized (tiny vs. the corpus), so AQE broadcasts it and the corpus
+  // band keys are scanned once with no self-join — cost is
+  // O(corpus bands + collisions), the incremental-dedup shape, not the
+  // within-corpus pair-mining shape. Recall is the band guarantee
+  // (≥ 1-(1-j⁴)¹⁶, > 0.999 at j ≥ 0.8); precision is 1.0 (exact
+  // verify). The oracle is the brute cross-set exact-Jaccard join —
+  // valid for the same reason as [[Dedup.minhashDupSql]].
+
+  /** Per-train-doc fuzzy contamination report: how many benchmark docs
+    * it near-duplicates and the strongest match. Only contaminated
+    * docs appear (the kill list a pipeline ships). */
+  def fuzzyContamination(spark: SparkSession, sfDir: String,
+      benchSource: String = "src0", minJac: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val side = Tables.documents(spark, sfDir)
+      .select($"doc_id", ($"source" === benchSource).as("is_bench"))
+    val bands = DedupStage.bandKeys(spark, sfDir).join(side, Seq("doc_id"))
+    val bench = bands.filter($"is_bench")
+    val train = bands.filter(!$"is_bench")
+    val candidates = train.as("a").join(bench.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    Dedup.verifyPairsExact(candidates,
+        DedupStage.shingleDocs(spark, sfDir), minJac)
+      .groupBy($"doc_a")
+      .agg(count(lit(1)).cast("int").as("n_bench_matches"),
+        max($"jaccard").as("max_jaccard"))
+      .select($"doc_a".as("doc_id"), $"n_bench_matches", $"max_jaccard")
+      .orderBy($"doc_id")
+  }
+
+  def fuzzyContaminationSql(benchSource: String = "src0",
+      minJac: Double = 0.8): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |            FOR i IN range(1, greatest(len(t) - 1, 1))])) AS shingle
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.source <> ${Sql.lit(benchSource)}
+       |    AND b.source = ${Sql.lit(benchSource)}
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes s1 ON doc_a = s1.doc_id
+       |  JOIN sizes s2 ON doc_b = s2.doc_id
+       |  WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= $minJac)
+       |SELECT doc_a AS doc_id,
+       |       CAST(COUNT(*) AS INTEGER) AS n_bench_matches,
+       |       MAX(jaccard) AS max_jaccard
+       |FROM pairs
+       |GROUP BY doc_a
+       |ORDER BY doc_id""".stripMargin
 }

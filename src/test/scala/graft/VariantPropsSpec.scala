@@ -31,6 +31,34 @@ class VariantPropsSpec extends SparkSuite {
     assert(got.collectFirst { case ("malformed", s, _) => s }.flatten.isEmpty)
   }
 
+  test("VARIANT columns round-trip parquet storage") {
+    // Spark 4.1 writes VariantType as the parquet variant logical type
+    // (shredded binary metadata+value). A curation pipeline that stages
+    // semi-structured props as VARIANT must get identical extractions
+    // after a write/read hop — otherwise staging silently changes
+    // semantics vs. the in-memory path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_variant_rt").toString + "/t"
+    val rows = Seq(
+      """{"k": 7, "nest": {"a": [1, 2, 3]}, "s": "x"}""",
+      """{"k": -2, "nest": {"a": []}, "s": ""}""",
+      """not json""",
+      null.asInstanceOf[String])
+      .toDF("props")
+      .select($"props", try_parse_json($"props").as("v"))
+    rows.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("v").dataType.typeName == "variant",
+      s"variant column did not survive parquet: ${back.schema("v").dataType}")
+    def extract(df: org.apache.spark.sql.DataFrame) = df.select(
+      variant_get($"v", "$.k", "int").as("k"),
+      variant_get($"v", "$.nest.a[1]", "int").as("a1"),
+      variant_get($"v", "$.s", "string").as("s"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    assert(extract(back) == extract(rows), "extraction drift across the parquet hop")
+    assert(extract(back).contains((Some(7), Some(2), Some("x"))))
+  }
+
   test("gated twin queries return identical frames at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val a = Analytics.eventProps(spark, sfDir).collect().toSeq
