@@ -44,6 +44,24 @@ class DivergenceSpec extends SparkSuite {
     }
   }
 
+  test("plan shapes: no cartesian in the fuzzy miner; divergence broadcasts are model-sized only") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val fz = Decontaminate.fuzzyContamination(spark, "/root/testdata/sf0.001")
+    val fzPlan = walkPlan(fz)
+    assert(!fzPlan.exists(_.isInstanceOf[CartesianProductExec]),
+      "fuzzy decontamination must not plan a CartesianProduct")
+    assert(!fzPlan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "fuzzy decontamination must stay an equi-join pipeline")
+    val dv = Divergence.sliceDivergence(spark, "/root/testdata/sf0.001")
+    val dvPlan = walkPlan(dv)
+    assert(!dvPlan.exists(_.isInstanceOf[CartesianProductExec]),
+      "slice divergence must not plan a CartesianProduct")
+    // the two deliberate broadcasts (per-source scalars, 1-row totals)
+    // are the ONLY nested-loop joins — both model-sized by construction
+    assert(dvPlan.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 2,
+      "slice divergence grew an unplanned nested-loop join")
+  }
+
   test("fuzzy decontamination: LSH path is complete vs brute cross-set verify") {
     val sfDir = "/root/testdata/sf0.01"
     val minJac = 0.8
