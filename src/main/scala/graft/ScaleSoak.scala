@@ -48,11 +48,25 @@ object ScaleSoak {
     "q_knn_lsh",         // sign-hyperplane bucketed ANN
     "q_gopher_rules",    // pure per-doc rule map (α should be ~1)
     "q_dsir_sample",     // two gram scans + B-sized broadcast + top-k
-    "q_contamination_bloom") // bitmap build (eval-sized) + narrow probe scan
+    "q_contamination_bloom", // bitmap build (eval-sized) + narrow probe scan
+    "q_contamination_fuzzy", // cross-set LSH probe of the staged band index
+    "q_slice_divergence",    // corpus explode + vocab×sources grid
+    "q_unigram_encode")      // EM-learned vocab + distinct-word Viterbi
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // subset filter for incremental soaks (same contract as Bench's
+    // SPARK_GRAFT_BENCH_ONLY): replication dirs are reused, so soaking
+    // only the queries added since the last full run is cheap
+    val soakQueries = sys.env.get("SPARK_GRAFT_SOAK_ONLY") match {
+      case Some(s) =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- SoakQueries.toSet
+        require(unknown.isEmpty, s"SPARK_GRAFT_SOAK_ONLY unknown: $unknown")
+        SoakQueries.filter(want)
+      case None => SoakQueries
+    }
     val mults = args.headOption.getOrElse("1,4,16")
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
@@ -73,7 +87,7 @@ object ScaleSoak {
     // artifacts mean warming an m that is also timed would pre-pay
     // that m's stage builds and skew its timings against the others'
     locally {
-      SoakQueries.foreach(q => SparkEntry.queries(q)(spark, base).count())
+      soakQueries.foreach(q => SparkEntry.queries(q)(spark, base).count())
       spark.catalog.clearCache()
     }
 
@@ -82,7 +96,7 @@ object ScaleSoak {
     val monthly = scala.collection.mutable.LinkedHashMap[Int, Map[(String, String), Seq[String]]]()
     for (m <- mults) {
       val dir = replicate(spark, base, m)
-      for (q <- SoakQueries) {
+      for (q <- soakQueries) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, dir).count()
@@ -91,11 +105,12 @@ object ScaleSoak {
         println(f"""{"soak":"$q","m":$m,"sec":$dt%.3f,"rows":$n}""")
       }
       // full flagship output for the value-level invariant below
-      monthly(m) = SparkEntry.queries("q_monthly_agg")(spark, dir)
-        .collect().map { r =>
-          (r.getString(0), String.valueOf(r.get(1))) ->
-            r.toSeq.drop(2).map(String.valueOf)
-        }.toMap
+      if (soakQueries.contains("q_monthly_agg"))
+        monthly(m) = SparkEntry.queries("q_monthly_agg")(spark, dir)
+          .collect().map { r =>
+            (r.getString(0), String.valueOf(r.get(1))) ->
+              r.toSeq.drop(2).map(String.valueOf)
+          }.toMap
     }
 
     // ---- correctness-at-scale invariants (loud failure, not just
@@ -106,7 +121,7 @@ object ScaleSoak {
       // per-group averages are replication-invariant up to the final
       // decimal-division rounding ulp (sum·k / count·k rounds at a
       // different magnitude than sum/count) — compare at 1e-9 relative
-      val (b, c) = (monthly(m0), monthly(m))
+      val (b, c) = (monthly.getOrElse(m0, Map.empty), monthly.getOrElse(m, Map.empty))
       require(b.keySet == c.keySet,
         s"soak invariant: monthly groups differ at m=$m")
       b.foreach { case (k, bv) =>
@@ -129,7 +144,7 @@ object ScaleSoak {
       // J ≈ 0.99 template dups — so a trip here means a real recall
       // regression, not band luck.
       for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts",
-          "q_gopher_rules"))
+          "q_gopher_rules").filter(soakQueries.contains))
         require(rows((q, m)) * m0 == rows((q, m0)) * m,
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ×${m}/${m0} of ${rows((q, m0))}")
     }
@@ -139,7 +154,7 @@ object ScaleSoak {
     // overestimate; read it with the absolute numbers alongside.
     val m1 = mults.min; val mM = mults.max
     if (mM > m1) {
-      val summary = SoakQueries.map { q =>
+      val summary = soakQueries.map { q =>
         val a = math.log(times((q, mM)) / times((q, m1))) / math.log(mM.toDouble / m1)
         f""""$q":{"t1":${times((q, m1))}%.2f,"tM":${times((q, mM))}%.2f,"alpha":$a%.2f}"""
       }.mkString("{", ",", "}")
