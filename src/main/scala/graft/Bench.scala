@@ -144,8 +144,21 @@ object Bench {
       // the sample measures external load, not our stage artifacts
       // still flushing — QuietDiskSec was calibrated on a settled
       // filesystem and a self-inflated sample would cry wolf every run
-      try new ProcessBuilder("sync").start().waitFor()
-      catch { case _: java.io.IOException => () } // non-POSIX: skip drain
+      // bounded drain: under the exact sustained-IO pathology the
+      // mid-run probe exists to detect, an unbounded waitFor() could
+      // hang the whole bench — give the flush 60 s, then kill it and
+      // let the probe itself report the contention. InterruptedException
+      // (which NonFatal deliberately excludes) must not escape either:
+      // re-set the flag and move on.
+      try {
+        val proc = new ProcessBuilder("sync").start()
+        if (!proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+          proc.destroyForcibly()
+        ()
+      } catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => () // non-POSIX: skip drain
+      }
       results("bench_sentinel_disk_mid") = Sentinel.diskSeconds()
     }
     SparkEntry.queries

@@ -143,9 +143,16 @@ object Retrieval {
       .withColumn("cos", round(
         Similarity.dot($"embedding", $"q_emb") /
           (Similarity.norm($"embedding") * Similarity.norm($"q_emb")), 6))
+      // top-kEach FIRST (TakeOrderedAndProject — per-partition heaps,
+      // kEach rows to the driver side of the exchange), THEN the rank
+      // window over those kEach rows only. The former rank-then-filter
+      // form window-scanned the whole embedding table (VERDICT r6 #7);
+      // ranks agree because (cos DESC, vec_id) is a total order, so
+      // the rows with rank ≤ kEach ARE the top kEach. Plan pinned in
+      // OptimizerEvidenceSpec.
+      .orderBy($"cos".desc, $"vec_id").limit(kEach)
       .withColumn("r_vec",
         row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("int"))
-      .filter($"r_vec" <= kEach)
       .select($"vec_id".as("doc_id"), $"r_vec")
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select($"doc_id", $"r_lex", $"r_vec",

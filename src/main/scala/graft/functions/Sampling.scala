@@ -449,10 +449,10 @@ object Sampling {
     * cross-engine with no float discipline needed; the global
     * percentile rides along so the query also exposes the calibration
     * gap (how much a source's internal ranking disagrees with the
-    * corpus-wide one). One source-keyed shuffle plus one global-order
-    * window over the (doc-sized) score table; at corpus scale the
-    * global rank becomes a two-pass range-partitioned rank, same
-    * contract. */
+    * corpus-wide one). One source-keyed shuffle for the in-source
+    * percentile; the global percentile is [[globalPercentRank]]'s
+    * two-pass range-partitioned rank — no unpartitioned window ever
+    * sees corpus-sized input. */
   def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -462,13 +462,75 @@ object Sampling {
         Seq("doc_id"))
     val bySource = Window.partitionBy($"source")
       .orderBy($"quality_score", $"doc_id")
-    val global = Window.orderBy($"quality_score", $"doc_id")
-    scores
+    // two-pass rank FIRST (its pass-1 scans recompute their input, so
+    // feed it the raw score table, not the windowed one), per-source
+    // percentile after
+    globalPercentRank(scores, "quality_score", "doc_id", "pct_global")
       .withColumn("pct_in_source", percent_rank().over(bySource))
-      .withColumn("pct_global", percent_rank().over(global))
       .select($"doc_id", $"source", $"quality_score",
         $"pct_in_source", $"pct_global")
       .orderBy($"doc_id")
+  }
+
+  /** Distributed global `percent_rank() OVER (ORDER BY score, id)` —
+    * the two-pass range-partitioned rank (VERDICT r6 #1; replaces the
+    * single-partition window the contract comment used to promise).
+    *
+    * Pass 1: bucket every row by its score against `rankBuckets−1`
+    * approximate quantile split points (one Greenwald–Khanna scan;
+    * bucketing on the score VALUE keeps ties together and makes bucket
+    * order = score order by construction), then count each bucket —
+    * the driver holds ≤ `rankBuckets` (bucket, count) rows, from which
+    * exact prefix-sum offsets and the total `n` fall out. Pass 2: rank
+    * locally inside each bucket-keyed window (~n/B rows per partition;
+    * split-point skew only ever degrades balance, never correctness)
+    * and add the broadcast offset. `idCol` must be unique and
+    * `scoreCol` non-null, so the order is total, rank == row_number,
+    * and percent_rank == (row_number−1)/(n−1) — the same integer
+    * ratio the single-window form produces, bit-for-bit (pinned in
+    * GlobalRankSpec), so the DuckDB oracle gates this path unchanged. */
+  def globalPercentRank(df: DataFrame, scoreCol: String, idCol: String,
+      outCol: String, rankBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = (1 until rankBuckets).map(_.toDouble / rankBuckets).toArray
+    val bounds =
+      if (rankBuckets <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(scoreCol, probs, 0.001).distinct.sorted
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.toSeq.map(lit(_)): _*),
+        b => col(scoreCol) >= b))
+    val bucketed = df.withColumn("__rank_bucket", bucket)
+    val counts = bucketed.groupBy(col("__rank_bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.iterator.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = (b, acc); acc += c; o }
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__rank_bucket", "__rank_off")
+    val local = Window.partitionBy(col("__rank_bucket"))
+      .orderBy(col(scoreCol), col(idCol))
+    bucketed
+      .withColumn("__lrk", row_number().over(local))
+      .join(broadcast(offDf), Seq("__rank_bucket"))
+      .withColumn(outCol,
+        if (n <= 1L) lit(0.0)
+        else (col("__rank_off") + col("__lrk") - 1).cast("double") /
+          lit((n - 1).toDouble))
+      .drop("__rank_bucket", "__lrk", "__rank_off")
+  }
+
+  /** Single-window reference form of the global percentile — kept ONLY
+    * for GlobalRankSpec's differential gate (the two-pass rank must
+    * reproduce it bit-for-bit). Not on any registered query path: the
+    * empty partition spec funnels the whole frame through one task. */
+  private[graft] def globalPercentRankWindow(df: DataFrame, scoreCol: String,
+      idCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(outCol,
+      percent_rank().over(Window.orderBy(col(scoreCol), col(idCol))))
   }
 
   val quantileNormSql: String =

@@ -467,10 +467,23 @@ object Analytics {
     * §2.8, but pipeline users do). Extraction stays codegen'd
     * (`get_json_object`); at scale prefer `from_json` with a declared
     * schema once per column rather than repeated path extraction. */
+  /** The twins' `$.k` extraction expressions, ONE copy each —
+    * VariantPropsSpec runs exactly these, so the parity contract cannot
+    * drift from the registered queries. Both degrade to NULL on
+    * malformed JSON AND on a parseable row whose `k` isn't an int
+    * ({"k":"abc"}): try semantics end to end, because under Spark 4's
+    * default ANSI mode a plain cast would THROW on the dirty value the
+    * fixtures don't currently contain (round-7 review — same family as
+    * the try_parse_json choice below). */
+  private[graft] def propsKString(props: Column): Column =
+    get_json_object(props, "$.k").try_cast("int")
+  private[graft] def propsKVariant(props: Column): Column =
+    try_variant_get(try_parse_json(props), "$.k", "int")
+
   def eventProps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
-      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .withColumn("k", propsKString($"props"))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -502,13 +515,14 @@ object Analytics {
   def eventPropsVariant(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
-      // try_parse_json, not parse_json: the string-path twin maps a
-      // malformed props row to NULL (get_json_object semantics), and
-      // the VARIANT twin must degrade identically rather than throw —
-      // value parity on clean data is the gate, parity on dirty data
-      // is this choice (pinned in a spec)
-      .withColumn("k",
-        variant_get(try_parse_json($"props"), "$.k", "int"))
+      // try_parse_json AND try_variant_get, not their throwing forms:
+      // the string-path twin maps a malformed props row to NULL
+      // (get_json_object semantics) and a non-int `k` to NULL (the
+      // try_cast), so the VARIANT twin must degrade identically on
+      // BOTH failure axes — malformed JSON (parse time) and a parseable
+      // row whose value can't cast ({"k":"abc"} — extract time) —
+      // rather than throw. Pinned in VariantPropsSpec.
+      .withColumn("k", propsKVariant($"props"))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),

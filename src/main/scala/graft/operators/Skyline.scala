@@ -12,21 +12,28 @@ import graft.sources.Tables
   * dominated by another (dominated = another row at least as good on
   * both axes and strictly better on one). The naive formulation is the
   * n² NOT EXISTS self-join (exactly what the DuckDB oracle runs — an
-  * independent formulation); for the 2D case this operator uses the
-  * classic sort-based reduction instead: a row survives iff no
-  * strictly-higher-price row has an earlier-or-equal date and no
-  * equal-price row has a strictly earlier date, both of which fall out
-  * of one per-distinct-price MIN plus a prefix MIN down the price
-  * order. O(n log n), no self-join.
+  * independent formulation); this operator uses the DISTRIBUTIVE
+  * decomposition instead (VERDICT r6 #2): skyline(S) = skyline(∪ᵢ
+  * skyline(Sᵢ)) over any partitioning of S, because a global survivor
+  * can have no dominator anywhere — in particular not in its own
+  * partition — so it survives its local pass, and the final pass
+  * removes every cross-partition casualty.
   *
-  * Scale: the groupBy(price) is one keyed shuffle; the prefix MIN runs
-  * over the DISTINCT-PRICE frame, not the data (dim-scale here, but an
-  * unpartitioned window nonetheless — at 100 TB with ~unique prices,
-  * exploit distributivity instead: skyline(S) = skyline(∪ skyline(Sᵢ)),
-  * i.e. per-partition local skylines first, which cut candidates to
-  * ~√n per partition, then this same pass over the survivors). The
-  * final join back is on the price key and broadcasts when the
-  * frontier stats are small.
+  * LOCAL PASS: each input partition sorts by (price DESC, date ASC)
+  * and streams once — a row survives iff no strictly-higher-priced row
+  * so far has an earlier-or-equal date AND it sits at its own price
+  * run's minimum date (ties on both axes don't dominate each other and
+  * all survive). Exact per-partition skyline, O(n/P log n/P) sort +
+  * O(n/P) scan, zero shuffle. This is genuinely per-partition
+  * imperative logic — the sanctioned `mapPartitions` case.
+  *
+  * FINAL PASS: the surviving candidates (≤ Σᵢ |skyline(Sᵢ)|, ~frontier
+  * sized on real data) go through the sort-based per-price-MIN +
+  * prefix-MIN reduction. Its unpartitioned window now runs over the
+  * candidate set, never the corpus — the plan shape GraphSkylineSpec
+  * pins. Worst case (fully anti-correlated axes) the frontier IS the
+  * corpus and no algorithm compresses it; the local pass then degrades
+  * to a no-op filter, not a failure.
   */
 object Skyline {
 
@@ -35,23 +42,55 @@ object Skyline {
     * dominate each other — dominance requires strict improvement). */
   def orderSkyline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val o = Tables.orders(spark, sfDir)
-      .select($"o_orderkey", $"o_totalprice", to_date($"o_orderdate").as("o_orderdate"))
-    val perPrice = o.groupBy($"o_totalprice")
-      .agg(min($"o_orderdate").as("d_at"))
-    // min date over STRICTLY higher prices: prices are distinct after the
-    // groupBy, so a ROWS prefix frame down the descending price order is
-    // exactly the strict-greater set
-    val strictAbove = Window.orderBy($"o_totalprice".desc)
+    skylineOf(Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice",
+        to_date($"o_orderdate").as("o_orderdate")))
+  }
+
+  /** Distributive 2-D skyline core over (o_orderkey: bigint,
+    * o_totalprice: double, o_orderdate: date) — exposed so the spec can
+    * drive crafted partition layouts (ties crossing partition
+    * boundaries, cross-partition dominance). */
+  private[graft] def skylineOf(o: DataFrame): DataFrame = {
+    val spark = o.sparkSession
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    // epoch-day ints so the local pass streams primitives, not Rows
+    val enc = o.select($"o_orderkey".cast("long").as("k"),
+        $"o_totalprice".cast("double").as("p"),
+        datediff($"o_orderdate", epoch).as("d"))
+      .as[(Long, Double, Int)]
+    val local = enc
+      .sortWithinPartitions($"p".desc, $"d".asc)
+      .mapPartitions { it =>
+        // bestAbove: min date among rows with price STRICTLY above the
+        // current price run; runMin: the current run's min date (its
+        // first row, since dates ascend within a run)
+        var bestAbove = Int.MaxValue
+        var curPrice = Double.NaN
+        var runMin = Int.MaxValue
+        it.filter { case (_, p, d) =>
+          if (p != curPrice) {
+            bestAbove = math.min(bestAbove, runMin)
+            curPrice = p
+            runMin = d
+          }
+          // dominated iff a higher price reached an earlier-or-equal
+          // date, or an equal price a strictly earlier one
+          d < bestAbove && d == runMin
+        }
+      }
+    val cand = local.toDF("k", "p", "d")
+    // final pass: same per-price MIN + strict-prefix MIN as the classic
+    // single-node reduction, but over the local survivors only
+    val perPrice = cand.groupBy($"p").agg(min($"d").as("d_at"))
+    val strictAbove = Window.orderBy($"p".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val stats = perPrice.withColumn("d_above", min($"d_at").over(strictAbove))
-    o.join(stats, Seq("o_totalprice"))
-      // survive iff (a) no higher-price row at an earlier-or-equal date,
-      // (b) no equal-price row strictly earlier (d_at is the group min,
-      // so surviving means being AT that min)
-      .filter(($"d_above".isNull || $"d_above" > $"o_orderdate") &&
-        $"d_at" === $"o_orderdate")
-      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    cand.join(stats, Seq("p"))
+      .filter(($"d_above".isNull || $"d_above" > $"d") && $"d_at" === $"d")
+      .select($"k".as("o_orderkey"), $"p".as("o_totalprice"),
+        date_add(epoch, $"d").as("o_orderdate"))
       .orderBy($"o_orderkey")
   }
 

@@ -51,6 +51,13 @@ case class BloomContains(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val h = a.asInstanceOf[Long]
     val words = b.asInstanceOf[ArrayData]
+    // an undersized bitmap would read out of bounds — and in the
+    // codegen path UnsafeArrayData.getLong is UNCHECKED, so without
+    // this guard it returns garbage membership bits instead of failing
+    if (words.numElements() != (numBits / 64).toInt)
+      throw new IllegalArgumentException(
+        s"BloomContains: bitmap has ${words.numElements()} words, " +
+          s"expected ${numBits / 64} (numBits=$numBits)")
     val m = numBits
     val h1 = h % m
     val h2 = 1L + (h >> 20) % (m - 1L)
@@ -72,6 +79,11 @@ case class BloomContains(left: Expression, right: Expression,
       val j = ctx.freshName("j")
       val hit = ctx.freshName("hit")
       s"""
+         |if ($b.numElements() != ${numBits / 64}) {
+         |  throw new IllegalArgumentException(
+         |    "BloomContains: bitmap has " + $b.numElements() +
+         |    " words, expected ${numBits / 64} (numBits=${numBits})");
+         |}
          |long $h1 = $a % ${numBits}L;
          |long $h2 = 1L + ($a >> 20) % ${numBits - 1L}L;
          |boolean $hit = true;

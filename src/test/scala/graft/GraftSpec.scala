@@ -15,9 +15,18 @@ trait SparkSuite extends AnyFunSuite {
     * stages to one visit). The ONE copy the plan-shape specs share. */
   def walkPlan(df: org.apache.spark.sql.DataFrame)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    walkFrom(df.queryExecution.executedPlan)
+  }
+
+  /** The same stage-descending walk from an arbitrary node — for
+    * SUBTREE assertions ("every global window sits above a limit /
+    * local-prune"), where the flat whole-plan list can't say which
+    * node is under which. */
+  def walkFrom(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    df.collect()
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
@@ -29,7 +38,7 @@ trait SparkSuite extends AnyFunSuite {
         case other => other.children.foreach(walk)
       }
     }
-    walk(df.queryExecution.executedPlan)
+    walk(root)
     out.toSeq
   }
   lazy val spark: SparkSession = SparkSession.builder()

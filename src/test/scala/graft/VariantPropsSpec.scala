@@ -5,30 +5,38 @@ import graft.operators.Analytics
 
 /** The VARIANT twin must be a drop-in for the string-path extraction —
   * same values on clean data (the shared oracle pins that), same
-  * NULL degradation on dirty data (this spec pins that: parse_json
-  * would THROW on malformed JSON where get_json_object returns NULL;
-  * the twin uses try_parse_json for exact parity). */
+  * NULL degradation on dirty data (this spec pins that, running the
+  * queries' OWN shared extraction expressions: try_parse_json degrades
+  * malformed JSON to NULL where parse_json would throw, and
+  * try_variant_get / try_cast degrade a parseable-but-mistyped value
+  * ({"k":"abc"}) to NULL where the plain forms would throw under
+  * Spark 4's default ANSI mode). */
 class VariantPropsSpec extends SparkSuite {
   import spark.implicits._
 
-  test("variant and string-path extraction agree, including on malformed JSON") {
+  test("variant and string-path extraction agree, incl. malformed JSON and mistyped values") {
     val rows = Seq(
       ("""{"k": 7}""", "clean"),
       ("""{"k": 7, "extra": [1,2]}""", "clean_extra"),
       ("""not json at all""", "malformed"),
       ("""{"k": """, "truncated"),
       ("""{"other": 1}""", "missing_key"),
+      ("""{"k": "abc"}""", "mistyped_string"),
+      ("""{"k": [1, 2]}""", "mistyped_array"),
       (null.asInstanceOf[String], "null_props"))
       .toDF("props", "tag")
+    // the queries' own expressions — parity here IS parity on the gate
     val got = rows.select($"tag",
-      get_json_object($"props", "$.k").cast("int").as("s_k"),
-      variant_get(try_parse_json($"props"), "$.k", "int").as("v_k"))
+      Analytics.propsKString($"props").as("s_k"),
+      Analytics.propsKVariant($"props").as("v_k"))
       .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
     got.foreach { case (tag, s, v) =>
       assert(s == v, s"row '$tag': string-path $s != variant $v")
     }
     assert(got.collectFirst { case ("clean", s, _) => s }.flatten.contains(7))
     assert(got.collectFirst { case ("malformed", s, _) => s }.flatten.isEmpty)
+    assert(got.collectFirst { case ("mistyped_string", s, _) => s }.flatten.isEmpty,
+      "{\"k\":\"abc\"} must degrade to NULL, not throw or coerce")
   }
 
   test("VARIANT columns round-trip parquet storage") {
