@@ -51,7 +51,10 @@ object ScaleSoak {
     "q_contamination_bloom", // bitmap build (eval-sized) + narrow probe scan
     "q_contamination_fuzzy", // cross-set LSH probe of the staged band index
     "q_slice_divergence",    // corpus explode + vocab×sources grid
-    "q_unigram_encode")      // EM-learned vocab + distinct-word Viterbi
+    "q_unigram_model",       // Viterbi-EM over distinct words; driver state vocab-sized
+    "q_unigram_encode",      // EM-learned vocab + distinct-word Viterbi
+    "q_quality_classifier",  // 8-round full-batch GD: weights out, D+1 gradient rows back
+    "q_classifier_eval")     // held-out F1 of the same machinery (stability invariant)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,6 +97,7 @@ object ScaleSoak {
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     val rows = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
     val monthly = scala.collection.mutable.LinkedHashMap[Int, Map[(String, String), Seq[String]]]()
+    val oneRow = scala.collection.mutable.LinkedHashMap[(String, Int), Seq[String]]()
     for (m <- mults) {
       val dir = replicate(spark, base, m)
       for (q <- soakQueries) {
@@ -111,6 +115,13 @@ object ScaleSoak {
             (r.getString(0), String.valueOf(r.get(1))) ->
               r.toSeq.drop(2).map(String.valueOf)
           }.toMap
+      // single-row contract/metric outputs for the value-level
+      // invariants below (re-running is cheap: both read per-dir
+      // staged artifacts, so this collects — it doesn't retrain)
+      for (q <- Seq("q_unigram_model", "q_classifier_eval")
+          .filter(soakQueries.contains))
+        oneRow((q, m)) = SparkEntry.queries(q)(spark, dir)
+          .collect()(0).toSeq.map(String.valueOf)
     }
 
     // ---- correctness-at-scale invariants (loud failure, not just
@@ -143,15 +154,49 @@ object ScaleSoak {
       // (1-J^4)^16 ≤ 4e-8 per pair·replica at J = 0.9, ~2e-23 at the
       // J ≈ 0.99 template dups — so a trip here means a real recall
       // regression, not band luck.
+      // q_contamination_fuzzy joins the ×m list with the same
+      // probabilistic caveat as q_minhash_dedup: its gate-corpus
+      // matches sit at J ≥ 0.97, where a per-replica band re-roll
+      // misses with probability (1−J⁴)¹⁶ ≈ 1e-15 — a trip means a
+      // recall regression, not band luck. q_quality_classifier scores
+      // every doc, so its ×m is structural.
       for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts",
-          "q_gopher_rules").filter(soakQueries.contains))
+          "q_gopher_rules", "q_contamination_fuzzy",
+          "q_quality_classifier").filter(soakQueries.contains))
         require(rows((q, m)) * m0 == rows((q, m0)) * m,
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ×${m}/${m0} of ${rows((q, m0))}")
+      // fixed-budget / contract-sized outputs: row counts must be
+      // m-INVARIANT (dsir's k-sample; the two 1-row contract frames)
+      for (q <- Seq("q_dsir_sample", "q_unigram_model",
+          "q_classifier_eval").filter(soakQueries.contains))
+        require(rows((q, m)) == rows((q, m0)),
+          s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
+      // unigram model contract booleans (cols 2..5: covers_all_chars,
+      // vocab_size_le_max, logp_negative, piece_len_le_max) must hold
+      // at every scale — vocab stays bounded no matter how the
+      // distinct-word space grows
+      oneRow.get(("q_unigram_model", m)).foreach { r =>
+        require(r.drop(2).forall(_ == "true"),
+          s"soak invariant: unigram model contract broken at m=$m: $r")
+      }
+      // classifier held-out F1 (micro units, last col) must be STABLE:
+      // the salt keeps labels and signal buckets replica-aligned, so
+      // growing the corpus must not degrade the learned filter beyond
+      // the denser-collision noise floor (band: ±0.10 absolute)
+      (oneRow.get(("q_classifier_eval", m0)),
+          oneRow.get(("q_classifier_eval", m))) match {
+        case (Some(b), Some(c)) =>
+          val (f0, fm) = (b.last.toLong, c.last.toLong)
+          require(math.abs(fm - f0) <= 100000L,
+            s"soak invariant: classifier F1 drifted at m=$m: $fm vs $f0 micro")
+        case _ => ()
+      }
     }
     println(s"""{"soak":"invariants","status":"ok","checked":${mults.size}}""")
     // scaling exponent α over the largest step: α = log(t_M/t_1)/log(M).
-    // Sub-second t_1 entries are fixed-cost dominated — α is then an
-    // overestimate; read it with the absolute numbers alongside.
+    // Sub-second t_1 entries are fixed-cost dominated — the inflated
+    // t_1 shrinks the ratio, so α UNDERestimates the asymptotic slope;
+    // read it with the absolute numbers alongside.
     val m1 = mults.min; val mM = mults.max
     if (mM > m1) {
       val summary = soakQueries.map { q =>
@@ -168,7 +213,9 @@ object ScaleSoak {
     * Reuses an existing soak dir: the replication is deterministic. */
   def replicate(spark: SparkSession, base: String, m: Int): String = {
     val name = new java.io.File(base).getName
-    val dir = s"/tmp/graft_soak_${name}_x$m"
+    // s2 = salt revision 2 (row/key exemption) — reuse markers are
+    // per-revision so a stale pre-exemption dir is never served
+    val dir = s"/tmp/graft_soak_${name}_s2_x$m"
     val marker = new java.io.File(s"$dir/_SOAK_DONE")
     if (marker.exists()) return dir
     def raw(t: String) = spark.read.parquet(s"$base/$t.parquet")
@@ -205,9 +252,25 @@ object ScaleSoak {
         // BETWEEN-words interleave degrades 3-gram matching to
         // unigram matching ((qkq,w,qkq) shingles collide on any
         // shared word) and exploded LSH candidates 500× over linear
+        // …with ONE exemption: the literal tokens "row"/"key" keep
+        // their base form in every replica (salt-then-unsalt; the \b
+        // can't fire inside a salted word like windowq3q, and the
+        // base-word map stays a bijection so within-replica Jaccard is
+        // still exactly the base corpus's). WHY: the quality
+        // classifier's weak label counts exactly these two tokens, and
+        // its hashed signal buckets must mean the same thing in every
+        // replica — otherwise replication would erase the labels of
+        // (m−1)/m of the corpus and the soak would measure label
+        // distribution shift, not scale. Cross-replica shingle overlap
+        // from the exemption is capped at all-signal 3-gram runs (a
+        // handful of docs corpus-wide) — far below the J ≥ 0.5 verify
+        // thresholds, so near-dup outputs still replicate exactly ×m.
         case "text" => when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1q"), col("rep"), lit("q")))).as("text")
+          .otherwise(regexp_replace(
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1q"), col("rep"), lit("q"))),
+            concat(lit("\\b(row|key)q"), col("rep"), lit("q\\b")),
+            lit("$1"))).as("text")
         case c => col(c) }: _*), "documents")
     write(raw("embeddings").select(rep, col("*"))
       .select(raw("embeddings").columns.map {

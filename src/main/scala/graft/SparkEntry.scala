@@ -56,6 +56,7 @@ object SparkEntry {
     // recall-gated in SimilaritySpec)
     "q_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLshQuant(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfQuant(s, d)),
+    "q_knn_ivfpq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
     "q_knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)),
     // hash-exact gate: deterministic-sketch stats (KMV median +
     // register HLL); the engine-internal approx builtins stay
@@ -123,6 +124,14 @@ object SparkEntry {
       graft.functions.Unigram.modelContract(s, d)),
     "q_unigram_encode" -> ((s: SparkSession, d: String) =>
       graft.functions.Unigram.encodeContract(s, d)),
+    // hash-exact on actual piece sequences (the inventory is
+    // SQL-recomputable, so the oracle replays the greedy matcher)
+    "q_wordpiece_counts" -> ((s: SparkSession, d: String) =>
+      graft.functions.WordPiece.pieceCounts(s, d)),
+    "q_countmin" -> ((s: SparkSession, d: String) =>
+      graft.functions.CountMin.estimateQuery(s, d)),
+    "q_nn_graph" -> ((s: SparkSession, d: String) =>
+      graft.functions.Similarity.nnGraph(s, d)),
     "q_slice_divergence" -> ((s: SparkSession, d: String) =>
       graft.functions.Divergence.sliceDivergence(s, d)),
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
@@ -390,6 +399,9 @@ object SparkEntry {
     "q_unigram_seed" -> graft.functions.Unigram.seedCandidatesSql(),
     "q_unigram_model" -> graft.functions.Unigram.modelContractSql,
     "q_unigram_encode" -> graft.functions.Unigram.encodeContractSql,
+    "q_wordpiece_counts" -> graft.functions.WordPiece.pieceCountsSql(),
+    "q_countmin" -> graft.functions.CountMin.estimateQuerySql(),
+    "q_nn_graph" -> graft.functions.Similarity.nnGraphSql(),
     "q_slice_divergence" -> graft.functions.Divergence.sliceDivergenceSql,
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
     "q_grouping_sets" -> Analytics.groupingSetsRevenueSql,
@@ -420,6 +432,7 @@ object SparkEntry {
     "q_mmr_rerank" -> graft.functions.Retrieval.mmrRerankQuantSql(),
     "q_knn_lsh" -> Similarity.knnLshQuantSql(),
     "q_knn_ivf" -> Similarity.knnIvfQuantSql(),
+    "q_knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "q_approx_stats" -> Analytics.approxStatsSketchSql,
     "q_hll_union" -> Analytics.hllUnionGateSql,
     "q_pca_project" -> graft.functions.Pca.pcaContractSql(),

@@ -80,7 +80,15 @@ object Dsir {
       k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val g = gramBuckets(docs)
+    // materialize the gram frame ONCE (eager localCheckpoint): both
+    // consumers below — the bucket-count aggregate and the score join —
+    // would otherwise each re-run the split+md5 explode, which is this
+    // query's dominant cost (the ×64 soak read α = 0.84 before, with
+    // the rebuild; the 100 TB analog is staging the gram frame to
+    // parquet between the two passes, the DedupStage pattern — the
+    // narrow (doc_id, lang, bucket) rows are ~50× smaller than the
+    // text they derive from)
+    val g = gramBuckets(docs).localCheckpoint(true)
     // ONE gram scan + ONE bucket shuffle derives BOTH distributions:
     // the target count is a conditional count inside the same
     // aggregate. Values are identical to the former rc ⟕ tc join —

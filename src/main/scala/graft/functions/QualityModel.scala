@@ -41,7 +41,21 @@ import graft.sources.Tables
   */
 object QualityModel {
 
-  val Dim = 512
+  /** Hashed feature dimension. Sized with HEADROOM over the corpus
+    * vocabulary, not snug to it — the fastText rule (its default
+    * bucket count is 2M against million-token vocabs): model quality
+    * falls off through bucket collisions as vocab/D grows, and that is
+    * a DATA property the engine must leave room for, not an engine
+    * property. Measured by the ×64 soak (round 7): at D = 512 a ×64
+    * vocabulary (~2.5 k distinct tokens over 512 buckets) drowned the
+    * two label-signal buckets in collision counts and held-out F1
+    * degenerated to the all-positive baseline (0.62 vs 0.81); at 8192
+    * the load factor stays < 1/3 at ×64 and F1 is scale-stable. Cost
+    * is unchanged where it matters: the feature table is keyed by
+    * OBSERVED buckets (≤ per-doc distinct tokens, independent of D),
+    * so only the broadcast weight frame and the D+1-row gradient
+    * aggregate grow — both still model-sized. */
+  val Dim = 8192
   val Iters = 8
   val LrDen = 16 // step = floor(gradient / (LrDen · n))
   private val Micro = 1000000L

@@ -628,6 +628,85 @@ object Similarity {
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Corpus-wide nearest-neighbor GRAPH: for every vector, its top-1
+    * neighbor among the sign-LSH band candidates — the k=1 NN-graph an
+    * embedding-dedup/clustering pipeline builds over the WHOLE corpus
+    * (SemDeDup-style pipelines and connected-component dedup both
+    * start here), as opposed to [[knnLsh]]'s fixed query set.
+    *
+    * Vectors whose buckets are singletons have no candidates and emit
+    * no row (an ANN graph is partial by construction; the knob is the
+    * band count). Scoring is the integer micro-cosine, so the edge
+    * choice is deterministic and the oracle replays it. Scale: one
+    * banding pass (narrow), bucket-equi-join for candidates, per-source
+    * keyed argmax — no global window, no corpus self-join. */
+  def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 8,
+      rowsPerBand: Int = 4, scale: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val embIn = Tables.embeddings(spark, sfDir)
+    val cand = lshBandCandidates(embIn, bands, rowsPerBand, scale)
+    val sym = cand.select($"vec_a".as("src"), $"vec_b".as("dst"))
+      .unionByName(cand.select($"vec_b".as("src"), $"vec_a".as("dst")))
+    val e = embIn.select($"vec_id", quantCol(scale).as("p"))
+      .withColumn("nrm2", qnorm2($"p"))
+    val w = Window.partitionBy($"src").orderBy($"cos_micro".desc, $"dst")
+    sym
+      .join(e.select($"vec_id".as("src"), $"p".as("sp"), $"nrm2".as("sn")), "src")
+      .join(e.select($"vec_id".as("dst"), $"p".as("dp"), $"nrm2".as("dn")), "dst")
+      .withColumn("cos_micro", cosMicro(qdot($"sp", $"dp"), $"sn", $"dn"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"src".as("vec_id"), $"dst".as("nn_id"), $"cos_micro")
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: the [[cosineNearDupLshSql]] banding replay + symmetrized
+    * candidates + integer-cosine argmax per source. */
+  def nnGraphSql(bands: Int = 8, rowsPerBand: Int = 4,
+      scale: Int = 1024): String =
+    s"""WITH ${vqCtes(scale)},
+       |planes AS (
+       |  SELECT pp.p, ii.i,
+       |         CASE WHEN ((pp.p * 1315423911 + ii.i * 2654435761) >> 7) % 2 = 0
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, ${bands * rowsPerBand})) AS p) pp
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) ii),
+       |proj AS (
+       |  SELECT v.vec_id, pl.p, CAST(SUM(pl.s * v.px) AS BIGINT) AS t
+       |  FROM vq v JOIN planes pl ON pl.i = v.dim - 1
+       |  GROUP BY v.vec_id, pl.p),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id, p // $rowsPerBand AS band_idx,
+       |         CAST(SUM(CASE WHEN t >= 0
+       |                       THEN CAST(1 AS BIGINT) << (p % $rowsPerBand)
+       |                       ELSE 0 END) AS BIGINT) AS band_key
+       |  FROM proj GROUP BY vec_id, p // $rowsPerBand),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bk x JOIN bk y ON x.band_idx = y.band_idx
+       |   AND x.band_key = y.band_key AND x.vec_id < y.vec_id),
+       |sym AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM cand
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst FROM cand),
+       |sc AS (
+       |  SELECT s.src, s.dst,
+       |         CAST(floor(CAST(CAST(SUM(a.px * b.px) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(na.nrm2 * nb.nrm2 AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro
+       |  FROM sym s
+       |  JOIN vq a ON a.vec_id = s.src
+       |  JOIN vq b ON b.vec_id = s.dst AND b.dim = a.dim
+       |  JOIN nr na ON na.vec_id = s.src
+       |  JOIN nr nb ON nb.vec_id = s.dst
+       |  GROUP BY s.src, s.dst, na.nrm2, nb.nrm2),
+       |rk AS (
+       |  SELECT src, dst, cos_micro, row_number() OVER (
+       |    PARTITION BY src ORDER BY cos_micro DESC, dst) AS r
+       |  FROM sc)
+       |SELECT src AS vec_id, dst AS nn_id, cos_micro
+       |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin
+
   def knnIvfQuantSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
       nProbes: Int = 4, scale: Int = 1024): String =
     s"""WITH ${vqCtes(scale)},
@@ -656,4 +735,194 @@ object Similarity {
        |  FROM query_cell qc JOIN corpus_cell cc ON cc.cell_id = qc.cell_id
        |  WHERE cc.vec_id <> qc.query_id),
        |${scoreTail(k)}""".stripMargin
+
+  // ---- IVF-PQ: product quantization over the IVF cells -------------------
+  //
+  // The 100 TB ANN endgame (Jégou/Douze/Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011; the FAISS IVFPQ index):
+  // IVF prunes WHICH vectors are scanned (cells), PQ shrinks WHAT is
+  // scanned per vector — dim floats become pqM byte-ish codes, and
+  // query-vs-candidate scoring becomes pqM table lookups (ADC,
+  // asymmetric distance computation) instead of a dim-wide dot. The
+  // scan cost per candidate drops ~dim/pqM arithmetic AND ~16× bytes,
+  // which is exactly what a memory-bandwidth-bound scan at corpus
+  // scale needs. An oversampled exact re-rank then restores exact
+  // top-k quality on the survivors, so approximation only ever affects
+  // CANDIDATE CHOICE, never reported scores.
+  //
+  // Determinism discipline (the knnIvfQuant/kmeans convention): all
+  // arithmetic is exact integers over scale-quantized components —
+  // codebooks are SAMPLED rows (codewords = subvectors of designated
+  // corpus vectors, the same convention as the IVF cell centroids;
+  // k-means-refined codebooks drop in without changing any shape
+  // here), assignment is integer-L2 argmin with (d2, code) tie-break,
+  // reconstruction norms are exact subspace sums (disjoint coordinates
+  // ⇒ |recon|² = Σ_m |cw_m|²), so the DuckDB oracle replays candidate
+  // choice bit-for-bit and the gate hash-matches end to end.
+
+  val pqM = 8 // subspaces (subDim = dim/pqM = 8 components each)
+  val pqKsub = 16 // codewords per subspace
+  private val subDim = dim / pqM
+
+  /** Top-k per query via IVF cells + PQ-coded ADC scan + exact re-rank.
+    *
+    * Plan shape at scale: codebooks/centroids/LUTs are broadcast
+    * (pqM·pqKsub rows; LUT is nQueries·pqM·pqKsub); the corpus is
+    * touched by (1) the one-pass encode — a broadcast join + two keyed
+    * windows, no corpus self-join — and (2) the probe scan, which
+    * carries ONLY (vec_id, cell_id, m, code) rows into the candidate
+    * join. The float embedding reappears solely for the
+    * k·oversample·nQueries re-rank rows. */
+  def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbes: Int = 4,
+      oversample: Int = 4, scale: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cbOff = nQueries + nCells // codebook sample rows follow the centroids
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantCol(scale).as("p"))
+      .withColumn("nrm2", qnorm2($"p"))
+    val centroids = emb
+      .filter($"vec_id" >= nQueries && $"vec_id" < nQueries + nCells)
+      .select($"vec_id".as("cell_id"), $"p".as("cp"), $"nrm2".as("cn"))
+    def nearestCells(vecs: DataFrame, n: Int, idCol: String) = {
+      val w = Window.partitionBy(col(idCol)).orderBy($"c_cm".desc, $"cell_id")
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("c_cm", cosMicro(qdot($"p", $"cp"), $"nrm2", $"cn"))
+        .withColumn("c_rank", row_number().over(w))
+        .filter($"c_rank" <= n)
+        .drop("cp", "cn", "c_cm", "c_rank")
+    }
+    def subs(df: DataFrame) = df.select($"vec_id", $"nrm2",
+      posexplode(array((0 until pqM).map(m =>
+        slice($"p", m * subDim + 1, subDim)): _*)).as(Seq("m", "sub")))
+    // codebooks: (m, code, cw, cw_nrm2) — pqM·pqKsub tiny rows
+    val cw = subs(emb.filter($"vec_id" >= cbOff && $"vec_id" < cbOff + pqKsub))
+      .select((($"vec_id" - cbOff)).cast("int").as("code"), $"m",
+        $"sub".as("cw"))
+      .withColumn("cw_nrm2", qnorm2($"cw"))
+    // one-pass corpus encode: integer-L2 argmin per (vec, subspace)
+    val encW = Window.partitionBy($"vec_id", $"m")
+      .orderBy($"d2".asc, $"code".asc)
+    val codes = subs(emb).join(broadcast(cw), Seq("m"))
+      .withColumn("d2",
+        qnorm2($"sub") - lit(2L) * qdot($"sub", $"cw") + $"cw_nrm2")
+      .withColumn("e_rank", row_number().over(encW))
+      .filter($"e_rank" === 1)
+      .select($"vec_id", $"m", $"code", $"cw_nrm2")
+    val recon = codes.groupBy($"vec_id")
+      .agg(sum($"cw_nrm2").as("recon_nrm2"))
+    // ADC lookup tables: (query_id, m, code, ld) — nQueries·pqM·pqKsub
+    val lut = subs(emb.filter($"vec_id" < nQueries))
+      .join(broadcast(cw.drop("cw_nrm2")), Seq("m"))
+      .select($"vec_id".as("query_id"), $"m", $"code",
+        qdot($"sub", $"cw").as("ld"))
+    val corpusCells = nearestCells(emb, 1, "vec_id")
+      .select($"vec_id", $"cell_id")
+    val queryCells = nearestCells(emb.filter($"vec_id" < nQueries), nProbes, "vec_id")
+      .select($"vec_id".as("query_id"), $"nrm2".as("q_nrm2"), $"cell_id")
+    // ADC scan of the probed cells: codes only, pqM lookup rows per
+    // candidate, pair-keyed map-side-combined sum
+    val adcW = Window.partitionBy($"query_id").orderBy($"adc_cm".desc, $"vec_id")
+    val shortlist = corpusCells.join(queryCells, Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy($"query_id", $"vec_id", $"q_nrm2")
+      .agg(sum($"ld").as("adc"))
+      .join(recon, Seq("vec_id"))
+      .withColumn("adc_cm", cosMicro($"adc", $"q_nrm2", $"recon_nrm2"))
+      .withColumn("a_rank", row_number().over(adcW))
+      .filter($"a_rank" <= k * oversample)
+      .select($"query_id", $"vec_id")
+    // exact re-rank of the shortlist (same units as knnIvfQuant)
+    val rkW = Window.partitionBy($"query_id").orderBy($"cos_micro".desc, $"vec_id")
+    shortlist
+      .join(emb.select($"vec_id", $"p", $"nrm2"), Seq("vec_id"))
+      .join(broadcast(emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"p".as("qp"), $"nrm2".as("q_nrm2"))),
+        Seq("query_id"))
+      .withColumn("cos_micro", cosMicro(qdot($"qp", $"p"), $"q_nrm2", $"nrm2"))
+      .withColumn("rank", row_number().over(rkW))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cos_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
+  def knnIvfPqSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+      nProbes: Int = 4, oversample: Int = 4, scale: Int = 1024): String = {
+    val cbOff = nQueries + nCells
+    s"""WITH ${vqCtes(scale)},
+       |cw AS MATERIALIZED (
+       |  SELECT CAST(vec_id - $cbOff AS INTEGER) AS code,
+       |         CAST((dim - 1) // $subDim AS INTEGER) AS m,
+       |         ((dim - 1) % $subDim) AS j, px
+       |  FROM vq WHERE vec_id >= $cbOff AND vec_id < ${cbOff + pqKsub}),
+       |cwn AS (SELECT m, code, CAST(SUM(px * px) AS BIGINT) AS cw_nrm2
+       |        FROM cw GROUP BY m, code),
+       |enc0 AS (
+       |  SELECT v.vec_id, w.m, w.code,
+       |         CAST(SUM((v.px - w.px) * (v.px - w.px)) AS BIGINT) AS d2
+       |  FROM vq v
+       |  JOIN cw w ON w.m = CAST((v.dim - 1) // $subDim AS INTEGER)
+       |           AND w.j = ((v.dim - 1) % $subDim)
+       |  GROUP BY v.vec_id, w.m, w.code),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS e_rank
+       |    FROM enc0) e WHERE e_rank = 1),
+       |recon AS (
+       |  SELECT c.vec_id, CAST(SUM(n.cw_nrm2) AS BIGINT) AS recon_nrm2
+       |  FROM codes c JOIN cwn n ON n.m = c.m AND n.code = c.code
+       |  GROUP BY c.vec_id),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, w.m, w.code,
+       |         CAST(SUM(q.px * w.px) AS BIGINT) AS ld
+       |  FROM vq q
+       |  JOIN cw w ON w.m = CAST((q.dim - 1) // $subDim AS INTEGER)
+       |           AND w.j = ((q.dim - 1) % $subDim)
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY q.vec_id, w.m, w.code),
+       |cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cell_id,
+       |         CAST(floor(CAST(CAST(SUM(v.px * c.px) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(nv.nrm2 * nc.nrm2 AS DOUBLE)) * 1e6) AS BIGINT) AS c_cm
+       |  FROM vq v
+       |  JOIN vq c ON c.vec_id >= $nQueries AND c.vec_id < ${nQueries + nCells}
+       |            AND c.dim = v.dim
+       |  JOIN nr nv ON nv.vec_id = v.vec_id
+       |  JOIN nr nc ON nc.vec_id = c.vec_id
+       |  GROUP BY v.vec_id, c.vec_id, nv.nrm2, nc.nrm2),
+       |cranks AS (
+       |  SELECT vec_id, cell_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY c_cm DESC, cell_id) AS c_rank
+       |  FROM cdots),
+       |corpus_cell AS MATERIALIZED (
+       |  SELECT vec_id, cell_id FROM cranks WHERE c_rank = 1),
+       |query_cell AS (
+       |  SELECT vec_id AS query_id, cell_id FROM cranks
+       |  WHERE c_rank <= $nProbes AND vec_id < $nQueries),
+       |adc AS (
+       |  SELECT qc.query_id, cc.vec_id,
+       |         CAST(floor(CAST(CAST(SUM(l.ld) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(nq.nrm2 * r.recon_nrm2 AS DOUBLE)) * 1e6) AS BIGINT) AS adc_cm
+       |  FROM query_cell qc
+       |  JOIN corpus_cell cc ON cc.cell_id = qc.cell_id
+       |                     AND cc.vec_id <> qc.query_id
+       |  JOIN codes cd ON cd.vec_id = cc.vec_id
+       |  JOIN lut l ON l.query_id = qc.query_id AND l.m = cd.m
+       |            AND l.code = cd.code
+       |  JOIN nr nq ON nq.vec_id = qc.query_id
+       |  JOIN recon r ON r.vec_id = cc.vec_id
+       |  GROUP BY qc.query_id, cc.vec_id, nq.nrm2, r.recon_nrm2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_cm DESC, vec_id) AS a_rank
+       |    FROM adc) a WHERE a_rank <= ${k * oversample}),
+       |${scoreTail(k)}""".stripMargin
+  }
 }

@@ -18,6 +18,35 @@ object Staged {
 
   private val staged = scala.collection.mutable.HashMap[String, String]()
 
+  /** Ephemeral scratch allocation for gate work dirs (streaming
+    * checkpoints, merge-target table copies, WAP staging, snapshot
+    * trees): a RAM-backed filesystem when one exists (`/dev/shm`),
+    * else `java.io.tmpdir`.
+    *
+    * WHY (VERDICT r6 #6): these dirs model executor-local scratch and
+    * DFS checkpoint space — state a cluster places on its fastest
+    * available tier and amortizes across long-lived queries. On this
+    * box `/tmp` shares the one virtio disk with everything else
+    * (including the EXTERNAL load the sentinel battery keeps
+    * catching), so per-gate checkpoint/commit-log churn — dozens of
+    * small fsync'd files per micro-batch — was measuring device
+    * contention, not engine work. tmpfs removes that noise source;
+    * the disk sentinels still probe the real device, so the
+    * contention verdict stays meaningful for the data-path entries.
+    * Callers keep their own delete-in-finally lifecycle; RAM is
+    * reclaimed the same way disk was. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) {
+        val r = shm.resolve("graft_scratch")
+        java.nio.file.Files.createDirectories(r)
+        r
+      } else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, prefix)
+  }
+
   /** Build seconds per stage key, in build order — Bench surfaces these
     * as `bench_stage_*` JSON entries so a blown-up stage build is
     * attributable per stage from the artifact alone (r4's 181 s
@@ -25,7 +54,9 @@ object Staged {
   private val buildSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
   def buildTimes: Map[String, Double] = staged.synchronized { buildSecs.toMap }
   private lazy val stageRoot = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stage_")
+    // same scratch tier as the gate work dirs (sf0.1 artifacts total
+    // tens of MB — RAM-residency is free at gate scale)
+    val dir = scratchDir("graft_stage_")
     // artifacts are per-process by design — remove them when the JVM
     // exits so repeated Verify/Bench/test runs don't accumulate in /tmp
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** WordPiece tokenizer — the third member of the tokenizer family
+  * (BPE = merge-rank encode, Unigram = Viterbi likelihood encode,
+  * WordPiece = greedy longest-match-first encode; Wu et al., "Google's
+  * Neural Machine Translation System", 2016 — the BERT
+  * WordpieceTokenizer shape).
+  *
+  * The piece INVENTORY here is deterministic rather than learned —
+  * the top `vocabWords` corpus words by (count DESC, word ASC) plus
+  * the corpus alphabet, every piece usable in start and continuation
+  * position (continuations render with the `##` prefix) — which is
+  * exactly what makes this gate stronger than the BPE/unigram ones:
+  * with the inventory recomputable in SQL, the DuckDB oracle replays
+  * the greedy encode ITSELF (longest-match table + linear recursive
+  * walk), so actual piece sequences are hash-gated end to end, not
+  * just bounds-contracted.
+  *
+  * Scale shape (the [[Bpe.encodeTokenCounts]] discipline): one word
+  * shuffle for frequencies; the greedy matcher runs as a typed map
+  * over DISTINCT words only (vocabulary-scale, not corpus-scale) with
+  * the piece set riding the closure (60 strings); piece counts then
+  * weight each word's encoding by its corpus frequency — explode +
+  * one piece-keyed map-side-combined aggregate. No corpus-sized
+  * driver state anywhere; at 100 TB the distinct-word frame is the
+  * only thing the matcher touches.
+  */
+object WordPiece {
+
+  val VocabWords = 24
+
+  /** Greedy longest-match-first split; `None` = OOV ([UNK]) — only
+    * possible when a character is outside the piece set, which cannot
+    * happen for a corpus-derived alphabet. */
+  private[graft] def encodeWord(w: String, pieces: Set[String]): Option[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = 0
+    while (p < w.length) {
+      var len = w.length - p
+      while (len > 0 && !pieces.contains(w.substring(p, p + len))) len -= 1
+      if (len == 0) return None
+      out += (if (p == 0) w.substring(p, p + len)
+              else "##" + w.substring(p, p + len))
+      p += len
+    }
+    Some(out.toSeq)
+  }
+
+  /** Corpus-wide piece frequency table: (piece, n_occ), `##`-marked
+    * continuations counted separately from start pieces — the
+    * distribution a tokenizer-training pipeline audits. */
+  def pieceCounts(spark: SparkSession, sfDir: String,
+      vocabWords: Int = VocabWords): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
+    val wf = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    // bounded driver state: vocabWords + |alphabet| strings
+    val topWords = wf.orderBy($"cnt".desc, $"word".asc).limit(vocabWords)
+      .select($"word").as[String].collect()
+    val alphabet = Tables.documents(spark, sfDir)
+      .select(explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]"), lit(0))).as("ch"))
+      .distinct().as[String].collect()
+    val pieces = (topWords ++ alphabet).toSet
+    val encoded = wf.select($"word", $"cnt").as[(String, Long)]
+      .flatMap { case (w, cnt) =>
+        encodeWord(w, pieces).getOrElse(Seq("[UNK]")).map(p => (p, cnt))
+      }
+      .toDF("piece", "n_occ_w")
+    encoded.groupBy($"piece")
+      .agg(sum($"n_occ_w").cast("long").as("n_occ"))
+      .orderBy($"piece")
+  }
+
+  /** DuckDB replay: same inventory, same greedy matcher — `best`
+    * precomputes the longest piece match at every (word, position)
+    * with plain joins, and the recursive `walk` is generation-only
+    * linear recursion (each step advances the cursor by bl ≥ 1, the
+    * portable recursive-CTE shape). */
+  def pieceCountsSql(vocabWords: Int = VocabWords): String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents),
+       |wf AS MATERIALIZED (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT word AS piece FROM wf ORDER BY cnt DESC, word LIMIT $vocabWords)
+       |  UNION
+       |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS piece
+       |  FROM documents),
+       |pos AS (
+       |  SELECT word, unnest(range(1, length(word) + 1)) AS p
+       |  FROM (SELECT DISTINCT word FROM wf)),
+       |best AS MATERIALIZED (
+       |  SELECT o.word, o.p, max(length(v.piece)) AS bl
+       |  FROM pos o JOIN vocab v
+       |    ON substr(o.word, CAST(o.p AS INTEGER), length(v.piece)) = v.piece
+       |  GROUP BY o.word, o.p),
+       |walk AS (
+       |  SELECT word, CAST(1 AS BIGINT) AS p, CAST(NULL AS VARCHAR) AS piece
+       |  FROM (SELECT DISTINCT word FROM wf)
+       |  UNION ALL
+       |  SELECT k.word, k.p + b.bl,
+       |         CASE WHEN k.p = 1 THEN substr(k.word, CAST(k.p AS INTEGER), CAST(b.bl AS INTEGER))
+       |              ELSE '##' || substr(k.word, CAST(k.p AS INTEGER), CAST(b.bl AS INTEGER)) END
+       |  FROM walk k JOIN best b ON b.word = k.word AND b.p = k.p
+       |  WHERE k.p <= length(k.word)),
+       |pieces AS (SELECT word, piece FROM walk WHERE piece IS NOT NULL)
+       |SELECT p.piece, CAST(SUM(f.cnt) AS BIGINT) AS n_occ
+       |FROM pieces p JOIN wf f ON f.word = p.word
+       |GROUP BY p.piece ORDER BY p.piece""".stripMargin
+}

@@ -39,7 +39,7 @@ object MaterializedView {
     * rule too. */
   def incrementalAggQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_ivm_").toString
     try {
       val events = Tables.events(spark, sfDir)
       viewOf(events.filter($"event_id" % 10 =!= 0))
@@ -124,7 +124,7 @@ object MaterializedView {
   def mvRewriteQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.plans.MvRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_mv_").toString
     try {
       val events = Tables.events(spark, sfDir)
       dailyMv(events).write.mode(SaveMode.Overwrite).parquet(s"$tmp/mv")

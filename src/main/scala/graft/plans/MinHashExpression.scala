@@ -19,9 +19,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * computes all k affine-permutation minima in one primitive nested
   * loop inside WholeStageCodegen.
   *
-  * Permutation family: h_k(x) = x * MULT(k) + ADD(k) over Z/2^64 (odd
-  * multipliers → bijective), the standard cheap MinHash permutation.
-  * Deterministic constants — no RNG, reproducible across runs/engines.
+  * Permutation family: h_k(x) = fmix64(x * MULT(k) + ADD(k)) over
+  * Z/2^64 — an odd-multiplier affine step (bijective) followed by the
+  * MurmurHash3 64-bit finalizer (bijective xor-shift/multiply
+  * avalanche), so each h_k is a bijection and the family behaves like
+  * independent permutations. Deterministic constants — no RNG,
+  * reproducible across runs/engines.
+  *
+  * The finalizer is LOAD-BEARING, found by the ×64 soak (round 7): the
+  * plain affine family's orderings are correlated ACROSS k — on a real
+  * replica corpus a J = 27/28 pair's one extra shingle won the signed
+  * min at exactly every k ≡ 0 (mod 4) position, i.e. one row of EVERY
+  * band, and a pair whose uniform-permutation miss probability is
+  * ~1e-14 was actually missed. A linear map preserves too much of the
+  * input's arithmetic structure for "min under 64 related multipliers"
+  * to be 64 independent draws; the avalanche destroys that structure.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -48,7 +60,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val h = arr.getLong(i)
       var k = 0
       while (k < numHashes) {
-        val v = h * mult(k) + add(k)
+        var v = h * mult(k) + add(k)
+        // fmix64 (MurmurHash3 finalizer) — see scaladoc: bijective
+        // avalanche that decorrelates the orderings across k
+        v ^= v >>> 33; v *= 0xFF51AFD7ED558CCDL
+        v ^= v >>> 33; v *= 0xC4CEB9FE1A85EC53L
+        v ^= v >>> 33
         if (v < mins(k)) mins(k) = v
         k += 1
       }
@@ -72,6 +89,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  long $h = $a.getLong($i);
          |  for (int $k = 0; $k < $numHashes; $k++) {
          |    long $v = $h * $multRef[$k] + $addRef[$k];
+         |    $v ^= $v >>> 33; $v *= 0xFF51AFD7ED558CCDL;
+         |    $v ^= $v >>> 33; $v *= 0xC4CEB9FE1A85EC53L;
+         |    $v ^= $v >>> 33;
          |    if ($v < $mins[$k]) $mins[$k] = $v;
          |  }
          |}

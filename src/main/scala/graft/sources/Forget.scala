@@ -59,7 +59,7 @@ object Forget {
   /** `q_forget`: both paths, computed independently, joined. */
   def forgetQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_forget_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_forget_").toString
     try {
       val (table, _) = setup(spark, sfDir, tmp)
       def rollup(df: DataFrame, suffix: String) =
@@ -89,7 +89,7 @@ object Forget {
     * snapshot mechanic. */
   def changeFeedQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_cdf_").toString
     val tbl = s"$tmp/events_versioned"
     try {
       val old = Tables.events(spark, sfDir)

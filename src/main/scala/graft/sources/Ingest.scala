@@ -227,7 +227,7 @@ object Ingest {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     Tables.prepareEventsDir(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_compact_").toString
     try {
       spark.read.schema(Tables.eventsRaw).parquet(s"$sfDir/events.parquet")
         .repartition(64)
@@ -377,7 +377,7 @@ object Ingest {
   def insertOverwriteQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_iow_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_iow_").toString
     try {
       val orders = Tables.orders(spark, sfDir)
       val stale = orders.filter($"o_orderkey" % 7 =!= 0)
@@ -415,7 +415,7 @@ object Ingest {
   def schemaEvolutionQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_evo_").toString
     try {
       val base = Tables.events(spark, sfDir)
       base.filter($"event_id" % 2 === 1)
@@ -456,7 +456,7 @@ object Ingest {
   def jsonSourceQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_json_").toString
     try {
       val good = Tables.events(spark, sfDir)
         .filter($"event_id" % 50 === 0)
@@ -507,7 +507,7 @@ object Ingest {
     * experiments exploit, so the 100 TB skipping story transfers. */
   def orcSourceQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_orc_").toString
     try {
       Tables.events(spark, sfDir)
         .filter($"event_id" % 25 === 0)

@@ -148,7 +148,7 @@ object Versioned {
     * operation, so the updated state stays hash-comparable. */
   def timeTravelQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+    val tmp = graft.functions.Staged.scratchDir("graft_tt_").toString
     val tbl = s"$tmp/events_versioned"
     try {
       val base = Tables.events(spark, sfDir)

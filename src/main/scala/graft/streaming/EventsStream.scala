@@ -507,7 +507,7 @@ object EventsStream {
     import spark.implicits._
     import graft.functions.Staged
     Tables.prepareEventsDir(spark, sfDir)
-    val work = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val work = graft.functions.Staged.scratchDir("graft_cdc_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -624,7 +624,7 @@ object EventsStream {
     import spark.implicits._
     import graft.functions.Staged
     Tables.prepareEventsDir(spark, sfDir)
-    val work = java.nio.file.Files.createTempDirectory("graft_ivm_stream_").toString
+    val work = graft.functions.Staged.scratchDir("graft_ivm_stream_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -733,7 +733,7 @@ object EventsStream {
     import spark.implicits._
     import graft.functions.Staged
     Tables.prepareEventsDir(spark, sfDir)
-    val work = java.nio.file.Files.createTempDirectory("graft_sketch_stream_").toString
+    val work = graft.functions.Staged.scratchDir("graft_sketch_stream_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -880,7 +880,7 @@ object EventsStream {
   def snapshotStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.prepareEventsDir(spark, sfDir)
-    val work = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+    val work = graft.functions.Staged.scratchDir("graft_snap_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -960,7 +960,7 @@ object EventsStream {
   def recoveryQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Staged
-    val work = java.nio.file.Files.createTempDirectory("graft_recov_").toString
+    val work = graft.functions.Staged.scratchDir("graft_recov_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {

@@ -83,7 +83,7 @@ object TwsOps {
       floorAt: Double = 0.0, cap: Double = 500.0,
       drift: Double = 50.0): DataFrame = {
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft_tws_").toString
+    val work = graft.functions.Staged.scratchDir("graft_tws_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
