@@ -106,6 +106,7 @@ object SparkEntry {
     // compliance / corpus-quality passes
     "q_pii_scan" -> (Pii.piiScan _),
     "q_k_anonymity" -> ((s: SparkSession, d: String) => Pii.kAnonymity(s, d)),
+    "q_l_diversity" -> ((s: SparkSession, d: String) => Pii.lDiversity(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
     "q_hybrid_search" -> ((s: SparkSession, d: String) =>
@@ -132,6 +133,8 @@ object SparkEntry {
       graft.functions.CountMin.estimateQuery(s, d)),
     "q_nn_graph" -> ((s: SparkSession, d: String) =>
       graft.functions.Similarity.nnGraph(s, d)),
+    "q_neardup_editdist" -> ((s: SparkSession, d: String) =>
+      graft.functions.Dedup.editDistanceRefine(s, d)),
     "q_slice_divergence" -> ((s: SparkSession, d: String) =>
       graft.functions.Divergence.sliceDivergence(s, d)),
     "q_cube_revenue" -> (Analytics.cubeRevenue _),
@@ -146,6 +149,7 @@ object SparkEntry {
     "q_ntile_deciles" -> (WindowOps.ntileDeciles _),
     "q_gap_fill" -> (WindowOps.gapFillHourly _),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     "q_quality_gate" -> (TextAnalysis.qualityGate _),
     "q_corpus_shuffle" -> ((s: SparkSession, d: String) => Sampling.corpusShuffle(s, d)),
     // hash-exact gate: INTEGER-quantized Lloyd's — the whole 5-iteration
@@ -174,6 +178,9 @@ object SparkEntry {
     "q_pca_project" -> ((s: SparkSession, d: String) =>
       graft.functions.Pca.pcaContract(s, d)),
     "q_profile" -> (Profile.profileEvents _),
+    "q_key_skew" -> (Profile.keySkewProfile _),
+    "q_calibration" -> ((s: SparkSession, d: String) =>
+      graft.functions.QualityModel.calibration(s, d)),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
@@ -388,6 +395,7 @@ object SparkEntry {
     "q_split_leakage" -> graft.functions.Sampling.splitLeakageSql(),
     "q_pii_scan" -> Pii.piiScanSql,
     "q_k_anonymity" -> Pii.kAnonymitySql(),
+    "q_l_diversity" -> Pii.lDiversitySql(),
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
     "q_hybrid_search" -> graft.functions.Retrieval.hybridSearchSql(),
@@ -402,6 +410,7 @@ object SparkEntry {
     "q_wordpiece_counts" -> graft.functions.WordPiece.pieceCountsSql(),
     "q_countmin" -> graft.functions.CountMin.estimateQuerySql(),
     "q_nn_graph" -> graft.functions.Similarity.nnGraphSql(),
+    "q_neardup_editdist" -> graft.functions.Dedup.editDistanceRefineSql(),
     "q_slice_divergence" -> graft.functions.Divergence.sliceDivergenceSql,
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
     "q_grouping_sets" -> Analytics.groupingSetsRevenueSql,
@@ -416,6 +425,7 @@ object SparkEntry {
     "q_ntile_deciles" -> WindowOps.ntileDecilesSql,
     "q_gap_fill" -> WindowOps.gapFillHourlySql,
     "q_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
+    "q_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "q_quality_gate" -> TextAnalysis.qualityGateSql,
     "q_corpus_shuffle" -> graft.functions.Sampling.corpusShuffleSql(),
     "q_funnel" -> Behavioral.funnelSql,
@@ -439,6 +449,8 @@ object SparkEntry {
     "q_bpe_merges" -> graft.functions.Bpe.mergesContractSql,
     "q_bpe_encode" -> graft.functions.Bpe.encodeContractSql,
     "q_profile" -> Profile.profileEventsSql,
+    "q_key_skew" -> Profile.keySkewProfileSql,
+    "q_calibration" -> graft.functions.QualityModel.calibrationSql(),
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),

@@ -241,6 +241,64 @@ object Dedup {
        |WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= $minJac
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- edit-distance refinement of near-dup pairs ------------------------
+
+  /** Levenshtein re-score of the staged near-dup pairs — the
+    * SEQUENCE-aware second opinion on the set-based Jaccard verdict.
+    * Shingle Jaccard is order-insensitive (a heavily reordered
+    * template scores exactly like a verbatim copy with the same
+    * shingle inventory) and character-blind inside tokens; normalized
+    * edit distance is the complementary axis (the RETSim-style
+    * character-level near-dup signal). A pipeline deciding "delete vs
+    * keep-one vs keep-both" wants both numbers, so this emits every
+    * staged pair with its Jaccard, its absolute edit distance over the
+    * whitespace-normalized text, the integer-ratio relative distance
+    * (×1e6 over the longer side — exact integer arithmetic in both
+    * engines), and the `edit_confirms` verdict at `maxRelE6`.
+    *
+    * Scale: work is PAIRS-table-sized (the staged artifact), never
+    * corpus²: one broadcast-side semi-filtered text join per side and
+    * a per-pair O(len²) DP on ~doc-length strings. The candidate
+    * generation cost was already paid by the shared LSH stage. */
+  def editDistanceRefine(spark: SparkSession, sfDir: String,
+      minJac: Double = 0.9, maxRelE6: Long = 300000L): DataFrame = {
+    import spark.implicits._
+    val pairs = DedupStage.pairs(spark, sfDir, minJac)
+    val nt = Tables.documents(spark, sfDir).select($"doc_id",
+      regexp_replace(trim(lower($"text")), "\\s+", " ").as("nt"))
+    pairs
+      .join(nt.select($"doc_id".as("doc_a"), $"nt".as("nt_a")), "doc_a")
+      .join(nt.select($"doc_id".as("doc_b"), $"nt".as("nt_b")), "doc_b")
+      .withColumn("edit_dist", levenshtein($"nt_a", $"nt_b").cast("long"))
+      // numerator ≤ ~2e8 → exact in the double division; cast floors
+      // the positive ratio, matching the oracle's integer `//`
+      .withColumn("edit_rel_e6", floor(($"edit_dist" * 1000000L) /
+        greatest(length($"nt_a"), length($"nt_b")).cast("long")).cast("long"))
+      .select($"doc_a", $"doc_b", $"jaccard", $"edit_dist", $"edit_rel_e6",
+        ($"edit_rel_e6" <= maxRelE6).as("edit_confirms"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: the exact-Jaccard pair set (the [[minhashDupSql]]
+    * argument) re-scored with DuckDB's levenshtein — identical unit-
+    * cost DP, so distances and the integer ratios match exactly. */
+  def editDistanceRefineSql(minJac: Double = 0.9,
+      maxRelE6: Long = 300000L): String =
+    s"""WITH pairs AS (${ngramJaccardSql(minJac)}),
+       |nt AS (
+       |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |       CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist,
+       |       CAST(CAST(levenshtein(a.nt, b.nt) AS BIGINT) * 1000000
+       |            // greatest(length(a.nt), length(b.nt)) AS BIGINT) AS edit_rel_e6,
+       |       (CAST(levenshtein(a.nt, b.nt) AS BIGINT) * 1000000
+       |            // greatest(length(a.nt), length(b.nt))) <= $maxRelE6 AS edit_confirms
+       |FROM pairs p
+       |JOIN nt a ON a.doc_id = p.doc_a
+       |JOIN nt b ON b.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   val numHashes = 64

@@ -172,4 +172,44 @@ object Pii {
        |GROUP BY 1, 2, 3
        |HAVING COUNT(*) < $k
        |ORDER BY c_nationkey, c_mktsegment, acctbal_band""".stripMargin
+
+  // ---- l-diversity audit -------------------------------------------------
+
+  /** l-diversity violations (Machanavajjhala et al., ICDE 2006): a
+    * quasi-identifier group can pass k-anonymity (enough members) yet
+    * still leak its SENSITIVE attribute if every member shares the
+    * same value — an attacker who locates someone's group learns the
+    * value without identifying the row. The audit reports groups whose
+    * distinct-sensitive-value count is below l (here: the order-priority
+    * mix of each customer (nation, segment) cohort, via the customer⋈
+    * orders join — a group where everyone's orders are URGENT is
+    * homogeneity the release must generalize away).
+    *
+    * Scale: the join shuffles on custkey once (the fact side's natural
+    * key), then one map-side-combined two-level group-by; output is
+    * bounded by the quasi-identifier cross product, never row count. */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 3): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      .join(Tables.orders(spark, sfDir)
+        .select($"o_custkey".as("c_custkey"), $"o_orderpriority"), "c_custkey")
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(countDistinct($"o_orderpriority").as("n_sensitive"),
+        count(lit(1)).as("n_rows"))
+      // full audit report, not just the kill list: the verdict column
+      // keeps the gate value-rich on corpora where every cohort passes
+      .select($"c_nationkey", $"c_mktsegment", $"n_sensitive", $"n_rows",
+        ($"n_sensitive" >= l).as("l_diverse"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  def lDiversitySql(l: Int = 3): String =
+    s"""SELECT c.c_nationkey, c.c_mktsegment,
+       |       COUNT(DISTINCT o.o_orderpriority) AS n_sensitive,
+       |       COUNT(*) AS n_rows,
+       |       COUNT(DISTINCT o.o_orderpriority) >= $l AS l_diverse
+       |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

@@ -303,6 +303,52 @@ object QualityModel {
 
   /** The full T-round optimization unrolled into CTE rounds — an
     * independent re-derivation of the same exact integers. */
+  /** Reliability diagram for the trained classifier: scores bucketed
+    * into `bins` confidence bins, each reporting its member count,
+    * mean confidence, and observed positive rate — the per-bin
+    * |confidence − accuracy| gap column is the integrand of ECE
+    * (expected calibration error), the standard "can you trust the
+    * score as a probability" audit a quality-filter pipeline runs
+    * before thresholding on scores. All integer micro-unit arithmetic
+    * (sums exact, floored ratios), so the DuckDB oracle — which
+    * re-derives the scores through the same unrolled-GD CTE — matches
+    * bit-for-bit. Scale: one pass over the score table into a
+    * bins-sized aggregate. */
+  def calibration(spark: SparkSession, sfDir: String,
+      bins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val width = Micro / bins
+    trainAndScore(spark, sfDir)
+      .withColumn("bin",
+        least(floor($"score_micro" / lit(width)), lit(bins - 1L)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum($"score_micro").as("sc"),
+        sum($"label").as("np"))
+      .select($"bin", $"n",
+        floor($"sc" / $"n").cast("long").as("avg_conf_micro"),
+        floor($"np" * Micro / $"n").cast("long").as("pos_rate_micro"),
+        abs(floor($"sc" / $"n") - floor($"np" * Micro / $"n"))
+          .cast("long").as("gap_micro"))
+      .orderBy($"bin")
+  }
+
+  def calibrationSql(bins: Int = 10): String = {
+    val width = Micro / bins
+    s"""SELECT bin, n,
+       |       CAST(sc // n AS BIGINT) AS avg_conf_micro,
+       |       CAST(np * $Micro // n AS BIGINT) AS pos_rate_micro,
+       |       CAST(abs(sc // n - np * $Micro // n) AS BIGINT) AS gap_micro
+       |FROM (
+       |  SELECT least(score_micro // $width, ${bins - 1}) AS bin,
+       |         COUNT(*) AS n,
+       |         CAST(SUM(score_micro) AS BIGINT) AS sc,
+       |         CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS np
+       |  FROM ($trainAndScoreSql) scored
+       |  GROUP BY 1) b
+       |ORDER BY bin""".stripMargin
+  }
+
   val trainAndScoreSql: String = {
     val serve =
       s"""zf AS MATERIALIZED (

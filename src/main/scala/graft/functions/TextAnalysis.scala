@@ -496,4 +496,79 @@ object TextAnalysis {
        |GROUP BY token
        |ORDER BY n_occurrences DESC, token
        |LIMIT $k""".stripMargin
+
+  // ---- PMI collocations --------------------------------------------------
+
+  /** Pointwise-mutual-information collocation mining (Church & Hanks,
+    * CL 1990): bigrams whose co-occurrence beats the independence
+    * prediction — the classic phrase-mining signal a tokenizer/
+    * vocabulary pipeline runs to decide which multi-word units deserve
+    * pieces. PMI(a,b) = ln p(ab) − ln p(a) − ln p(b), each ln floored
+    * to integer e9 nats SEPARATELY (the [[Perplexity]] cross-engine
+    * discipline: sums of pre-floored BIGINTs are exact, so the gate
+    * hash-matches despite JVM-vs-libm ln ulp drift). `minCount` floors
+    * the unstable low-frequency tail, as the paper prescribes.
+    *
+    * Scale: one token explode → unigram counts (vocab-sized), one
+    * bigram explode → pair counts (vocab²-bounded, Zipf-truncated by
+    * minCount); totals are 1-row aggregates broadcast by crossJoin.
+    * Top-k is TakeOrderedAndProject. */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+    val uni = d.select(explode($"t").as("w")).filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bi = d.filter(size($"t") >= 2)
+      .select(explode(zip_with(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= minCount)
+    val nUni = uni.agg(sum($"c").as("n_uni"))
+    val nBi = d.filter(size($"t") >= 2)
+      .agg(sum(size($"t") - 1).as("n_bi"))
+    def lnE9(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * 1e9).cast("long")
+    bi
+      .withColumn("wa", split($"bg", " ").getItem(0))
+      .withColumn("wb", split($"bg", " ").getItem(1))
+      .join(uni.select($"w".as("wa"), $"c".as("c_a")), "wa")
+      .join(uni.select($"w".as("wb"), $"c".as("c_b")), "wb")
+      .crossJoin(nUni).crossJoin(nBi)
+      .select($"bg", $"c_ab", $"c_a", $"c_b",
+        (lnE9($"c_ab", $"n_bi") - lnE9($"c_a", $"n_uni") -
+          lnE9($"c_b", $"n_uni")).as("pmi_e9"))
+      .orderBy($"pmi_e9".desc, $"bg")
+      .limit(k)
+  }
+
+  def pmiCollocationsSql(minCount: Int = 5, k: Int = 20): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |uni AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS c FROM (
+       |    SELECT UNNEST(t) AS w FROM d) u WHERE w <> '' GROUP BY w),
+       |bi AS (
+       |  SELECT bg, COUNT(*) AS c_ab FROM (
+       |    SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+       |                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+       |    FROM d WHERE len(t) >= 2) b
+       |  GROUP BY bg HAVING COUNT(*) >= $minCount),
+       |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+       |nb AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS n_bi FROM d WHERE len(t) >= 2)
+       |SELECT bg, c_ab, ua.c AS c_a, ub.c AS c_b,
+       |       CAST(FLOOR(ln(CAST(c_ab AS DOUBLE) / CAST(n_bi AS DOUBLE)) * 1e9) AS BIGINT)
+       |     - CAST(FLOOR(ln(CAST(ua.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT)
+       |     - CAST(FLOOR(ln(CAST(ub.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT)
+       |       AS pmi_e9
+       |FROM bi
+       |JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
+       |JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
+       |CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY pmi_e9 DESC, bg
+       |LIMIT $k""".stripMargin
 }

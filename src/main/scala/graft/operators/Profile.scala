@@ -196,4 +196,48 @@ object Profile {
        |JOIN expected ON CAST(expected.d AS VARCHAR) = digits.digit
        |ORDER BY digit""".stripMargin
   }
+
+  // ---- join-key skew profile ---------------------------------------------
+
+  /** Skew diagnostics for the engine's main join/shuffle keys — the
+    * operational report that decides when a key needs salting, an AQE
+    * skew-join hint, or a broadcast instead of a shuffle. For each key:
+    * row count, distinct keys, the heaviest key's row count, and the
+    * integer skew factor max·distinct·1000/rows (1000 = perfectly
+    * uniform; a 100 TB key with factor ≫ 1000 is the one that strands
+    * a straggler task). Each profile is one map-side-combined group-by
+    * collapsed to a 1-row summary — output is 3 rows at any scale. */
+  def keySkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Tables
+    def prof(name: String, df: DataFrame, key: String) = {
+      val g = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      g.agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max($"c").as("max_key_rows"))
+        .select(lit(name).as("key_name"), $"n_rows", $"n_keys",
+          $"max_key_rows",
+          floor($"max_key_rows" * $"n_keys" * 1000L / $"n_rows")
+            .cast("long").as("skew_x1000"))
+    }
+    prof("lineitem.l_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey")
+      .unionByName(prof("orders.o_custkey", Tables.orders(spark, sfDir), "o_custkey"))
+      .unionByName(prof("events.user_id", Tables.events(spark, sfDir), "user_id"))
+      .orderBy($"key_name")
+  }
+
+  val keySkewProfileSql: String = {
+    def prof(name: String, table: String, key: String) =
+      s"""SELECT '$name' AS key_name,
+         |       CAST(SUM(c) AS BIGINT) AS n_rows,
+         |       COUNT(*) AS n_keys,
+         |       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         |       CAST(MAX(c) * COUNT(*) * 1000 // SUM(c) AS BIGINT) AS skew_x1000
+         |FROM (SELECT $key, COUNT(*) AS c FROM $table GROUP BY 1) g""".stripMargin
+    s"""${prof("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+       |UNION ALL
+       |${prof("orders.o_custkey", "orders", "o_custkey")}
+       |UNION ALL
+       |${prof("events.user_id", "events", "user_id")}
+       |ORDER BY key_name""".stripMargin
+  }
 }
