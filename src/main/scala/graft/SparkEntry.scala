@@ -181,6 +181,14 @@ object SparkEntry {
     "q_key_skew" -> (Profile.keySkewProfile _),
     "q_calibration" -> ((s: SparkSession, d: String) =>
       graft.functions.QualityModel.calibration(s, d)),
+    "q_roc_auc" -> ((s: SparkSession, d: String) =>
+      graft.functions.QualityModel.rocAuc(s, d)),
+    "q_pr_curve" -> ((s: SparkSession, d: String) =>
+      graft.functions.QualityModel.prCurve(s, d)),
+    "q_containment" -> ((s: SparkSession, d: String) =>
+      graft.functions.Dedup.containmentPairs(s, d)),
+    "q_ks_test" -> ((s: SparkSession, d: String) =>
+      graft.functions.Divergence.ksTest(s, d)),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
@@ -451,6 +459,10 @@ object SparkEntry {
     "q_profile" -> Profile.profileEventsSql,
     "q_key_skew" -> Profile.keySkewProfileSql,
     "q_calibration" -> graft.functions.QualityModel.calibrationSql(),
+    "q_roc_auc" -> graft.functions.QualityModel.rocAucSql(),
+    "q_pr_curve" -> graft.functions.QualityModel.prCurveSql(),
+    "q_containment" -> graft.functions.Dedup.containmentSql(),
+    "q_ks_test" -> graft.functions.Divergence.ksTestSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),

@@ -241,6 +241,102 @@ object Dedup {
        |WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= $minJac
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- asymmetric containment (doc-in-doc) -------------------------------
+
+  /** All ordered pairs where doc A's shingle set is ≥ `minCont`
+    * CONTAINED in doc B's: C(A→B) = |S(A)∩S(B)| / |S(A)|.
+    *
+    * This is the near-dup axis Jaccard is blind to: a paragraph quoted
+    * whole inside a much longer page has C ≈ 1 but J ≈ |A|/|B| ≈ 0, so
+    * a Jaccard threshold can never catch it without also merging
+    * everything — containment is the standard "is this document
+    * swallowed by that one" signal (Broder's containment coefficient)
+    * a dedup pipeline runs to drop quoted/boilerplate-wrapped copies.
+    *
+    * Candidates are PPJoin-style but one-sided, because containment is
+    * asymmetric: only the CONTAINED side can prefix-filter. A keeps
+    * its `n_a − ⌈minCont·n_a⌉ + 1` globally-rarest shingles (if C ≥
+    * minCont, B misses < that many of A's shingles, so by pigeonhole
+    * some prefix shingle is shared); the container side must index ALL
+    * its shingles. The join stays bounded for the PPJoin reason: the
+    * probe side is each doc's rarest shingles, so per-shingle fan-out
+    * is df-small even though the build side is complete. Results are
+    * EXACT — candidates are verified on the full sorted arrays
+    * (codegen merge-intersect), the filter only prunes.
+    *
+    * Scale: same shape as [[ngramJaccardPairs]] (shared staged shingle
+    * artifact, hash-keyed candidate join, AQE-splittable); output is
+    * collision-bounded (pairs that actually overlap), never corpus². */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+      minCont: Double = 0.9): DataFrame =
+    containmentPairsOf(DedupStage.shingleDocs(spark, sfDir), minCont)
+
+  /** [[containmentPairs]]'s core over any (doc_id, sh) sorted-shingle
+    * frame — the testable half (ClassifierCurveSpec runs it on a
+    * hand corpus where the asymmetric answer is knowable). */
+  private[graft] def containmentPairsOf(docs: DataFrame,
+      minCont: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select($"doc_id", size($"sh").as("n"),
+      explode($"sh").as("shingle"))
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
+    // cached + pinned: the candidate join's probe side (see
+    // ngramJaccardPairs for why the stage fan-out needs the pin)
+    val prefixA = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n" - ceil(lit(minCont) * $"n") + 1)
+      .select($"doc_id", xxhash64($"shingle").as("sh_h"))
+      .cache()
+    prefixA.count()
+    val fullB = sh.select($"doc_id", xxhash64($"shingle").as("sh_h"))
+    val candidates = prefixA.as("a").join(fullB.as("b"),
+        col("a.sh_h") === col("b.sh_h") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_of"))
+      .distinct()
+    // exact verify — same one-scan semi-filtered shape as
+    // verifyPairsExact, with the asymmetric denominator
+    val cand = candidates.localCheckpoint(true)
+    val involved = cand.select($"doc_in".as("doc_id"))
+      .unionByName(cand.select($"doc_of".as("doc_id"))).distinct()
+    val d = docs.join(broadcast(involved), "doc_id").cache()
+    d.count()
+    cand
+      .join(d.select($"doc_id".as("doc_in"), $"sh".as("sh_a")), "doc_in")
+      .join(d.select($"doc_id".as("doc_of"), $"sh".as("sh_b")), "doc_of")
+      .withColumn("n_common",
+        graft.plans.ArrayExpressions.sortedIntersectSize($"sh_a", $"sh_b"))
+      .withColumn("containment", $"n_common".cast("double") / size($"sh_a"))
+      .filter($"containment" >= minCont)
+      .select($"doc_in", $"doc_of", $"n_common",
+        round($"containment", 6).as("containment"))
+      .orderBy($"doc_in", $"doc_of")
+  }
+
+  def containmentSql(minCont: Double = 0.9): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |            FOR i IN range(1, greatest(len(t) - 1, 1))])) AS shingle
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_of, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_in, doc_of, n_common,
+       |       round(n_common * 1.0 / s1.n, 6) AS containment
+       |FROM inter
+       |JOIN sizes s1 ON doc_in = s1.doc_id
+       |WHERE n_common * 1.0 / s1.n >= $minCont
+       |ORDER BY doc_in, doc_of""".stripMargin
+
   // ---- edit-distance refinement of near-dup pairs ------------------------
 
   /** Levenshtein re-score of the staged near-dup pairs — the

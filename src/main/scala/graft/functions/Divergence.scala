@@ -103,4 +103,109 @@ object Divergence {
       |FROM terms
       |GROUP BY source, n_s, vocab_used
       |ORDER BY source""".stripMargin
+
+  // ---- two-sample Kolmogorov–Smirnov slice drift -------------------------
+
+  /** Per-source two-sample KS statistic of the quality-score
+    * distribution vs the REST of the corpus: D = sup_v |ECDF_s(v) −
+    * ECDF_rest(v)| — the distribution-shape complement of
+    * [[sliceDivergence]]'s word-mix KL (a slice can keep the corpus
+    * vocabulary yet shift its quality profile; KS sees that, KL
+    * doesn't). `at_value` is the smallest score where the supremum is
+    * attained — where the two CDFs pull apart, the first thing an
+    * investigating pipeline owner asks.
+    *
+    * Exactness: the ECDFs are evaluated only at the distinct observed
+    * scores; each ECDF value is ONE IEEE division of exact integer
+    * cumulatives, the difference/abs/max chain is deterministic and
+    * order-independent, and the argmax re-derives the identical
+    * doubles — bit-equal cross-engine, no quantization needed.
+    *
+    * Scale: one corpus-sized map-side-combined groupBy into (source,
+    * score) counts; everything after is RESOLUTION-bounded (quality
+    * scores are rounded to 1e-6, so the evaluation grid is ≤ ~1e6 ×
+    * #sources narrow rows at any corpus size — the same bounded-window
+    * argument as [[QualityModel.rocAuc]]). */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ksTestOf(TextAnalysis.qualityScore(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .select($"source", $"quality_score".as("v")))
+  }
+
+  /** Same, over any (source, v) frame — the testable core. */
+  def ksTestOf(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = scored.groupBy($"source", $"v").agg(count(lit(1)).as("c_sv"))
+    val gv = counts.groupBy($"v").agg(sum($"c_sv").as("c_v"))
+    val per = counts.groupBy($"source").agg(sum($"c_sv").as("n_s"))
+    val tot = per.agg(sum($"n_s").as("n"))
+    val w = Window.partitionBy($"source").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // grid = every (source, distinct score): absent scores ride at
+    // c_sv = 0 so each source's cumulative is evaluated on the COMMON
+    // support. Cached: the max and argmax branches both read it, and
+    // it is resolution-bounded, not corpus-sized.
+    val cum = gv.crossJoin(broadcast(per))
+      .join(counts, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c_sv"))
+      .withColumn("cum_s", sum($"c_sv").over(w))
+      .withColumn("cum_all", sum($"c_v").over(w))
+      .crossJoin(broadcast(tot))
+      .filter($"n" - $"n_s" > 0)
+      .withColumn("n_r", $"n" - $"n_s")
+      .withColumn("diff",
+        abs($"cum_s".cast("double") / $"n_s".cast("double") -
+          ($"cum_all" - $"cum_s").cast("double") / $"n_r".cast("double")))
+      .cache()
+    cum.count()
+    val maxes = cum.groupBy($"source").agg(max($"diff").as("ks_d"))
+    cum.join(maxes, Seq("source"))
+      .filter($"diff" === $"ks_d")
+      .groupBy($"source", $"n_s", $"n_r", $"ks_d")
+      .agg(min($"v").as("at_value"))
+      .select($"source", $"n_s", $"n_r", $"ks_d", $"at_value")
+      .orderBy($"source")
+  }
+
+  val ksTestSql: String =
+    s"""WITH q AS (SELECT doc_id, quality_score
+       |           FROM (${TextAnalysis.qualityScoreSql})),
+       |s AS (
+       |  SELECT d.source, q.quality_score AS v
+       |  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+       |counts AS (SELECT source, v, COUNT(*) AS c_sv FROM s GROUP BY 1, 2),
+       |gv AS (SELECT v, CAST(SUM(c_sv) AS BIGINT) AS c_v FROM counts GROUP BY 1),
+       |per AS (SELECT source, CAST(SUM(c_sv) AS BIGINT) AS n_s
+       |        FROM counts GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM per),
+       |grid AS (
+       |  SELECT p.source, g.v, g.c_v, COALESCE(c.c_sv, 0) AS c_sv, p.n_s
+       |  FROM gv g CROSS JOIN per p
+       |  LEFT JOIN counts c ON c.source = p.source AND c.v = g.v),
+       |cum AS (
+       |  SELECT source, v, n_s,
+       |         CAST(SUM(c_sv) OVER (PARTITION BY source ORDER BY v
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_s,
+       |         CAST(SUM(c_v) OVER (PARTITION BY source ORDER BY v
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_all
+       |  FROM grid),
+       |d AS (
+       |  SELECT source, v, n_s, t.n - n_s AS n_r,
+       |         abs(CAST(cum_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+       |             - CAST(cum_all - cum_s AS DOUBLE)
+       |               / CAST(t.n - n_s AS DOUBLE)) AS diff
+       |  FROM cum CROSS JOIN tot t
+       |  WHERE t.n - n_s > 0),
+       |m AS (SELECT source, max(diff) AS ks_d FROM d GROUP BY 1)
+       |SELECT d.source, d.n_s, d.n_r, m.ks_d, min(d.v) AS at_value
+       |FROM d JOIN m ON d.source = m.source AND d.diff = m.ks_d
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY d.source""".stripMargin
 }

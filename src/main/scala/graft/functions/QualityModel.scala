@@ -228,15 +228,7 @@ object QualityModel {
   def evalHoldout(spark: SparkSession, sfDir: String, testPct: Int = 30,
       salt: String = "split_v1"): DataFrame = {
     import spark.implicits._
-    val (feat, lab) = prepare(spark, sfDir)
-    val sp = lab.select($"doc_id",
-      Sampling.splitAssign($"doc_id", 0, testPct, salt).as("split"))
-    def side(s: String) = sp.filter($"split" === s).select($"doc_id")
-    val w = weightsMap(spark, sfDir, s"train$testPct$salt",
-      feat.join(side("train"), "doc_id"),
-      lab.join(side("train"), "doc_id"))
-    val test = scoresWith(w, feat.join(side("test"), "doc_id"),
-      lab.join(side("test"), "doc_id"))
+    val test = holdoutScores(spark, sfDir, testPct, salt)
     val pred = ($"s" >= Micro / 2).cast("long")
     def ratio(num: Column, den: Column): Column =
       when(den > 0, floor(num * Micro / den.cast("double")).cast("long"))
@@ -251,6 +243,112 @@ object QualityModel {
         ratio($"tp", $"tp" + $"fp").as("precision_micro"),
         ratio($"tp", $"tp" + $"fn").as("recall_micro"),
         ratio($"tp" * 2, $"tp" * 2 + $"fp" + $"fn").as("f1_micro"))
+  }
+
+  /** Held-out (doc_id, y, s, r) under the train-split-fitted weights —
+    * the scored frame [[evalHoldout]], [[rocAuc]] and [[prCurve]] all
+    * read, so the three reports can never disagree on what the model
+    * said. */
+  private def holdoutScores(spark: SparkSession, sfDir: String,
+      testPct: Int, salt: String): DataFrame = {
+    import spark.implicits._
+    val (feat, lab) = prepare(spark, sfDir)
+    val sp = lab.select($"doc_id",
+      Sampling.splitAssign($"doc_id", 0, testPct, salt).as("split"))
+    def side(s: String) = sp.filter($"split" === s).select($"doc_id")
+    val w = weightsMap(spark, sfDir, s"train$testPct$salt",
+      feat.join(side("train"), "doc_id"),
+      lab.join(side("train"), "doc_id"))
+    scoresWith(w, feat.join(side("test"), "doc_id"),
+      lab.join(side("test"), "doc_id"))
+  }
+
+  /** Held-out per-(distinct micro score) positive/negative counts —
+    * the shared funnel under [[rocAuc]] and [[prCurve]]. The output is
+    * RESOLUTION-bounded, not corpus-bounded: `s` takes at most
+    * Micro + 1 values by construction (the hard sigmoid clamps to
+    * [0, 1e6] integers), so the global windows the two reports run
+    * over this frame stay ≤ ~1e6 narrow rows at ANY corpus size — the
+    * corpus itself is only touched by the map-side-combined groupBy. */
+  private def histogramOf(scores: DataFrame): DataFrame = {
+    import scores.sparkSession.implicits._
+    scores.groupBy($"s")
+      .agg(sum($"y").as("pos"), sum(lit(1L) - $"y").as("neg"))
+  }
+
+  /** Threshold-free ranking quality of the held-out scores: ROC-AUC by
+    * the Mann–Whitney U identity, AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) —
+    * the metric a quality-FILTER pipeline actually cares about (the
+    * kept/dropped decision is a moving threshold over the score, so
+    * ranking, not any one confusion matrix, is what must be good).
+    *
+    * Exactness: over the score histogram, 2·U = Σ_s pos_s·(2·neg_<s +
+    * neg_s) is pure BIGINT arithmetic (ties handled by the ½ term
+    * exactly), and AUC = 2U / (2·n⁺·n⁻) is ONE IEEE division of exact
+    * integers — bit-identical cross-engine. Degenerate one-class
+    * holdouts yield NULL, not a fake 0.5. (The integer 2U overflows
+    * int64 only past ~6×10⁹ held-out rows; an eval set that size would
+    * be subsampled long before arithmetic is the problem.)
+    *
+    * Scale: one corpus-sized map-side-combined groupBy; the cumulative
+    * window runs over the resolution-bounded histogram (see
+    * [[histogramOf]]). */
+  def rocAuc(spark: SparkSession, sfDir: String, testPct: Int = 30,
+      salt: String = "split_v1"): DataFrame =
+    rocAucOf(holdoutScores(spark, sfDir, testPct, salt))
+
+  /** [[rocAuc]]'s core over any (y, s) scored frame — the testable
+    * half (ClassifierCurveSpec pins the closed-form hand cases). */
+  private[graft] def rocAucOf(scores: DataFrame): DataFrame = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    histogramOf(scores)
+      .withColumn("neg_below", coalesce(sum($"neg").over(w), lit(0L)))
+      .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+        sum($"pos" * (lit(2L) * $"neg_below" + $"neg")).as("u2"))
+      .select($"n_pos", $"n_neg", $"u2",
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          $"u2".cast("double") /
+            (lit(2L) * $"n_pos" * $"n_neg").cast("double")).as("auc"))
+  }
+
+  /** The full precision/recall tradeoff curve: one row per distinct
+    * held-out score, reporting the confusion counts of the classifier
+    * "keep iff score ≥ threshold" at that threshold — the table a
+    * pipeline owner reads to PICK the quality-filter cutoff (each row
+    * is "keep this much, at this purity"). tp/fp are inclusive
+    * descending cumulatives over the score histogram; precision and
+    * recall are each ONE IEEE division of exact integers (tp+fp ≥ 1 by
+    * construction — every emitted threshold has at least its own
+    * docs); recall is NULL on a positive-free holdout. Scale: same
+    * two-part shape as [[rocAuc]] — corpus groupBy, then
+    * resolution-bounded window. */
+  def prCurve(spark: SparkSession, sfDir: String, testPct: Int = 30,
+      salt: String = "split_v1"): DataFrame =
+    prCurveOf(holdoutScores(spark, sfDir, testPct, salt))
+
+  /** [[prCurve]]'s core over any (y, s) scored frame. */
+  private[graft] def prCurveOf(scores: DataFrame): DataFrame = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.orderBy($"s".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = histogramOf(scores)
+    val nPos = hist.agg(sum($"pos").as("n_pos"))
+    hist
+      .withColumn("tp", sum($"pos").over(wd))
+      .withColumn("fp", sum($"neg").over(wd))
+      .crossJoin(broadcast(nPos))
+      .select($"s".as("threshold_micro"), $"tp", $"fp",
+        ($"tp".cast("double") / ($"tp" + $"fp").cast("double"))
+          .as("precision"),
+        when($"n_pos" > 0,
+          $"tp".cast("double") / $"n_pos".cast("double")).as("recall"))
+      .orderBy($"threshold_micro")
   }
 
   /** Shared oracle prelude: docs, labels, hashed features, zero
@@ -365,24 +463,86 @@ object QualityModel {
        |$serve""".stripMargin
   }
 
+  /** Oracle prefix shared by every held-out report: split, train-only
+    * GD rounds, and `hs` — the held-out (y, s) scores, the exact twin
+    * of [[holdoutScores]]. */
+  private def holdoutScoresSqlPrefix(testPct: Int, salt: String): String = {
+    val split = Sampling.splitAssignSql("doc_id", 0, testPct, salt)
+    s"""$preludeSql,
+       |sp AS MATERIALIZED (SELECT doc_id, $split AS split FROM docs),
+       |n AS (SELECT COUNT(*) AS n FROM sp WHERE split = 'train'),
+       |tfeat AS MATERIALIZED (SELECT f.* FROM feat f
+       |          JOIN sp ON f.doc_id = sp.doc_id WHERE sp.split = 'train'),
+       |${roundsSql("tfeat")},
+       |zf AS MATERIALIZED (
+       |  SELECT f.doc_id, SUM(f.x * w$Iters.w) AS z
+       |  FROM feat f JOIN sp ON f.doc_id = sp.doc_id
+       |  JOIN w$Iters ON f.j = w$Iters.j
+       |  WHERE sp.split = 'test' GROUP BY f.doc_id),
+       |hs AS MATERIALIZED (
+       |  SELECT l.y, ${sMicroSql("z.z")} AS s
+       |  FROM zf z JOIN lab l ON z.doc_id = l.doc_id)""".stripMargin
+  }
+
+  /** Histogram CTE over `hs` — twin of [[histogramOf]]. */
+  private val histSql: String =
+    """hist AS (
+      |  SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+      |         CAST(SUM(1 - y) AS BIGINT) AS neg
+      |  FROM hs GROUP BY 1)""".stripMargin
+
+  /** Oracle twin of [[rocAuc]]: same histogram, same 2U integer, same
+    * single division. */
+  def rocAucSql(testPct: Int = 30, salt: String = "split_v1"): String =
+    s"""${holdoutScoresSqlPrefix(testPct, salt)},
+       |$histSql,
+       |cum AS (
+       |  SELECT pos, neg,
+       |         COALESCE(CAST(SUM(neg) OVER (ORDER BY s
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS BIGINT), 0) AS neg_below
+       |  FROM hist)
+       |SELECT n_pos, n_neg, u2,
+       |       CASE WHEN n_pos > 0 AND n_neg > 0
+       |            THEN CAST(u2 AS DOUBLE)
+       |                 / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+       |FROM (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |             CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |             CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS u2
+       |      FROM cum)""".stripMargin
+
+  /** Oracle twin of [[prCurve]]. */
+  def prCurveSql(testPct: Int = 30, salt: String = "split_v1"): String =
+    s"""${holdoutScoresSqlPrefix(testPct, salt)},
+       |$histSql,
+       |cum AS (
+       |  SELECT s,
+       |         CAST(SUM(pos) OVER (ORDER BY s DESC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS tp,
+       |         CAST(SUM(neg) OVER (ORDER BY s DESC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS fp
+       |  FROM hist),
+       |np AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos FROM hist)
+       |SELECT s AS threshold_micro, tp, fp,
+       |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+       |       CASE WHEN n_pos > 0
+       |            THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+       |       END AS recall
+       |FROM cum, np
+       |ORDER BY threshold_micro""".stripMargin
+
   /** Oracle twin of [[evalHoldout]]: same split hash, train-only
     * gradients, held-out confusion + integer metrics. */
   def evalHoldoutSql(testPct: Int = 30, salt: String = "split_v1"): String = {
-    val split = Sampling.splitAssignSql("doc_id", 0, testPct, salt)
     val serve =
-      s"""zf AS MATERIALIZED (
-         |  SELECT f.doc_id, SUM(f.x * w$Iters.w) AS z
-         |  FROM feat f JOIN sp ON f.doc_id = sp.doc_id
-         |  JOIN w$Iters ON f.j = w$Iters.j
-         |  WHERE sp.split = 'test' GROUP BY f.doc_id),
-         |conf AS MATERIALIZED (
+      s"""conf AS MATERIALIZED (
          |  SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
          |         CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
          |         CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
          |         CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn
-         |  FROM (SELECT l.y,
-         |               CAST(${sMicroSql("z.z")} >= ${Micro / 2} AS BIGINT) AS p
-         |        FROM zf z JOIN lab l ON z.doc_id = l.doc_id))
+         |  FROM (SELECT y, CAST(s >= ${Micro / 2} AS BIGINT) AS p FROM hs))
          |SELECT tp, fp, fn, tn,
          |       CASE WHEN tp + fp > 0
          |            THEN CAST(floor(tp * $Micro / CAST(tp + fp AS DOUBLE)) AS BIGINT)
@@ -395,12 +555,7 @@ object QualityModel {
          |                 / CAST(2 * tp + fp + fn AS DOUBLE)) AS BIGINT)
          |            ELSE 0 END AS f1_micro
          |FROM conf""".stripMargin
-    s"""$preludeSql,
-       |sp AS MATERIALIZED (SELECT doc_id, $split AS split FROM docs),
-       |n AS (SELECT COUNT(*) AS n FROM sp WHERE split = 'train'),
-       |tfeat AS MATERIALIZED (SELECT f.* FROM feat f
-       |          JOIN sp ON f.doc_id = sp.doc_id WHERE sp.split = 'train'),
-       |${roundsSql("tfeat")},
+    s"""${holdoutScoresSqlPrefix(testPct, salt)},
        |$serve""".stripMargin
   }
 }
