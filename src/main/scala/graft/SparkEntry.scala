@@ -189,6 +189,12 @@ object SparkEntry {
       graft.functions.Dedup.containmentPairs(s, d)),
     "q_ks_test" -> ((s: SparkSession, d: String) =>
       graft.functions.Divergence.ksTest(s, d)),
+    "q_kappa" -> ((s: SparkSession, d: String) =>
+      graft.functions.QualityModel.kappa(s, d)),
+    "q_chi2_independence" -> ((s: SparkSession, d: String) =>
+      graft.operators.Profile.chi2Independence(s, d)),
+    "q_dp_release" -> ((s: SparkSession, d: String) =>
+      graft.functions.Pii.dpRelease(s, d)),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
@@ -463,6 +469,9 @@ object SparkEntry {
     "q_pr_curve" -> graft.functions.QualityModel.prCurveSql(),
     "q_containment" -> graft.functions.Dedup.containmentSql(),
     "q_ks_test" -> graft.functions.Divergence.ksTestSql,
+    "q_kappa" -> graft.functions.QualityModel.kappaSql(),
+    "q_chi2_independence" -> graft.operators.Profile.chi2IndependenceSql,
+    "q_dp_release" -> graft.functions.Pii.dpReleaseSql(),
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),

@@ -212,4 +212,83 @@ object Pii {
        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
        |GROUP BY 1, 2
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ---- differential privacy: noisy count release -------------------------
+
+  /** ε for the released per-language counts; sensitivity is 1 (each
+    * document contributes to exactly one language cell). */
+  val DpEpsilon = 1.0
+  private val DpAlpha = math.exp(-DpEpsilon)
+  private val DpMaxK = 40
+
+  /** CDF grid F(−40)…F(39) of the two-sided geometric ("discrete
+    * Laplace") distribution P(K = k) ∝ α^|k| — the ε-DP mechanism for
+    * integer counts (Ghosh–Roughgarden–Sundararajan's universally
+    * optimal mechanism). Truncation at ±40 discards ~4e−18 of the
+    * mass — below one ulp of any reachable uniform, so the inverse-CDF
+    * lookup below is exact over every possible input. */
+  private[graft] val DpCdf: Array[Double] = {
+    val p0 = (1 - DpAlpha) / (1 + DpAlpha)
+    var acc = math.pow(DpAlpha, DpMaxK + 1) / (1 + DpAlpha) // F(−41)
+    (-DpMaxK until DpMaxK).toArray
+      .map { k => acc += p0 * math.pow(DpAlpha, math.abs(k)); acc }
+  }
+
+  /** ε-differentially-private per-language document counts: true count
+    * plus two-sided geometric noise, clamped at zero for release.
+    *
+    * The noise is DETERMINISTIC — a salted md5-uniform per cell pushed
+    * through the inverse CDF — which is what makes the query gateable
+    * AND is the production-correct choice: a rerun (or a retry after a
+    * failure) must not spend fresh privacy budget re-randomizing the
+    * same release, so real systems derive noise from a keyed PRF over
+    * the cell identity exactly like this; rotating `salt` is the new
+    * privacy spend. Cross-engine exactness is by construction: the CDF
+    * grid is computed ONCE here and embedded as the same 80 double
+    * literals in both engines, u is one IEEE division of the shared
+    * 60-bit hash, and the lookup is pure comparisons — the oracle
+    * replays the mechanism, never re-derives exp().
+    *
+    * The gate emits `n_true` alongside the release for auditability;
+    * a production release drops that column. Scale: one
+    * map-side-combined groupBy to cells, then per-cell O(80)
+    * comparisons — nothing beyond the count shuffle at any corpus
+    * size. */
+  def dpRelease(spark: SparkSession, sfDir: String,
+      salt: String = "dp_v1"): DataFrame = {
+    import spark.implicits._
+    val u = Dedup.hash60(concat_ws("|", $"lang", lit(salt))).cast("double") /
+      lit(1152921504606846976L).cast("double") // / 2^60 → uniform [0,1)
+    val noise = (size(filter(array(DpCdf.map(lit(_)).toSeq: _*),
+      t => u >= t)) - DpMaxK).cast("long")
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_true"))
+      .select($"lang", $"n_true", noise.as("noise"),
+        greatest($"n_true" + noise, lit(0L)).as("n_released"),
+        lit(DpEpsilon).as("epsilon"))
+      .orderBy($"lang")
+  }
+
+  def dpReleaseSql(salt: String = "dp_v1"): String = {
+    val grid = DpCdf.map(_.toString).mkString(", ")
+    s"""WITH cnt AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY 1),
+       |withu AS (
+       |  SELECT lang, n_true,
+       |         CAST(CAST(('0x' || substr(md5(lang || '|' || ${Sql.lit(salt)}), 1, 15))
+       |              AS BIGINT) AS DOUBLE)
+       |           / CAST(1152921504606846976 AS DOUBLE) AS u
+       |  FROM cnt),
+       |noised AS (
+       |  SELECT lang, n_true,
+       |         CAST(len(list_filter([$grid], t -> u >= t)) AS BIGINT)
+       |           - $DpMaxK AS noise
+       |  FROM withu)
+       |SELECT lang, n_true, noise,
+       |       greatest(n_true + noise, 0) AS n_released,
+       |       CAST($DpEpsilon AS DOUBLE) AS epsilon
+       |FROM noised
+       |ORDER BY lang""".stripMargin
+  }
 }

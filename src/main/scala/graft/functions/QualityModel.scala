@@ -463,6 +463,75 @@ object QualityModel {
        |$serve""".stripMargin
   }
 
+  /** Cohen's κ between the two quality raters this engine ships — the
+    * hand-set heuristic gate (score ≥ corpus median, the
+    * [[TextAnalysis.qualityGate]] membership rule) and the trained
+    * classifier's prediction — over the full corpus. κ is the
+    * chance-corrected agreement a labeling pipeline reports before
+    * trusting weak labels: raw agreement p_o flatters any pair of
+    * raters that both mostly say "keep"; κ subtracts the agreement
+    * their marginals would produce by luck.
+    *
+    * Exactness: κ = (n·(n11+n00) − Σ_c r_c·c_c) / (n² − Σ_c r_c·c_c)
+    * — the confusion cells and marginal products are exact BIGINTs and
+    * κ is ONE IEEE division (NULL when the denominator degenerates:
+    * both raters constant). n² passes int64 around n ≈ 3×10⁹; a rater
+    * audit at that size subsamples first. Scale: two score passes that
+    * reuse the staged feature/weight artifacts, one broadcast of the
+    * 1-row median, one corpus-keyed join, one 5-cell aggregate. */
+  def kappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val heur = TextAnalysis.qualityScore(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+    val thr = heur.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score)")
+        .as("m"))
+    val a = heur.crossJoin(broadcast(thr))
+      .select($"doc_id", ($"quality_score" >= $"m").cast("long").as("ha"))
+    val b = trainAndScore(spark, sfDir)
+      .select($"doc_id", $"predicted".cast("long").as("cb"))
+    val chance = ($"n11" + $"n10") * ($"n11" + $"n01") +
+      ($"n01" + $"n00") * ($"n10" + $"n00")
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"ha" * $"cb").as("n11"),
+        sum($"ha" * (lit(1L) - $"cb")).as("n10"),
+        sum((lit(1L) - $"ha") * $"cb").as("n01"),
+        sum((lit(1L) - $"ha") * (lit(1L) - $"cb")).as("n00"))
+      .select($"n", $"n11", $"n10", $"n01", $"n00",
+        when($"n" * $"n" - chance > 0,
+          ($"n" * ($"n11" + $"n00") - chance).cast("double") /
+            ($"n" * $"n" - chance).cast("double")).as("kappa"))
+  }
+
+  def kappaSql(): String =
+    s"""WITH hq AS (SELECT doc_id, quality_score
+       |            FROM (${TextAnalysis.qualityScoreSql})),
+       |thr AS (SELECT percentile_cont(0.5) WITHIN GROUP
+       |               (ORDER BY quality_score) AS m FROM hq),
+       |a AS (SELECT doc_id,
+       |             CAST(quality_score >= t.m AS BIGINT) AS ha
+       |      FROM hq CROSS JOIN thr t),
+       |b AS (SELECT doc_id, CAST(predicted AS BIGINT) AS cb
+       |      FROM ($trainAndScoreSql)),
+       |conf AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(ha * cb) AS BIGINT) AS n11,
+       |         CAST(SUM(ha * (1 - cb)) AS BIGINT) AS n10,
+       |         CAST(SUM((1 - ha) * cb) AS BIGINT) AS n01,
+       |         CAST(SUM((1 - ha) * (1 - cb)) AS BIGINT) AS n00
+       |  FROM a JOIN b USING (doc_id))
+       |SELECT n, n11, n10, n01, n00,
+       |       CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+       |                          + (n01 + n00) * (n10 + n00)) > 0
+       |            THEN CAST(n * (n11 + n00)
+       |                      - ((n11 + n10) * (n11 + n01)
+       |                         + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+       |                 / CAST(n * n - ((n11 + n10) * (n11 + n01)
+       |                         + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+       |       END AS kappa
+       |FROM conf""".stripMargin
+
   /** Oracle prefix shared by every held-out report: split, train-only
     * GD rounds, and `hs` — the held-out (y, s) scores, the exact twin
     * of [[holdoutScores]]. */

@@ -240,4 +240,72 @@ object Profile {
        |${prof("events.user_id", "events", "user_id")}
        |ORDER BY key_name""".stripMargin
   }
+
+  /** Pearson χ² test of source × language independence over the
+    * documents table — "do my crawl sources all carry the same
+    * language mix, or is a source quietly language-skewed?" The
+    * categorical-association sibling of the distribution checks
+    * ([[graft.functions.Divergence.ksTest]] for a numeric column,
+    * KL for the word mix): χ² is what a profiler reports for a pair
+    * of CATEGORICAL columns.
+    *
+    * Exactness ([[graft.functions.Divergence]]'s quantization
+    * recipe): each cell's (o−e)²/e is evaluated in IEEE doubles from
+    * exact integers (e = r·c/n is one division; the term is three
+    * more deterministic ops), then floored to e9 fixed-point so the
+    * cross-cell sum is exact integer arithmetic — order-independent,
+    * hash-gateable; the nats-scale χ² is one final division.
+    *
+    * Scale: one map-side-combined groupBy to (source, lang) cells;
+    * marginals and the final fold are cells-sized (|sources|·|langs|),
+    * broadcast-joined. Output is ONE row at any corpus size. */
+  def chi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy($"source").agg(sum($"o").as("r"))
+    val cols = cells.groupBy($"lang").agg(sum($"o").as("c"))
+    val tot = cells.agg(sum($"o").as("n"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct($"lang").as("n_langs"))
+    val e = ($"r" * $"c").cast("double") / $"n".cast("double")
+    cells
+      .join(broadcast(rows), "source")
+      .join(broadcast(cols), "lang")
+      .crossJoin(broadcast(tot))
+      .select($"n", $"n_sources", $"n_langs",
+        floor(($"o" - e) * ($"o" - e) / e * lit(1e9)).cast("long")
+          .as("term_e9"))
+      .groupBy($"n", $"n_sources", $"n_langs")
+      .agg(sum($"term_e9").as("chi2_e9"))
+      .select($"n", $"n_sources", $"n_langs",
+        (($"n_sources" - 1) * ($"n_langs" - 1)).as("dof"),
+        $"chi2_e9", ($"chi2_e9".cast("double") / lit(1e9)).as("chi2"))
+  }
+
+  val chi2IndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |               COUNT(DISTINCT source) AS n_sources,
+      |               COUNT(DISTINCT lang) AS n_langs
+      |        FROM cells),
+      |terms AS (
+      |  SELECT t.n, t.n_sources, t.n_langs,
+      |         CAST(FLOOR(
+      |           (o - CAST(r.r * c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |           * (o - CAST(r.r * c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |           / (CAST(r.r * c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |           * 1000000000.0) AS BIGINT) AS term_e9
+      |  FROM cells
+      |  JOIN r USING (source) JOIN c USING (lang) CROSS JOIN tot t)
+      |SELECT n, n_sources, n_langs,
+      |       (n_sources - 1) * (n_langs - 1) AS dof,
+      |       CAST(SUM(term_e9) AS BIGINT) AS chi2_e9,
+      |       CAST(SUM(term_e9) AS DOUBLE) / 1000000000.0 AS chi2
+      |FROM terms
+      |GROUP BY n, n_sources, n_langs""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{QualityModel, TextAnalysis}
+import graft.functions.{Pii, QualityModel, TextAnalysis}
 import graft.operators.Profile
 
 /** Invariant checks for the round-7 audit/report operators — the hash
@@ -58,6 +58,66 @@ class AuditOpsSpec extends SparkSuite {
         math.floor(math.log(ca.toDouble / nUni) * 1e9).toLong -
         math.floor(math.log(cb.toDouble / nUni) * 1e9).toLong
       assert(pmi == expect, s"pmi_e9 $pmi != recomputed $expect for ${r.getString(0)}")
+    }
+  }
+
+  test("kappa: cells partition the corpus; formula recomputes; bounded") {
+    val r = QualityModel.kappa(spark, gateSf).head()
+    val (n, n11, n10, n01, n00) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val docs = spark.read.parquet(s"$gateSf/documents.parquet").count()
+    assert(n == docs && n11 + n10 + n01 + n00 == n)
+    val chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val expect = (n * (n11 + n00) - chance).toDouble / (n * n - chance)
+    assert(r.getDouble(5) == expect && expect >= -1.0 && expect <= 1.0)
+    // two real opinions, not one rater twice: agreements AND
+    // disagreements both occur. (On this corpus κ ≈ 0.04 — the median
+    // gate and the row/key weak label rate nearly independent axes,
+    // which is exactly the fact a κ report exists to surface.)
+    assert(n11 + n00 > 0 && n10 + n01 > 0, "raters must be distinct")
+    assert(expect < 0.999, s"raters look like clones: $expect")
+  }
+
+  test("chi2: cell terms recompute; dof exact; independence would be ~0") {
+    val r = Profile.chi2Independence(spark, gateSf).head()
+    val (n, ns, nl, dof, chi2e9) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(dof == (ns - 1) * (nl - 1) && chi2e9 >= 0)
+    assert(r.getDouble(5) == chi2e9.toDouble / 1e9)
+    // independent recompute from raw counts
+    val cells = spark.read.parquet(s"$gateSf/documents.parquet")
+      .groupBy($"source", $"lang").count().collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
+    val rTot = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cTot = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = cells.values.sum
+    assert(nn == n && rTot.size == ns && cTot.size == nl)
+    val expect = cells.map { case ((s, l), o) =>
+      val e = (rTot(s) * cTot(l)).toDouble / nn.toDouble
+      math.floor((o - e) * (o - e) / e * 1e9).toLong
+    }.sum
+    assert(chi2e9 == expect, s"chi2_e9 $chi2e9 != recomputed $expect")
+  }
+
+  test("dp release: CDF grid sane; noise bounded, replayable, clamped") {
+    val grid = Pii.DpCdf
+    assert(grid.length == 80 && grid.sameElements(grid.sorted))
+    assert(grid.last > 0.999999 && grid.head < 1e-17)
+    val out = Pii.dpRelease(spark, gateSf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lang, nTrue, noise, rel) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(noise >= -40 && noise <= 40)
+      assert(rel == math.max(nTrue + noise, 0L))
+      // replay the mechanism end-to-end: salted md5 → uniform → grid
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$lang|dp_v1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md5.take(15), 16).toDouble /
+        1152921504606846976L.toDouble
+      assert(noise == grid.count(u >= _) - 40L,
+        s"noise $noise not the inverse-CDF of u=$u for $lang")
     }
   }
 }
