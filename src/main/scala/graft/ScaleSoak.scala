@@ -54,7 +54,11 @@ object ScaleSoak {
     "q_unigram_model",       // Viterbi-EM over distinct words; driver state vocab-sized
     "q_unigram_encode",      // EM-learned vocab + distinct-word Viterbi
     "q_quality_classifier",  // 8-round full-batch GD: weights out, D+1 gradient rows back
-    "q_classifier_eval")     // held-out F1 of the same machinery (stability invariant)
+    "q_classifier_eval",     // held-out F1 of the same machinery (stability invariant)
+    "q_containment",         // one-sided prefix-filtered doc-in-doc miner (exact → structural ×m)
+    "q_roc_auc",             // held-out ranking quality (1 row; AUC stability invariant)
+    "q_ks_test",             // per-source ECDF drift (resolution-bounded windows; rows = #sources)
+    "q_dp_release")          // cell-count release + PRF noise (rows = #langs)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,7 +122,7 @@ object ScaleSoak {
       // single-row contract/metric outputs for the value-level
       // invariants below (re-running is cheap: both read per-dir
       // staged artifacts, so this collects — it doesn't retrain)
-      for (q <- Seq("q_unigram_model", "q_classifier_eval")
+      for (q <- Seq("q_unigram_model", "q_classifier_eval", "q_roc_auc")
           .filter(soakQueries.contains))
         oneRow((q, m)) = SparkEntry.queries(q)(spark, dir)
           .collect()(0).toSeq.map(String.valueOf)
@@ -160,15 +164,20 @@ object ScaleSoak {
       // misses with probability (1−J⁴)¹⁶ ≈ 1e-15 — a trip means a
       // recall regression, not band luck. q_quality_classifier scores
       // every doc, so its ×m is structural.
+      // q_containment's ×m is STRUCTURAL (unlike minhash): the salt
+      // maps base shingles bijectively within each replica, and the
+      // prefix filter is lossless, so each replica mines exactly the
+      // base pair set (row/key-exemption overlap sits far below 0.9)
       for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts",
           "q_gopher_rules", "q_contamination_fuzzy",
-          "q_quality_classifier").filter(soakQueries.contains))
+          "q_quality_classifier", "q_containment").filter(soakQueries.contains))
         require(rows((q, m)) * m0 == rows((q, m0)) * m,
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ×${m}/${m0} of ${rows((q, m0))}")
       // fixed-budget / contract-sized outputs: row counts must be
       // m-INVARIANT (dsir's k-sample; the two 1-row contract frames)
       for (q <- Seq("q_dsir_sample", "q_unigram_model",
-          "q_classifier_eval").filter(soakQueries.contains))
+          "q_classifier_eval", "q_roc_auc", "q_ks_test",
+          "q_dp_release").filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
       // unigram model contract booleans (cols 2..5: covers_all_chars,
@@ -189,6 +198,18 @@ object ScaleSoak {
           val (f0, fm) = (b.last.toLong, c.last.toLong)
           require(math.abs(fm - f0) <= 100000L,
             s"soak invariant: classifier F1 drifted at m=$m: $fm vs $f0 micro")
+        case _ => ()
+      }
+      // held-out ROC-AUC (col 3) stable within the same band: the
+      // doc_id remap reshuffles split membership per replica, so the
+      // holdout is not an exact replica of the base holdout — exact
+      // equality is NOT expected, but the ranking quality of the same
+      // learnable signal must not decay with corpus growth
+      (oneRow.get(("q_roc_auc", m0)), oneRow.get(("q_roc_auc", m))) match {
+        case (Some(b), Some(c)) =>
+          val (a0, am) = (b(3).toDouble, c(3).toDouble)
+          require(math.abs(am - a0) <= 0.10,
+            s"soak invariant: ROC-AUC drifted at m=$m: $am vs $a0")
         case _ => ()
       }
     }

@@ -254,15 +254,24 @@ object Dedup {
     * a dedup pipeline runs to drop quoted/boilerplate-wrapped copies.
     *
     * Candidates are PPJoin-style but one-sided, because containment is
-    * asymmetric: only the CONTAINED side can prefix-filter. A keeps
-    * its `n_a − ⌈minCont·n_a⌉ + 1` globally-rarest shingles (if C ≥
-    * minCont, B misses < that many of A's shingles, so by pigeonhole
-    * some prefix shingle is shared); the container side must index ALL
-    * its shingles. The join stays bounded for the PPJoin reason: the
-    * probe side is each doc's rarest shingles, so per-shingle fan-out
-    * is df-small even though the build side is complete. Results are
-    * EXACT — candidates are verified on the full sorted arrays
-    * (codegen merge-intersect), the filter only prunes.
+    * asymmetric: only the CONTAINED side can prefix-filter (the
+    * container's size says nothing about the threshold). The minimal
+    * prefix — A's `n_a − ⌈minCont·n_a⌉ + 1` globally-rarest shingles —
+    * is complete by pigeonhole but WEAK on its own: measured at the
+    * ×64 soak it admitted 8.5 M candidates for 32 k true pairs, and
+    * the exact array verify of the 99.6 % junk dominated end-to-end
+    * cost (215 of 334 s). So A indexes the minimal prefix PLUS an
+    * extra ~[[ContainmentIndexExtraFrac]]·n_a rarest shingles, and a
+    * COUNT filter runs before the array verify: a true pair misses at
+    * most `allowed = n_a − ⌈minCont·n_a⌉` of A's shingles anywhere, so
+    * among the `idx` indexed ones it must match ≥ idx − allowed — any
+    * pair below that is discarded sound-ly (no false negatives) by a
+    * map-side-combined count, never touching the shingle arrays. The
+    * join stays bounded for the PPJoin reason: the probe side is each
+    * doc's rarest ~half, so per-shingle fan-out stays df-small even
+    * though the build side is complete. Results are EXACT — survivors
+    * are verified on the full sorted arrays (codegen merge-intersect),
+    * both filters only prune.
     *
     * Scale: same shape as [[ngramJaccardPairs]] (shared staged shingle
     * artifact, hash-keyed candidate join, AQE-splittable); output is
@@ -274,6 +283,15 @@ object Dedup {
   /** [[containmentPairs]]'s core over any (doc_id, sh) sorted-shingle
     * frame — the testable half (ClassifierCurveSpec runs it on a
     * hand corpus where the asymmetric answer is knowable). */
+  /** Extra rarest-shingle fraction of the contained doc indexed BEYOND
+    * the minimal prefix, purely to power the pre-verify count filter
+    * (see the [[containmentPairs]] scaladoc). 0 degrades to the
+    * minimal-prefix-only miner (still exact, slower verify); larger
+    * values trade candidate-join fan-out for verify pruning — 0.4
+    * (≈ rarest half indexed at t = 0.9) measured 4–5× end-to-end at
+    * the ×64 soak. Var so the completeness spec can sweep it. */
+  private[graft] var ContainmentIndexExtraFrac: Double = 0.4
+
   private[graft] def containmentPairsOf(docs: DataFrame,
       minCont: Double): DataFrame = {
     val spark = docs.sparkSession
@@ -283,20 +301,31 @@ object Dedup {
       explode($"sh").as("shingle"))
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
+    val allowed = ($"n" - ceil(lit(minCont) * $"n")).cast("long")
+    val idxLen = least($"n".cast("long"), allowed + 1L +
+      floor(lit(ContainmentIndexExtraFrac) * $"n").cast("long"))
     // cached + pinned: the candidate join's probe side (see
-    // ngramJaccardPairs for why the stage fan-out needs the pin)
+    // ngramJaccardPairs for why the stage fan-out needs the pin).
+    // `thr` = idx − allowed rides along per row so the count filter
+    // needs no join-back to sizes.
     val prefixA = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= $"n" - ceil(lit(minCont) * $"n") + 1)
-      .select($"doc_id", xxhash64($"shingle").as("sh_h"))
+      .filter($"rn" <= idxLen)
+      .select($"doc_id", xxhash64($"shingle").as("sh_h"),
+        (idxLen - allowed).as("thr"))
       .cache()
     prefixA.count()
     val fullB = sh.select($"doc_id", xxhash64($"shingle").as("sh_h"))
+    // sound count filter: every surviving pair still gets the exact
+    // array verify; pairs killed here CANNOT reach the threshold
     val candidates = prefixA.as("a").join(fullB.as("b"),
         col("a.sh_h") === col("b.sh_h") &&
           col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_of"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_of"),
+        col("a.thr").as("thr"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= $"thr")
+      .select($"doc_in", $"doc_of")
     // exact verify — same one-scan semi-filtered shape as
     // verifyPairsExact, with the asymmetric denominator
     val cand = candidates.localCheckpoint(true)

@@ -89,6 +89,16 @@ class ClassifierCurveSpec extends SparkSuite {
         round($"n_common".cast("double") / $"n_in", 6).as("containment"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(got == naive, "prefix-filtered miner must equal the naive join")
+    // the count-filter extension is pruning-only: with NO extension
+    // (minimal prefix, thr = 1 — the count filter degenerates to
+    // "shares a prefix shingle") the output is identical
+    val prev = Dedup.ContainmentIndexExtraFrac
+    try {
+      Dedup.ContainmentIndexExtraFrac = 0.0
+      val minimal = Dedup.containmentPairs(spark, gateSf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(minimal == got, "index-extension regimes must agree")
+    } finally Dedup.ContainmentIndexExtraFrac = prev
     sh.unpersist()
   }
 
