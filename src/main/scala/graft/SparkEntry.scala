@@ -195,6 +195,10 @@ object SparkEntry {
       graft.operators.Profile.chi2Independence(s, d)),
     "q_dp_release" -> ((s: SparkSession, d: String) =>
       graft.functions.Pii.dpRelease(s, d)),
+    "q_entity_resolution" -> ((s: SparkSession, d: String) =>
+      graft.functions.Fuzzy.entityResolution(s, d)),
+    "q_dedup_funnel" -> ((s: SparkSession, d: String) =>
+      graft.functions.Dedup.dedupFunnel(s, d)),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
@@ -472,6 +476,8 @@ object SparkEntry {
     "q_kappa" -> graft.functions.QualityModel.kappaSql(),
     "q_chi2_independence" -> graft.operators.Profile.chi2IndependenceSql,
     "q_dp_release" -> graft.functions.Pii.dpReleaseSql(),
+    "q_entity_resolution" -> graft.functions.Fuzzy.entityResolutionSql,
+    "q_dedup_funnel" -> graft.functions.Dedup.dedupFunnelSql(),
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),

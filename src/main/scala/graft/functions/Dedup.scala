@@ -241,6 +241,65 @@ object Dedup {
        |WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= $minJac
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dedup funnel report ------------------------------------------------
+
+  /** The one-row dedup funnel a corpus owner reads after the chain
+    * runs: corpus size → exact-duplicate mass → mined near-dup pairs →
+    * clustered docs → dropped docs → shipped corpus, with integer
+    * per-mille retention. Pure composition over the staged artifacts
+    * (the dbt-style DAG pays the chain once; this report re-reads it),
+    * so the marginal cost is a handful of counts. Exact duplicates are
+    * a SUBSET of the near-dup drop set (identical texts have J = 1 ≥
+    * any threshold), which the report makes visible rather than
+    * double-counting. */
+  def dedupFunnel(spark: SparkSession, sfDir: String,
+      minJac: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
+    val uniq = exactDedup(spark, sfDir)
+      .agg(count(lit(1)).as("n_exact_unique"))
+    val prs = DedupStage.pairs(spark, sfDir, minJac)
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    val clAgg = DedupStage.clusters(spark, sfDir, minJac)
+      .agg(count(lit(1)).as("n_docs_in_clusters"),
+        coalesce(sum(($"doc_id" =!= $"cluster_keeper").cast("long")), lit(0L))
+          .as("n_dropped"))
+    docs.crossJoin(uniq).crossJoin(prs).crossJoin(clAgg)
+      .select($"n_docs", $"n_exact_unique",
+        ($"n_docs" - $"n_exact_unique").as("n_exact_dup_docs"),
+        $"n_neardup_pairs", $"n_docs_in_clusters", $"n_dropped",
+        ($"n_docs" - $"n_dropped").as("n_final"),
+        floor(($"n_docs" - $"n_dropped") * 1000L / $"n_docs")
+          .cast("long").as("retention_x1000"))
+  }
+
+  def dedupFunnelSql(minJac: Double = 0.9): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardSql(minJac)}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS reach FROM nodes
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reach),
+       |clusters AS (
+       |  SELECT doc_id, min(reach) AS keeper FROM reach GROUP BY 1),
+       |f AS (SELECT
+       |  (SELECT COUNT(*) FROM documents) AS n_docs,
+       |  (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS n_exact_unique,
+       |  (SELECT COUNT(*) FROM pairs) AS n_neardup_pairs,
+       |  (SELECT COUNT(*) FROM clusters) AS n_docs_in_clusters,
+       |  (SELECT COUNT(*) FROM clusters WHERE doc_id != keeper) AS n_dropped)
+       |SELECT n_docs, n_exact_unique,
+       |       n_docs - n_exact_unique AS n_exact_dup_docs,
+       |       n_neardup_pairs, n_docs_in_clusters, n_dropped,
+       |       n_docs - n_dropped AS n_final,
+       |       CAST((n_docs - n_dropped) * 1000 // n_docs AS BIGINT)
+       |         AS retention_x1000
+       |FROM f""".stripMargin
+
   // ---- asymmetric containment (doc-in-doc) -------------------------------
 
   /** All ordered pairs where doc A's shingle set is ≥ `minCont`

@@ -128,4 +128,60 @@ object Fuzzy {
       |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
       |WHERE levenshtein(a.s_name, b.s_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Entity resolution end-to-end — the record-linkage chain a master-
+    * data / dedup pipeline runs over dirty entity names: (1) BLOCK +
+    * MATCH: all supplier-name pairs within edit distance 1 via the
+    * lossless q-gram rarity-prefix join ([[editDistancePairs]] — no
+    * all-pairs compare); (2) CLUSTER: transitive closure of the match
+    * graph (A~B, B~C → one entity) through the same regime-switched
+    * min-label machinery the dedup clusters use
+    * ([[Dedup.dupClustersFromPairs]]: driver union-find under the pair
+    * limit, pointer-halving label propagation above it); (3) CANONICAL
+    * IDS: every record gets its cluster's minimum key as `entity_id` —
+    * unmatched records resolve to themselves — plus the member count a
+    * survivorship rule would consume.
+    *
+    * Scale: match work is the prefix-join's (collision-bounded), the
+    * closure is pair-table-sized, and the final canonicalization is
+    * one left join + one entity-keyed count. Oracle: an independent
+    * recursive-CTE closure over the same levenshtein pairs. */
+  def entityResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = fuzzyMatch(spark, sfDir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = Dedup.dupClustersFromPairs(pairs)
+    val resolved = Tables.supplier(spark, sfDir).select($"s_suppkey")
+      .join(comp, $"s_suppkey" === $"doc_id", "left")
+      .select($"s_suppkey",
+        coalesce($"cluster_keeper", $"s_suppkey").as("entity_id"))
+    val sized = resolved.groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_members"))
+    resolved.join(sized, "entity_id")
+      .select($"s_suppkey", $"entity_id", $"n_members")
+      .orderBy($"s_suppkey")
+  }
+
+  val entityResolutionSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+      |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS reach FROM nodes
+      |  UNION
+      |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.reach),
+      |comp AS (SELECT id, min(reach) AS entity_id FROM reach GROUP BY 1),
+      |resolved AS (
+      |  SELECT s.s_suppkey, COALESCE(c.entity_id, s.s_suppkey) AS entity_id
+      |  FROM supplier s LEFT JOIN comp c ON c.id = s.s_suppkey),
+      |sized AS (SELECT entity_id, COUNT(*) AS n_members
+      |          FROM resolved GROUP BY 1)
+      |SELECT r.s_suppkey, r.entity_id, z.n_members
+      |FROM resolved r JOIN sized z USING (entity_id)
+      |ORDER BY r.s_suppkey""".stripMargin
 }
