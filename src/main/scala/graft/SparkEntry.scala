@@ -199,6 +199,10 @@ object SparkEntry {
       graft.functions.Fuzzy.entityResolution(s, d)),
     "q_dedup_funnel" -> ((s: SparkSession, d: String) =>
       graft.functions.Dedup.dedupFunnel(s, d)),
+    "q_langid_confusion" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langIdConfusion(s, d)),
+    "q_mixture_report" -> ((s: SparkSession, d: String) =>
+      graft.operators.Profile.mixtureReport(s, d)),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
@@ -478,6 +482,8 @@ object SparkEntry {
     "q_dp_release" -> graft.functions.Pii.dpReleaseSql(),
     "q_entity_resolution" -> graft.functions.Fuzzy.entityResolutionSql,
     "q_dedup_funnel" -> graft.functions.Dedup.dedupFunnelSql(),
+    "q_langid_confusion" -> TextAnalysis.langIdConfusionSql,
+    "q_mixture_report" -> graft.operators.Profile.mixtureReportSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),

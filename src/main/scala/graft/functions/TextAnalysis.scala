@@ -171,6 +171,39 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Detector-quality confusion matrix: the n-gram language detector's
+    * prediction against the corpus's labeled language, one row per
+    * (labeled, predicted) cell with the cell count and the integer
+    * per-mille share of its labeled row — the audit that decides
+    * whether `lang_pred` can drive a mixing/filter decision where the
+    * label is missing, and WHERE it fails when it does (which labeled
+    * language bleeds into which prediction, and how much lands in
+    * 'und'). Scale: one detector pass (narrow per-row projection) +
+    * one combiner group-by to the |langs|² cell table; the row-total
+    * join is cells-sized. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = langId(spark, sfDir)
+      .groupBy($"lang_labeled", $"lang_pred").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy($"lang_labeled").agg(sum($"n").as("n_labeled"))
+    cells.join(broadcast(rowTot), "lang_labeled")
+      .select($"lang_labeled", $"lang_pred", $"n", $"n_labeled",
+        floor($"n" * 1000L / $"n_labeled").cast("long").as("share_x1000"))
+      .orderBy($"lang_labeled", $"lang_pred")
+  }
+
+  val langIdConfusionSql: String =
+    s"""WITH pred AS ($langIdSql),
+       |cells AS (
+       |  SELECT lang_labeled, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |rt AS (SELECT lang_labeled, CAST(SUM(n) AS BIGINT) AS n_labeled
+       |       FROM cells GROUP BY 1)
+       |SELECT c.lang_labeled, c.lang_pred, c.n, rt.n_labeled,
+       |       CAST(c.n * 1000 // rt.n_labeled AS BIGINT) AS share_x1000
+       |FROM cells c JOIN rt USING (lang_labeled)
+       |ORDER BY c.lang_labeled, c.lang_pred""".stripMargin
+
   /** Direct oracle gate for the fused `ngrams` CODEGEN EXPRESSION
     * ([[graft.plans.NGrams]]): positional 3-grams of every 20th
     * document, exploded with their positions, against DuckDB's

@@ -283,6 +283,64 @@ object Profile {
         $"chi2_e9", ($"chi2_e9".cast("double") / lit(1e9)).as("chi2"))
   }
 
+  /** Corpus-mixture diversity indices, one row per categorical axis
+    * (language, source): cell count, Shannon entropy in nats, and the
+    * Simpson concentration Σp² — the two numbers a data-mixing plan
+    * states up front ("how many effective domains am I training on,
+    * and how dominated is the mix"). Entropy and Simpson terms are
+    * each quantized to e9 fixed point per cell before the sum (the
+    * [[graft.functions.Divergence]] ln discipline: p is one IEEE
+    * division, the term is deterministic double ops, floor pins it),
+    * so the cross-cell sums are exact integers. Scale: one combiner
+    * group-by per axis; everything after is cells-sized. */
+  def mixtureReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def axis(name: String, c0: String) = {
+      val cells = Tables.documents(spark, sfDir)
+        .groupBy(col(c0)).agg(count(lit(1)).as("c"))
+      val tot = cells.agg(sum($"c").as("n"))
+      val p = $"c".cast("double") / $"n".cast("double")
+      cells.crossJoin(broadcast(tot))
+        .select($"n",
+          floor((p * log(p)) * lit(-1e9)).cast("long").as("ent_term"),
+          floor((p * p) * lit(1e9)).cast("long").as("simp_term"))
+        .groupBy($"n")
+        .agg(count(lit(1)).as("n_cells"),
+          sum($"ent_term").as("entropy_e9"),
+          sum($"simp_term").as("simpson_e9"))
+        .select(lit(name).as("axis"), $"n".as("n_rows"), $"n_cells",
+          $"entropy_e9",
+          ($"entropy_e9".cast("double") / lit(1e9)).as("entropy_nats"),
+          $"simpson_e9")
+    }
+    axis("lang", "lang").unionByName(axis("source", "source"))
+      .orderBy($"axis")
+  }
+
+  val mixtureReportSql: String = {
+    def axis(name: String, c0: String) =
+      s"""SELECT '$name' AS axis, n AS n_rows, n_cells, entropy_e9,
+         |       CAST(entropy_e9 AS DOUBLE) / 1000000000.0 AS entropy_nats,
+         |       simpson_e9
+         |FROM (
+         |  SELECT n, COUNT(*) AS n_cells,
+         |         CAST(SUM(ent_term) AS BIGINT) AS entropy_e9,
+         |         CAST(SUM(simp_term) AS BIGINT) AS simpson_e9
+         |  FROM (
+         |    SELECT n,
+         |           CAST(FLOOR((p * ln(p)) * -1000000000.0) AS BIGINT) AS ent_term,
+         |           CAST(FLOOR((p * p) * 1000000000.0) AS BIGINT) AS simp_term
+         |    FROM (
+         |      SELECT CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p, n
+         |      FROM (SELECT $c0, COUNT(*) AS c FROM documents GROUP BY 1)
+         |      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)))
+         |  GROUP BY n)""".stripMargin
+    s"""${axis("lang", "lang")}
+       |UNION ALL
+       |${axis("source", "source")}
+       |ORDER BY axis""".stripMargin
+  }
+
   val chi2IndependenceSql: String =
     """WITH cells AS (
       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o

@@ -99,6 +99,57 @@ class AuditOpsSpec extends SparkSuite {
     assert(chi2e9 == expect, s"chi2_e9 $chi2e9 != recomputed $expect")
   }
 
+  test("langid confusion: cells partition the corpus; shares recompute") {
+    val out = TextAnalysis.langIdConfusion(spark, gateSf).collect()
+    val docs = spark.read.parquet(s"$gateSf/documents.parquet").count()
+    assert(out.map(_.getLong(2)).sum == docs, "cells must partition the corpus")
+    val rowTot = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    out.foreach { r =>
+      val (lab, n, nLab, share) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nLab == rowTot(lab), "row total must match the labeled mass")
+      assert(share == n * 1000L / nLab, "per-mille share must recompute")
+    }
+    // the matrix is informative, not degenerate: some mass lands on
+    // the diagonal, and more than one prediction occurs. (It need NOT
+    // dominate every row — on this word-salad corpus the detector
+    // never fires for 'fr', and SURFACING that is the report's job.)
+    val diag = out.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    assert(diag > 0, "all-miss detector")
+    assert(out.map(_.getString(1)).distinct.length > 1, "constant predictor")
+  }
+
+  test("mixture report: entropy/simpson recompute; bounds hold") {
+    val out = Profile.mixtureReport(spark, gateSf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(out.keySet == Set("lang", "source"))
+    for ((ax, col) <- Seq("lang" -> "lang", "source" -> "source")) {
+      val cells = spark.read.parquet(s"$gateSf/documents.parquet")
+        .groupBy(col).count().collect().map(_.getLong(1))
+      val n = cells.sum
+      val (nRows, nCells, entE9, simpE9) = out(ax)
+      assert(nRows == n && nCells == cells.length)
+      val expEnt = cells.map { c =>
+        val p = c.toDouble / n.toDouble
+        math.floor((p * math.log(p)) * -1e9).toLong
+      }.sum
+      val expSimp = cells.map { c =>
+        val p = c.toDouble / n.toDouble
+        math.floor((p * p) * 1e9).toLong
+      }.sum
+      assert(entE9 == expEnt, s"$ax entropy_e9 $entE9 != $expEnt")
+      assert(simpE9 == expSimp, s"$ax simpson_e9 $simpE9 != $expSimp")
+      // bounds: 0 <= H <= ln(cells); 1/cells <= Simpson <= 1 (up to
+      // the e9 quantization slack)
+      assert(entE9 >= 0 &&
+        entE9 <= math.ceil(math.log(nCells.toDouble) * 1e9).toLong)
+      assert(simpE9 >= (1e9 / nCells).toLong - nCells && simpE9 <= 1000000000L)
+    }
+  }
+
   test("dp release: CDF grid sane; noise bounded, replayable, clamped") {
     val grid = Pii.DpCdf
     assert(grid.length == 80 && grid.sameElements(grid.sorted))
