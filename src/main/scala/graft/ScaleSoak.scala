@@ -58,7 +58,9 @@ object ScaleSoak {
     "q_containment",         // one-sided prefix-filtered doc-in-doc miner (exact → structural ×m)
     "q_roc_auc",             // held-out ranking quality (1 row; AUC stability invariant)
     "q_ks_test",             // per-source ECDF drift (resolution-bounded windows; rows = #sources)
-    "q_dp_release")          // cell-count release + PRF noise (rows = #langs)
+    "q_dp_release",          // cell-count release + PRF noise (rows = #langs)
+    "q_mixture_report",      // diversity indices (every cell scales ×m → VALUES exactly invariant)
+    "q_dedup_funnel")        // staged-chain report (components ×m → retention exactly invariant)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,10 +124,14 @@ object ScaleSoak {
       // single-row contract/metric outputs for the value-level
       // invariants below (re-running is cheap: both read per-dir
       // staged artifacts, so this collects — it doesn't retrain)
-      for (q <- Seq("q_unigram_model", "q_classifier_eval", "q_roc_auc")
-          .filter(soakQueries.contains))
+      for (q <- Seq("q_unigram_model", "q_classifier_eval", "q_roc_auc",
+          "q_dedup_funnel").filter(soakQueries.contains))
         oneRow((q, m)) = SparkEntry.queries(q)(spark, dir)
           .collect()(0).toSeq.map(String.valueOf)
+      if (soakQueries.contains("q_mixture_report"))
+        oneRow(("q_mixture_report", m)) =
+          SparkEntry.queries("q_mixture_report")(spark, dir)
+            .collect().toSeq.flatMap(_.toSeq.map(String.valueOf))
     }
 
     // ---- correctness-at-scale invariants (loud failure, not just
@@ -177,7 +183,8 @@ object ScaleSoak {
       // m-INVARIANT (dsir's k-sample; the two 1-row contract frames)
       for (q <- Seq("q_dsir_sample", "q_unigram_model",
           "q_classifier_eval", "q_roc_auc", "q_ks_test",
-          "q_dp_release").filter(soakQueries.contains))
+          "q_dp_release", "q_mixture_report", "q_dedup_funnel")
+          .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
       // unigram model contract booleans (cols 2..5: covers_all_chars,
@@ -210,6 +217,37 @@ object ScaleSoak {
           val (a0, am) = (b(3).toDouble, c(3).toDouble)
           require(math.abs(am - a0) <= 0.10,
             s"soak invariant: ROC-AUC drifted at m=$m: $am vs $a0")
+        case _ => ()
+      }
+      // mixture diversity is EXACTLY replication-invariant: every cell
+      // scales ×m, so p = c·m/(n·m) is the same double and the
+      // quantized entropy/Simpson integers must be bit-equal. The
+      // whole flattened report (minus the ×m n_rows column, indices
+      // 1 and 7 of the 2×6 flatten) must match the base run.
+      (oneRow.get(("q_mixture_report", m0)),
+          oneRow.get(("q_mixture_report", m))) match {
+        case (Some(b), Some(c)) =>
+          val drop = Set(1, 7)
+          val (bv, cv) = (b.zipWithIndex.filterNot(x => drop(x._2)),
+            c.zipWithIndex.filterNot(x => drop(x._2)))
+          require(bv == cv,
+            s"soak invariant: mixture report drifted at m=$m: $c vs $b")
+          require(c(1).toLong * m0 == b(1).toLong * m,
+            s"soak invariant: mixture n_rows at m=$m: ${c(1)} vs ×$m/$m0 of ${b(1)}")
+        case _ => ()
+      }
+      // dedup funnel: every mass column scales ×m (the salt keeps
+      // per-replica dup structure identical and cross-replica texts
+      // disjoint), so per-mille retention (last col) is exactly equal
+      (oneRow.get(("q_dedup_funnel", m0)),
+          oneRow.get(("q_dedup_funnel", m))) match {
+        case (Some(b), Some(c)) =>
+          (0 until 7).foreach { i =>
+            require(c(i).toLong * m0 == b(i).toLong * m,
+              s"soak invariant: funnel col $i at m=$m: ${c(i)} vs ×$m/$m0 of ${b(i)}")
+          }
+          require(c(7) == b(7),
+            s"soak invariant: funnel retention at m=$m: ${c(7)} vs ${b(7)}")
         case _ => ()
       }
     }

@@ -102,6 +102,16 @@ class ClassifierCurveSpec extends SparkSuite {
     sh.unpersist()
   }
 
+  test("containment: plan shape — no cartesian, no corpus nested-loop") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = walkPlan(Dedup.containmentPairs(spark, gateSf))
+    assert(!plan.exists(_.isInstanceOf[CartesianProductExec]),
+      "containment miner must never go cartesian")
+    assert(!plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "containment miner must never nested-loop the corpus")
+  }
+
   test("containment: asymmetric by construction — doc-in-doc, Jaccard-blind") {
     // A is swallowed whole by B (every shingle of A appears in B), but
     // B is 4× larger: C(A→B) = 1 while J(A,B) = 1/4 — below any sane
