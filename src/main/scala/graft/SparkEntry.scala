@@ -203,6 +203,10 @@ object SparkEntry {
       TextAnalysis.langIdConfusion(s, d)),
     "q_mixture_report" -> ((s: SparkSession, d: String) =>
       graft.operators.Profile.mixtureReport(s, d)),
+    "q_tfidf_terms" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfTopTerms(s, d)),
+    "q_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.bootstrapCi(s, d)),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
@@ -484,6 +488,8 @@ object SparkEntry {
     "q_dedup_funnel" -> graft.functions.Dedup.dedupFunnelSql(),
     "q_langid_confusion" -> TextAnalysis.langIdConfusionSql,
     "q_mixture_report" -> graft.operators.Profile.mixtureReportSql,
+    "q_tfidf_terms" -> TextAnalysis.tfidfTopTermsSql(),
+    "q_bootstrap_ci" -> graft.functions.Sampling.bootstrapCiSql(),
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),

@@ -558,4 +558,95 @@ object Sampling {
        |  FROM documents)
        |WHERE rk <= $quota
        |ORDER BY doc_id""".stripMargin
+
+  // ---- deterministic bootstrap confidence interval ------------------------
+
+  /** Poisson(1) CDF grid F(0)…F(16) — the per-resample multiplicity
+    * law of the Poisson bootstrap (each record enters each resample
+    * w ~ Poisson(1) times, the streaming-friendly bootstrap that needs
+    * no global n). Truncation at 17 discards ~1e-15 mass — below any
+    * per-record probability that matters, and in any case BOTH engines
+    * share the same grid literals, so the mechanism is exact however
+    * it is truncated (the [[Pii.DpCdf]] replay discipline). */
+  private[graft] val PoissonCdf: Array[Double] = {
+    var p = math.exp(-1.0)
+    var acc = p
+    (0 to 16).map { k =>
+      if (k > 0) { p = p / k; acc += p }; acc
+    }.toArray
+  }
+
+  /** Bootstrap confidence interval for the corpus mean document length
+    * — deterministic Poisson bootstrap: record r's multiplicity in
+    * resample b is the inverse-CDF of a salted md5-uniform over
+    * (r, b), so the "random" resamples are a pure function of the data
+    * (reruns and stragglers can't disagree, and the DuckDB oracle
+    * replays them exactly). `b` resample means — each an exact-integer
+    * Σw·x / Σw with ONE IEEE division — then percentile_cont bounds at
+    * 2.5/97.5 %, interpolating identical doubles identically in both
+    * engines (the q_duration_percentiles precedent).
+    *
+    * Scale: ONE corpus pass with a b-wide explode into a
+    * combiner-reduced b-row aggregate — no per-resample scans, no
+    * driver data; b is a constant, so this is O(b·n) map work and a
+    * b-row exchange at any corpus size. */
+  def bootstrapCi(spark: SparkSession, sfDir: String, b: Int = 32,
+      salt: String = "boot_v1"): DataFrame = {
+    import spark.implicits._
+    val grid = array(PoissonCdf.map(lit(_)).toSeq: _*)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
+    val u = Dedup.hash60(concat_ws("|", $"doc_id".cast("string"),
+      $"bi".cast("string"), lit(salt))).cast("double") /
+      lit(1152921504606846976L).cast("double")
+    val means = docs
+      .select($"doc_id", $"n_chars",
+        explode(sequence(lit(1), lit(b))).as("bi"))
+      .select($"bi", $"n_chars",
+        size(filter(grid, t => u >= t)).cast("long").as("w"))
+      .groupBy($"bi")
+      .agg(sum($"w" * $"n_chars").as("sx"), sum($"w").as("sw"))
+      .filter($"sw" > 0)
+      .select(($"sx".cast("double") / $"sw".cast("double")).as("mean_b"))
+    val base = docs.agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"))
+      .select($"n",
+        ($"sx".cast("double") / $"n".cast("double")).as("mean_chars"))
+    means
+      .agg(expr("percentile_cont(0.025) WITHIN GROUP (ORDER BY mean_b)")
+          .as("ci_lo"),
+        expr("percentile_cont(0.975) WITHIN GROUP (ORDER BY mean_b)")
+          .as("ci_hi"))
+      .crossJoin(base)
+      .select($"n", lit(b).as("b"), $"mean_chars", $"ci_lo", $"ci_hi")
+  }
+
+  def bootstrapCiSql(b: Int = 32, salt: String = "boot_v1"): String = {
+    val grid = PoissonCdf.map(_.toString).mkString(", ")
+    s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+       |r AS (SELECT doc_id, n_chars, UNNEST(range(1, ${b + 1})) AS bi FROM d),
+       |withu AS (
+       |  SELECT bi, n_chars,
+       |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |             || '|' || CAST(bi AS VARCHAR) || '|' || ${Sql.lit(salt)}),
+       |             1, 15)) AS BIGINT) AS DOUBLE)
+       |           / CAST(1152921504606846976 AS DOUBLE) AS u
+       |  FROM r),
+       |weighted AS (
+       |  SELECT bi, n_chars,
+       |         CAST(len(list_filter([$grid], t -> u >= t)) AS BIGINT) AS w
+       |  FROM withu),
+       |m AS (SELECT bi, CAST(SUM(w * n_chars) AS BIGINT) AS sx,
+       |             CAST(SUM(w) AS BIGINT) AS sw
+       |      FROM weighted GROUP BY 1),
+       |mb AS (SELECT CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b
+       |       FROM m WHERE sw > 0),
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |                CAST(SUM(n_chars) AS BIGINT) AS sx FROM d)
+       |SELECT base.n, CAST($b AS INTEGER) AS b,
+       |       CAST(base.sx AS DOUBLE) / CAST(base.n AS DOUBLE) AS mean_chars,
+       |       (SELECT percentile_cont(0.025) WITHIN GROUP (ORDER BY mean_b)
+       |        FROM mb) AS ci_lo,
+       |       (SELECT percentile_cont(0.975) WITHIN GROUP (ORDER BY mean_b)
+       |        FROM mb) AS ci_hi
+       |FROM base""".stripMargin
+  }
 }

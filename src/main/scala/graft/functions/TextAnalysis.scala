@@ -484,6 +484,66 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-source TF-IDF signature terms — "what vocabulary makes this
+    * source DIFFERENT": each source is one aggregate profile, tf is
+    * its term count, idf = ln(#sources / #sources-containing-term), so
+    * corpus-universal stopwords score exactly 0 and die while
+    * source-specific vocabulary surfaces. Top `k` per source by
+    * (score desc, term) — the characterization a corpus card prints
+    * per ingestion source.
+    *
+    * Exactness: the ln is quantized per TERM before ranking (score_e9
+    * = floor(tf · ln(S/df) · 1e9), [[Divergence]]'s discipline) so the
+    * ordering is an exact-integer comparison cross-engine. Scale: one
+    * corpus explode into (source, term) counts (combiner shuffle);
+    * df/rank work is vocab × sources — bounded; the per-source window
+    * partitions on source over that bounded frame. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cst = Tables.documents(spark, sfDir)
+      .select($"source", explode(toks($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val df = cst.groupBy($"term").agg(count(lit(1)).as("df"))
+    val s = cst.select($"source").distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy($"source").orderBy($"score_e9".desc, $"term")
+    cst.join(df, "term").crossJoin(broadcast(s))
+      .withColumn("score_e9",
+        floor($"tf".cast("double") *
+          log($"n_sources".cast("double") / $"df".cast("double")) *
+          lit(1e9)).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"source", $"rk", $"term", $"tf", $"df", $"score_e9")
+      .orderBy($"source", $"rk")
+  }
+
+  def tfidfTopTermsSql(k: Int = 5): String =
+    s"""WITH cst AS (
+       |  SELECT source, term, COUNT(*) AS tf
+       |  FROM (SELECT source,
+       |               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |        FROM documents)
+       |  WHERE term <> ''
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM cst GROUP BY 1),
+       |s AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM cst),
+       |scored AS (
+       |  SELECT c.source, c.term, CAST(c.tf AS BIGINT) AS tf, df.df,
+       |         CAST(FLOOR(CAST(c.tf AS DOUBLE)
+       |              * ln(CAST(s.n_sources AS DOUBLE) / CAST(df.df AS DOUBLE))
+       |              * 1000000000.0) AS BIGINT) AS score_e9
+       |  FROM cst c JOIN df USING (term) CROSS JOIN s)
+       |SELECT source, rk, term, tf, df, score_e9
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |        ORDER BY score_e9 DESC, term) AS INT) AS rk
+       |      FROM scored)
+       |WHERE rk <= $k
+       |ORDER BY source, rk""".stripMargin
+
   /** Data-dependent quality gate: keep documents at or above the exact
     * corpus-median quality score. The threshold is computed IN the plan
     * (1-row aggregate, broadcast cross join) — not collected to the

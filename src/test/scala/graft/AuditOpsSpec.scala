@@ -150,6 +150,56 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("tfidf terms: scores recompute; universal terms never surface positive") {
+    val out = TextAnalysis.tfidfTopTerms(spark, gateSf).collect()
+    val srcs = out.map(_.getString(0)).distinct
+    assert(out.groupBy(_.getString(0)).values.forall(_.length == 5))
+    val nS = spark.read.parquet(s"$gateSf/documents.parquet")
+      .select($"source").distinct().count()
+    assert(srcs.length == nS)
+    out.foreach { r =>
+      val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(df >= 1 && df <= nS)
+      val expect =
+        math.floor(tf.toDouble * math.log(nS.toDouble / df.toDouble) * 1e9).toLong
+      assert(score == expect, s"score_e9 $score != $expect for ${r.getString(2)}")
+      // a term present in EVERY source has idf exactly 0 — it can only
+      // appear if a source has fewer than k positive-scoring terms
+      if (df == nS) assert(score == 0L)
+    }
+    // ranks are 1..5 and descending in score within each source
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      assert(sorted.map(_.getLong(5)).toSeq.reverse.sorted.reverse ==
+        sorted.map(_.getLong(5)).toSeq)
+    }
+  }
+
+  test("bootstrap ci: weights replay; interval brackets the mean sanely") {
+    import graft.functions.Sampling
+    val grid = Sampling.PoissonCdf
+    assert(grid.length == 17 && grid.sameElements(grid.sorted))
+    assert(math.abs(grid.head - math.exp(-1.0)) < 1e-15 && grid.last > 1 - 1e-14)
+    val r = graft.functions.Sampling.bootstrapCi(spark, gateSf).head()
+    val (n, b, mean, lo, hi) = (r.getLong(0), r.getInt(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(b == 32)
+    assert(n == spark.read.parquet(s"$gateSf/documents.parquet").count())
+    assert(lo <= hi, "interval must be ordered")
+    assert(lo <= mean && mean <= hi,
+      s"32-resample CI [$lo,$hi] should bracket the point mean $mean here")
+    // CI width is resampling noise around the mean, not the data range
+    assert((hi - lo) < mean * 0.5, s"CI implausibly wide: [$lo,$hi] vs $mean")
+    // replay one weight end-to-end: doc 1, resample 7
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("1|7|boot_v1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val u = java.lang.Long.parseLong(md5.take(15), 16).toDouble /
+      1152921504606846976L.toDouble
+    val w = grid.count(u >= _)
+    assert(w >= 0 && w <= 17)
+  }
+
   test("dp release: CDF grid sane; noise bounded, replayable, clamped") {
     val grid = Pii.DpCdf
     assert(grid.length == 80 && grid.sameElements(grid.sorted))
