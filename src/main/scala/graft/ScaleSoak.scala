@@ -60,7 +60,9 @@ object ScaleSoak {
     "q_ks_test",             // per-source ECDF drift (resolution-bounded windows; rows = #sources)
     "q_dp_release",          // cell-count release + PRF noise (rows = #langs)
     "q_mixture_report",      // diversity indices (every cell scales ×m → VALUES exactly invariant)
-    "q_dedup_funnel")        // staged-chain report (components ×m → retention exactly invariant)
+    "q_dedup_funnel",        // staged-chain report (components ×m → retention exactly invariant)
+    "q_tfidf_terms",         // per-source signature terms (rows = 5 × #sources at every m)
+    "q_bootstrap_ci")        // Poisson-bootstrap CI (point mean exactly invariant; CI tightens)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,7 +127,7 @@ object ScaleSoak {
       // invariants below (re-running is cheap: both read per-dir
       // staged artifacts, so this collects — it doesn't retrain)
       for (q <- Seq("q_unigram_model", "q_classifier_eval", "q_roc_auc",
-          "q_dedup_funnel").filter(soakQueries.contains))
+          "q_dedup_funnel", "q_bootstrap_ci").filter(soakQueries.contains))
         oneRow((q, m)) = SparkEntry.queries(q)(spark, dir)
           .collect()(0).toSeq.map(String.valueOf)
       if (soakQueries.contains("q_mixture_report"))
@@ -183,7 +185,8 @@ object ScaleSoak {
       // m-INVARIANT (dsir's k-sample; the two 1-row contract frames)
       for (q <- Seq("q_dsir_sample", "q_unigram_model",
           "q_classifier_eval", "q_roc_auc", "q_ks_test",
-          "q_dp_release", "q_mixture_report", "q_dedup_funnel")
+          "q_dp_release", "q_mixture_report", "q_dedup_funnel",
+          "q_tfidf_terms", "q_bootstrap_ci")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
@@ -234,6 +237,21 @@ object ScaleSoak {
             s"soak invariant: mixture report drifted at m=$m: $c vs $b")
           require(c(1).toLong * m0 == b(1).toLong * m,
             s"soak invariant: mixture n_rows at m=$m: ${c(1)} vs ×$m/$m0 of ${b(1)}")
+        case _ => ()
+      }
+      // bootstrap CI: the point mean is EXACTLY replication-invariant
+      // (n_chars is copied per replica: Σx·m / n·m is the same double)
+      // and the resampling interval must TIGHTEN as n grows — a wider
+      // CI at ×64 would mean the resample weights stopped averaging out
+      (oneRow.get(("q_bootstrap_ci", m0)),
+          oneRow.get(("q_bootstrap_ci", m))) match {
+        case (Some(b), Some(c)) =>
+          require(c(2) == b(2),
+            s"soak invariant: bootstrap point mean at m=$m: ${c(2)} vs ${b(2)}")
+          val (w0, wm) = (b(4).toDouble - b(3).toDouble,
+            c(4).toDouble - c(3).toDouble)
+          require(m == m0 || wm <= w0,
+            s"soak invariant: bootstrap CI widened at m=$m: $wm vs $w0")
         case _ => ()
       }
       // dedup funnel: every mass column scales ×m (the salt keeps
