@@ -207,6 +207,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(s, d)),
     "q_bootstrap_ci" -> ((s: SparkSession, d: String) =>
       graft.functions.Sampling.bootstrapCi(s, d)),
+    "q_sample_ess" -> ((s: SparkSession, d: String) =>
+      graft.functions.Sampling.sampleEss(s, d)),
     "q_mad_outliers" -> (Profile.madOutliers _),
     "q_benford" -> (Profile.benford _),
     "q_token_budget" -> ((s: SparkSession, d: String) =>
@@ -490,6 +492,7 @@ object SparkEntry {
     "q_mixture_report" -> graft.operators.Profile.mixtureReportSql,
     "q_tfidf_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "q_bootstrap_ci" -> graft.functions.Sampling.bootstrapCiSql(),
+    "q_sample_ess" -> graft.functions.Sampling.sampleEssSql,
     "q_mad_outliers" -> Profile.madOutliersSql,
     "q_benford" -> Profile.benfordSql,
     "q_token_budget" -> graft.functions.Sampling.tokenBudgetSql(),

@@ -559,6 +559,44 @@ object Sampling {
        |WHERE rk <= $quota
        |ORDER BY doc_id""".stripMargin
 
+  // ---- effective sample size of the weighted design -----------------------
+
+  /** Kish effective sample size of the length-weighted sampling design
+    * ([[weightedSample]]'s w = n_chars): ESS = (Σw)² / Σw² — how many
+    * EQUAL-weight records the weighted corpus is statistically worth.
+    * A pipeline reports this before trusting any estimate computed
+    * under the weights: a heavy-tailed length distribution can make a
+    * billion-document corpus behave like a few million (ess_ratio ≪ 1
+    * is the warning). Σw and Σw² are exact BIGINTs; the ESS is one
+    * IEEE multiply + one divide on exactly-converted doubles. (Σw²
+    * passes int64 around 10¹⁹ weight-squared mass — ~10¹¹ docs at
+    * n_chars ≈ 10⁴ — where the sum moves to DECIMAL(38,0); the gate
+    * pins today's BIGINT path.) One combiner aggregate, one row out. */
+  def sampleEss(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter($"n_chars" > 0)
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("sum_w"),
+        sum($"n_chars" * $"n_chars").as("sum_w2"))
+      .select($"n", $"sum_w", $"sum_w2",
+        ($"sum_w".cast("double") * $"sum_w".cast("double") /
+          $"sum_w2".cast("double")).as("ess"),
+        ($"sum_w".cast("double") * $"sum_w".cast("double") /
+          $"sum_w2".cast("double") / $"n".cast("double")).as("ess_ratio"))
+  }
+
+  val sampleEssSql: String =
+    """SELECT n, sum_w, sum_w2,
+      |       CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+      |         / CAST(sum_w2 AS DOUBLE) AS ess,
+      |       CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+      |         / CAST(sum_w2 AS DOUBLE) / CAST(n AS DOUBLE) AS ess_ratio
+      |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |             CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+      |             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_w2
+      |      FROM documents WHERE n_chars > 0)""".stripMargin
+
   // ---- deterministic bootstrap confidence interval ------------------------
 
   /** Poisson(1) CDF grid F(0)…F(16) — the per-resample multiplicity

@@ -200,6 +200,19 @@ class AuditOpsSpec extends SparkSuite {
     assert(w >= 0 && w <= 17)
   }
 
+  test("sample ess: Kish formula recomputes; ratio in (0, 1]") {
+    val r = graft.functions.Sampling.sampleEss(spark, gateSf).head()
+    val (n, sw, sw2, ess, ratio) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val ws = spark.read.parquet(s"$gateSf/documents.parquet")
+      .filter($"n_chars" > 0).select($"n_chars").collect().map(_.getLong(0))
+    assert(n == ws.length && sw == ws.sum && sw2 == ws.map(w => w * w).sum)
+    assert(ess == sw.toDouble * sw.toDouble / sw2.toDouble)
+    assert(ratio == ess / n.toDouble)
+    // Cauchy–Schwarz: ESS ≤ n always, = n only for constant weights
+    assert(ess > 0 && ess <= n.toDouble && ratio <= 1.0)
+  }
+
   test("dp release: CDF grid sane; noise bounded, replayable, clamped") {
     val grid = Pii.DpCdf
     assert(grid.length == 80 && grid.sameElements(grid.sorted))
