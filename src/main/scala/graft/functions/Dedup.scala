@@ -348,11 +348,15 @@ object Dedup {
     * minimal-prefix-only miner (still exact, slower verify); larger
     * values trade candidate-join fan-out for verify pruning — 0.4
     * (≈ rarest half indexed at t = 0.9) measured 4–5× end-to-end at
-    * the ×64 soak. Var so the completeness spec can sweep it. */
-  private[graft] var ContainmentIndexExtraFrac: Double = 0.4
+    * the ×64 soak. A constant: the sweep value is an explicit
+    * `extraFrac` argument of [[containmentPairsOf]] (ADVICE r7 — a
+    * mutable global read at plan-construction time could be observed
+    * mid-sweep by a concurrent query build in the same JVM). */
+  private[graft] val ContainmentIndexExtraFrac: Double = 0.4
 
   private[graft] def containmentPairsOf(docs: DataFrame,
-      minCont: Double): DataFrame = {
+      minCont: Double,
+      extraFrac: Double = ContainmentIndexExtraFrac): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -362,7 +366,7 @@ object Dedup {
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"shingle")
     val allowed = ($"n" - ceil(lit(minCont) * $"n")).cast("long")
     val idxLen = least($"n".cast("long"), allowed + 1L +
-      floor(lit(ContainmentIndexExtraFrac) * $"n").cast("long"))
+      floor(lit(extraFrac) * $"n").cast("long"))
     // cached + pinned: the candidate join's probe side (see
     // ngramJaccardPairs for why the stage fan-out needs the pin).
     // `thr` = idx − allowed rides along per row so the count filter

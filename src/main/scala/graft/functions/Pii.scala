@@ -257,7 +257,13 @@ object Pii {
   def dpRelease(spark: SparkSession, sfDir: String,
       salt: String = "dp_v1"): DataFrame = {
     import spark.implicits._
-    val u = Dedup.hash60(concat_ws("|", $"lang", lit(salt))).cast("double") /
+    // coalesce BEFORE the PRF, identically in both engines: concat_ws
+    // SKIPS a NULL lang (PRF over the salt alone) while DuckDB's `||`
+    // NULL-propagates through md5 and degenerates the noise to -DpMaxK
+    // — a NULL-lang cell would hash-diverge (ADVICE r7). '<null>' is a
+    // well-defined cell key, so a NULL group still gets proper noise.
+    val u = Dedup.hash60(concat_ws("|",
+        coalesce($"lang", lit("<null>")), lit(salt))).cast("double") /
       lit(1152921504606846976L).cast("double") // / 2^60 → uniform [0,1)
     val noise = (size(filter(array(DpCdf.map(lit(_)).toSeq: _*),
       t => u >= t)) - DpMaxK).cast("long")
@@ -276,7 +282,7 @@ object Pii {
        |  FROM documents GROUP BY 1),
        |withu AS (
        |  SELECT lang, n_true,
-       |         CAST(CAST(('0x' || substr(md5(lang || '|' || ${Sql.lit(salt)}), 1, 15))
+       |         CAST(CAST(('0x' || substr(md5(coalesce(lang, '<null>') || '|' || ${Sql.lit(salt)}), 1, 15))
        |              AS BIGINT) AS DOUBLE)
        |           / CAST(1152921504606846976 AS DOUBLE) AS u
        |  FROM cnt),

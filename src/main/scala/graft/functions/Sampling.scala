@@ -488,7 +488,16 @@ object Sampling {
     * `scoreCol` non-null, so the order is total, rank == row_number,
     * and percent_rank == (row_number−1)/(n−1) — the same integer
     * ratio the single-window form produces, bit-for-bit (pinned in
-    * GlobalRankSpec), so the DuckDB oracle gates this path unchanged. */
+    * GlobalRankSpec), so the DuckDB oracle gates this path unchanged.
+    *
+    * DETERMINISM CONTRACT (alongside non-null score / unique id): the
+    * three passes (quantile sketch, bucket counts, final rank job)
+    * each recompute `df`'s lineage, so the input must be deterministic
+    * across recomputations — no rand/sample/input_file-dependent
+    * expressions upstream. A nondeterministic frame would get offsets
+    * inconsistent with the ranked rows; `localCheckpoint` such a frame
+    * first (the Dsir.gramBuckets pattern). All registered callers feed
+    * parquet-derived deterministic frames. */
   def globalPercentRank(df: DataFrame, scoreCol: String, idCol: String,
       outCol: String, rankBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -492,9 +492,12 @@ object TextAnalysis {
     * (score desc, term) — the characterization a corpus card prints
     * per ingestion source.
     *
-    * Exactness: the ln is quantized per TERM before ranking (score_e9
-    * = floor(tf · ln(S/df) · 1e9), [[Divergence]]'s discipline) so the
-    * ordering is an exact-integer comparison cross-engine. Scale: one
+    * Exactness: the ln alone is quantized per TERM (idf_e9 =
+    * floor(ln(S/df) · 1e9) as BIGINT) and THEN multiplied by the
+    * integer tf — score_e9 = tf · idf_e9 is exact integer arithmetic
+    * in both engines ([[pmiCollocations]]' discipline). Flooring the
+    * raw tf·ln·1e9 product instead would amplify a 1-ulp JVM-vs-libm
+    * ln divergence by tf·1e9 and could flip the floor (ADVICE r7). Scale: one
     * corpus explode into (source, term) counts (combiner shuffle);
     * df/rank work is vocab × sources — bounded; the per-source window
     * partitions on source over that bounded frame. */
@@ -511,10 +514,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sources"))
     val w = Window.partitionBy($"source").orderBy($"score_e9".desc, $"term")
     cst.join(df, "term").crossJoin(broadcast(s))
-      .withColumn("score_e9",
-        floor($"tf".cast("double") *
-          log($"n_sources".cast("double") / $"df".cast("double")) *
+      .withColumn("idf_e9",
+        floor(log($"n_sources".cast("double") / $"df".cast("double")) *
           lit(1e9)).cast("long"))
+      .withColumn("score_e9", $"tf" * $"idf_e9")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"source", $"rk", $"term", $"tf", $"df", $"score_e9")
@@ -533,9 +536,10 @@ object TextAnalysis {
        |s AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM cst),
        |scored AS (
        |  SELECT c.source, c.term, CAST(c.tf AS BIGINT) AS tf, df.df,
-       |         CAST(FLOOR(CAST(c.tf AS DOUBLE)
-       |              * ln(CAST(s.n_sources AS DOUBLE) / CAST(df.df AS DOUBLE))
-       |              * 1000000000.0) AS BIGINT) AS score_e9
+       |         CAST(c.tf AS BIGINT)
+       |           * CAST(FLOOR(ln(CAST(s.n_sources AS DOUBLE)
+       |                           / CAST(df.df AS DOUBLE))
+       |                        * 1000000000.0) AS BIGINT) AS score_e9
        |  FROM cst c JOIN df USING (term) CROSS JOIN s)
        |SELECT source, rk, term, tf, df, score_e9
        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY source

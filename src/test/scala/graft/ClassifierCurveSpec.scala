@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Divergence, QualityModel}
+import graft.functions.{Dedup, DedupStage, Divergence, QualityModel}
 
 /** Closed-form hand cases for the round-7 distribution/ranking
   * reports (ROC-AUC, PR curve, KS drift, containment) — the hash
@@ -92,13 +92,11 @@ class ClassifierCurveSpec extends SparkSuite {
     // the count-filter extension is pruning-only: with NO extension
     // (minimal prefix, thr = 1 — the count filter degenerates to
     // "shares a prefix shingle") the output is identical
-    val prev = Dedup.ContainmentIndexExtraFrac
-    try {
-      Dedup.ContainmentIndexExtraFrac = 0.0
-      val minimal = Dedup.containmentPairs(spark, gateSf).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
-      assert(minimal == got, "index-extension regimes must agree")
-    } finally Dedup.ContainmentIndexExtraFrac = prev
+    val minimal = Dedup.containmentPairsOf(
+        DedupStage.shingleDocs(spark, gateSf), 0.9, extraFrac = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(minimal == got, "index-extension regimes must agree")
     sh.unpersist()
   }
 
