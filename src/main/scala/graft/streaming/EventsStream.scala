@@ -223,9 +223,14 @@ object EventsStream {
       raw.write.parquet(s"$p/arrival1")
       raw.write.parquet(s"$p/arrival2")
     }
-    // state-partition tuning, same rationale as the stream-stream join
+    // state-partition tuning, same rationale as the stream-stream join;
+    // no-data batch skipped for the same reason — first arrivals emit
+    // inside the data batch, the trailing batch only evicts dedup state
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       // drainToTable hands back a cached frame (reclaimable via
       // unpersist/clearCache) and drops its sink view — repeated
@@ -236,6 +241,8 @@ object EventsStream {
         .orderBy($"event_id")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       ()
     }
   }
@@ -268,9 +275,22 @@ object EventsStream {
     // batch-oriented setting (the knob every state-heavy streaming job
     // tunes; restored after the drain)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // an inner stream-stream join emits every match inside the data
+    // batch; the framework's trailing NO-DATA batch only evicts expired
+    // state — on an AvailableNow drain that batch re-commits all
+    // 4-stores-per-partition for zero output rows (~0.9 s measured, r8
+    // amortization). A long-running deployment keeps the default: there
+    // the eviction batch is what bounds state between data arrivals.
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try runStreamStreamJoinInner(spark, sfDir, queryName)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 
   private def runStreamStreamJoinInner(spark: SparkSession, sfDir: String,
@@ -575,7 +595,13 @@ object EventsStream {
     if (batchId <= applied) false
     else {
       val stored = spark.read.parquet(viewDir)
+      // the maintained view is groups-bounded ((event_type, day) cells),
+      // never corpus-sized — publish it as ONE file: the fold's cost is
+      // per-batch fixed IO (write tasks, commit renames, next fold's
+      // footer reads), and 8 shuffle-partition files of a few hundred
+      // rows each tripled it for nothing (r8 streaming amortization)
       val maintained = graft.operators.MaterializedView.maintain(stored, batch)
+        .coalesce(1)
       val ok = graft.sources.Ingest.writeAudited(maintained, viewDir,
         a => a.groupBy("event_type", "day").count().filter(col("count") > 1).isEmpty,
         stagingMark = Some(("_applied_batch", batchId.toString)))
@@ -626,7 +652,12 @@ object EventsStream {
     Tables.prepareEventsDir(spark, sfDir)
     val work = graft.functions.Staged.scratchDir("graft_ivm_stream_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // AQE off for the fold loop: every fold is a groups-sized 2-stage
+    // job, and AQE's materialize-then-replan round trip per shuffle is
+    // pure fixed cost at that size (r8 amortization; A/B-measured)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // seed view is maintained IN PLACE per batch → per-run OS copy of
       // the staged build; the feed is shared read-only with the sketch
@@ -646,6 +677,7 @@ object EventsStream {
         .localCheckpoint(eager = true)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
       ()
     }
@@ -692,9 +724,11 @@ object EventsStream {
       import org.apache.spark.sql.expressions.Window
       val stored = spark.read.parquet(sketchDir)
       val w = Window.partitionBy(col("week")).orderBy(col("pri"), col("value"))
+      // k·weeks-bounded state → one file per fold (see applyIvmBatch)
       val merged = stored.unionByName(sketchRowsOf(batch, k))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .select(col("week"), col("value"), col("pri"))
+        .coalesce(1)
       val ok = graft.sources.Ingest.writeAudited(merged, sketchDir,
         a => a.groupBy("week").count().filter(col("count") > k).isEmpty,
         stagingMark = Some(("_applied_batch", batchId.toString)))
@@ -853,12 +887,14 @@ object EventsStream {
         if (batchId > applied) {
           val cur = graft.sources.Versioned.currentVersion(spark, tableDir)
           val delta = Tables.decodeEventTs(batch)
+          // groups-bounded view state → one file per version (see
+          // applyIvmBatch); every later version re-reads all priors
           val merged =
             if (cur >= 0)
               graft.operators.MaterializedView.maintain(
                 graft.sources.Versioned.read(spark, tableDir), delta)
             else graft.operators.MaterializedView.viewOf(delta)
-          graft.sources.Versioned.publish(merged, tableDir,
+          graft.sources.Versioned.publish(merged.coalesce(1), tableDir,
             meta = Some(batchId.toString))
         }
         ()
@@ -1007,12 +1043,16 @@ object EventsStream {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      def drain(): Unit = {
-        // 4 files per batch: phase 1 = one data batch, phase 2 = the
-        // real tail then the sentinel alone (mtime order) — fewest
-        // state-store commits that still exercise multi-batch resume
+      def drain(maxFiles: Int): Unit = {
+        // one DATA batch per lifecycle (plus the framework's no-data
+        // flush batch once the sentinel advances the watermark): the
+        // property under test is the crash boundary BETWEEN the two
+        // query lifetimes, not batch granularity within one, and each
+        // extra micro-batch is ~1 s of state/offset-log fixed cost
+        // (r8 amortization; in-batch file order is irrelevant because
+        // the watermark only advances AFTER a batch completes)
         val q = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "4")
+          .option("maxFilesPerTrigger", maxFiles)
           .parquet(in.toString)
           .withWatermark("ts", "10 minutes")
           .groupBy(window($"ts", "1 hour"), $"event_type")
@@ -1026,8 +1066,8 @@ object EventsStream {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      land(realFiles.take(4).toSeq); drain() // phase 1, then "crash"
-      land(realFiles.drop(4).toSeq :+ sentinelFile); drain() // recovery
+      land(realFiles.take(4).toSeq); drain(4) // phase 1, then "crash"
+      land(realFiles.drop(4).toSeq :+ sentinelFile); drain(5) // recovery
       spark.read.parquet(s"$work/out")
         .localCheckpoint()
         .orderBy($"window_start", $"event_type")
