@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules, DomainReweight}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -38,6 +38,7 @@ object SparkEntry {
     "q_token_counts" -> (TextAnalysis.tokenCounts _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_perplexity" -> ((s: SparkSession, d: String) => Perplexity.score(s, d)),
+    "q_domain_reweight" -> (DomainReweight.domainReweight _),
     "q_dsir_sample" -> ((s: SparkSession, d: String) => Dsir.sample(s, d)),
     "q_gopher_rules" -> ((s: SparkSession, d: String) =>
       GopherRules.score(s, d, minStops = 1)),
@@ -355,6 +356,7 @@ object SparkEntry {
     "q_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_quality_score" -> TextAnalysis.qualityScoreSql,
     "q_perplexity" -> Perplexity.scoreSql(),
+    "q_domain_reweight" -> DomainReweight.domainReweightSql,
     "q_dsir_sample" -> Dsir.sampleSql(),
     "q_gopher_rules" -> GopherRules.scoreSql(minStops = 1),
     "q_lang_id" -> TextAnalysis.langIdSql,
