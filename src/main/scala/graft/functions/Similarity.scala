@@ -639,9 +639,18 @@ object Similarity {
     * band count). Scoring is the integer micro-cosine, so the edge
     * choice is deterministic and the oracle replays it. Scale: one
     * banding pass (narrow), bucket-equi-join for candidates, per-source
-    * keyed argmax — no global window, no corpus self-join. */
-  def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 8,
-      rowsPerBand: Int = 4, scale: Int = 1024): DataFrame = {
+    * keyed argmax — no global window, no corpus self-join.
+    *
+    * BAND WIDTH IS THE SCALE KNOB (r8 soak finding): at r rows/band a
+    * RANDOM pair collides on a band w.p. 2^-r, so expected junk
+    * candidates per vector ≈ n·b/2^r. The old 8×4 sizing admitted
+    * ~40 % of all n² pairs on a mean-zero corpus — the ×4 soak read
+    * α ≈ 1.5 from pure junk-candidate mass. 32×16 keeps near-dup
+    * recall ≈ 0.94 at cos 0.9 (1−(1−p₁¹⁶)³², p₁ = 1−θ/π) while junk
+    * stays ~n/2048 per vector; at larger corpora r grows with log₂ n
+    * (the [[lshBandParams]] family of trade-offs). */
+  def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 32,
+      rowsPerBand: Int = 16, scale: Int = 1024): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val embIn = Tables.embeddings(spark, sfDir)
@@ -663,7 +672,7 @@ object Similarity {
 
   /** Oracle: the [[cosineNearDupLshSql]] banding replay + symmetrized
     * candidates + integer-cosine argmax per source. */
-  def nnGraphSql(bands: Int = 8, rowsPerBand: Int = 4,
+  def nnGraphSql(bands: Int = 32, rowsPerBand: Int = 16,
       scale: Int = 1024): String =
     s"""WITH ${vqCtes(scale)},
        |planes AS (
@@ -761,7 +770,7 @@ object Similarity {
   // choice bit-for-bit and the gate hash-matches end to end.
 
   val pqM = 8 // subspaces (subDim = dim/pqM = 8 components each)
-  val pqKsub = 16 // codewords per subspace
+  val pqKsub = 64 // codewords per subspace
   private val subDim = dim / pqM
 
   /** Top-k per query via IVF cells + PQ-coded ADC scan + exact re-rank.
@@ -775,7 +784,7 @@ object Similarity {
     * k·oversample·nQueries re-rank rows. */
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10,
       k: Int = 5, nCells: Int = 16, nProbes: Int = 4,
-      oversample: Int = 4, scale: Int = 1024): DataFrame = {
+      oversample: Int = 16, scale: Int = 1024): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val cbOff = nQueries + nCells // codebook sample rows follow the centroids
@@ -850,7 +859,7 @@ object Similarity {
   }
 
   def knnIvfPqSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
-      nProbes: Int = 4, oversample: Int = 4, scale: Int = 1024): String = {
+      nProbes: Int = 4, oversample: Int = 16, scale: Int = 1024): String = {
     val cbOff = nQueries + nCells
     s"""WITH ${vqCtes(scale)},
        |cw AS MATERIALIZED (
