@@ -64,8 +64,11 @@ object ScaleSoak {
     "q_tfidf_terms",         // per-source signature terms (rows = 5 × #sources at every m)
     "q_bootstrap_ci",        // Poisson-bootstrap CI (point mean exactly invariant; CI tightens)
     "q_knn_ivfpq",           // IVF-PQ ANN (fixed queries/centroids; recall-vs-IVF floor at every m)
-    "q_nn_graph",            // corpus k=1 NN graph (banding + keyed argmax; edges ≤ corpus)
     "q_domain_reweight")     // per-domain loss + MW rounds (rows = #sources at every m)
+  // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
+  // banding is inherently n²·2^-r, so the corpus-sized variant
+  // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
+  // dedicated block in the invariant section.
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,7 +79,7 @@ object ScaleSoak {
     val soakQueries = sys.env.get("SPARK_GRAFT_SOAK_ONLY") match {
       case Some(s) =>
         val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = want -- SoakQueries.toSet
+        val unknown = want -- SoakQueries.toSet - "q_nn_graph"
         require(unknown.isEmpty, s"SPARK_GRAFT_SOAK_ONLY unknown: $unknown")
         SoakQueries.filter(want)
       case None => SoakQueries
@@ -102,6 +105,8 @@ object ScaleSoak {
     // that m's stage builds and skew its timings against the others'
     locally {
       soakQueries.foreach(q => SparkEntry.queries(q)(spark, base).count())
+      if (sys.env.get("SPARK_GRAFT_SOAK_ONLY").forall(_.contains("q_nn_graph")))
+        graft.functions.Similarity.nnGraph(spark, base).count()
       spark.catalog.clearCache()
     }
 
@@ -317,12 +322,23 @@ object ScaleSoak {
             s"soak invariant: IVF-PQ scaled-knob recall at m=$m: $sr")
         }
       }
-      // NN graph: one row per vector that found any band candidate —
-      // never more than the corpus, never empty
-      if (soakQueries.contains("q_nn_graph")) {
+      // NN graph, through the corpus-sized banding (r ≈ log₂ n — the
+      // production knob; the fixed gate default is n²·2^-16 and only
+      // right at gate corpus sizes). Timed here with its params in the
+      // soak line; invariant: one row per covered vector, never empty,
+      // never more than the corpus.
+      if (sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+          .forall(_.contains("q_nn_graph"))) {
         val dirM = replicate(spark, base, m)
         val nv = spark.read.parquet(s"$dirM/embeddings.parquet").count()
-        val e = rows(("q_nn_graph", m))
+        val (b, r) = graft.functions.Similarity.nnGraphParams(nv)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val e = graft.functions.Similarity
+          .nnGraph(spark, dirM, bands = b, rowsPerBand = r).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(("q_nn_graph", m)) = dt; rows(("q_nn_graph", m)) = e
+        println(f"""{"soak":"q_nn_graph","m":$m,"sec":$dt%.3f,"rows":$e,"bands":$b,"rows_per_band":$r}""")
         require(e > 0 && e <= nv,
           s"soak invariant: nn_graph edges at m=$m: $e of $nv vectors")
       }
@@ -334,7 +350,9 @@ object ScaleSoak {
     // read it with the absolute numbers alongside.
     val m1 = mults.min; val mM = mults.max
     if (mM > m1) {
-      val summary = soakQueries.map { q =>
+      val summary = times.keysIterator.map(_._1).toSeq.distinct
+        .filter(q => times.contains((q, m1)) && times.contains((q, mM)))
+        .map { q =>
         val a = math.log(times((q, mM)) / times((q, m1))) / math.log(mM.toDouble / m1)
         f""""$q":{"t1":${times((q, m1))}%.2f,"tM":${times((q, mM))}%.2f,"alpha":$a%.2f}"""
       }.mkString("{", ",", "}")

@@ -110,6 +110,8 @@ object SparkEntry {
     "q_l_diversity" -> ((s: SparkSession, d: String) => Pii.lDiversity(s, d)),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_bm25" -> (graft.functions.Retrieval.bm25Query _),
+    "q_retrieval_metrics" -> ((s: SparkSession, d: String) =>
+      graft.functions.Retrieval.retrievalMetrics(s, d)),
     "q_hybrid_search" -> ((s: SparkSession, d: String) =>
       graft.functions.Retrieval.hybridSearch(s, d)),
     "q_scd2_users" -> (Scd.userStatusScd2 _),
@@ -428,6 +430,7 @@ object SparkEntry {
     "q_l_diversity" -> Pii.lDiversitySql(),
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
+    "q_retrieval_metrics" -> graft.functions.Retrieval.retrievalMetricsSql(),
     "q_hybrid_search" -> graft.functions.Retrieval.hybridSearchSql(),
     "q_scd2_users" -> Scd.userStatusScd2Sql,
     "q_stream_sessions" -> graft.streaming.EventsStream.sessionWindowSql,

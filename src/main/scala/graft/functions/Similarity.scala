@@ -539,14 +539,14 @@ object Similarity {
         "plane aliasing) while the SQL oracle's does not")
     val spark = embIn.sparkSession
     import spark.implicits._
-    def bandKey(q: Column, band: Int): Column =
-      (0 until rowsPerBand).map { j =>
-        val pl = band * rowsPerBand + j
-        when(qdot(q, planeSigns(pl)) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val q = quantCol(scale)
+    // all band keys in ONE codegen loop (SignBandKeys): the per-band
+    // composition of `rowsPerBand` LongDotProduct trees stopped fitting
+    // whole-stage codegen at production band counts (32×16 = 512
+    // trees) and ran interpreted — the expression computes the same
+    // integers from the same plane formula, bit for bit
     val banded = embIn
-      .select($"vec_id", posexplode(array((0 until bands).map(bandKey(q, _)): _*)))
+      .select($"vec_id", posexplode(graft.plans.VectorExpressions
+        .signBandKeys(quantCol(scale), bands, rowsPerBand)))
       .toDF("vec_id", "band_idx", "band_key")
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -643,13 +643,18 @@ object Similarity {
     *
     * BAND WIDTH IS THE SCALE KNOB (r8 soak finding): at r rows/band a
     * RANDOM pair collides on a band w.p. 2^-r, so expected junk
-    * candidates per vector ≈ n·b/2^r. The old 8×4 sizing admitted
-    * ~40 % of all n² pairs on a mean-zero corpus — the ×4 soak read
-    * α ≈ 1.5 from pure junk-candidate mass. 32×16 keeps near-dup
-    * recall ≈ 0.94 at cos 0.9 (1−(1−p₁¹⁶)³², p₁ = 1−θ/π) while junk
-    * stays ~n/2048 per vector; at larger corpora r grows with log₂ n
-    * (the [[lshBandParams]] family of trade-offs). */
-  def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 32,
+    * candidates per vector ≈ n·b/2^r — fixed-width banding is
+    * inherently n²/2^r, and the old 8×4 sizing admitted ~40 % of all
+    * n² pairs on a mean-zero corpus (the ×4 soak read α ≈ 1.5 from
+    * pure junk mass; the first refit to 32×16 still went α ≈ 1.3 by
+    * ×16). Production sizes r WITH THE CORPUS — [[nnGraphParams]]
+    * implements r ≈ log₂ n (junk per vector stays O(bands)) with the
+    * band count refit to hold recall ≈ 0.85 at cos 0.9, and the soak
+    * drives the graph through it. The registered gate uses the same
+    * rule's output AT GATE CORPUS SIZES (22×16, identical for every
+    * gate SF) as its fixed default, because the DuckDB oracle is one
+    * static string and must replay the exact band family. */
+  def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 22,
       rowsPerBand: Int = 16, scale: Int = 1024): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -672,7 +677,21 @@ object Similarity {
 
   /** Oracle: the [[cosineNearDupLshSql]] banding replay + symmetrized
     * candidates + integer-cosine argmax per source. */
-  def nnGraphSql(bands: Int = 32, rowsPerBand: Int = 16,
+  /** Corpus-sized NN-graph banding: r grows with log₂ n so a random
+    * pair's band-collision odds shrink as fast as the pair count grows
+    * (junk candidates per vector ≈ b, independent of n); b then holds
+    * the cos ≥ 0.9 recall at ≈ 1−eps via the [[lshBandParams]] bound.
+    * n ≤ 2¹¹ (every gate SF) lands on (22, 16). */
+  def nnGraphParams(n: Long, minCos: Double = 0.9,
+      eps: Double = 0.15): (Int, Int) = {
+    val r = math.min(63, math.max(16,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + 1))
+    val p1 = 1.0 - math.acos(minCos) / math.Pi
+    val b = math.max(1, math.ceil(math.log(eps) / math.log1p(-math.pow(p1, r))).toInt)
+    (b, r)
+  }
+
+  def nnGraphSql(bands: Int = 22, rowsPerBand: Int = 16,
       scale: Int = 1024): String =
     s"""WITH ${vqCtes(scale)},
        |planes AS (

@@ -41,28 +41,34 @@ def table_hash(df: pd.DataFrame):
         h.update(("|".join(cell(v) for v in row) + "\n").encode())
     return h.hexdigest()
 
-def main(sf_dir: str, out_dir: str):
+def main(sf_dir: str, out_dir: str, json_out: str = None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    report = {}
+    def rec(name, ok, rows, why=""):
+        report[name] = {"ok": ok, "rows": rows} | ({"err": why} if why else {})
     for name, sql in sorted(oracle.items()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
-            print(f"FAIL {name}: spark output missing ({e})"); failures += 1; continue
+            print(f"FAIL {name}: spark output missing ({e})"); failures += 1
+            rec(name, False, -1, "spark output missing"); continue
         try:
             want = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); failures += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}"); failures += 1
+            rec(name, False, len(got), "oracle SQL error"); continue
         got_c, want_c = canon(got), canon(want)
         if list(got_c.columns) != list(want_c.columns):
             print(f"FAIL {name}: columns {list(got_c.columns)} != {list(want_c.columns)}")
-            failures += 1; continue
+            failures += 1; rec(name, False, len(got_c), "schema mismatch"); continue
         if len(got_c) != len(want_c):
-            print(f"FAIL {name}: rows {len(got_c)} != {len(want_c)}"); failures += 1; continue
+            print(f"FAIL {name}: rows {len(got_c)} != {len(want_c)}")
+            failures += 1; rec(name, False, len(got_c), "row count mismatch"); continue
         hg, hw = table_hash(got_c), table_hash(want_c)
         if hg != hw:
             print(f"FAIL {name}: hash mismatch ({len(got_c)} rows)")
@@ -74,12 +80,19 @@ def main(sf_dir: str, out_dir: str):
                     print(f"  row {i}:\n   spark={rg}\n   duck ={rw}")
                     break
             failures += 1
+            rec(name, False, len(got_c), "hash mismatch")
         else:
             print(f"OK   {name} ({len(got_c)} rows)")
+            rec(name, True, len(got_c))
     print(f"{len(oracle) - failures}/{len(oracle)} queries match")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf": sf_dir, "passed": len(oracle) - failures,
+                       "total": len(oracle), "queries": report}, f, indent=1)
     return 1 if failures else 0
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    jo = sys.argv[3] if len(sys.argv) > 3 else None
+    sys.exit(main(sf, out, jo))
