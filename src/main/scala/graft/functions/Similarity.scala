@@ -648,14 +648,16 @@ object Similarity {
     * n² pairs on a mean-zero corpus (the ×4 soak read α ≈ 1.5 from
     * pure junk mass; the first refit to 32×16 still went α ≈ 1.3 by
     * ×16). Production sizes r WITH THE CORPUS — [[nnGraphParams]]
-    * implements r ≈ log₂ n (junk per vector stays O(bands)) with the
-    * band count refit to hold recall ≈ 0.85 at cos 0.9, and the soak
-    * drives the graph through it. The registered gate uses the same
-    * rule's output AT GATE CORPUS SIZES (22×16, identical for every
-    * gate SF) as its fixed default, because the DuckDB oracle is one
-    * static string and must replay the exact band family. */
-  def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 22,
-      rowsPerBand: Int = 16, scale: Int = 1024): DataFrame = {
+    * implements r ≈ log₂ n + 8 (junk per vector stays O(bands) AND the
+    * keyspace stays ≥ 256·n so clustered corpora — whose distinct
+    * signature count ≪ n — cannot birthday-merge tight buckets) with
+    * the band count refit to hold recall ≈ 0.85 at the SemDeDup twin
+    * threshold cos 0.95, and the soak drives the graph through it.
+    * The registered gate uses the rule's sf0.1-sized output (14×19)
+    * as its fixed default, because the DuckDB oracle is one static
+    * string and must replay the exact band family. */
+  def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 14,
+      rowsPerBand: Int = 19, scale: Int = 1024): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val embIn = Tables.embeddings(spark, sfDir)
@@ -677,21 +679,32 @@ object Similarity {
 
   /** Oracle: the [[cosineNearDupLshSql]] banding replay + symmetrized
     * candidates + integer-cosine argmax per source. */
-  /** Corpus-sized NN-graph banding: r grows with log₂ n so a random
-    * pair's band-collision odds shrink as fast as the pair count grows
-    * (junk candidates per vector ≈ b, independent of n); b then holds
-    * the cos ≥ 0.9 recall at ≈ 1−eps via the [[lshBandParams]] bound.
-    * n ≤ 2¹¹ (every gate SF) lands on (22, 16). */
-  def nnGraphParams(n: Long, minCos: Double = 0.9,
+  /** Corpus-sized NN-graph banding. Two failure modes size `r`:
+    *  - random pairs collide on a band w.p. 2^-r → junk candidates per
+    *    vector ≈ n·b/2^r, so r must track log₂ n;
+    *  - CLUSTERED corpora emit far fewer distinct signatures than
+    *    vectors (the sf0.1 corpus: 954 keys for 2000 vectors, buckets
+    *    of 40-50), and once the number of cluster keys approaches
+    *    √keyspace, birthday collisions MERGE tight buckets — pairs of
+    *    colliding clusters each contribute |A|·|B| junk verifies. The
+    *    r8 ×64 soak hit exactly this: 61 k cluster keys in a 2¹⁸
+    *    keyspace (23 % load) went quadratic even though random-pair
+    *    junk was negligible.
+    * Hence r = log₂ n + 8: keyspace ≥ 256·n keeps the load factor
+    * ≤ 1/256 even if every vector had a distinct cluster. b then holds
+    * recall ≈ 1−eps at the SemDeDup twin threshold (cos 0.95 — the
+    * regime a k=1 near-dup graph exists for) via the
+    * [[lshBandParams]] bound. */
+  def nnGraphParams(n: Long, minCos: Double = 0.95,
       eps: Double = 0.15): (Int, Int) = {
     val r = math.min(63, math.max(16,
-      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + 1))
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + 8))
     val p1 = 1.0 - math.acos(minCos) / math.Pi
     val b = math.max(1, math.ceil(math.log(eps) / math.log1p(-math.pow(p1, r))).toInt)
     (b, r)
   }
 
-  def nnGraphSql(bands: Int = 22, rowsPerBand: Int = 16,
+  def nnGraphSql(bands: Int = 14, rowsPerBand: Int = 19,
       scale: Int = 1024): String =
     s"""WITH ${vqCtes(scale)},
        |planes AS (

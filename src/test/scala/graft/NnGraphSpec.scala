@@ -21,7 +21,7 @@ class NnGraphSpec extends SparkSuite {
     assert(g.forall(e => e._1 != e._2), "self edge")
     // recompute the candidate sets with the operator's own generator
     val emb = graft.sources.Tables.embeddings(spark, gateSf)
-    val cand = Similarity.lshBandCandidates(emb, 22, 16, 1024).collect()
+    val cand = Similarity.lshBandCandidates(emb, 14, 19, 1024).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val neigh = (cand ++ cand.map(p => (p._2, p._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
