@@ -659,21 +659,37 @@ object Similarity {
   def nnGraph(spark: SparkSession, sfDir: String, bands: Int = 14,
       rowsPerBand: Int = 19, scale: Int = 1024): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val embIn = Tables.embeddings(spark, sfDir)
-    val cand = lshBandCandidates(embIn, bands, rowsPerBand, scale)
-    val sym = cand.select($"vec_a".as("src"), $"vec_b".as("dst"))
-      .unionByName(cand.select($"vec_b".as("src"), $"vec_a".as("dst")))
-    val e = embIn.select($"vec_id", quantCol(scale).as("p"))
+    // VERIFY SHAPE (r8): score pairs INSIDE the bucket join and fold
+    // the per-source argmax through a map-side-combinable aggregate.
+    // The previous shape (distinct candidate pairs → join quantized
+    // vectors back on each side → global window) shuffled every
+    // candidate pair twice with 64-long arrays attached and paid a
+    // pair-count-sized sort — ~20 GB of shuffle at the ×64 soak. Here
+    // the arrays ride the b×n banding explode once, each bucket joins
+    // locally, and duplicate pairs (same pair in several bands) cost
+    // only a repeated codegen dot product before the argmax absorbs
+    // them — argmax(cos DESC, dst ASC) ≡ max(struct(cos, −dst)), the
+    // window's exact tiebreak, so results are bit-identical and the
+    // oracle (distinct-then-argmax) replays them unchanged.
+    val banded = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantCol(scale).as("p"))
       .withColumn("nrm2", qnorm2($"p"))
-    val w = Window.partitionBy($"src").orderBy($"cos_micro".desc, $"dst")
-    sym
-      .join(e.select($"vec_id".as("src"), $"p".as("sp"), $"nrm2".as("sn")), "src")
-      .join(e.select($"vec_id".as("dst"), $"p".as("dp"), $"nrm2".as("dn")), "dst")
-      .withColumn("cos_micro", cosMicro(qdot($"sp", $"dp"), $"sn", $"dn"))
-      .withColumn("r", row_number().over(w))
-      .filter($"r" === 1)
-      .select($"src".as("vec_id"), $"dst".as("nn_id"), $"cos_micro")
+      .select($"vec_id", $"p", $"nrm2", posexplode(graft.plans.VectorExpressions
+        .signBandKeys($"p", bands, rowsPerBand)))
+      .toDF("vec_id", "p", "nrm2", "band_idx", "band_key")
+    banded.select($"vec_id".as("src"), $"p".as("sp"), $"nrm2".as("sn"),
+        $"band_idx", $"band_key")
+      .join(banded.select($"vec_id".as("dst"), $"p".as("dp"),
+        $"nrm2".as("dn"), $"band_idx", $"band_key"),
+        Seq("band_idx", "band_key"))
+      .filter($"src" =!= $"dst")
+      .select($"src", struct(
+        cosMicro(qdot($"sp", $"dp"), $"sn", $"dn").as("cos_micro"),
+        (-$"dst").as("neg_dst")).as("cand"))
+      .groupBy($"src")
+      .agg(max($"cand").as("best"))
+      .select($"src".as("vec_id"), (-$"best.neg_dst").as("nn_id"),
+        $"best.cos_micro".as("cos_micro"))
       .orderBy($"vec_id")
   }
 
