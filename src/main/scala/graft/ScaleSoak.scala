@@ -290,12 +290,13 @@ object ScaleSoak {
       // IVF-PQ recall vs exact-over-cells (knnIvfQuant: same probed
       // cells, full-precision dot). Two measurements, two claims:
       //  1. FIXED knobs: recall decays as the corpus outgrows the
-      //     index parameters (measured 0.84 → 0.76 → 0.52 at ×1/4/16,
-      //     r8) — cosines of random rotations concentrate, so constant
-      //     ADC error flips more of the ordering near the shortlist
-      //     cut. The floor here is only a no-collapse tripwire (0.25 ≫
-      //     the ~0.003 random-shortlist recall); the CURVE is the
-      //     deliverable, recorded in SCALE.md as the sizing guide.
+      //     index parameters (measured 0.84 / 0.68 / 0.54 / 0.32 at
+      //     ×1/4/16/64 under the s4 scheme) — newcomer cosines
+      //     concentrate, so constant ADC error flips more of the
+      //     ordering near the shortlist cut. The floor here is only a
+      //     no-collapse tripwire (0.25 ≫ the ~0.003 random-shortlist
+      //     recall); the CURVE is the deliverable, recorded in
+      //     SCALE.md as the sizing guide.
       //  2. SCALED knob (largest m only): oversample ∝ m holds the
       //     shortlist/candidate-pool ratio constant — the FAISS-style
       //     production response to index growth — and must restore
@@ -366,10 +367,10 @@ object ScaleSoak {
     * Reuses an existing soak dir: the replication is deterministic. */
   def replicate(spark: SparkSession, base: String, m: Int): String = {
     val name = new java.io.File(base).getName
-    // s3 = salt revision 3 (rotated-embedding replication below; s2
-    // added the row/key exemption) — reuse markers are per-revision so
+    // s4 = salt revision 4 (signed-permutation embedding replication; s3
+    // rotated, s2 added the row/key exemption) — markers are per-revision so
     // a stale dir from an earlier scheme is never served
-    val dir = s"/tmp/graft_soak_${name}_s3_x$m"
+    val dir = s"/tmp/graft_soak_${name}_s4_x$m"
     val marker = new java.io.File(s"$dir/_SOAK_DONE")
     if (marker.exists()) return dir
     def raw(t: String) = spark.read.parquet(s"$base/$t.parquet")
@@ -426,7 +427,7 @@ object ScaleSoak {
             concat(lit("\\b(row|key)q"), col("rep"), lit("q\\b")),
             lit("$1"))).as("text")
         case c => col(c) }: _*), "documents")
-    // embeddings get their OWN replication scheme (salt rev s3), for
+    // embeddings get their OWN replication scheme (salt rev s4), for
     // two reasons the ×m+rep id remap + verbatim copy could not serve:
     //  1. verbatim vector copies make every vector an m-way EXACT twin
     //     — every sign-LSH band key collides across replicas, bucket
@@ -438,24 +439,39 @@ object ScaleSoak {
     //     replicas of base vector 0 — a degenerate query/centroid set.
     // So: vec_id = base + rep·N keeps replica 0 BIT-IDENTICAL to the
     // base corpus (fixed ids keep meaning the same real vectors at
-    // every m), and each rep>0 vector is the base vector CYCLICALLY
-    // ROTATED by rep%dim positions — norms and within-replica cosines
-    // are exactly preserved (a coordinate permutation is orthogonal),
-    // while rotations of independent random vectors are mutually
-    // near-orthogonal, so the additions behave like fresh corpus mass
-    // rather than twins.
+    // every m), and each rep>0 vector is transformed by a per-replica
+    // SIGNED PERMUTATION of the coordinates (deterministic shuffle +
+    // ±1 diagonal, seeded by the replica index). A signed permutation
+    // is orthogonal — norms and within-replica cosines are preserved
+    // EXACTLY — and the random sign flips make the cross-replica
+    // expected cosine exactly 0 by symmetry. The s3 scheme (cyclic
+    // rotation) failed here in practice: these synthetic embeddings
+    // are SMOOTH, so small shifts are highly autocorrelated and each
+    // vector's rotations formed a near-dup chain (measured ×64 band
+    // buckets of ~1500 = cluster × ~30 adjacent shifts — dup blow-up
+    // again, just one level up).
     locally {
-      val nEmb = raw("embeddings").count()
-      val e = col("embedding")
-      val shift = (col("rep") % size(e)).cast("int")
-      write(raw("embeddings").select(rep, col("*"))
-        .select(raw("embeddings").columns.map {
-          case "vec_id" => (col("vec_id") + col("rep") * nEmb).as("vec_id")
-          case "embedding" => when(col("rep") === 0, e)
-            .otherwise(concat(
-              slice(e, shift + lit(1), size(e) - shift),
-              slice(e, lit(1), shift))).as("embedding")
-          case c => col(c) }: _*), "embeddings")
+      val base0 = raw("embeddings")
+      val nEmb = base0.count()
+      val d = base0.select(size(col("embedding"))).head.getInt(0)
+      val frames = (0 until m).map { k =>
+        val ids = (col("vec_id") + lit(k.toLong * nEmb)).as("vec_id")
+        val emb =
+          if (k == 0) col("embedding")
+          else {
+            val rnd = new scala.util.Random(k)
+            val perm = rnd.shuffle((0 until d).toVector)
+            val sgn = Vector.fill(d)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+            array(perm.zip(sgn).map { case (src, s) =>
+              (col("embedding").getItem(src) * lit(s)).cast("float") }: _*)
+              .as("embedding")
+          }
+        base0.select(base0.columns.map {
+          case "vec_id" => ids
+          case "embedding" => emb
+          case c => col(c) }: _*)
+      }
+      write(frames.reduce(_.unionByName(_)), "embeddings")
     }
     marker.createNewFile()
     dir

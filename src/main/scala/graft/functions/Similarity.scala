@@ -424,12 +424,27 @@ object Similarity {
       .filter($"vec_id" >= nQueries && $"vec_id" < nQueries + nCells)
       .select($"vec_id".as("cell_id"), $"p".as("cp"), $"nrm2".as("cn"))
     def nearestCells(vecs: DataFrame, n: Int, idCol: String) = {
-      val w = Window.partitionBy(col(idCol)).orderBy($"c_cm".desc, $"cell_id")
-      vecs.crossJoin(broadcast(centroids))
+      val scored = vecs.crossJoin(broadcast(centroids))
         .withColumn("c_cm", cosMicro(qdot($"p", $"cp"), $"nrm2", $"cn"))
-        .withColumn("c_rank", row_number().over(w))
-        .filter($"c_rank" <= n)
-        .drop("cp", "cn", "c_cm", "c_rank")
+      if (n == 1)
+        // corpus-side assignment: argmax(c_cm, tie min cell) as
+        // min(struct(-c_cm, cell_id, payload)) — a map-side-combinable
+        // aggregate, so the shuffle carries |corpus| combined rows
+        // instead of the window path's nCells·|corpus| rows with the
+        // quantized arrays attached (same integers, same tiebreak;
+        // (neg, cell_id) totally orders the group, payload rides along)
+        scored.groupBy(col(idCol))
+          .agg(min(struct((-$"c_cm").as("neg"), $"cell_id".as("cell_id"),
+            $"p".as("p"), $"nrm2".as("nrm2"))).as("b"))
+          .select(col(idCol), $"b.p".as("p"), $"b.nrm2".as("nrm2"),
+            $"b.cell_id".as("cell_id"))
+      else {
+        val w = Window.partitionBy(col(idCol)).orderBy($"c_cm".desc, $"cell_id")
+        scored
+          .withColumn("c_rank", row_number().over(w))
+          .filter($"c_rank" <= n)
+          .drop("cp", "cn", "c_cm", "c_rank")
+      }
     }
     val corpusCells = nearestCells(emb, 1, "vec_id")
     val queryCells = nearestCells(emb.filter($"vec_id" < nQueries), nProbes, "vec_id")
@@ -843,12 +858,27 @@ object Similarity {
       .filter($"vec_id" >= nQueries && $"vec_id" < nQueries + nCells)
       .select($"vec_id".as("cell_id"), $"p".as("cp"), $"nrm2".as("cn"))
     def nearestCells(vecs: DataFrame, n: Int, idCol: String) = {
-      val w = Window.partitionBy(col(idCol)).orderBy($"c_cm".desc, $"cell_id")
-      vecs.crossJoin(broadcast(centroids))
+      val scored = vecs.crossJoin(broadcast(centroids))
         .withColumn("c_cm", cosMicro(qdot($"p", $"cp"), $"nrm2", $"cn"))
-        .withColumn("c_rank", row_number().over(w))
-        .filter($"c_rank" <= n)
-        .drop("cp", "cn", "c_cm", "c_rank")
+      if (n == 1)
+        // corpus-side assignment: argmax(c_cm, tie min cell) as
+        // min(struct(-c_cm, cell_id, payload)) — a map-side-combinable
+        // aggregate, so the shuffle carries |corpus| combined rows
+        // instead of the window path's nCells·|corpus| rows with the
+        // quantized arrays attached (same integers, same tiebreak;
+        // (neg, cell_id) totally orders the group, payload rides along)
+        scored.groupBy(col(idCol))
+          .agg(min(struct((-$"c_cm").as("neg"), $"cell_id".as("cell_id"),
+            $"p".as("p"), $"nrm2".as("nrm2"))).as("b"))
+          .select(col(idCol), $"b.p".as("p"), $"b.nrm2".as("nrm2"),
+            $"b.cell_id".as("cell_id"))
+      else {
+        val w = Window.partitionBy(col(idCol)).orderBy($"c_cm".desc, $"cell_id")
+        scored
+          .withColumn("c_rank", row_number().over(w))
+          .filter($"c_rank" <= n)
+          .drop("cp", "cn", "c_cm", "c_rank")
+      }
     }
     def subs(df: DataFrame) = df.select($"vec_id", $"nrm2",
       posexplode(array((0 until pqM).map(m =>
@@ -858,15 +888,20 @@ object Similarity {
       .select((($"vec_id" - cbOff)).cast("int").as("code"), $"m",
         $"sub".as("cw"))
       .withColumn("cw_nrm2", qnorm2($"cw"))
-    // one-pass corpus encode: integer-L2 argmin per (vec, subspace)
-    val encW = Window.partitionBy($"vec_id", $"m")
-      .orderBy($"d2".asc, $"code".asc)
+    // one-pass corpus encode: integer-L2 argmin per (vec, subspace).
+    // min(struct(d2, code, …)) IS the (d2 asc, code asc) argmin —
+    // lexicographic struct ordering — but as an AGGREGATE it partial-
+    // combines map-side and never sorts, where the former row_number
+    // window sorted all |corpus|·pqKsub candidate rows per partition
+    // (the dominant encode cost at the ×64 soak, α ≈ 0.95 of a 230 s
+    // run). Same integers, same tiebreak, oracle unchanged.
     val codes = subs(emb).join(broadcast(cw), Seq("m"))
       .withColumn("d2",
         qnorm2($"sub") - lit(2L) * qdot($"sub", $"cw") + $"cw_nrm2")
-      .withColumn("e_rank", row_number().over(encW))
-      .filter($"e_rank" === 1)
-      .select($"vec_id", $"m", $"code", $"cw_nrm2")
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d2", $"code", $"cw_nrm2")).as("best"))
+      .select($"vec_id", $"m", $"best.code".as("code"),
+        $"best.cw_nrm2".as("cw_nrm2"))
     val recon = codes.groupBy($"vec_id")
       .agg(sum($"cw_nrm2").as("recon_nrm2"))
     // ADC lookup tables: (query_id, m, code, ld) — nQueries·pqM·pqKsub
