@@ -47,6 +47,10 @@ object SparkEntry {
     "q_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
     "q_sequence_pack" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    "q_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "q_dup_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.dupWeightedSample(s, d)),
+    "q_curriculum" -> ((s: SparkSession, d: String) => Sampling.curriculum(s, d)),
+    "q_source_overlap" -> (Dedup.sourceOverlap _),
     // exact complete mining as a block-pair equi-join (1-Bucket-Theta);
     // the sub-quadratic banded-LSH miner is its own gate below
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
@@ -366,6 +370,10 @@ object SparkEntry {
     "q_chunking" -> TextAnalysis.chunkDocumentsSql(),
     "q_sequence_pack" -> TextAnalysis.packChunksSql(),
     "q_knn_bruteforce" -> Similarity.knnBruteForceSql(),
+    "q_hard_negatives" -> Similarity.hardNegativesSql(),
+    "q_dup_weighted_sample" -> Sampling.dupWeightedSampleSql(),
+    "q_curriculum" -> Sampling.curriculumSql(),
+    "q_source_overlap" -> Dedup.sourceOverlapSql,
     // SQ8 + 4× oversampled exact re-rank recovers the exact top-k on
     // this corpus (verified at every SF) — gated against the same
     // brute-force oracle, which would catch any quantization drift

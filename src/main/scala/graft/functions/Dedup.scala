@@ -241,6 +241,74 @@ object Dedup {
        |WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= $minJac
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- source-pair overlap matrix -----------------------------------------
+
+  /** Source×source 3-gram overlap matrix — the corpus-provenance
+    * contamination report: for every pair of sources, how much of their
+    * shingle vocabulary is shared (Jaccard) and how much of EACH side
+    * is contained in the other (directional containment, Broder'97) —
+    * the data-card row that answers "which sources mirror which", at
+    * source level where doc-level containment ([[containmentPairsOf]])
+    * answers it per document.
+    *
+    * Scale: re-reads the staged shingle artifact ([[DedupStage
+    * .shingleDocs]] — no re-shingling), collapses it to DISTINCT
+    * (source, shingle) rows with a map-side-combinable aggregate, and
+    * self-joins on shingle. Each shingle's fan-out is bounded by the
+    * number of SOURCES carrying it (≤ |sources|, never |docs|), so the
+    * join is skew-safe by construction and the output is ≤ |sources|²
+    * rows — driver-readable at any corpus size. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val ss = DedupStage.shingleDocs(spark, sfDir)
+      .join(src, "doc_id")
+      .select($"source", explode($"sh").as("shingle"))
+      .distinct()
+    val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = ss.select($"source".as("source_a"), $"shingle")
+      .join(ss.select($"source".as("source_b"), $"shingle"), "shingle")
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))), "source_a")
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))), "source_b")
+      .select($"source_a", $"source_b", $"n_common",
+        round($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"), 6)
+          .as("jaccard"),
+        round($"n_common".cast("double") / $"n_a", 6).as("containment_a"),
+        round($"n_common".cast("double") / $"n_b", 6).as("containment_b"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** Oracle: identical shingle construction to [[ngramJaccardSql]]'s
+    * CTEs, collapsed to source level. */
+  val sourceOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT d.source, s.shingle
+       |  FROM toks
+       |  JOIN documents d USING (doc_id),
+       |       LATERAL (SELECT unnest(list_distinct(
+       |           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |            FOR i IN range(1, greatest(len(t) - 1, 1))])) AS shingle) s),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_common,
+       |       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard,
+       |       round(n_common * 1.0 / sa.n, 6) AS containment_a,
+       |       round(n_common * 1.0 / sb.n, 6) AS containment_b
+       |FROM inter
+       |JOIN sizes sa ON source_a = sa.source
+       |JOIN sizes sb ON source_b = sb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ---- dedup funnel report ------------------------------------------------
 
   /** The one-row dedup funnel a corpus owner reads after the chain

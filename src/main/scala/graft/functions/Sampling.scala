@@ -223,6 +223,110 @@ object Sampling {
        |FROM h
        |ORDER BY shard, pos_in_shard""".stripMargin
 
+  /** Duplication-aware sampling: keep each document with probability
+    * 1/n_copies, where n_copies is its EXACT-duplicate multiplicity
+    * (content-hash group size) — so every duplicate cluster survives
+    * with ~1 expected copy and the sampled corpus approaches the
+    * deduplicated token distribution WITHOUT dropping any cluster
+    * outright (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22 motivates the downweighting; this is its
+    * sampling form). Unique documents (n_copies = 1) always survive.
+    *
+    * Determinism: the coin is a keyed PRF u = hash60(doc_id|salt) ∈
+    * [0, 2^60), kept iff u ≤ (2^60−1) div n_copies — pure INTEGER
+    * arithmetic, so both engines make bit-identical decisions (same
+    * discipline as [[trainValTest]]'s split PRF; no float thresholds).
+    *
+    * Scale: one groupBy on the content hash (the dedup shuffle the
+    * pipeline pays anyway) + an output-sized hash join back to docs;
+    * the PRF and threshold are narrow projections. The same algebra
+    * runs over near-dup CLUSTER sizes by substituting
+    * [[DedupStage.clusters]] group sizes for the hash groups. */
+  def dupWeightedSample(spark: SparkSession, sfDir: String,
+      salt: String = "dupw_v1"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", md5($"text").as("text_hash"))
+    val copies = docs.groupBy($"text_hash")
+      .agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, "text_hash")
+      .withColumn("u", Dedup.hash60(concat_ws("|", $"doc_id".cast("string"), lit(salt))))
+      .select($"doc_id", $"source", $"n_copies",
+        ($"u" <= expr("CAST(1152921504606846975 AS BIGINT) div n_copies"))
+          .as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  def dupWeightedSampleSql(salt: String = "dupw_v1"): String =
+    s"""WITH copies AS (
+       |  SELECT md5(text) AS text_hash, COUNT(*) AS n_copies
+       |  FROM documents GROUP BY 1),
+       |d AS (
+       |  SELECT doc_id, source, md5(text) AS text_hash,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || ${Sql.lit(salt)}), 1, 15)) AS BIGINT) AS u
+       |  FROM documents)
+       |SELECT d.doc_id, d.source, c.n_copies,
+       |       d.u <= 1152921504606846975 // c.n_copies AS kept
+       |FROM d JOIN copies c ON d.text_hash = c.text_hash
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Curriculum interleave — the training-order writer for curriculum
+    * learning (Bengio et al., ICML'09): documents are banded by quality
+    * score (fixed 0.75/0.5/0.25 edges on the 6-dp score, easy/high-
+    * quality = band 0 first), sharded by a seeded PRF, and within each
+    * shard the bands are round-robin interleaved: position
+    * (rank_in_band − 1)·4 + band, so every 4-position window of a
+    * shard mixes all quality bands while band-0 content still leads.
+    * Reshuffle = change the seed, as [[corpusShuffle]].
+    *
+    * Scale: NO global window — rank is per (shard, band), bounded by
+    * corpus/(shards·4) rows, and the only shuffle is the shard
+    * exchange the sharded writer needs anyway. Fixed score edges (not
+    * data-driven quantiles) are deliberate: banding stays a narrow
+    * projection with no rank pass; when data-driven edges are wanted,
+    * feed [[globalPercentRank]] output in as the score. Positions
+    * within a shard are unique (disjoint mod-4 classes per band) and
+    * strictly ordered but NOT consecutive — readers order by position,
+    * gaps are harmless. */
+  def curriculum(spark: SparkSession, sfDir: String,
+      seed: String = "curr_v1", shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.functions.TextAnalysis.qualityScore(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+    val banded = q.withColumn("band",
+        when($"quality_score" >= 0.75, 0)
+          .when($"quality_score" >= 0.5, 1)
+          .when($"quality_score" >= 0.25, 2)
+          .otherwise(3))
+      .withColumn("h",
+        Dedup.hash60(concat_ws("|", $"doc_id".cast("string"), lit(seed))))
+      .withColumn("shard", pmod($"h", lit(shards.toLong)).cast("int"))
+    val w = Window.partitionBy($"shard", $"band").orderBy($"h", $"doc_id")
+    banded
+      .withColumn("pos_in_shard", (row_number().over(w) - 1) * 4 + $"band")
+      .select($"doc_id", $"quality_score", $"band", $"shard", $"pos_in_shard")
+      .orderBy($"shard", $"pos_in_shard")
+  }
+
+  def curriculumSql(seed: String = "curr_v1", shards: Int = 8): String =
+    s"""WITH qs AS (${graft.functions.TextAnalysis.qualityScoreSql}),
+       |banded AS (
+       |  SELECT doc_id, quality_score,
+       |         CASE WHEN quality_score >= 0.75 THEN 0
+       |              WHEN quality_score >= 0.5 THEN 1
+       |              WHEN quality_score >= 0.25 THEN 2
+       |              ELSE 3 END AS band,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || ${Sql.lit(seed)}), 1, 15)) AS BIGINT) AS h
+       |  FROM qs)
+       |SELECT doc_id, quality_score, band,
+       |       CAST(h % $shards AS INTEGER) AS shard,
+       |       (CAST(row_number() OVER (PARTITION BY h % $shards, band
+       |              ORDER BY h, doc_id) AS INTEGER) - 1) * 4 + band
+       |         AS pos_in_shard
+       |FROM banded
+       |ORDER BY shard, pos_in_shard""".stripMargin
+
   /** Leakage-free split CONSTRUCTOR — the fix for what [[splitLeakage]]
     * reports: assignment keys on the document's near-dup CLUSTER
     * KEEPER, not the document itself, so every member of a duplicate

@@ -94,6 +94,79 @@ object Similarity {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Contrastive-training triplet mining: for each anchor, the top-k
+    * HARD NEGATIVES — the most-similar vectors with a DIFFERENT label —
+    * plus the anchor's hardest-positive cosine (the LEAST-similar
+    * same-label vector) and a semi-hard flag in the FaceNet sense
+    * (Schroff et al., CVPR'15): a negative that is farther than the
+    * hardest positive but within the margin, the regime that makes
+    * triplet losses converge. This is MINING (build training pairs),
+    * not search — the label constraint and the positive-baseline margin
+    * test are what distinguish it from [[knnBruteForce]].
+    *
+    * Scale: anchors are the small side (a labeled seed set) and are
+    * broadcast; the corpus never shuffles, and the per-anchor top-k is
+    * a window over |anchors| partitions. At 100 TB swap the scored
+    * cross join for the banded sign-LSH candidate generator
+    * ([[cosineNearDupLsh]]'s bucket join) exactly as the kNN family
+    * does — the mining algebra downstream (hardest-positive min,
+    * label-filtered top-k, margin test) is unchanged.
+    *
+    * Determinism: the semi-hard test runs on the 6-dp ROUNDED cosines
+    * in both engines, so a last-ulp drift can never flip the flag. */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, margin: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label", norm($"embedding").as("e_norm"))
+    val anchors = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"label".as("q_label"), $"e_norm".as("q_norm"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(dot($"q_emb", $"embedding") / ($"q_norm" * $"e_norm"), 6))
+    // hardest positive per anchor: the same-label vector the anchor is
+    // LEAST similar to — the baseline the margin test is relative to
+    val posCos = scored.filter($"label" === $"q_label")
+      .groupBy($"query_id").agg(min($"cos").as("hard_pos_cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.filter($"label" =!= $"q_label")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .join(broadcast(posCos), Seq("query_id"), "left")
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        $"cos".as("cosine"), $"hard_pos_cos",
+        coalesce($"cos" < $"hard_pos_cos" &&
+          $"cos" > $"hard_pos_cos" - margin, lit(false)).as("semi_hard"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  def hardNegativesSql(nQueries: Int = 10, k: Int = 5, margin: Double = 0.2): String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT a.query_id, a.q_label, e.vec_id, e.label,
+       |         round(${cosineSql("a.q_emb", "e.embedding")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN a
+       |  WHERE e.vec_id != a.query_id),
+       |pos AS (
+       |  SELECT query_id, min(cos) AS hard_pos_cos
+       |  FROM scored WHERE label = q_label GROUP BY query_id),
+       |negs AS (
+       |  SELECT query_id, vec_id AS neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored WHERE label != q_label)
+       |SELECT n.query_id, n.neighbor_id, n.rank, n.cos AS cosine,
+       |       p.hard_pos_cos,
+       |       coalesce(n.cos < p.hard_pos_cos
+       |                AND n.cos > p.hard_pos_cos - $margin, false) AS semi_hard
+       |FROM negs n LEFT JOIN pos p ON n.query_id = p.query_id
+       |WHERE n.rank <= $k
+       |ORDER BY n.query_id, n.rank""".stripMargin
+
   /** All pairs above a cosine threshold — embedding near-dup detection.
     *
     * COMPLETE exact mining, distributed as a block-pair equi-join

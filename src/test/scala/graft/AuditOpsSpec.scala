@@ -160,8 +160,10 @@ class AuditOpsSpec extends SparkSuite {
     out.foreach { r =>
       val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getLong(5))
       assert(df >= 1 && df <= nS)
+      // idf quantized FIRST (idf_e9 = floor(ln·1e9)), then integer tf
+      // multiply — the ulp-safe ADVICE-r7 discipline the engine uses
       val expect =
-        math.floor(tf.toDouble * math.log(nS.toDouble / df.toDouble) * 1e9).toLong
+        tf * math.floor(math.log(nS.toDouble / df.toDouble) * 1e9).toLong
       assert(score == expect, s"score_e9 $score != $expect for ${r.getString(2)}")
       // a term present in EVERY source has idf exactly 0 — it can only
       // appear if a source has fewer than k positive-scoring terms
