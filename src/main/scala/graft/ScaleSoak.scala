@@ -64,7 +64,13 @@ object ScaleSoak {
     "q_tfidf_terms",         // per-source signature terms (rows = 5 × #sources at every m)
     "q_bootstrap_ci",        // Poisson-bootstrap CI (point mean exactly invariant; CI tightens)
     "q_knn_ivfpq",           // IVF-PQ ANN (fixed queries/centroids; recall-vs-IVF floor at every m)
-    "q_domain_reweight")     // per-domain loss + MW rounds (rows = #sources at every m)
+    "q_domain_reweight",     // per-domain loss + MW rounds (rows = #sources at every m)
+    "q_hard_negatives",      // semi-hard mining (fixed anchors; k rows/anchor at every m)
+    "q_dup_weighted_sample", // 1/n_copies PRF survival (rows ×m; dup structure replicates)
+    "q_curriculum",          // banded interleave (rows ×m; per-shard windows only)
+    "q_source_overlap",      // source-pair matrix (rows = base pair set at every m)
+    "q_tokenizer_fertility", // pieces/word per source (rows = #sources at every m)
+    "q_mixture_budget")      // sqrt-temperature allocation (rows = #sources at every m)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -142,6 +148,13 @@ object ScaleSoak {
         oneRow(("q_mixture_report", m)) =
           SparkEntry.queries("q_mixture_report")(spark, dir)
             .collect().toSeq.flatMap(_.toSeq.map(String.valueOf))
+      // per-anchor rank-1 hard-negative cosine, for the superset
+      // monotonicity invariant below (anchors are pinned base ids)
+      if (soakQueries.contains("q_hard_negatives"))
+        oneRow(("q_hard_negatives", m)) =
+          SparkEntry.queries("q_hard_negatives")(spark, dir)
+            .filter(col("rank") === 1).orderBy("query_id")
+            .collect().toSeq.map(r => s"${r.getLong(0)}:${r.getDouble(3)}")
     }
 
     // ---- correctness-at-scale invariants (loud failure, not just
@@ -184,18 +197,28 @@ object ScaleSoak {
       // maps base shingles bijectively within each replica, and the
       // prefix filter is lossless, so each replica mines exactly the
       // base pair set (row/key-exemption overlap sits far below 0.9)
+      // q_dup_weighted_sample / q_curriculum emit one row per doc, so
+      // their ×m is structural (the PRF decisions inside the rows
+      // change with the remapped ids — only the row count is asserted)
       for (q <- Seq("q_dedup_exact", "q_minhash_dedup", "q_token_counts",
           "q_gopher_rules", "q_contamination_fuzzy",
-          "q_quality_classifier", "q_containment").filter(soakQueries.contains))
+          "q_quality_classifier", "q_containment",
+          "q_dup_weighted_sample", "q_curriculum").filter(soakQueries.contains))
         require(rows((q, m)) * m0 == rows((q, m0)) * m,
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ×${m}/${m0} of ${rows((q, m0))}")
       // fixed-budget / contract-sized outputs: row counts must be
       // m-INVARIANT (dsir's k-sample; the two 1-row contract frames)
+      // q_hard_negatives: anchors are the pinned low vec_ids (base
+      // vectors at every m), output is k rows per anchor regardless of
+      // corpus size. q_source_overlap: sources are copied verbatim and
+      // every base pair keeps n_common ≥ 1 (replica 0 is bit-identical),
+      // so the pair set is the base pair set at every m.
       for (q <- Seq("q_dsir_sample", "q_unigram_model",
           "q_classifier_eval", "q_roc_auc", "q_ks_test",
           "q_dp_release", "q_mixture_report", "q_dedup_funnel",
           "q_tfidf_terms", "q_bootstrap_ci", "q_knn_ivfpq",
-          "q_domain_reweight")
+          "q_domain_reweight", "q_hard_negatives", "q_source_overlap",
+          "q_tokenizer_fertility", "q_mixture_budget")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
@@ -261,6 +284,22 @@ object ScaleSoak {
             c(4).toDouble - c(3).toDouble)
           require(m == m0 || wm <= w0,
             s"soak invariant: bootstrap CI widened at m=$m: $wm vs $w0")
+        case _ => ()
+      }
+      // hard negatives: the m-corpus candidate set is a STRICT SUPERSET
+      // of the base corpus's (replica 0 is bit-identical, ids stable),
+      // so each pinned anchor's best different-label cosine can only
+      // rise as the corpus grows — a drop means the miner lost a
+      // candidate it used to see (a completeness bug, not noise)
+      (oneRow.get(("q_hard_negatives", m0)),
+          oneRow.get(("q_hard_negatives", m))) match {
+        case (Some(b), Some(c)) =>
+          b.zip(c).foreach { case (bs, cs) =>
+            val (bq, bc) = (bs.split(":")(0), bs.split(":")(1).toDouble)
+            val (cq, cc) = (cs.split(":")(0), cs.split(":")(1).toDouble)
+            require(bq == cq && cc >= bc,
+              s"soak invariant: hard-negative top cosine fell at m=$m anchor $cq: $cc vs $bc")
+          }
         case _ => ()
       }
       // dedup funnel: every mass column scales ×m (the salt keeps

@@ -51,6 +51,8 @@ object SparkEntry {
     "q_dup_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.dupWeightedSample(s, d)),
     "q_curriculum" -> ((s: SparkSession, d: String) => Sampling.curriculum(s, d)),
     "q_source_overlap" -> (Dedup.sourceOverlap _),
+    "q_tokenizer_fertility" -> ((s: SparkSession, d: String) => graft.functions.WordPiece.fertility(s, d)),
+    "q_mixture_budget" -> ((s: SparkSession, d: String) => Sampling.mixtureBudget(s, d)),
     // exact complete mining as a block-pair equi-join (1-Bucket-Theta);
     // the sub-quadratic banded-LSH miner is its own gate below
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
@@ -374,6 +376,8 @@ object SparkEntry {
     "q_dup_weighted_sample" -> Sampling.dupWeightedSampleSql(),
     "q_curriculum" -> Sampling.curriculumSql(),
     "q_source_overlap" -> Dedup.sourceOverlapSql,
+    "q_tokenizer_fertility" -> graft.functions.WordPiece.fertilitySql(),
+    "q_mixture_budget" -> Sampling.mixtureBudgetSql(),
     // SQ8 + 4× oversampled exact re-rank recovers the exact top-k on
     // this corpus (verified at every SF) — gated against the same
     // brute-force oracle, which would catch any quantization drift

@@ -270,6 +270,63 @@ object Sampling {
        |FROM d JOIN copies c ON d.text_hash = c.text_hash
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mixture BUDGET solver — the deployment step after a mixing policy
+    * picks weights: given a token budget B, allocate tokens per source
+    * under temperature-smoothed weights w_s ∝ √tokens_s (the α = 0.5
+    * multilingual-sampling standard, Conneau & Lample's XLM recipe)
+    * and report the implied EPOCH count per source — epochs > 1 means
+    * the plan repeats that source, the number a pipeline owner checks
+    * against repetition-harm budgets.
+    *
+    * Exactness: √t is the ONE transcendental-free float op — IEEE-754
+    * guarantees sqrt correctly rounded in both engines (unlike pow/ln,
+    * the ulp-drift family the ADVICE-r7 fix banned from gates) — and
+    * it is quantized immediately (s_e3 = floor(√t·1e3) BIGINT); the
+    * weight/allocation/epoch chain is then pure integer floor-div.
+    * e3 keeps every product under 2^63 far past soak scale.
+    *
+    * Scale: one corpus scan to per-source token sums (map-side
+    * combined), then |sources|-row arithmetic against a broadcast
+    * 1-row total. */
+  def mixtureBudget(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, sfDir)
+      .groupBy($"source")
+      .agg(sum(size(split(trim(lower($"text")), "\\s+"))).cast("long").as("n_tokens"))
+      .withColumn("s_e3", floor(sqrt($"n_tokens".cast("double")) * 1e3).cast("long"))
+    val tot = tok.agg(sum($"s_e3").cast("long").as("tot"))
+    tok.crossJoin(broadcast(tot))
+      .select($"source", $"n_tokens",
+        expr("s_e3 * 1000000000 div tot").as("weight_e9"))
+      .withColumn("alloc_tokens", expr(s"weight_e9 * $budgetTokens div 1000000000"))
+      .withColumn("epochs_e6", expr("alloc_tokens * 1000000 div n_tokens"))
+      .orderBy($"source")
+  }
+
+  def mixtureBudgetSql(budgetTokens: Long = 1000000L): String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |         CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |s AS (
+       |  SELECT source, n_tokens,
+       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e3) AS BIGINT) AS s_e3
+       |  FROM tok),
+       |t AS (SELECT CAST(SUM(s_e3) AS BIGINT) AS tot FROM s),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |         s_e3 * 1000000000 // tot AS weight_e9
+       |  FROM s, t),
+       |a AS (
+       |  SELECT source, n_tokens, weight_e9,
+       |         weight_e9 * $budgetTokens // 1000000000 AS alloc_tokens
+       |  FROM w)
+       |SELECT source, n_tokens, weight_e9, alloc_tokens,
+       |       alloc_tokens * 1000000 // n_tokens AS epochs_e6
+       |FROM a
+       |ORDER BY source""".stripMargin
+
   /** Curriculum interleave — the training-order writer for curriculum
     * learning (Bengio et al., ICML'09): documents are banded by quality
     * score (fixed 0.75/0.5/0.25 edges on the 6-dp score, easy/high-

@@ -50,6 +50,22 @@ object WordPiece {
     Some(out.toSeq)
   }
 
+  /** The deterministic piece inventory: top `vocabWords` corpus words
+    * by (count DESC, word ASC) plus the corpus alphabet — bounded
+    * driver state (vocabWords + |alphabet| strings), recomputable in
+    * SQL, shared by [[pieceCounts]] and [[fertility]]. */
+  private def pieceInventory(spark: SparkSession, sfDir: String,
+      wf: DataFrame, vocabWords: Int): Set[String] = {
+    import spark.implicits._
+    val topWords = wf.orderBy($"cnt".desc, $"word".asc).limit(vocabWords)
+      .select($"word").as[String].collect()
+    val alphabet = Tables.documents(spark, sfDir)
+      .select(explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]"), lit(0))).as("ch"))
+      .distinct().as[String].collect()
+    (topWords ++ alphabet).toSet
+  }
+
   /** Corpus-wide piece frequency table: (piece, n_occ), `##`-marked
     * continuations counted separately from start pieces — the
     * distribution a tokenizer-training pipeline audits. */
@@ -60,14 +76,7 @@ object WordPiece {
       .select(explode(
         regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
     val wf = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
-    // bounded driver state: vocabWords + |alphabet| strings
-    val topWords = wf.orderBy($"cnt".desc, $"word".asc).limit(vocabWords)
-      .select($"word").as[String].collect()
-    val alphabet = Tables.documents(spark, sfDir)
-      .select(explode(
-        regexp_extract_all(lower($"text"), lit("[a-z0-9]"), lit(0))).as("ch"))
-      .distinct().as[String].collect()
-    val pieces = (topWords ++ alphabet).toSet
+    val pieces = pieceInventory(spark, sfDir, wf, vocabWords)
     val encoded = wf.select($"word", $"cnt").as[(String, Long)]
       .flatMap { case (w, cnt) =>
         encodeWord(w, pieces).getOrElse(Seq("[UNK]")).map(p => (p, cnt))
@@ -77,6 +86,82 @@ object WordPiece {
       .agg(sum($"n_occ_w").cast("long").as("n_occ"))
       .orderBy($"piece")
   }
+
+  /** Per-source tokenizer FERTILITY — subword pieces per word under
+    * the WordPiece inventory, the number a tokenizer owner reads to
+    * see which sources are token-expensive (morphology, jargon, noise
+    * inflate it; Ács's fertility metric from the multilingual-BERT
+    * literature). fertility_e9 = Σ(occurrences·pieces) · 1e9 div
+    * Σoccurrences — exact BIGINT floor-div in both engines, no float
+    * ratio in the gate.
+    *
+    * Scale shape = [[pieceCounts]]: the matcher touches DISTINCT words
+    * only; per-source totals are one (source, word)-count shuffle plus
+    * a broadcast-sized join of the word→n_pieces table. The e9 sums
+    * stay under 2^63 to ~10^9 corpus tokens; past that, pre-divide per
+    * partition or widen to decimal — the ratio itself is size-free. */
+  def fertility(spark: SparkSession, sfDir: String,
+      vocabWords: Int = VocabWords): DataFrame = {
+    import spark.implicits._
+    val srcWords = Tables.documents(spark, sfDir)
+      .select($"source", explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+    val wf = srcWords.groupBy($"word").agg(sum($"cnt").as("cnt"))
+    val pieces = pieceInventory(spark, sfDir, wf, vocabWords)
+    val np = wf.select($"word").as[String]
+      .map(w => (w, encodeWord(w, pieces).map(_.length).getOrElse(1).toLong))
+      .toDF("word", "n_pieces")
+    srcWords.join(np, "word")
+      .groupBy($"source")
+      .agg(sum($"cnt").cast("long").as("n_words"),
+        sum($"cnt" * $"n_pieces").cast("long").as("n_pieces"))
+      .select($"source", $"n_words", $"n_pieces",
+        expr("n_pieces * 1000000000 div n_words").as("fertility_e9"))
+      .orderBy($"source")
+  }
+
+  /** DuckDB replay: the [[pieceCountsSql]] walk, collapsed to pieces
+    * per word and re-weighted by per-source occurrences. */
+  def fertilitySql(vocabWords: Int = VocabWords): String =
+    s"""WITH RECURSIVE sw AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents),
+       |swc AS MATERIALIZED (
+       |  SELECT source, word, count(*) AS cnt FROM sw GROUP BY 1, 2),
+       |wf AS MATERIALIZED (
+       |  SELECT word, CAST(SUM(cnt) AS BIGINT) AS cnt FROM swc GROUP BY 1),
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT word AS piece FROM wf ORDER BY cnt DESC, word LIMIT $vocabWords)
+       |  UNION
+       |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS piece
+       |  FROM documents),
+       |pos AS (
+       |  SELECT word, unnest(range(1, length(word) + 1)) AS p
+       |  FROM (SELECT DISTINCT word FROM wf)),
+       |best AS MATERIALIZED (
+       |  SELECT o.word, o.p, max(length(v.piece)) AS bl
+       |  FROM pos o JOIN vocab v
+       |    ON substr(o.word, CAST(o.p AS INTEGER), length(v.piece)) = v.piece
+       |  GROUP BY o.word, o.p),
+       |walk AS (
+       |  SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS np
+       |  FROM (SELECT DISTINCT word FROM wf)
+       |  UNION ALL
+       |  SELECT k.word, k.p + b.bl, k.np + 1
+       |  FROM walk k JOIN best b ON b.word = k.word AND b.p = k.p
+       |  WHERE k.p <= length(k.word)),
+       |wp AS MATERIALIZED (
+       |  SELECT word, max(np) AS n_pieces
+       |  FROM walk WHERE p > length(word) GROUP BY word)
+       |SELECT s.source,
+       |       CAST(SUM(s.cnt) AS BIGINT) AS n_words,
+       |       CAST(SUM(s.cnt * w.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(s.cnt * w.n_pieces) AS BIGINT) * 1000000000
+       |         // CAST(SUM(s.cnt) AS BIGINT) AS fertility_e9
+       |FROM swc s JOIN wp w ON s.word = w.word
+       |GROUP BY s.source ORDER BY s.source""".stripMargin
 
   /** DuckDB replay: same inventory, same greedy matcher — `best`
     * precomputes the longest piece match at every (word, position)

@@ -120,6 +120,49 @@ class MiningOpsSpec extends SparkSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("tokenizer fertility: floor-div recomputes; bounds hold; piece mass conserved") {
+    val out = graft.functions.WordPiece.fertility(spark, gateSf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nw, np, f) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nw > 0 && np >= nw, "every word is at least one piece")
+      assert(f == np * 1000000000L / nw)
+      assert(f >= 1000000000L, "fertility floor is 1 piece/word")
+    }
+    // total piece mass across sources equals the corpus piece count
+    // from the independently-gated pieceCounts query
+    val totalPieces = graft.functions.WordPiece.pieceCounts(spark, gateSf)
+      .agg(org.apache.spark.sql.functions.sum("n_occ")).collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalPieces,
+      "per-source piece totals must sum to the corpus piece count")
+  }
+
+  test("mixture budget: integer chain recomputes; allocation conserves budget") {
+    val b = 1000000L
+    val out = Sampling.mixtureBudget(spark, gateSf, b).collect()
+    assert(out.nonEmpty)
+    val sE3 = out.map(r => math.floor(math.sqrt(r.getLong(1).toDouble) * 1e3).toLong)
+    val tot = sE3.sum
+    out.zip(sE3).foreach { case (r, s) =>
+      val (tokens, w, alloc, ep) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w == s * 1000000000L / tot)
+      assert(alloc == w * b / 1000000000L)
+      assert(ep == alloc * 1000000L / tokens)
+    }
+    // floor-div conservation: total allocation within #sources·(loss
+    // per floor) of the budget, never above it
+    val total = out.map(_.getLong(3)).sum
+    assert(total <= b && total >= b - out.length * (b / 1000000000L + 1) - out.length,
+      s"allocated $total of $b")
+    // temperature flattens: the weight RATIO between the largest and
+    // smallest source is the sqrt of the token ratio, so ordering by
+    // weight must equal ordering by tokens while the spread shrinks
+    val byTok = out.sortBy(_.getLong(1)).map(_.getString(0)).toSeq
+    val byW = out.sortBy(_.getLong(2)).map(_.getString(0)).toSeq
+    assert(byTok == byW, "weight order must follow token order")
+  }
+
   test("source overlap: identities hold and sizes recompute from shingles") {
     val out = Dedup.sourceOverlap(spark, gateSf).collect()
     assert(out.nonEmpty)
