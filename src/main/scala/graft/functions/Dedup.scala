@@ -261,10 +261,16 @@ object Dedup {
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    // pinned ONCE: sizes + both self-join sides consume this frame, and
+    // without the checkpoint each consumer re-runs the corpus-sized
+    // explode+distinct (4 towers in the physical plan — measured; alias
+    // exprIds defeat ReuseExchange). The pinned frame is the DISTINCT
+    // source-vocabulary — far smaller than the exploded input.
     val ss = DedupStage.shingleDocs(spark, sfDir)
       .join(src, "doc_id")
       .select($"source", explode($"sh").as("shingle"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
     val inter = ss.select($"source".as("source_a"), $"shingle")
       .join(ss.select($"source".as("source_b"), $"shingle"), "shingle")
