@@ -53,15 +53,20 @@ object WordPiece {
   /** The deterministic piece inventory: top `vocabWords` corpus words
     * by (count DESC, word ASC) plus the corpus alphabet — bounded
     * driver state (vocabWords + |alphabet| strings), recomputable in
-    * SQL, shared by [[pieceCounts]] and [[fertility]]. */
-  private def pieceInventory(spark: SparkSession, sfDir: String,
+    * SQL, shared by [[pieceCounts]] and [[fertility]].
+    *
+    * The alphabet is derived from the DISTINCT-WORD frame, not a second
+    * corpus scan: words are the maximal `[a-z0-9]+` runs, so the set of
+    * `[a-z0-9]` chars in the corpus equals the set of chars in the
+    * words — identical inventory, vocabulary-scale cost (the oracle SQL
+    * keeps the corpus-side formulation; same set by construction). */
+  private def pieceInventory(spark: SparkSession,
       wf: DataFrame, vocabWords: Int): Set[String] = {
     import spark.implicits._
     val topWords = wf.orderBy($"cnt".desc, $"word".asc).limit(vocabWords)
       .select($"word").as[String].collect()
-    val alphabet = Tables.documents(spark, sfDir)
-      .select(explode(
-        regexp_extract_all(lower($"text"), lit("[a-z0-9]"), lit(0))).as("ch"))
+    val alphabet = wf.select(explode(
+        regexp_extract_all($"word", lit("[a-z0-9]"), lit(0))).as("ch"))
       .distinct().as[String].collect()
     (topWords ++ alphabet).toSet
   }
@@ -75,8 +80,13 @@ object WordPiece {
     val words = Tables.documents(spark, sfDir)
       .select(explode(
         regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
+    // pinned ONCE (the sourceOverlap discipline): inventory collect,
+    // encode map and the final re-weight join all consume wf, and
+    // without the pin each consumer re-runs the corpus-sized explode.
+    // The pinned frame is the distinct-word frequency table.
     val wf = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
-    val pieces = pieceInventory(spark, sfDir, wf, vocabWords)
+      .localCheckpoint(true)
+    val pieces = pieceInventory(spark, wf, vocabWords)
     val encoded = wf.select($"word", $"cnt").as[(String, Long)]
       .flatMap { case (w, cnt) =>
         encodeWord(w, pieces).getOrElse(Seq("[UNK]")).map(p => (p, cnt))
@@ -103,12 +113,18 @@ object WordPiece {
   def fertility(spark: SparkSession, sfDir: String,
       vocabWords: Int = VocabWords): DataFrame = {
     import spark.implicits._
+    // pinned ONCE (the sourceOverlap discipline): the inventory collect,
+    // the encode-map input and the final join all sit on this lineage,
+    // and without the pin each consumer re-runs the corpus-sized
+    // explode+groupBy (measured 130 s → ~25 s at the ×64 soak). The
+    // pinned frame is sources × distinct-words — vocabulary-scale.
     val srcWords = Tables.documents(spark, sfDir)
       .select($"source", explode(
         regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
       .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val wf = srcWords.groupBy($"word").agg(sum($"cnt").as("cnt"))
-    val pieces = pieceInventory(spark, sfDir, wf, vocabWords)
+    val pieces = pieceInventory(spark, wf, vocabWords)
     val np = wf.select($"word").as[String]
       .map(w => (w, encodeWord(w, pieces).map(_.length).getOrElse(1).toLong))
       .toDF("word", "n_pieces")
