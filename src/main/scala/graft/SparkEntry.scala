@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules, DomainReweight}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules, DomainReweight, Blocklist, Divergence}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -53,6 +53,9 @@ object SparkEntry {
     "q_source_overlap" -> (Dedup.sourceOverlap _),
     "q_tokenizer_fertility" -> ((s: SparkSession, d: String) => graft.functions.WordPiece.fertility(s, d)),
     "q_mixture_budget" -> ((s: SparkSession, d: String) => Sampling.mixtureBudget(s, d)),
+    "q_blocklist_scrub" -> ((s: SparkSession, d: String) => Blocklist.blocklistReport(s, d)),
+    "q_embedding_drift" -> ((s: SparkSession, d: String) => Divergence.embeddingDrift(s, d)),
+    "q_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     // exact complete mining as a block-pair equi-join (1-Bucket-Theta);
     // the sub-quadratic banded-LSH miner is its own gate below
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
@@ -378,6 +381,9 @@ object SparkEntry {
     "q_source_overlap" -> Dedup.sourceOverlapSql,
     "q_tokenizer_fertility" -> graft.functions.WordPiece.fertilitySql(),
     "q_mixture_budget" -> Sampling.mixtureBudgetSql(),
+    "q_blocklist_scrub" -> Blocklist.blocklistReportSql(),
+    "q_embedding_drift" -> Divergence.embeddingDriftSql(),
+    "q_zipf_slope" -> TextAnalysis.zipfSlopeSql(),
     // SQ8 + 4× oversampled exact re-rank recovers the exact top-k on
     // this corpus (verified at every SF) — gated against the same
     // brute-force oracle, which would catch any quantization drift

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -208,4 +208,115 @@ object Divergence {
        |FROM d JOIN m ON d.source = m.source AND d.diff = m.ks_d
        |GROUP BY 1, 2, 3, 4
        |ORDER BY d.source""".stripMargin
+
+  // ---- embedding-distribution drift (diagonal Fréchet) -------------------
+
+  /** Per-label embedding-distribution drift from the corpus: the
+    * diagonal-covariance Fréchet distance (the FID formula of Heusel et
+    * al. 2017 restricted to diagonal Σ — standard practice when full
+    * covariance is unaffordable or ill-conditioned),
+    *   d² = Σ_dim (μ_l − μ_c)² + σ_l² + σ_c² − 2·σ_l·σ_c.
+    * The scalar drift family (KS / KL / χ² / PSI) covers scalar slices;
+    * this is the member for EMBEDDING columns — class-conditional
+    * distribution shift, stale-encoder detection, per-shard vector
+    * drift.
+    *
+    * Cross-engine exactness: vectors are quantized first (floor(x ·
+    * 2¹⁰) as BIGINT — the [[Clustering]] recipe: float→double exact,
+    * power-of-two scale exact), per-(label, dim) n/Σq/Σq² are exact
+    * integer aggregates (Σq² decimal-routed — BIGINT would saturate
+    * near 10¹¹ vectors), and the per-dim term is IEEE arithmetic on
+    * those exact integers: casts, divides, multiplies and sqrt are all
+    * correctly-rounded operations, so both engines floor the SAME
+    * double at e9 and the per-label sum is order-independent integer
+    * addition. `greatest(var, 0)` guards the σ² ≈ 0 rounding corner
+    * where the two-moment form can dip epsilon-negative.
+    *
+    * Scale: one corpus×dim posexplode into a (label, dim)-keyed
+    * map-side-combined aggregate; everything after is labels × dims
+    * rows (the corpus moments DERIVE from the per-label ones — no
+    * second corpus pass). The μ_c/σ_c frame broadcasts. */
+  def embeddingDrift(spark: SparkSession, sfDir: String,
+      scale: Int = 1024): DataFrame =
+    embeddingDriftOf(Tables.embeddings(spark, sfDir), scale)
+
+  /** Same, over any (label, embedding) frame — the testable core. */
+  def embeddingDriftOf(vecs: DataFrame, scale: Int = 1024): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val vd = vecs
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"label", $"dim",
+        floor($"x".cast("double") * scale).cast("long").as("q"))
+    // pinned ONCE (the sourceOverlap discipline): both the join's left
+    // side and the derived corpus moments consume this frame; without
+    // the pin each consumer re-runs the corpus×dim explode (two scan
+    // towers, measured). The pinned frame is labels × dims rows.
+    val per = vd.groupBy($"label", $"dim").agg(
+      count(lit(1)).as("n_l"),
+      sum($"q").as("s1_l"),
+      sum(($"q" * $"q").cast("decimal(38,0)")).as("s2_l"))
+      .localCheckpoint(true)
+    // corpus moments derive from the per-label frame — labels×dims rows
+    val g = per.groupBy($"dim").agg(
+      sum($"n_l").as("n_g"), sum($"s1_l").as("s1_g"), sum($"s2_l").as("s2_g"))
+    def mu(s1: Column, n: Column): Column = s1.cast("double") / n.cast("double")
+    def vr(s2: Column, n: Column, m: Column): Column =
+      greatest(s2.cast("double") / n.cast("double") - m * m, lit(0.0))
+    val muL = mu($"s1_l", $"n_l"); val muG = mu($"s1_g", $"n_g")
+    val vrL = vr($"s2_l", $"n_l", muL); val vrG = vr($"s2_g", $"n_g", muG)
+    val term = (muL - muG) * (muL - muG) + vrL + vrG - lit(2.0) * sqrt(vrL * vrG)
+    per.join(broadcast(g), "dim")
+      .select($"label", $"n_l",
+        floor(term * lit(1e9)).cast("long").as("term_e9"))
+      .groupBy($"label")
+      .agg(max($"n_l").cast("long").as("n_vecs"),
+        sum($"term_e9").as("frechet_e9"))
+      .select($"label", $"n_vecs", $"frechet_e9",
+        ($"frechet_e9".cast("double") / lit(1e9)).as("frechet_sq"))
+      .orderBy($"label")
+  }
+
+  /** DuckDB replay: identical quantization, identical two-moment
+    * formula; Σq² goes through HUGEINT (the decimal(38) twin). */
+  def embeddingDriftSql(scale: Int = 1024, dim: Int = 64): String =
+    s"""WITH vd AS (
+       |  SELECT label, i - 1 AS dim,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS q
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) dd),
+       |per AS (
+       |  SELECT label, dim, COUNT(*) AS n_l,
+       |         CAST(SUM(q) AS BIGINT) AS s1_l,
+       |         SUM(CAST(q AS HUGEINT) * q) AS s2_l
+       |  FROM vd GROUP BY 1, 2),
+       |g AS (
+       |  SELECT dim, CAST(SUM(n_l) AS BIGINT) AS n_g,
+       |         CAST(SUM(s1_l) AS BIGINT) AS s1_g, SUM(s2_l) AS s2_g
+       |  FROM per GROUP BY 1),
+       |terms AS (
+       |  SELECT p.label, p.n_l,
+       |         CAST(floor((
+       |           (CAST(p.s1_l AS DOUBLE) / CAST(p.n_l AS DOUBLE)
+       |              - CAST(g.s1_g AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+       |           * (CAST(p.s1_l AS DOUBLE) / CAST(p.n_l AS DOUBLE)
+       |              - CAST(g.s1_g AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+       |           + greatest(CAST(p.s2_l AS DOUBLE) / CAST(p.n_l AS DOUBLE)
+       |               - (CAST(p.s1_l AS DOUBLE) / CAST(p.n_l AS DOUBLE))
+       |                 * (CAST(p.s1_l AS DOUBLE) / CAST(p.n_l AS DOUBLE)), 0.0)
+       |           + greatest(CAST(g.s2_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+       |               - (CAST(g.s1_g AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+       |                 * (CAST(g.s1_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)), 0.0)
+       |           - 2.0 * sqrt(
+       |               greatest(CAST(p.s2_l AS DOUBLE) / CAST(p.n_l AS DOUBLE)
+       |                 - (CAST(p.s1_l AS DOUBLE) / CAST(p.n_l AS DOUBLE))
+       |                   * (CAST(p.s1_l AS DOUBLE) / CAST(p.n_l AS DOUBLE)), 0.0)
+       |               * greatest(CAST(g.s2_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+       |                 - (CAST(g.s1_g AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+       |                   * (CAST(g.s1_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)), 0.0))
+       |         ) * 1e9) AS BIGINT) AS term_e9
+       |  FROM per p JOIN g ON g.dim = p.dim)
+       |SELECT label, CAST(max(n_l) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(term_e9) AS BIGINT) AS frechet_e9,
+       |       CAST(SUM(term_e9) AS DOUBLE) / 1e9 AS frechet_sq
+       |FROM terms GROUP BY label ORDER BY label""".stripMargin
 }

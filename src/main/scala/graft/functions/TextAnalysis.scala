@@ -668,4 +668,108 @@ object TextAnalysis {
        |CROSS JOIN nu CROSS JOIN nb
        |ORDER BY pmi_e9 DESC, bg
        |LIMIT $k""".stripMargin
+
+  // ---- Zipf rank-frequency slope ------------------------------------------
+
+  /** Per-source Zipf slope: the OLS fit of ln(frequency) on ln(rank)
+    * over each source's top `topRanks` words (Zipf 1949; natural text
+    * sits near −1 — a much flatter or steeper slope flags templated,
+    * machine-generated or spam-heavy sources, and R² flags bimodal
+    * boilerplate+text mixes). The vocabulary-statistics sibling of
+    * [[graft.functions.WordPiece.fertility]].
+    *
+    * Cross-engine exactness: each ln is floored to an e9 BIGINT first
+    * (the PMI discipline — one ulp of libm drift moves a floor with
+    * probability ~1e-9 per distinct value, and nothing downstream
+    * amplifies it), then the OLS moments Σx, Σy, Σxy, Σxx and the
+    * slope's numerator/denominator n·Σxy − Σx·Σy are EXACT decimal
+    * integer arithmetic. The final ratio is one correctly-rounded
+    * decimal→double cast per side and one IEEE division — identical in
+    * both engines. slope_e9 = floor(num/den · 1e9); r2_e9 = floor(num²/
+    * (den·(n·Σyy − Σy²)) · 1e9).
+    *
+    * Scale: one corpus explode into the (source, word)-keyed count
+    * (map-side combined); ranking is a window PARTITIONED BY SOURCE
+    * over the vocabulary-sized frame (never corpus rows); the fit
+    * itself is `topRanks` rows per source. Output: one row per source. */
+  def zipfSlope(spark: SparkSession, sfDir: String,
+      topRanks: Int = 256): DataFrame =
+    zipfSlopeOf(Tables.documents(spark, sfDir), topRanks)
+
+  /** Same, over any (source, text) frame — the testable core. */
+  def zipfSlopeOf(docs: DataFrame, topRanks: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sw = docs
+      .select($"source", explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("word"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+    val ranked = sw
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"source").orderBy($"cnt".desc, $"word".asc)))
+      .filter($"r" <= topRanks)
+      .select($"source",
+        floor(log($"r".cast("double")) * lit(1e9)).cast("long").as("x"),
+        floor(log($"cnt".cast("double")) * lit(1e9)).cast("long").as("y"))
+    // exact decimal moments: |x| < 6.4e9 (ln topRanks ≤ 1e4), |y| < 4e10
+    // (ln of any BIGINT count) — products bounded by decimal(25,0)
+    val stats = ranked.groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("decimal(20,0)")).as("sx"),
+      sum($"y".cast("decimal(20,0)")).as("sy"),
+      sum(($"x".cast("decimal(12,0)") * $"y".cast("decimal(12,0)"))).as("sxy"),
+      sum(($"x".cast("decimal(12,0)") * $"x".cast("decimal(12,0)"))).as("sxx"),
+      sum(($"y".cast("decimal(12,0)") * $"y".cast("decimal(12,0)"))).as("syy"))
+    val n = $"n".cast("decimal(10,0)")
+    val num = (n * $"sxy" - $"sx" * $"sy").cast("double")
+    val den = (n * $"sxx" - $"sx" * $"sx").cast("double")
+    val deny = (n * $"syy" - $"sy" * $"sy").cast("double")
+    stats.select($"source", $"n".cast("long").as("n_terms"),
+        when(den > 0.0, floor(num / den * lit(1e9)).cast("long"))
+          .as("slope_e9"),
+        when(den > 0.0 && deny > 0.0,
+          floor(num * num / (den * deny) * lit(1e9)).cast("long"))
+          .as("r2_e9"))
+      .orderBy($"source")
+  }
+
+  /** DuckDB replay: identical quantized-ln OLS; exact moments through
+    * HUGEINT (the decimal twin). */
+  def zipfSlopeSql(topRanks: Int = 256): String =
+    s"""WITH sw AS (
+       |  SELECT source, word, COUNT(*) AS cnt
+       |  FROM (SELECT source,
+       |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT source,
+       |         CAST(floor(ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+       |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT) AS y
+       |  FROM (SELECT source, cnt,
+       |               row_number() OVER (PARTITION BY source
+       |                   ORDER BY cnt DESC, word ASC) AS r
+       |        FROM sw)
+       |  WHERE r <= $topRanks),
+       |stats AS (
+       |  SELECT source, COUNT(*) AS n,
+       |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |         SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM ranked GROUP BY 1)
+       |SELECT source, CAST(n AS BIGINT) AS n_terms,
+       |       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0 THEN
+       |         CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       |                    / CAST(n * sxx - sx * sx AS DOUBLE) * 1e9) AS BIGINT)
+       |       END AS slope_e9,
+       |       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+       |             AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0 THEN
+       |         CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       |                    * CAST(n * sxy - sx * sy AS DOUBLE)
+       |                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |                       * CAST(n * syy - sy * sy AS DOUBLE)) * 1e9) AS BIGINT)
+       |       END AS r2_e9
+       |FROM stats ORDER BY source""".stripMargin
 }
