@@ -70,7 +70,10 @@ object ScaleSoak {
     "q_curriculum",          // banded interleave (rows ×m; per-shard windows only)
     "q_source_overlap",      // source-pair matrix (rows = base pair set at every m)
     "q_tokenizer_fertility", // pieces/word per source (rows = #sources at every m)
-    "q_mixture_budget")      // sqrt-temperature allocation (rows = #sources at every m)
+    "q_mixture_budget",      // sqrt-temperature allocation (rows = #sources at every m)
+    "q_blocklist_scrub",     // one automaton pass/doc (rows = #patterns at every m; counts ×m)
+    "q_embedding_drift",     // corpus×dim explode → labels×dims moments (rows = #labels)
+    "q_zipf_slope")          // vocab ranking + per-source OLS (rows = #sources)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -155,6 +158,17 @@ object ScaleSoak {
           SparkEntry.queries("q_hard_negatives")(spark, dir)
             .filter(col("rank") === 1).orderBy("query_id")
             .collect().toSeq.map(r => s"${r.getLong(0)}:${r.getDouble(3)}")
+      // full blocklist report (12 rows) for the per-pattern linearity
+      // invariant below
+      if (soakQueries.contains("q_blocklist_scrub"))
+        oneRow(("q_blocklist_scrub", m)) =
+          SparkEntry.queries("q_blocklist_scrub")(spark, dir)
+            .collect().toSeq.map(r =>
+              s"${r.getString(0)}|${r.getLong(1)}|${r.getLong(2)}")
+      if (soakQueries.contains("q_zipf_slope"))
+        oneRow(("q_zipf_slope", m)) =
+          SparkEntry.queries("q_zipf_slope")(spark, dir)
+            .collect().toSeq.map(r => String.valueOf(r.get(2)))
     }
 
     // ---- correctness-at-scale invariants (loud failure, not just
@@ -218,10 +232,38 @@ object ScaleSoak {
           "q_dp_release", "q_mixture_report", "q_dedup_funnel",
           "q_tfidf_terms", "q_bootstrap_ci", "q_knn_ivfpq",
           "q_domain_reweight", "q_hard_negatives", "q_source_overlap",
-          "q_tokenizer_fertility", "q_mixture_budget")
+          "q_tokenizer_fertility", "q_mixture_budget",
+          "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
+      // blocklist per-pattern linearity is STRUCTURAL under the s4
+      // word-suffix salt: the salt appends [q0-9]+ to every word, no
+      // pattern contains 'q' or a digit, and single-word patterns match
+      // strictly inside word prefixes — so each replica reproduces the
+      // base corpus's within-word matches exactly (n_docs and n_hits
+      // scale ×m), while the one phrase pattern ("table table") can
+      // only ever match in replica 0 (the salt breaks the space join),
+      // so its counts are m-INVARIANT
+      (oneRow.get(("q_blocklist_scrub", m0)), oneRow.get(("q_blocklist_scrub", m))) match {
+        case (Some(b), Some(c)) =>
+          b.zip(c).foreach { case (bs, cs) =>
+            val Array(bp, bd, bh) = bs.split('|'); val Array(cp, cd, ch) = cs.split('|')
+            require(bp == cp, s"soak invariant: blocklist pattern order at m=$m")
+            if (bp.contains(' '))
+              require(bd == cd && bh == ch,
+                s"soak invariant: phrase '$bp' counts moved at m=$m: $cs vs $bs")
+            else
+              require(cd.toLong * m0 == bd.toLong * m && ch.toLong * m0 == bh.toLong * m,
+                s"soak invariant: pattern '$bp' not ×$m/$m0 at m=$m: $cs vs $bs")
+          }
+        case _ => ()
+      }
+      // zipf: every source's slope stays strictly negative at every m
+      // (the salt multiplies the vocabulary, it doesn't invert the law)
+      oneRow.get(("q_zipf_slope", m)).foreach(slopes =>
+        require(slopes.forall(s => s != "null" && s.toLong < 0L),
+          s"soak invariant: non-negative zipf slope at m=$m: $slopes"))
       // unigram model contract booleans (cols 2..5: covers_all_chars,
       // vocab_size_le_max, logp_negative, piece_len_le_max) must hold
       // at every scale — vocab stays bounded no matter how the
