@@ -73,7 +73,8 @@ object ScaleSoak {
     "q_mixture_budget",      // sqrt-temperature allocation (rows = #sources at every m)
     "q_blocklist_scrub",     // one automaton pass/doc (rows = #patterns at every m; counts ×m)
     "q_embedding_drift",     // corpus×dim explode → labels×dims moments (rows = #labels)
-    "q_zipf_slope")          // vocab ranking + per-source OLS (rows = #sources)
+    "q_zipf_slope",          // vocab ranking + per-source OLS (rows = #sources)
+    "q_hll_distinct")        // 256-register sketch (rows = #sources; 3σ tracking at every m)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -169,6 +170,11 @@ object ScaleSoak {
         oneRow(("q_zipf_slope", m)) =
           SparkEntry.queries("q_zipf_slope")(spark, dir)
             .collect().toSeq.map(r => String.valueOf(r.get(2)))
+      if (soakQueries.contains("q_hll_distinct"))
+        oneRow(("q_hll_distinct", m)) =
+          SparkEntry.queries("q_hll_distinct")(spark, dir)
+            .collect().toSeq.map(r =>
+              s"${r.getString(0)}|${r.getLong(2)}|${r.getLong(3)}")
     }
 
     // ---- correctness-at-scale invariants (loud failure, not just
@@ -233,7 +239,8 @@ object ScaleSoak {
           "q_tfidf_terms", "q_bootstrap_ci", "q_knn_ivfpq",
           "q_domain_reweight", "q_hard_negatives", "q_source_overlap",
           "q_tokenizer_fertility", "q_mixture_budget",
-          "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope")
+          "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope",
+          "q_hll_distinct")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
@@ -264,6 +271,16 @@ object ScaleSoak {
       oneRow.get(("q_zipf_slope", m)).foreach(slopes =>
         require(slopes.forall(s => s != "null" && s.toLong < 0L),
           s"soak invariant: non-negative zipf slope at m=$m: $slopes"))
+      // HLL: the estimate must TRACK the growing truth at every m —
+      // per-source distinct vocabulary grows ~×m under the salt, and
+      // the fixed 256-register sketch has to stay inside 3σ (19.5 %
+      // relative) of the exact count as the registers saturate
+      oneRow.get(("q_hll_distinct", m)).foreach(rowsStr =>
+        rowsStr.foreach { s =>
+          val Array(src, truth, est) = s.split('|')
+          require(math.abs(est.toLong - truth.toLong).toDouble / truth.toLong <= 0.195,
+            s"soak invariant: hll estimate off > 3σ at m=$m source $src: est=$est true=$truth")
+        })
       // unigram model contract booleans (cols 2..5: covers_all_chars,
       // vocab_size_le_max, logp_negative, piece_len_le_max) must hold
       // at every scale — vocab stays bounded no matter how the

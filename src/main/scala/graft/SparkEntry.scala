@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules, DomainReweight, Blocklist, Divergence}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules, DomainReweight, Blocklist, Divergence, Hll}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -56,6 +56,7 @@ object SparkEntry {
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => Blocklist.blocklistReport(s, d)),
     "q_embedding_drift" -> ((s: SparkSession, d: String) => Divergence.embeddingDrift(s, d)),
     "q_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "q_hll_distinct" -> ((s: SparkSession, d: String) => Hll.distinctSketch(s, d)),
     // exact complete mining as a block-pair equi-join (1-Bucket-Theta);
     // the sub-quadratic banded-LSH miner is its own gate below
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
@@ -384,6 +385,7 @@ object SparkEntry {
     "q_blocklist_scrub" -> Blocklist.blocklistReportSql(),
     "q_embedding_drift" -> Divergence.embeddingDriftSql(),
     "q_zipf_slope" -> TextAnalysis.zipfSlopeSql(),
+    "q_hll_distinct" -> Hll.distinctSketchSql(),
     // SQ8 + 4× oversampled exact re-rank recovers the exact top-k on
     // this corpus (verified at every SF) — gated against the same
     // brute-force oracle, which would catch any quantization drift

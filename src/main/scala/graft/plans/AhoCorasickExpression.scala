@@ -172,6 +172,19 @@ case class BlocklistCounts(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+object BlocklistCounts {
+  /** SQL-surface builder: `blocklist_counts(text, array('p1', ...))` —
+    * the pattern array must be a literal (it parameterizes the
+    * automaton built at plan time). */
+  def fromSql(es: Seq[Expression]): Expression = {
+    require(es.length == 2, "blocklist_counts(text, patterns) takes 2 arguments")
+    require(es(1).foldable, "blocklist_counts: patterns must be a literal array")
+    val arr = es(1).eval().asInstanceOf[ArrayData]
+    val pats = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    BlocklistCounts(es(0), pats)
+  }
+}
+
 object AhoCorasickExpression {
   /** Column API: per-pattern leftmost non-overlapping match counts. */
   def blocklistCounts(text: Column, patterns: Seq[String]): Column =

@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `minhash_sig(array<bigint>) → array<bigint>` (64 hashes)
   *  - `sorted_intersect_size(array<string>, array<string>) → int`
   *  - `sorted_shingles(array<string>) → array<string>` (3-gram, sorted, distinct)
+  *  - `ngrams(array<string>, n, distinct) → array<string>`
+  *  - `blocklist_counts(string, array<string> literal) → array<bigint>`
   *
   * Two registration paths, matching how Spark libraries ship:
   * [[GraftFunctions.register]] for an existing session (temp
@@ -25,7 +27,8 @@ object GraftFunctions {
     ("minhash_sig", es => MinHashSignature(es.head, 64)),
     ("sorted_intersect_size", es => SortedIntersectSize(es(0), es(1))),
     ("sorted_shingles", es => SortedShingles(es.head)),
-    ("ngrams", NGrams.fromSql _))
+    ("ngrams", NGrams.fromSql _),
+    ("blocklist_counts", BlocklistCounts.fromSql _))
 
   /** Register as session temp functions (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -52,5 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
       NGrams.fromSql _))
+    e.injectFunction((FunctionIdentifier("blocklist_counts"),
+      new ExpressionInfo(classOf[BlocklistCounts].getName, "blocklist_counts"),
+      BlocklistCounts.fromSql _))
   }
 }

@@ -73,6 +73,14 @@ class BlocklistSpec extends SparkSuite {
     assert(rep.find(_.getAs[String]("pattern") == "a").get.getAs[Long]("n_hits") > 0L)
   }
 
+  test("SQL surface: blocklist_counts registered and matching the Column API") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT blocklist_counts('scan a can', array('a','an','can','scan')) AS c")
+      .collect().head.getAs[scala.collection.Seq[Long]]("c")
+    assert(r.toSeq == Seq(3L, 2L, 2L, 1L))
+  }
+
   test("blocklist expression stays inside whole-stage codegen") {
     val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(blocklistCounts(lower($"text"), Blocklist.DefaultPatterns).as("c"))
