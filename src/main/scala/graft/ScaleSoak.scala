@@ -74,7 +74,8 @@ object ScaleSoak {
     "q_blocklist_scrub",     // one automaton pass/doc (rows = #patterns at every m; counts ×m)
     "q_embedding_drift",     // corpus×dim explode → labels×dims moments (rows = #labels)
     "q_zipf_slope",          // vocab ranking + per-source OLS (rows = #sources)
-    "q_hll_distinct")        // 256-register sketch (rows = #sources; 3σ tracking at every m)
+    "q_hll_distinct",        // 256-register sketch (rows = #sources; 3σ tracking at every m)
+    "q_ddsketch_quantiles")  // log-γ quantile sketch (rows = 3·#sources; α bound at every m)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -175,6 +176,11 @@ object ScaleSoak {
           SparkEntry.queries("q_hll_distinct")(spark, dir)
             .collect().toSeq.map(r =>
               s"${r.getString(0)}|${r.getLong(2)}|${r.getLong(3)}")
+      if (soakQueries.contains("q_ddsketch_quantiles"))
+        oneRow(("q_ddsketch_quantiles", m)) =
+          SparkEntry.queries("q_ddsketch_quantiles")(spark, dir)
+            .collect().toSeq.map(r =>
+              s"${r.getString(0)}|${r.getString(1)}|${r.getAs[Boolean]("within_bound")}")
     }
 
     // ---- correctness-at-scale invariants (loud failure, not just
@@ -240,7 +246,7 @@ object ScaleSoak {
           "q_domain_reweight", "q_hard_negatives", "q_source_overlap",
           "q_tokenizer_fertility", "q_mixture_budget",
           "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope",
-          "q_hll_distinct")
+          "q_hll_distinct", "q_ddsketch_quantiles")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
@@ -280,6 +286,15 @@ object ScaleSoak {
           val Array(src, truth, est) = s.split('|')
           require(math.abs(est.toLong - truth.toLong).toDouble / truth.toLong <= 0.195,
             s"soak invariant: hll estimate off > 3σ at m=$m source $src: est=$est true=$truth")
+        })
+      // DDSketch: the α relative-error bound (vs the exact rank item,
+      // recomputed per dir) must hold for every (source, quantile) at
+      // every m — n_chars replicates verbatim, so the value multisets
+      // scale ×m and the log-γ bins are the structural constant
+      oneRow.get(("q_ddsketch_quantiles", m)).foreach(rowsStr =>
+        rowsStr.foreach { s =>
+          require(s.endsWith("|true"),
+            s"soak invariant: ddsketch α bound broken at m=$m: $s")
         })
       // unigram model contract booleans (cols 2..5: covers_all_chars,
       // vocab_size_le_max, logp_negative, piece_len_le_max) must hold

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules, DomainReweight, Blocklist, Divergence, Hll}
+import graft.functions.{Dedup, TextAnalysis, Similarity, Multimodal, Sampling, Pii, Perplexity, Dsir, GopherRules, DomainReweight, Blocklist, Divergence, Hll, DdSketch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator family in SURVEY §2 is exposed as a named query with a
@@ -57,6 +57,7 @@ object SparkEntry {
     "q_embedding_drift" -> ((s: SparkSession, d: String) => Divergence.embeddingDrift(s, d)),
     "q_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "q_hll_distinct" -> ((s: SparkSession, d: String) => Hll.distinctSketch(s, d)),
+    "q_ddsketch_quantiles" -> ((s: SparkSession, d: String) => DdSketch.quantileSketch(s, d)),
     // exact complete mining as a block-pair equi-join (1-Bucket-Theta);
     // the sub-quadratic banded-LSH miner is its own gate below
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
@@ -386,6 +387,7 @@ object SparkEntry {
     "q_embedding_drift" -> Divergence.embeddingDriftSql(),
     "q_zipf_slope" -> TextAnalysis.zipfSlopeSql(),
     "q_hll_distinct" -> Hll.distinctSketchSql(),
+    "q_ddsketch_quantiles" -> DdSketch.quantileSketchSql(),
     // SQ8 + 4× oversampled exact re-rank recovers the exact top-k on
     // this corpus (verified at every SF) — gated against the same
     // brute-force oracle, which would catch any quantization drift
