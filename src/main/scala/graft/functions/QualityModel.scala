@@ -56,7 +56,7 @@ object QualityModel {
     * so only the broadcast weight frame and the D+1-row gradient
     * aggregate grow — both still model-sized. */
   val Dim = 8192
-  val Iters = 8
+  val Iters = 16
   val LrDen = 16 // step = floor(gradient / (LrDen · n))
   private val Micro = 1000000L
 
