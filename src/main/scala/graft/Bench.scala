@@ -453,12 +453,18 @@ object Bench {
         val prev = scala.io.Source.fromFile(ledger)
         val txt = try prev.mkString finally prev.close()
         val prevContended = txt.contains("\"contended\":true")
-        val prevTotal = "\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+        // anchored to the headline metric — a bare "value": match would
+        // silently read whichever field serializes first
+        val prevTotal =
+          "\"metric\":\"total\",\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
         val qKeys = "\"(q_[A-Za-z0-9_]+)\":".r
         val prevQs = qKeys.findAllMatchIn(txt).map(_.group(1)).toSet
         val curQs = results.keysIterator.filter(_.startsWith("q_")).toSet
-        prevContended || (curQs -- prevQs).nonEmpty || total <= prevTotal
+        // ANY surface difference (grown OR shrunk) makes the totals
+        // incomparable — adopt; only a same-surface run must beat the
+        // ledger
+        prevContended || curQs != prevQs || total <= prevTotal
       }
     }
     if (adopt) {

@@ -46,13 +46,20 @@ object DdSketch {
   val Quantiles: Seq[(String, Double)] =
     Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
 
+  /** Scalar bin form — bin(x) = ⌈ln x / ln γ⌉ for one positive value —
+    * the SQL-surface building block (registered as `ddsketch_bin`): a
+    * SQL-first user builds the sketch with plain
+    * `GROUP BY source, ddsketch_bin(x) → COUNT(*)` and merges shards
+    * by bin-wise count addition, no Scala API needed. */
+  def binCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ceil(log(x.cast("double")) / lit(LnGamma)).cast("int")
+
   /** Per-source (bin, cnt) table over a positive value column — the
     * persistable, mergeable sketch state. */
   private[graft] def sketchOf(vals: DataFrame): DataFrame = {
     import vals.sparkSession.implicits._
     vals.filter($"x" > 0)
-      .groupBy($"source",
-        ceil(log($"x".cast("double")) / lit(LnGamma)).cast("int").as("bin"))
+      .groupBy($"source", binCol($"x").as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -83,12 +90,20 @@ object DdSketch {
       * lit(1e6)).cast("long")
     // the guarantee is against the rank-r ORDER STATISTIC (the item the
     // bin walk addresses), not an interpolated percentile — audit that
-    // exact item (the one per-group sort the sketch exists to replace)
-    val ordered = vals.filter($"x" > 0).withColumn("rn",
-      row_number().over(Window.partitionBy($"source").orderBy($"x")))
+    // exact item (the one per-group sort the sketch exists to replace).
+    // The ordered side is explicitly re-aliased: both frames descend
+    // from the same `vals` lineage, so joining on `source === source`
+    // would carry one exprId on both sides (Spark resolves it only via
+    // dataset-id disambiguation tags, logging a "trivially true equals
+    // predicate" WARN, and a plan-rebuilding refactor would silently
+    // degrade the condition).
+    val ordered = vals.filter($"x" > 0)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"source").orderBy($"x")))
+      .select($"source".as("o_source"), $"x", $"rn")
     binq
-      .join(ordered, binq("source") === ordered("source") && $"rn" === $"r")
-      .select(binq("source"), $"pct", $"n", $"bin", est.as("est_e6"),
+      .join(ordered, $"source" === $"o_source" && $"rn" === $"r")
+      .select($"source", $"pct", $"n", $"bin", est.as("est_e6"),
         $"x".cast("double").as("true_q"))
       .withColumn("within_bound",
         abs($"est_e6".cast("double") / lit(1e6) - $"true_q")

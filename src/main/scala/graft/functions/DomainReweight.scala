@@ -61,7 +61,12 @@ object DomainReweight {
     * loss, and the e9 weight after each of the [[Rounds]] updates. */
   def domainReweight(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Perplexity.score restores zero-bigram docs as n_bigrams = 0 rows;
+    // the oracle's per_doc CTE (inner-joined) never contains them, so
+    // they must not inflate n_docs here — exclude them before grouping
+    // (they carry no loss mass either way).
     val perDoc = Perplexity.score(spark, sfDir)
+      .filter($"n_bigrams" > 0)
       .select($"doc_id", $"n_bigrams", $"nll_e9")
     val bySource = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source")

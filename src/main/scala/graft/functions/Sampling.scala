@@ -296,11 +296,19 @@ object Sampling {
       .agg(sum(size(split(trim(lower($"text")), "\\s+"))).cast("long").as("n_tokens"))
       .withColumn("s_e3", floor(sqrt($"n_tokens".cast("double")) * 1e3).cast("long"))
     val tot = tok.agg(sum($"s_e3").cast("long").as("tot"))
+    // weight_e9 reaches 1e9 and realistic budgets reach 1e11–1e13
+    // tokens, so the products overflow BIGINT — route them through
+    // decimal(38,0) (the zipfSlope/HLL 128-bit discipline; HUGEINT in
+    // the oracle), floor-div back to BIGINT.
     tok.crossJoin(broadcast(tot))
       .select($"source", $"n_tokens",
         expr("s_e3 * 1000000000 div tot").as("weight_e9"))
-      .withColumn("alloc_tokens", expr(s"weight_e9 * $budgetTokens div 1000000000"))
-      .withColumn("epochs_e6", expr("alloc_tokens * 1000000 div n_tokens"))
+      .withColumn("alloc_tokens",
+        expr(s"cast((cast(weight_e9 as decimal(38,0)) * $budgetTokens)" +
+          " div 1000000000 as bigint)"))
+      .withColumn("epochs_e6",
+        expr("cast((cast(alloc_tokens as decimal(38,0)) * 1000000)" +
+          " div n_tokens as bigint)"))
       .orderBy($"source")
   }
 
@@ -320,10 +328,10 @@ object Sampling {
        |  FROM s, t),
        |a AS (
        |  SELECT source, n_tokens, weight_e9,
-       |         weight_e9 * $budgetTokens // 1000000000 AS alloc_tokens
+       |         CAST(CAST(weight_e9 AS HUGEINT) * $budgetTokens // 1000000000 AS BIGINT) AS alloc_tokens
        |  FROM w)
        |SELECT source, n_tokens, weight_e9, alloc_tokens,
-       |       alloc_tokens * 1000000 // n_tokens AS epochs_e6
+       |       CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS epochs_e6
        |FROM a
        |ORDER BY source""".stripMargin
 

@@ -180,7 +180,17 @@ object BlocklistCounts {
     require(es.length == 2, "blocklist_counts(text, patterns) takes 2 arguments")
     require(es(1).foldable, "blocklist_counts: patterns must be a literal array")
     val arr = es(1).eval().asInstanceOf[ArrayData]
-    val pats = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    // validate elements here so malformed literals fail at ANALYSIS time
+    // with a clear message, not at first executor/codegen use (NULL
+    // element → NPE; empty string → AcAutomaton's runtime require)
+    val pats = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i),
+        s"blocklist_counts: pattern element $i is NULL — patterns must be non-null strings")
+      val p = arr.getUTF8String(i).toString
+      require(p.nonEmpty,
+        s"blocklist_counts: pattern element $i is empty — patterns must be non-empty")
+      p
+    }
     BlocklistCounts(es(0), pats)
   }
 }
