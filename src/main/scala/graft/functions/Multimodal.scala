@@ -8,42 +8,150 @@ import graft.sources.Tables
   * payloads with typed metadata, plus batch decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic fake ([[FakeCodec]]); everything around
-  * it — schema (binary payload + metadata struct), partition-parallel
-  * batch processing via `mapPartitions` over a typed Dataset (the Scala
-  * analog of `mapInPandas`: one iterator per partition, amortized
-  * per-batch setup), output schema, and the oracle-checked metadata
-  * projection — is real Spark plumbing as it would ship.
+  * Decode is REAL for two of the three modalities (r8 verdict #3):
+  *  - image: deterministic grayscale PNGs are staged from the corpus
+  *    bytes ([[PngCodec.encode]]) and decoded back through
+  *    `javax.imageio` — true width/height/pixel luma, zero new
+  *    dependencies.
+  *  - audio: 8-bit PCM mono WAVs are staged ([[WavCodec.encode]]) and
+  *    decoded through `javax.sound.sampled` — true frame counts and
+  *    sample bytes.
+  *  - video: the JDK ships no video codec, so video geometry/frame
+  *    counts remain SYNTHETIC payload-length functions ([[FakeCodec]],
+  *    clearly marked at every gated use).
   *
-  * Scale: payloads stay opaque bytes end-to-end (no driver collect, no
-  * row-by-row codec spin-up); decode parallelism = partition count, and
-  * a `repartition(n)` before the map is the knob for codec-bound stages.
+  * The oracle strategy: the ENCODER's parameters (dimensions, pixel
+  * layout, sample layout) are pure integer functions of the source
+  * bytes, so plain SQL can recompute what a correct decode must
+  * return, while the Spark side actually round-trips the container
+  * format — the hash gate then proves encode→decode fidelity, not
+  * just formula agreement.
+  *
+  * Batch shape: decode runs in `mapPartitions` over a typed Dataset
+  * (the Scala analog of `mapInPandas`: one iterator per partition,
+  * per-partition codec setup amortized); payloads never hit the
+  * driver, and decode parallelism = partition count.
   */
 object Multimodal {
 
   /** One media row: payload is the raw bytes of the asset. */
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Decoded features per asset (width/height/frames are fake-decoded). */
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-    width: Int, height: Int, n_frames: Int, checksum: Long)
+  /** One staged asset: payload is the ENCODED container bytes (PNG for
+    * image, WAV for audio, raw for video); src_bytes is the typed
+    * metadata a real media table carries alongside the blob. */
+  case class MediaAsset(media_id: Long, kind: String, src_bytes: Int,
+    payload: Array[Byte])
 
-  /** STUB — deterministic fake codec. A real deployment replaces this
-    * object (only this object) with e.g. a JNI image decoder; the
-    * surrounding Dataset plumbing is unchanged. The fake derives
-    * "decoded" properties from the bytes so tests are reproducible. */
+  /** Decoded per-asset features. For image rows width/height/luma_sum
+    * come from a real `javax.imageio` decode; for audio rows n_frames
+    * comes from a real `javax.sound.sampled` decode; video rows are
+    * the documented synthetic path ([[FakeCodec]]). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+    width: Int, height: Int, n_frames: Long, luma_sum: Option[Long])
+
+  /** dHash geometry: a 6×11 luma grid → 6×10 = 60 horizontal-gradient
+    * bits, folded into one non-negative BIGINT (the same 60-bit budget
+    * as [[Dedup.simhashBits]] — bit 63 stays clear of the sign). */
+  val dhashRows = 6
+  val dhashCols = 11
+  val dhashBits: Int = dhashRows * (dhashCols - 1)
+  val gridCells: Int = dhashRows * dhashCols
+
+  /** Deterministic grayscale-PNG codec over `javax.imageio` — the real
+    * image modality. Encoding is a pure function of the source bytes:
+    * dimensions from [[dims]], pixel (x, y) = src[(y·w + x) mod n], so
+    * a SQL oracle can state what a correct decode must return while
+    * the engine actually round-trips PNG bytes. Grayscale raster I/O
+    * (`getSample`, raw data buffer) deliberately bypasses color-space
+    * conversion — the decoded sample IS the encoded byte. */
+  object PngCodec {
+    /** Staged dimensions: w ∈ [16, 64), h ∈ [16, 64) — small enough
+      * that a 100 k-asset gate corpus encodes in seconds, big enough
+      * that the 6×11 sampling grid never aliases. Long arithmetic:
+      * n·104729 overflows Int at ~20.5 KB payloads. */
+    def dims(n: Long): (Int, Int) =
+      ((16L + (n * 7919L) % 48L).toInt, (16L + (n * 104729L) % 48L).toInt)
+
+    def encode(src: Array[Byte]): Array[Byte] = {
+      import java.awt.image.{BufferedImage, DataBufferByte}
+      val n = src.length
+      val (w, h) = dims(n.toLong)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val buf = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+      var i = 0
+      while (i < w * h) { buf(i) = if (n == 0) 0 else src(i % n); i += 1 }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** Real decode: true dimensions plus the 6×11 sampled luma grid at
+      * (px, py) = (c·w/11, r·h/6) — the even-stride sampling a real
+      * pHash takes over a decoded bitmap, via raw raster samples (no
+      * color management between the encoded byte and the sample). */
+    def decode(png: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val grid = new Array[Int](gridCells)
+      var r = 0
+      while (r < dhashRows) {
+        var c = 0
+        while (c < dhashCols) {
+          grid(r * dhashCols + c) = raster.getSample(c * w / dhashCols, r * h / dhashRows, 0)
+          c += 1
+        }
+        r += 1
+      }
+      (w, h, grid)
+    }
+  }
+
+  /** Deterministic WAV codec over `javax.sound.sampled` — the real
+    * audio modality: 8-bit unsigned PCM, mono, 8 kHz; the data chunk
+    * IS the source bytes, so frame count = src length and the decoded
+    * samples replay byte-for-byte. */
+  object WavCodec {
+    val SampleRate = 8000f
+
+    def encode(src: Array[Byte]): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        SampleRate, 8, 1, 1, SampleRate, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(src), fmt, src.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Real decode: container-reported frame count + PCM sample bytes. */
+    def decode(wav: Array[Byte]): (Long, Array[Byte]) = {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      try (ais.getFrameLength, ais.readAllBytes()) finally ais.close()
+    }
+  }
+
+  /** SYNTHETIC stand-in for the one modality the JDK cannot decode
+    * (video): geometry and frame count are payload-length functions.
+    * Every gated column that flows through here is scaladoc-flagged at
+    * the query ([[mediaFeatures]], [[frameSample]]). A real deployment
+    * replaces this object with e.g. a JNI ffmpeg binding; the
+    * surrounding Dataset plumbing is unchanged. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       // Long arithmetic: n * 104729 overflows Int at ~20.5 KB payloads,
       // which would diverge from the Long-typed SQL/expression path
       val n = payload.length.toLong
-      val w = 64L + ((n * 7919L) % 960L)    // fake width  ∈ [64, 1024)
-      val h = 64L + ((n * 104729L) % 704L)  // fake height ∈ [64, 768)
-      val frames = 1L + (n % 16L)           // fake frame count
+      val w = 64L + ((n * 7919L) % 960L)    // synthetic width  ∈ [64, 1024)
+      val h = 64L + ((n * 104729L) % 704L)  // synthetic height ∈ [64, 768)
+      val frames = 1L + (n % 16L)           // synthetic frame count
       (w.toInt, h.toInt, frames.toInt)
     }
-    /** Fake resize: keeps aspect via integer scaling — pure function. */
+    /** Integer aspect-keeping resize — pure function (real math; only
+      * the geometry it is APPLIED to is synthetic for video rows). */
     def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
       val side = math.max(w, h)
       if (side <= maxSide) (w, h)
@@ -63,67 +171,121 @@ object Multimodal {
       encode($"text", "UTF-8").as("payload"))
   }
 
-  /** The mapInPandas-analog stage: partition-iterator batch decode.
-    * Runs the codec once per row but amortizes any heavy setup (a real
-    * codec context) once per PARTITION — the point of mapPartitions. */
-  def decodeFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+  /** Encode a (media_id, kind, payload=src bytes) frame into container
+    * assets: PNG for image, WAV for audio, raw bytes for video (no JDK
+    * codec — documented). mapPartitions so a real deployment's codec
+    * context is per-partition, and payload bytes never leave
+    * executors. */
+  def assetsOf(media: DataFrame): Dataset[MediaAsset] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
       // per-partition setup would go here (codec context, model handle)
       rows.map { r =>
-        val (w, h, f) = FakeCodec.decode(r.payload)
-        val checksum = r.payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-        MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, checksum)
+        val enc = r.kind match {
+          case "image" => PngCodec.encode(r.payload)
+          case "audio" => WavCodec.encode(r.payload)
+          case _       => r.payload
+        }
+        MediaAsset(r.media_id, r.kind, r.payload.length, enc)
       }
     }
   }
 
-  /** Oracle-checked projection: everything about the binary plumbing
-    * that SQL can independently recompute (sizes, fake-decode geometry,
-    * resize, frame sampling counts). The mapPartitions path computes the
-    * same values through [[FakeCodec]]; ScalaTest asserts both agree. */
+  /** Compute-once-per-JVM staged asset table (the ingest step a media
+    * pipeline runs once, not per query) — shared by the features and
+    * near-dup gates. */
+  private def stagedAssets(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Staged.materialize(s"media_assets_${Staged.sfKey(sfDir)}", spark) {
+      assetsOf(mediaTable(spark, sfDir)).toDF()
+    }.as[MediaAsset]
+  }
+
+  /** Gated decode stage: REAL per-kind decode over the staged assets.
+    *  - image: `javax.imageio` — true width/height, luma_sum = Σ of the
+    *    66 sampled grid lumas from actual decoded pixels;
+    *  - audio: `javax.sound.sampled` — true frame count (width/height 0,
+    *    not applicable; luma_sum NULL);
+    *  - video: SYNTHETIC geometry/frames via [[FakeCodec]] (no JDK
+    *    video codec; luma_sum NULL).
+    * The oracle recomputes every gated value from the encoder's pure
+    * integer parameterization, so the hash gate proves the container
+    * round-trip. Resize math is the integer aspect-keeping scale over
+    * the decoded geometry. */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val nBytes = octet_length(encode($"text", "UTF-8"))
-    val w = lit(64) + pmod(nBytes.cast("long") * 7919, lit(960))
-    val h = lit(64) + pmod(nBytes.cast("long") * 104729, lit(704))
-    val side = greatest(w, h)
-    Tables.documents(spark, sfDir).select(
-      $"doc_id".as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
-      nBytes.as("n_bytes"),
-      w.cast("int").as("width"),
-      h.cast("int").as("height"),
-      (lit(1) + pmod(nBytes, lit(16))).cast("int").as("n_frames"),
-      when(side <= 256, w).otherwise(floor(w * 256 / side)).cast("int").as("resized_w"),
-      when(side <= 256, h).otherwise(floor(h * 256 / side)).cast("int").as("resized_h"))
+    val feats = stagedAssets(spark, sfDir).mapPartitions { assets =>
+      assets.map { a =>
+        a.kind match {
+          case "image" =>
+            val (w, h, grid) = PngCodec.decode(a.payload)
+            MediaFeatures(a.media_id, a.kind, a.src_bytes, w, h, 1L,
+              Some(grid.foldLeft(0L)(_ + _)))
+          case "audio" =>
+            val (frames, _) = WavCodec.decode(a.payload)
+            MediaFeatures(a.media_id, a.kind, a.src_bytes, 0, 0, frames, None)
+          case _ =>
+            val (w, h, f) = FakeCodec.decode(a.payload) // synthetic: video
+            MediaFeatures(a.media_id, a.kind, a.src_bytes, w, h, f.toLong, None)
+        }
+      }
+    }.toDF()
+    val side = greatest($"width", $"height")
+    feats
+      .withColumn("resized_w",
+        when(side <= 256, $"width")
+          .otherwise(floor($"width" * 256 / side)).cast("int"))
+      .withColumn("resized_h",
+        when(side <= 256, $"height")
+          .otherwise(floor($"height" * 256 / side)).cast("int"))
+      .select($"media_id", $"kind", $"n_bytes", $"width",
+        $"height", $"n_frames", $"resized_w", $"resized_h", $"luma_sum")
       .orderBy($"media_id")
   }
 
-  val mediaFeaturesSql: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id,
-      |         ['image', 'audio', 'video'][CAST(media_id % 3 AS INTEGER) + 1] AS kind,
-      |         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
-      |  FROM documents),
-      |g AS (
-      |  -- BIGINT arithmetic: INT32 n_bytes * 104729 overflows DuckDB at
-      |  -- ~20.5 KB payloads (the Scala FakeCodec fix has the same rationale)
-      |  SELECT media_id, kind, n_bytes,
-      |         64 + (CAST(n_bytes AS BIGINT) * 7919) % 960 AS width,
-      |         64 + (CAST(n_bytes AS BIGINT) * 104729) % 704 AS height
-      |  FROM m)
-      |SELECT media_id, kind, n_bytes,
-      |       CAST(width AS INTEGER) AS width,
-      |       CAST(height AS INTEGER) AS height,
-      |       CAST(1 + n_bytes % 16 AS INTEGER) AS n_frames,
-      |       CAST(CASE WHEN greatest(width, height) <= 256 THEN width
-      |                 ELSE width * 256 // greatest(width, height) END AS INTEGER) AS resized_w,
-      |       CAST(CASE WHEN greatest(width, height) <= 256 THEN height
-      |                 ELSE height * 256 // greatest(width, height) END AS INTEGER) AS resized_h
-      |FROM g
-      |ORDER BY media_id""".stripMargin
+  /** DuckDB replay of [[mediaFeatures]]: the encoder parameterization
+    * as plain integer SQL — image dims/lumas from the PNG staging
+    * formulas (bytes indexed through the hex image of the payload),
+    * audio frames = source byte count, video = the synthetic formulas. */
+  val mediaFeaturesSql: String = {
+    // luma_sum: Σ over the 66 grid cells of src[(py·w + px) mod n],
+    // py = (k/11)·h/6, px = (k mod 11)·w/11 — all integer floor ops
+    val lumaSum =
+      s"""CAST(list_sum(list_transform(generate_series(0, ${gridCells - 1}), k ->
+         |  CASE WHEN nb > 0 THEN CAST(('0x' || substring(hx,
+         |    CAST((((k // $dhashCols) * height // $dhashRows * width
+         |           + (k % $dhashCols) * width // $dhashCols) % nb) * 2 + 1 AS INTEGER), 2)) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       |         hex(CAST(text AS BLOB)) AS hx,
+       |         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS nb
+       |  FROM documents),
+       |g AS (
+       |  SELECT media_id, kind, nb, hx,
+       |         CASE kind
+       |           WHEN 'image' THEN CAST(16 + (CAST(nb AS BIGINT) * 7919) % 48 AS INTEGER)
+       |           WHEN 'audio' THEN 0
+       |           ELSE CAST(64 + (CAST(nb AS BIGINT) * 7919) % 960 AS INTEGER) END AS width,
+       |         CASE kind
+       |           WHEN 'image' THEN CAST(16 + (CAST(nb AS BIGINT) * 104729) % 48 AS INTEGER)
+       |           WHEN 'audio' THEN 0
+       |           ELSE CAST(64 + (CAST(nb AS BIGINT) * 104729) % 704 AS INTEGER) END AS height,
+       |         CASE kind
+       |           WHEN 'image' THEN CAST(1 AS BIGINT)
+       |           WHEN 'audio' THEN CAST(nb AS BIGINT)
+       |           ELSE CAST(1 + nb % 16 AS BIGINT) END AS n_frames
+       |  FROM m)
+       |SELECT media_id, kind, nb AS n_bytes, width, height, n_frames,
+       |       CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+       |                 ELSE width * 256 // greatest(width, height) END AS INTEGER) AS resized_w,
+       |       CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+       |                 ELSE height * 256 // greatest(width, height) END AS INTEGER) AS resized_h,
+       |       CASE WHEN kind = 'image' THEN $lumaSum END AS luma_sum
+       |FROM g
+       |ORDER BY media_id""".stripMargin
+  }
 
   /** Oracle-checked view of the frame-sampling INDEX math (everything
     * in [[frameSample]] except the byte slices, which SQL cannot
@@ -138,19 +300,25 @@ object Multimodal {
   def frameIndexSql(stride: Int = 4): String =
     s"""WITH m AS (
        |  SELECT doc_id AS media_id,
-       |         ['image', 'audio', 'video'][CAST(media_id % 3 AS INTEGER) + 1] AS kind,
+       |         'video' AS kind,
        |         CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INTEGER) AS n_frames
-       |  FROM documents)
+       |  FROM documents WHERE doc_id % 3 = 2)
        |SELECT media_id, kind, n_frames,
        |       CAST(unnest(range(0, (n_frames - 1) // $stride + 1)) AS INTEGER) AS sample_idx,
        |       CAST(unnest(range(0, (n_frames - 1) // $stride + 1)) * $stride AS INTEGER) AS frame_offset
        |FROM m
        |ORDER BY media_id, sample_idx""".stripMargin
 
-  /** Frame-sample stage: every asset yields ceil(n_frames / stride)
-    * sampled "frames" as byte slices — the explode-shaped stage of a
-    * video pipeline (one input row → n output rows), kept as pure
-    * column expressions so it stays in codegen.
+  /** Frame-sample stage over the VIDEO assets: every asset yields
+    * ceil(n_frames / stride) sampled "frames" as byte slices — the
+    * explode-shaped stage of a video pipeline (one input row → n output
+    * rows), kept as pure column expressions so it stays in codegen.
+    *
+    * n_frames is the SYNTHETIC [[FakeCodec]] count (1 + n mod 16): the
+    * JDK has no video demuxer, so the frame count is a payload-length
+    * function by construction, and image/audio rows — whose real frame
+    * counts the codecs DO provide ([[mediaFeatures]]) — are excluded
+    * here rather than given fake ones (r8 verdict #6).
     *
     * The slice surfaces as HEX (`substring(hex(payload), off·16+1, 16)`
     * — 8 payload bytes): bit-for-bit content, engine-portable, and the
@@ -160,6 +328,7 @@ object Multimodal {
   def frameSample(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, sfDir)
+      .filter($"kind" === "video")
       .withColumn("n_frames", (lit(1) + pmod(octet_length($"payload"), lit(16))).cast("int"))
     media
       .select($"media_id", $"kind", hex($"payload").as("payload_hex"), $"n_frames",
@@ -177,10 +346,10 @@ object Multimodal {
   def frameSampleSql(stride: Int = 4): String =
     s"""WITH m AS (
        |  SELECT doc_id AS media_id,
-       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       |         'video' AS kind,
        |         hex(encode(text)) AS payload_hex,
        |         CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
-       |  FROM documents),
+       |  FROM documents WHERE doc_id % 3 = 2),
        |s AS (
        |  SELECT media_id, kind, payload_hex, n_frames,
        |         CAST(unnest(range(0, (n_frames - 1) // $stride + 1)) AS INTEGER) AS sample_idx
@@ -239,13 +408,6 @@ object Multimodal {
 
   // ---- perceptual near-dup (dHash) --------------------------------------
 
-  /** dHash geometry: a 6×11 "luma" grid → 6×10 = 60 horizontal-gradient
-    * bits, folded into one non-negative BIGINT (the same 60-bit budget
-    * as [[Dedup.simhashBits]] — bit 63 stays clear of the sign). */
-  val dhashRows = 6
-  val dhashCols = 11
-  val dhashBits: Int = dhashRows * (dhashCols - 1)
-
   /** Bands for the hamming LSH join: 4 × 15 bits. Pigeonhole: two
     * hashes within hamming distance 3 share at least one untouched
     * band, so recall at `thr ≤ 3` is exactly 1 — the banded join and a
@@ -255,15 +417,15 @@ object Multimodal {
   val dhashBands = 4
   val dhashBandBits = 15
 
-  /** The fake-decode "luma" sample: byte k·n/66 of the payload, the
-    * even-stride sampling a real pHash takes over a decoded bitmap.
-    * Like [[FakeCodec]], only the decode is fake — byte extraction,
-    * grid fold, and banding are the real pipeline. Pure integer math
-    * end to end (integer division for the index, unsigned byte via
-    * hex→int) so Spark and DuckDB agree bit-exactly. */
+  /** The byte-sampled luma grid for payloads that ARE the decoded
+    * samples (video raw bytes; a generic opaque frame): byte k·n/66,
+    * the even-stride sampling a real pHash takes over a decoded
+    * bitmap. Pure integer math end to end (integer division for the
+    * index, unsigned byte via hex→int) so Spark and DuckDB agree
+    * bit-exactly. */
   private def lumaGrid(payload: Column): Column = {
     val nb = octet_length(payload)
-    val cells = dhashRows * dhashCols
+    val cells = gridCells
     val pix = (0 until cells).map { k =>
       // floor(k·n / 66.0) == (k·n) // 66 exactly: the quotient is a
       // rational with denominator 66, so it sits ≥ 1/66 away from any
@@ -316,18 +478,16 @@ object Multimodal {
       .localCheckpoint(eager = true)
   }
 
-  /** Perceptual near-duplicate pairs over any (media_id, payload)
-    * frame: dhash per asset, banded bucket join, exact hamming ≤ `thr`
-    * verification. Payload bytes never shuffle — only the 8-byte hash
-    * and 2-byte band keys move (the [[mediaDedup]] asymmetry, again);
-    * the banded self-join is collision-sized, never |corpus|². `thr`
-    * above 3 would need more bands ([[dhashBands]]) to keep recall 1. */
-  def mediaNearDup(media: DataFrame, thr: Int = 3): DataFrame = {
-    val spark = media.sparkSession
+  /** Banded hamming self-join over a (media_id, dhash) frame: LSH
+    * bucket join on [[dhashBands]] band keys, exact bit_count verify.
+    * Only the 8-byte hash and 2-byte band keys shuffle; the bucket
+    * join is collision-sized, never |corpus|². Recall is exactly 1 at
+    * `thr ≤ dhashBands − 1` (pigeonhole — see [[dhashBands]]). */
+  private def hammingPairs(hashes: DataFrame, thr: Int): DataFrame = {
+    val spark = hashes.sparkSession
     import spark.implicits._
     require(thr <= dhashBands - 1, s"recall guarantee needs thr <= ${dhashBands - 1}")
-    val h = dhashFrame(media)
-    val bands = h.select($"media_id", $"dhash",
+    val bands = hashes.select($"media_id", $"dhash",
       posexplode(array((0 until dhashBands).map(b =>
         shiftright($"dhash", b * dhashBandBits)
           .bitwiseAND(lit((1 << dhashBandBits) - 1))): _*)))
@@ -343,30 +503,88 @@ object Multimodal {
       .orderBy($"media_a", $"media_b")
   }
 
+  /** Perceptual near-duplicate pairs over any (media_id, payload)
+    * frame — the generic byte-grid operator: dhash per asset via
+    * [[lumaGrid]], then the banded join. Payload bytes never shuffle —
+    * only the 8-byte hash and 2-byte band keys move (the [[mediaDedup]]
+    * asymmetry, again). */
+  def mediaNearDup(media: DataFrame, thr: Int = 3): DataFrame =
+    hammingPairs(dhashFrame(media), thr)
+
+  /** Per-kind dhash over the staged container assets, with REAL decode
+    * where the JDK has a codec: image grids are `javax.imageio`-decoded
+    * pixel lumas, audio grids sample the `javax.sound.sampled`-decoded
+    * PCM bytes, video grids sample the raw payload (no JDK codec —
+    * synthetic by construction, documented). Grid → 60-bit fold happens
+    * in-plan ([[foldBits]]) so only (media_id, dhash) survives the
+    * exchange. */
+  private def assetDhashFrame(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val grids = assets.mapPartitions { it =>
+      it.map { a =>
+        val grid = a.kind match {
+          case "image" => PngCodec.decode(a.payload)._3
+          case "audio" =>
+            val (_, data) = WavCodec.decode(a.payload)
+            byteGrid(data)
+          case _ => byteGrid(a.payload) // video: raw bytes, no JDK codec
+        }
+        (a.media_id, grid)
+      }
+    }.toDF("media_id", "pix")
+    grids.select($"media_id", foldBits($"pix").as("dhash"))
+      .localCheckpoint(eager = true)
+  }
+
+  /** The [[lumaGrid]] sampling as plain Scala over decoded bytes. */
+  private def byteGrid(data: Array[Byte]): Array[Int] = {
+    val n = data.length
+    Array.tabulate(gridCells)(k =>
+      if (n == 0) 0 else data(((k.toLong * n) / gridCells).toInt) & 0xFF)
+  }
+
   /** Gated fixture: the corpus plus every 20th asset re-ingested with a
     * one-character edit (the re-encoded-thumbnail shape — same asset,
-    * slightly different bytes). Exact dedup is blind to these; the
-    * perceptual hash pairs them. The DuckDB oracle recomputes dhash
-    * from the same construction and then BRUTE-FORCES all pairs — so
+    * slightly different bytes), each staged through the SAME per-kind
+    * container encoding and near-dup'd via REAL decode (image/audio).
+    * Exact dedup is blind to these; the perceptual hash pairs them.
+    * The DuckDB oracle recomputes each kind's grid from the encoder's
+    * integer parameterization and then BRUTE-FORCES all pairs — so
     * both planted-pair presence and decoy absence are pinned against
     * ground truth, not against a mirror of the LSH. */
   def mediaNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, sfDir).select($"media_id", $"payload")
     val variants = Tables.documents(spark, sfDir)
       .filter($"doc_id" % 20 === 0)
       .select(($"doc_id" + 2000000).as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
         encode(concat(lit("#"), expr("substring(text, 2)")), "UTF-8").as("payload"))
-    mediaNearDup(media.unionByName(variants))
+    val assets = Staged.materialize(
+      s"media_assets_nd_${Staged.sfKey(sfDir)}", spark) {
+      assetsOf(mediaTable(spark, sfDir).unionByName(variants)).toDF()
+    }.as[MediaAsset]
+    hammingPairs(assetDhashFrame(assets), thr = 3)
   }
 
   val mediaNearDupSql: String = {
-    val cells = dhashRows * dhashCols
-    // this DuckDB build has no BLOB substring — index into the hex image
-    // of the payload instead (2 chars per byte, same unsigned value)
-    val pixList =
+    val cells = gridCells
+    // byte-sampled grid (audio PCM replay / video raw bytes): byte k·n/66,
+    // indexed through the hex image (2 chars per byte, same unsigned value
+    // — this DuckDB build has no BLOB substring)
+    val byteList =
       s"""list_transform(generate_series(0, ${cells - 1}),
          |           k -> CASE WHEN nb > 0 THEN CAST(('0x' || substring(hx, CAST(((k * nb) // $cells) * 2 + 1 AS INTEGER), 2)) AS INTEGER)
+         |                     ELSE 0 END)""".stripMargin
+    // image grid: the PNG staging parameterization — pixel (px, py) of a
+    // w×h gray image whose pixel i = src[i mod n]; sampled at
+    // px = (k mod 11)·w/11, py = (k/11)·h/6 (all integer floor ops)
+    val imgList =
+      s"""list_transform(generate_series(0, ${cells - 1}),
+         |           k -> CASE WHEN nb > 0 THEN CAST(('0x' || substring(hx,
+         |                  CAST((((k // $dhashCols) * ih // $dhashRows * iw
+         |                         + (k % $dhashCols) * iw // $dhashCols) % nb) * 2 + 1 AS INTEGER), 2)) AS INTEGER)
          |                     ELSE 0 END)""".stripMargin
     val fold = (0 until dhashBits).map { k =>
       val r = k / (dhashCols - 1)
@@ -375,14 +593,25 @@ object Multimodal {
       s"CASE WHEN pix[${i + 1}] < pix[${i + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
     s"""WITH m AS (
-       |  SELECT doc_id AS media_id, CAST(text AS BLOB) AS pb FROM documents
+       |  SELECT doc_id AS media_id,
+       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       |         CAST(text AS BLOB) AS pb
+       |  FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 2000000, CAST('#' || substring(text, 2) AS BLOB)
+       |  SELECT doc_id + 2000000,
+       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1],
+       |         CAST('#' || substring(text, 2) AS BLOB)
        |  FROM documents WHERE doc_id % 20 = 0),
-       |sized AS (SELECT media_id, hex(pb) AS hx, octet_length(pb) AS nb FROM m),
+       |sized AS (
+       |  SELECT media_id, kind, hex(pb) AS hx, octet_length(pb) AS nb,
+       |         CAST(16 + (CAST(octet_length(pb) AS BIGINT) * 7919) % 48 AS INTEGER) AS iw,
+       |         CAST(16 + (CAST(octet_length(pb) AS BIGINT) * 104729) % 48 AS INTEGER) AS ih
+       |  FROM m),
        |grids AS (
        |  SELECT media_id,
-       |         $pixList AS pix
+       |         CASE WHEN kind = 'image'
+       |              THEN $imgList
+       |              ELSE $byteList END AS pix
        |  FROM sized),
        |d AS (SELECT media_id, CAST($fold AS BIGINT) AS dhash FROM grids)
        |SELECT a.media_id AS media_a, b.media_id AS media_b,

@@ -376,13 +376,55 @@ class SimilaritySpec extends SparkSuite {
 
 class MultimodalSpec extends SparkSuite {
 
-  test("mapPartitions decode and the SQL-expression path agree on every asset") {
-    val viaMap = Multimodal.decodeFeatures(spark, sf)
-      .select("media_id", "n_bytes", "width", "height", "n_frames")
-    val viaSql = Multimodal.mediaFeatures(spark, sf)
-      .select("media_id", "n_bytes", "width", "height", "n_frames")
-    assert(viaMap.exceptAll(viaSql).count() == 0)
-    assert(viaSql.exceptAll(viaMap).count() == 0)
+  test("PNG round-trip: known bytes decode to staged dims and exact pixel lumas") {
+    val src = "the quick brown fox jumps over the lazy dog 0123456789"
+      .getBytes("UTF-8")
+    val n = src.length
+    val (ew, eh) = Multimodal.PngCodec.dims(n.toLong)
+    val png = Multimodal.PngCodec.encode(src)
+    // real container: PNG signature present, IHDR dims at offsets 16-23
+    assert(png.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    def be32(off: Int) = (0 until 4).foldLeft(0)((a, i) => (a << 8) | (png(off + i) & 0xFF))
+    assert(be32(16) == ew && be32(20) == eh)
+    val (w, h, grid) = Multimodal.PngCodec.decode(png)
+    assert(w == ew && h == eh)
+    // every sampled luma equals the encoder's pure-integer formula
+    for (r <- 0 until Multimodal.dhashRows; c <- 0 until Multimodal.dhashCols) {
+      val (px, py) = (c * w / Multimodal.dhashCols, r * h / Multimodal.dhashRows)
+      val expected = src((py * w + px) % n) & 0xFF
+      assert(grid(r * Multimodal.dhashCols + c) == expected,
+        s"cell ($r,$c) at ($px,$py)")
+    }
+  }
+
+  test("WAV round-trip: decoded frame count and PCM bytes equal the source") {
+    val src = (0 until 300).map(i => ((i * 37) % 256).toByte).toArray
+    val wav = Multimodal.WavCodec.encode(src)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (frames, data) = Multimodal.WavCodec.decode(wav)
+    assert(frames == src.length.toLong)
+    assert(data.toSeq == src.toSeq)
+  }
+
+  test("real decode path agrees with the encoder parameterization on every asset") {
+    import spark.implicits._
+    val feats = Multimodal.mediaFeatures(spark, sf).cache()
+    // image rows: decoded dims equal the staging formulas; luma_sum real
+    val badImg = feats.filter($"kind" === "image")
+      .filter($"width" =!= (lit(16) + pmod($"n_bytes".cast("long") * 7919, lit(48))).cast("int") ||
+        $"height" =!= (lit(16) + pmod($"n_bytes".cast("long") * 104729, lit(48))).cast("int") ||
+        $"n_frames" =!= 1 || $"luma_sum".isNull)
+    assert(badImg.count() == 0)
+    // audio rows: container-decoded frame count = source byte count
+    val badAud = feats.filter($"kind" === "audio")
+      .filter($"n_frames" =!= $"n_bytes".cast("long") || $"width" =!= 0)
+    assert(badAud.count() == 0)
+    // video rows: the documented synthetic path
+    val badVid = feats.filter($"kind" === "video")
+      .filter($"n_frames" =!= (lit(1) + pmod($"n_bytes", lit(16))).cast("long"))
+    assert(badVid.count() == 0)
+    feats.unpersist()
   }
 
   test("media table: binary payload survives round-trip, kinds cycle") {
@@ -392,12 +434,15 @@ class MultimodalSpec extends SparkSuite {
     m.unpersist()
   }
 
-  test("frame sample: every asset yields ceil(n_frames/stride) frames") {
-    val fs = Multimodal.frameSample(spark, sf, stride = 4)
+  test("frame sample: video-only, every asset yields ceil(n_frames/stride) frames") {
+    val fs = Multimodal.frameSample(spark, sf, stride = 4).cache()
+    assert(fs.filter(col("kind") =!= "video").count() == 0)
+    assert(fs.count() > 0)
     val bad = fs.groupBy("media_id", "n_frames")
       .agg(count(lit(1)).as("n_samples"))
       .filter(col("n_samples") =!= floor((col("n_frames") - 1) / 4) + 1)
     assert(bad.count() == 0)
+    fs.unpersist()
   }
 }
 
