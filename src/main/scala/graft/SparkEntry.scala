@@ -51,6 +51,7 @@ object SparkEntry {
     "q_dup_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.dupWeightedSample(s, d)),
     "q_curriculum" -> ((s: SparkSession, d: String) => Sampling.curriculum(s, d)),
     "q_source_overlap" -> (Dedup.sourceOverlap _),
+    "q_theta_overlap" -> ((s: SparkSession, d: String) => graft.functions.Theta.thetaOverlap(s, d)),
     "q_tokenizer_fertility" -> ((s: SparkSession, d: String) => graft.functions.WordPiece.fertility(s, d)),
     "q_mixture_budget" -> ((s: SparkSession, d: String) => Sampling.mixtureBudget(s, d)),
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => Blocklist.blocklistReport(s, d)),
@@ -381,6 +382,7 @@ object SparkEntry {
     "q_dup_weighted_sample" -> Sampling.dupWeightedSampleSql(),
     "q_curriculum" -> Sampling.curriculumSql(),
     "q_source_overlap" -> Dedup.sourceOverlapSql,
+    "q_theta_overlap" -> graft.functions.Theta.thetaOverlapSql(),
     "q_tokenizer_fertility" -> graft.functions.WordPiece.fertilitySql(),
     "q_mixture_budget" -> Sampling.mixtureBudgetSql(),
     "q_blocklist_scrub" -> Blocklist.blocklistReportSql(),

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Theta}
+
+class ThetaSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("KMV merge identity: bottom-k of per-part bottom-k's == bottom-k of the union") {
+    val k = 16
+    // two overlapping synthetic hash-priority sets
+    def pris(tag: String, els: Seq[Int]) =
+      els.toDF("el").select(lit(tag).as("part"),
+        Dedup.hash60(concat($"el".cast("string"), lit("|t"))).as("pri"))
+    val partA = pris("a", 1 to 200)
+    val partB = pris("b", 150 to 350)
+    val whole = partA.unionByName(partB).select($"pri").distinct()
+      .orderBy($"pri").limit(k).collect().map(_.getLong(0)).toSeq
+    // per-part bottom-k first, then bottom-k of the merged sketches
+    def bottomK(df: org.apache.spark.sql.DataFrame) =
+      df.select($"pri").distinct().orderBy($"pri").limit(k)
+    val merged = bottomK(partA).unionByName(bottomK(partB))
+      .distinct().orderBy($"pri").limit(k).collect().map(_.getLong(0)).toSeq
+    assert(merged == whole)
+  }
+
+  test("theta estimates track exact Jaccard on the gate corpus") {
+    val out = Theta.thetaOverlap(spark, sf).cache()
+    assert(out.count() > 0)
+    // complete-sketch pairs (union_k < k) estimate EXACTLY (≤ the 6-dp
+    // quantization of the audit column)
+    val completeBad = out.filter($"union_k" < Theta.K)
+      .filter($"abs_err_e6" > 1L).count()
+    assert(completeBad == 0, "complete sketches must be exact")
+    // sampled pairs stay inside ~4σ of the k=256 binomial error
+    val worst = out.agg(max($"abs_err_e6")).collect().head.getLong(0)
+    assert(worst <= 200000L, s"worst abs_err_e6 $worst exceeds KMV bound")
+    // union estimate is positive and ≥ matches for every pair
+    assert(out.filter($"est_union_e6" < $"matches" * 1000000L).count() == 0)
+    out.unpersist()
+  }
+
+  test("sketch state: k rows per source max, priorities strictly increasing per source") {
+    val sk = Theta.sketches(spark, sf).cache()
+    val over = sk.groupBy($"source").count().filter($"count" > Theta.K)
+    assert(over.count() == 0)
+    val dup = sk.groupBy($"source", $"pri").count().filter($"count" > 1)
+    assert(dup.count() == 0)
+    sk.unpersist()
+  }
+}
