@@ -310,10 +310,46 @@ object Similarity {
     * one shuffle on cell id to co-locate each cell's vectors; each
     * query then touches |corpus|·nProbes/nCells candidates instead of
     * |corpus| — the standard IVF cost model. */
+  /** IVF family knob derivation from the corpus size — the
+    * [[nnGraphParams]] precedent applied to the partition index (r8
+    * soak: fixed knobs decay, recall 0.84 → 0.32 by ×64; oversample
+    * ∝ n restores 0.98):
+    *  - nlist ≈ √(n/8) — cells track √n (the FAISS rule of thumb), so
+    *    per-cell population grows only as √n;
+    *  - nProbes = nlist/4 — constant probed fraction;
+    *  - oversample ∝ n — holds the shortlist/candidate-pool ratio
+    *    constant as the index outgrows its ADC resolution.
+    * Floors are the r8 gate constants, and the rule REPRODUCES them at
+    * every gate corpus (n = 500 and 2000 → (16, 4, 16)), which is what
+    * lets the static DuckDB oracles keep those literals (the
+    * [[nnGraphSql]] convention); past gate scale the defaults follow
+    * the corpus, which the ×m soak drives. */
+  def ivfParams(n: Long): (Int, Int, Int) = {
+    val nCells = math.max(16, math.round(math.sqrt(n / 8.0)).toInt)
+    val nProbes = math.max(4, nCells / 4)
+    val oversample = math.max(16, math.ceil(16.0 * n / 2000.0).toInt)
+    (nCells, nProbes, oversample)
+  }
+
+  /** Knob resolution: 0 = "derive from the corpus size" (the DEFAULT);
+    * an explicit positive value pins the knob (spec twins, A/Bs). The
+    * count is one parquet metadata scan, taken only when needed. */
+  private def resolveIvfKnobs(spark: SparkSession, sfDir: String,
+      nCells: Int, nProbes: Int, oversample: Int): (Int, Int, Int) =
+    if (nCells > 0 && nProbes > 0 && oversample > 0) (nCells, nProbes, oversample)
+    else {
+      val (dc, dp, dov) = ivfParams(Tables.embeddings(spark, sfDir).count())
+      (if (nCells > 0) nCells else dc,
+        if (nProbes > 0) nProbes else dp,
+        if (oversample > 0) oversample else dov)
+    }
+
   def knnIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 5, nCells: Int = 16, nProbes: Int = 4): DataFrame = {
+      k: Int = 5, nCells0: Int = 0, nProbes0: Int = 0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val (nCells, nProbes, _) =
+      resolveIvfKnobs(spark, sfDir, nCells0, nProbes0, 1)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding", norm($"embedding").as("e_norm"))
     val centroids = emb.filter($"vec_id" >= nQueries && $"vec_id" < nQueries + nCells)
@@ -486,10 +522,15 @@ object Similarity {
   }
 
   def knnIvfQuant(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 5, nCells: Int = 16, nProbes: Int = 4,
+      k: Int = 5, nCells0: Int = 0, nProbes0: Int = 0,
       scale: Int = 1024): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // the IVF family shares one cell-structure derivation (ivfParams),
+    // so the exact-in-probed-cells baseline and the PQ path always
+    // probe the SAME cells at every corpus size
+    val (nCells, nProbes, _) =
+      resolveIvfKnobs(spark, sfDir, nCells0, nProbes0, 1)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", quantCol(scale).as("p"))
       .withColumn("nrm2", qnorm2($"p"))
@@ -919,10 +960,14 @@ object Similarity {
     * join. The float embedding reappears solely for the
     * k·oversample·nQueries re-rank rows. */
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 5, nCells: Int = 16, nProbes: Int = 4,
-      oversample: Int = 16, scale: Int = 1024): DataFrame = {
+      k: Int = 5, nCells0: Int = 0, nProbes0: Int = 0,
+      oversample0: Int = 0, scale: Int = 1024): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // knobs self-size from the corpus by default (ivfParams); explicit
+    // values pin them for A/Bs and spec twins
+    val (nCells, nProbes, oversample) =
+      resolveIvfKnobs(spark, sfDir, nCells0, nProbes0, oversample0)
     val cbOff = nQueries + nCells // codebook sample rows follow the centroids
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", quantCol(scale).as("p"))
