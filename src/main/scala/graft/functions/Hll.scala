@@ -65,6 +65,14 @@ object Hll {
     when(length(trimmed) === 0, lit(61)).otherwise(z * 4 + nib + 1)
   }
 
+  /** Scalar sketch form — `struct(reg, rho)` for one value — the
+    * SQL-surface building block (registered as `hll_sketch`): a
+    * SQL-first user builds the register table with plain
+    * `GROUP BY source, s.reg → MAX(s.rho)` and merges shards by the
+    * same MAX, no Scala API needed. */
+  def sketchCol(tok: Column): Column =
+    struct(regCol(tok).as("reg"), rhoCol(tok).as("rho"))
+
   /** Per-source register table (source, reg, r) — the persistable,
     * mergeable sketch state. */
   private[graft] def registersOf(toks: DataFrame): DataFrame = {

@@ -460,6 +460,30 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r.getInt(2) == 64)
   }
 
+  test("sketch scalars callable from spark.sql: hll_sketch and ddsketch_bin") {
+    graft.plans.GraftFunctions.register(spark)
+    // hll_sketch: coordinates match the Scala sketch math exactly
+    val s = spark.sql(
+      "SELECT hll_sketch('abc').reg AS reg, hll_sketch('abc').rho AS rho")
+      .collect().head
+    import org.apache.spark.sql.functions._
+    val expected = spark.range(1)
+      .select(graft.functions.Hll.sketchCol(lit("abc")).as("s"))
+      .select("s.reg", "s.rho").collect().head
+    assert(s.getInt(0) == expected.getInt(0) && s.getInt(1) == expected.getInt(1))
+    assert(s.getInt(0) >= 0 && s.getInt(0) < graft.functions.Hll.Registers)
+    assert(s.getInt(1) >= 1 && s.getInt(1) <= 61)
+    // ddsketch_bin: ⌈ln x / ln γ⌉ with the shared literals
+    val b = spark.sql("SELECT ddsketch_bin(100.0D) AS b").collect().head.getInt(0)
+    assert(b == math.ceil(math.log(100.0) / graft.functions.DdSketch.LnGamma).toInt)
+    // the SQL-only sketch-build shape: GROUP BY the scalar's coordinates
+    graft.sources.Tables.registerAll(spark, sf)
+    val regs = spark.sql(
+      """SELECT source, hll_sketch(text).reg AS reg, MAX(hll_sketch(text).rho) AS r
+        |FROM documents GROUP BY 1, 2""".stripMargin)
+    assert(regs.count() > 0)
+  }
+
   test("registerAll exposes every testdata table to SQL") {
     graft.sources.Tables.registerAll(spark, sf)
     val n = spark.sql(
