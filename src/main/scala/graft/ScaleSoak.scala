@@ -75,7 +75,8 @@ object ScaleSoak {
     "q_embedding_drift",     // corpus×dim explode → labels×dims moments (rows = #labels)
     "q_zipf_slope",          // vocab ranking + per-source OLS (rows = #sources)
     "q_hll_distinct",        // 256-register sketch (rows = #sources; 3σ tracking at every m)
-    "q_ddsketch_quantiles")  // log-γ quantile sketch (rows = 3·#sources; α bound at every m)
+    "q_ddsketch_quantiles",  // log-γ quantile sketch (rows = 3·#sources; α bound at every m)
+    "q_theta_overlap")       // KMV pair-overlap sketch (rows = source pairs at every m; audit-bounded)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -181,6 +182,13 @@ object ScaleSoak {
           SparkEntry.queries("q_ddsketch_quantiles")(spark, dir)
             .collect().toSeq.map(r =>
               s"${r.getString(0)}|${r.getString(1)}|${r.getAs[Boolean]("within_bound")}")
+      // per-pair estimate error vs the exact audit columns, for the
+      // KMV bound invariant below
+      if (soakQueries.contains("q_theta_overlap"))
+        oneRow(("q_theta_overlap", m)) =
+          SparkEntry.queries("q_theta_overlap")(spark, dir)
+            .collect().toSeq.map(r =>
+              s"${r.getString(0)}|${r.getString(1)}|${r.getAs[Long]("abs_err_e6")}")
       // sketch MERGE paths at scale (r8 verdict #8): the build paths
       // above soak the one-shot sketches; here the corpus is split
       // into 8 doc-sharded sub-sketches and merged back — HLL by
@@ -280,7 +288,7 @@ object ScaleSoak {
           "q_domain_reweight", "q_hard_negatives", "q_source_overlap",
           "q_tokenizer_fertility", "q_mixture_budget",
           "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope",
-          "q_hll_distinct", "q_ddsketch_quantiles")
+          "q_hll_distinct", "q_ddsketch_quantiles", "q_theta_overlap")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
@@ -329,6 +337,17 @@ object ScaleSoak {
         rowsStr.foreach { s =>
           require(s.endsWith("|true"),
             s"soak invariant: ddsketch α bound broken at m=$m: $s")
+        })
+      // theta/KMV: every pair's Jaccard estimate stays inside the
+      // k = 256 sampling bound (~4σ of the binomial error) vs the
+      // exact audit column at every m — the salt grows each source's
+      // vocabulary ×m, so this exercises the sketch in its sampled
+      // (union_k = k) regime, not just the small complete-sketch one
+      oneRow.get(("q_theta_overlap", m)).foreach(rowsStr =>
+        rowsStr.foreach { s =>
+          val err = s.substring(s.lastIndexOf('|') + 1).toLong
+          require(err <= 200000L,
+            s"soak invariant: theta estimate outside KMV bound at m=$m: $s")
         })
       // unigram model contract booleans (cols 2..5: covers_all_chars,
       // vocab_size_le_max, logp_negative, piece_len_le_max) must hold
