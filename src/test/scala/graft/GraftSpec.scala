@@ -448,6 +448,20 @@ class MultimodalSpec extends SparkSuite {
 
 class StreamingSpec extends SparkSuite {
 
+  test("amortized gates: artifact-read re-invocation equals the first drain") {
+    // enrich/sessions/dedup publish their drained result as a per-JVM
+    // staged table (the long-lived-pipeline semantic); the second
+    // invocation reads the artifact and must be row-identical
+    for (q <- Seq("q_stream_enrich", "q_stream_sessions", "q_stream_dedup")) {
+      val first = SparkEntry.queries(q)(spark, sf).cache()
+      val again = SparkEntry.queries(q)(spark, sf)
+      assert(first.count() > 0, q)
+      assert(first.exceptAll(again).count() == 0, q)
+      assert(again.exceptAll(first).count() == 0, q)
+      first.unpersist()
+    }
+  }
+
   test("incremental ingest: each run picks up only new files, exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
