@@ -40,6 +40,18 @@ class ThetaSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("plan shape: no cartesian product; pair fan-out only against the broadcast source list") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = walkPlan(Theta.thetaOverlap(spark, sf))
+    assert(!plan.exists(_.isInstanceOf[CartesianProductExec]),
+      "theta overlap must never go corpus x corpus")
+    // the a.source < b.source pair expansion is a non-equi join and may
+    // only appear as a broadcast NLJ whose build side is the
+    // |sources|-row list, never a shuffled pair join
+    val nlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nlj.nonEmpty, "expected the broadcast pair expansion")
+  }
+
   test("sketch state: k rows per source max, priorities strictly increasing per source") {
     val sk = Theta.sketches(spark, sf).cache()
     val over = sk.groupBy($"source").count().filter($"count" > Theta.K)
