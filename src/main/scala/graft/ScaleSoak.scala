@@ -76,7 +76,10 @@ object ScaleSoak {
     "q_zipf_slope",          // vocab ranking + per-source OLS (rows = #sources)
     "q_hll_distinct",        // 256-register sketch (rows = #sources; 3σ tracking at every m)
     "q_ddsketch_quantiles",  // log-γ quantile sketch (rows = 3·#sources; α bound at every m)
-    "q_theta_overlap")       // KMV pair-overlap sketch (rows = source pairs at every m; audit-bounded)
+    "q_theta_overlap",       // KMV pair-overlap sketch (rows = source pairs at every m; audit-bounded)
+    "q_t_closeness",         // QI-group TVD audit (cells ×m → every tvd_e9 exactly invariant)
+    "q_bradley_terry",       // MM preference strengths (user set fixed → duels invariant → output bit-equal)
+    "q_coreset")             // greedy k-center (k+1 rows at every m; radii non-increasing, round-1 monotone in m)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -189,6 +192,28 @@ object ScaleSoak {
           SparkEntry.queries("q_theta_overlap")(spark, dir)
             .collect().toSeq.map(r =>
               s"${r.getString(0)}|${r.getString(1)}|${r.getAs[Long]("abs_err_e6")}")
+      // full outputs for the bit-equality invariants below: customer is
+      // copied verbatim and orders/events fan out ×m on unchanged
+      // custkey/user_id, so the QI distributions and the duel matrix
+      // are structurally m-invariant
+      // (t-closeness drops the ×m-scaling n_rows column here — its
+      // linearity is asserted separately below; everything else is
+      // bit-equal across m)
+      if (soakQueries.contains("q_t_closeness")) {
+        val tc = SparkEntry.queries("q_t_closeness")(spark, dir).collect().toSeq
+        oneRow(("q_t_closeness", m)) = tc.map(r =>
+          s"${r.get(0)}|${r.getString(1)}|${r.getLong(3)}|${r.getBoolean(4)}")
+        oneRow(("q_t_closeness_nrows", m)) =
+          tc.map(r => String.valueOf(r.getLong(2)))
+      }
+      if (soakQueries.contains("q_bradley_terry"))
+        oneRow(("q_bradley_terry", m)) =
+          SparkEntry.queries("q_bradley_terry")(spark, dir)
+            .collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|"))
+      if (soakQueries.contains("q_coreset"))
+        oneRow(("q_coreset", m)) =
+          SparkEntry.queries("q_coreset")(spark, dir)
+            .collect().toSeq.drop(1).map(r => String.valueOf(r.getLong(2)))
       // sketch MERGE paths at scale (r8 verdict #8): the build paths
       // above soak the one-shot sketches; here the corpus is split
       // into 8 doc-sharded sub-sketches and merged back — HLL by
@@ -288,7 +313,8 @@ object ScaleSoak {
           "q_domain_reweight", "q_hard_negatives", "q_source_overlap",
           "q_tokenizer_fertility", "q_mixture_budget",
           "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope",
-          "q_hll_distinct", "q_ddsketch_quantiles", "q_theta_overlap")
+          "q_hll_distinct", "q_ddsketch_quantiles", "q_theta_overlap",
+          "q_t_closeness", "q_bradley_terry", "q_coreset")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
@@ -349,6 +375,48 @@ object ScaleSoak {
           require(err <= 200000L,
             s"soak invariant: theta estimate outside KMV bound at m=$m: $s")
         })
+      // t-closeness / Bradley–Terry: EXACT bit-equality to the base
+      // run. t-closeness: every cell count scales ×m so the TVD
+      // rational (num·m²)/(den·m²) floors to the same integer;
+      // Bradley–Terry: the user set is fixed and per-(user, type)
+      // engagement scales ×m with unchanged sign ordering, so the duel
+      // matrix — and with it the entire MM trajectory — is the base
+      // matrix at every m. Any drift is an operator bug, not noise.
+      for (q <- Seq("q_t_closeness", "q_bradley_terry")
+          .filter(soakQueries.contains))
+        (oneRow.get((q, m0)), oneRow.get((q, m))) match {
+          case (Some(b), Some(c)) =>
+            require(b == c,
+              s"soak invariant: $q output drifted at m=$m vs m=$m0")
+          case _ => ()
+        }
+      // t-closeness group sizes scale exactly ×m (orders fan out on
+      // unchanged custkeys)
+      (oneRow.get(("q_t_closeness_nrows", m0)),
+          oneRow.get(("q_t_closeness_nrows", m))) match {
+        case (Some(b), Some(c)) =>
+          b.zip(c).foreach { case (bs, cs) =>
+            require(cs.toLong * m0 == bs.toLong * m,
+              s"soak invariant: t-closeness n_rows at m=$m: $cs vs ×$m/$m0 of $bs")
+          }
+        case _ => ()
+      }
+      // coreset: Gonzalez radii non-increasing at every m, and the
+      // ROUND-1 radius (max distance to the pinned base seed) is
+      // monotone non-decreasing in m — replica 0 is bit-identical, so
+      // the m-corpus is a superset of the base corpus and the farthest
+      // point can only get farther. (Later rounds select different
+      // sets across m; no cross-m claim is sound for them.)
+      oneRow.get(("q_coreset", m)).foreach { radii =>
+        val rs = radii.map(_.toLong)
+        require(rs.zip(rs.tail).forall { case (a, b2) => a >= b2 },
+          s"soak invariant: coreset radii not non-increasing at m=$m: $rs")
+        oneRow.get(("q_coreset", m0)).foreach { base0 =>
+          require(rs.head >= base0.head.toLong,
+            s"soak invariant: coreset round-1 radius fell at m=$m: " +
+              s"${rs.head} vs ${base0.head} at m=$m0")
+        }
+      }
       // unigram model contract booleans (cols 2..5: covers_all_chars,
       // vocab_size_le_max, logp_negative, piece_len_le_max) must hold
       // at every scale — vocab stays bounded no matter how the

@@ -210,6 +210,12 @@ object SparkEntry {
       graft.operators.Profile.chi2Independence(s, d)),
     "q_dp_release" -> ((s: SparkSession, d: String) =>
       graft.functions.Pii.dpRelease(s, d)),
+    "q_t_closeness" -> ((s: SparkSession, d: String) =>
+      graft.functions.Pii.tCloseness(s, d)),
+    "q_bradley_terry" -> ((s: SparkSession, d: String) =>
+      graft.functions.Preference.bradleyTerry(s, d)),
+    "q_coreset" -> ((s: SparkSession, d: String) =>
+      graft.functions.Coreset.kCenter(s, d)),
     "q_entity_resolution" -> ((s: SparkSession, d: String) =>
       graft.functions.Fuzzy.entityResolution(s, d)),
     "q_dedup_funnel" -> ((s: SparkSession, d: String) =>
@@ -452,6 +458,9 @@ object SparkEntry {
     "q_pii_scan" -> Pii.piiScanSql,
     "q_k_anonymity" -> Pii.kAnonymitySql(),
     "q_l_diversity" -> Pii.lDiversitySql(),
+    "q_t_closeness" -> Pii.tClosenessSql(),
+    "q_bradley_terry" -> graft.functions.Preference.bradleyTerrySql,
+    "q_coreset" -> graft.functions.Coreset.kCenterSql(),
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
     "q_retrieval_metrics" -> graft.functions.Retrieval.retrievalMetricsSql(),

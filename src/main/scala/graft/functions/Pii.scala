@@ -213,6 +213,106 @@ object Pii {
        |GROUP BY 1, 2
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ---- t-closeness audit ---------------------------------------------------
+
+  /** t-closeness threshold for the gate: a group passes when its
+    * sensitive-value distribution sits within total-variation distance
+    * 0.2 of the global one. */
+  val TCloseE9 = 200000000L
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * privacy trio's third member: [[kAnonymity]] bounds group SIZE,
+    * [[lDiversity]] bounds sensitive-value COUNT, and this bounds the
+    * sensitive-value DISTRIBUTION — an l-diverse group still leaks when
+    * its value mix differs sharply from the corpus (an attacker's
+    * posterior moves by the gap). Reports, per quasi-identifier group
+    * (nation, market segment), the total-variation distance between the
+    * group's order-priority distribution and the global one:
+    * TVD = ½ Σ_v |n_gv/n_g − n_v/n|, carried as the exact integer
+    * rational ⌊1e9·Σ_v|n_gv·n − n_v·n_g| / (2·n_g·n)⌋ so both engines
+    * agree bit-for-bit (the 1e9 product routes through decimal(38,0) /
+    * HUGEINT — n_gv·n alone reaches 2^53 at warehouse row counts).
+    *
+    * Absent values matter: a group missing a globally-common value is
+    * FAR from the corpus, so the group×value frame is the full cross
+    * product (groups × distinct sensitive values, both dimension-sized)
+    * with absent cells restored as n_gv = 0 before the distance sum.
+    *
+    * Scale: one custkey shuffle for the fact join (same as
+    * [[lDiversity]]), then every frame is bounded by the attribute
+    * cross product — the cell table, the cross join (broadcast), and
+    * the distance agg never see row-count-sized data. */
+  def tCloseness(spark: SparkSession, sfDir: String,
+      tE9: Long = TCloseE9): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      .join(Tables.orders(spark, sfDir)
+        .select($"o_custkey".as("c_custkey"), $"o_orderpriority"), "c_custkey")
+      .groupBy($"c_nationkey", $"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_gv"))
+    val groups = cells.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum($"n_gv").cast("long").as("n_g"))
+    val values = cells.groupBy($"o_orderpriority")
+      .agg(sum($"n_gv").cast("long").as("n_v"))
+    val total = values.agg(sum($"n_v").cast("long").as("n"))
+    groups.crossJoin(broadcast(values)).crossJoin(broadcast(total))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "o_orderpriority"),
+        "left")
+      .na.fill(0L, Seq("n_gv"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      // n_gv·n reaches 2^63 once tables hit ~3B rows — route the inner
+      // products through decimal(38,0) (HUGEINT in the oracle) so both
+      // engines stay exact instead of one wrapping and one erroring
+      .agg(first($"n_g").as("n_rows"),
+        sum(abs($"n_gv".cast("decimal(38,0)") * $"n"
+          - $"n_v".cast("decimal(38,0)") * $"n_g")).as("num"),
+        first($"n").as("n"))
+      .select($"c_nationkey", $"c_mktsegment", $"n_rows",
+        expr("cast((cast(num as decimal(38,0)) * 1000000000)" +
+          " div (cast(2 as decimal(38,0)) * n_rows * n) as bigint)")
+          .as("tvd_e9"))
+      .withColumn("t_close", $"tvd_e9" <= tE9)
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  def tClosenessSql(tE9: Long = TCloseE9): String =
+    s"""WITH joined AS (
+       |  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+       |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+       |cells AS (
+       |  SELECT c_nationkey, c_mktsegment, o_orderpriority,
+       |         CAST(COUNT(*) AS BIGINT) AS n_gv
+       |  FROM joined GROUP BY 1, 2, 3),
+       |grp AS (
+       |  SELECT c_nationkey, c_mktsegment, CAST(SUM(n_gv) AS BIGINT) AS n_g
+       |  FROM cells GROUP BY 1, 2),
+       |vals AS (
+       |  SELECT o_orderpriority, CAST(SUM(n_gv) AS BIGINT) AS n_v
+       |  FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM vals),
+       |crossed AS (
+       |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, v.o_orderpriority,
+       |         v.n_v, t.n, COALESCE(c.n_gv, 0) AS n_gv
+       |  FROM grp g CROSS JOIN vals v CROSS JOIN tot t
+       |  LEFT JOIN cells c
+       |    ON c.c_nationkey = g.c_nationkey
+       |   AND c.c_mktsegment = g.c_mktsegment
+       |   AND c.o_orderpriority = v.o_orderpriority),
+       |dist AS (
+       |  SELECT c_nationkey, c_mktsegment, n_g AS n_rows,
+       |         SUM(ABS(CAST(n_gv AS HUGEINT) * n
+       |                 - CAST(n_v AS HUGEINT) * n_g)) AS num,
+       |         ANY_VALUE(n) AS n
+       |  FROM crossed GROUP BY 1, 2, n_g)
+       |SELECT c_nationkey, c_mktsegment, n_rows,
+       |       CAST((num * 1000000000)
+       |            // (CAST(2 AS HUGEINT) * n_rows * n) AS BIGINT) AS tvd_e9,
+       |       (num * 1000000000) // (CAST(2 AS HUGEINT) * n_rows * n)
+       |         <= $tE9 AS t_close
+       |FROM dist
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // ---- differential privacy: noisy count release -------------------------
 
   /** ε for the released per-language counts; sensitivity is 1 (each
