@@ -51,34 +51,45 @@ object Coreset {
     transform(col("embedding"),
       x => floor(x.cast("double") * Scale).cast("long"))
 
+  /** The cached quantized projection every round scans. */
+  private[graft] def quantFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized.as("q"))
+      .withColumn("q_sq", longDotProduct(col("q"), col("q")))
+
+  private def d2To(c: Seq[Long]): Column = {
+    val cSq = c.map(x => x * x).sum
+    col("q_sq") - lit(2L) * longDotProduct(col("q"), typedLit(c)) + lit(cSq)
+  }
+
+  /** One greedy round as a plan fragment (spec-pinned shape): centers
+    * inlined as literals into a single `least` projection, argmax via
+    * orderBy+limit → TakeOrderedAndProject, ZERO shuffles. Recomputing
+    * the full min over ≤ k centers per round keeps the fragment pure
+    * (k²/2 codegen dot products total — negligible; the 100 TB form
+    * materializes the running min instead, see the scaladoc above). */
+  private[graft] def pickFrame(vq: DataFrame, centers: Seq[Seq[Long]],
+      exclude: Seq[Long]): DataFrame = {
+    val ds = centers.map(d2To)
+    val mind = if (ds.size == 1) ds.head else least(ds: _*)
+    vq.withColumn("mind", mind)
+      .filter(!col("vec_id").isin(exclude: _*))
+      .orderBy(desc("mind"), asc("vec_id")).limit(1)
+  }
+
   /** Gated query: the greedy trajectory — (sel_order, vec_id, d2_sel)
     * for the k centers plus the row-k coverage certificate. */
   def kCenter(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
     import spark.implicits._
-    val vq = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", quantized.as("q"))
-      .withColumn("q_sq", longDotProduct($"q", $"q"))
-      .cache()
-
-    def d2To(c: Seq[Long]): Column = {
-      val cSq = c.map(x => x * x).sum
-      $"q_sq" - lit(2L) * longDotProduct($"q", typedLit(c)) + lit(cSq)
-    }
-
+    val vq = quantFrame(spark, sfDir).cache()
     // deterministic seed: the smallest vec_id
     val seed = vq.orderBy($"vec_id").limit(1).collect()(0)
     var selected = Vector[(Int, Long, Option[Long])]((0, seed.getLong(0), None))
-    var lastQ: Seq[Long] = seed.getSeq[Long](1)
-    // running min-distance to the selected set, extended by one center
-    // per round; each round is a pure map over the cached projection
-    var cur = vq.withColumn("mind", d2To(lastQ))
+    var centers = Vector[Seq[Long]](seed.getSeq[Long](1))
     for (r <- 1 to k) { // round k picks the coverage certificate
-      if (r > 1) cur = cur.withColumn("mind", least($"mind", d2To(lastQ)))
-      val ids = selected.map(_._2)
-      val pick = cur.filter(!$"vec_id".isin(ids: _*))
-        .orderBy(desc("mind"), asc("vec_id")).limit(1).collect()(0)
+      val pick = pickFrame(vq, centers, selected.map(_._2)).collect()(0)
       selected :+= ((r, pick.getLong(0), Some(pick.getLong(3))))
-      lastQ = pick.getSeq[Long](1)
+      centers :+= pick.getSeq[Long](1)
     }
     vq.unpersist()
     spark.createDataFrame(selected)

@@ -63,9 +63,11 @@ object Preference {
     raw.map(r => (r * E9 / s).toLong)
   }
 
-  /** Gated query: one row per event type — wins, games, and the e9
-    * strength after each of the [[Rounds]] MM updates. */
-  def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The corpus-sized part as a plan fragment (spec-pinned shape): one
+    * (user, type) aggregate shuffle, a per-user equi-join with ≤ k
+    * fan-out per key (never a cartesian), and the items²-bounded wins
+    * aggregate. */
+  private[graft] def duelMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // corpus → (user, type) engagement totals: ONE shuffle, exact longs
     val perUserType = Tables.events(spark, sfDir)
@@ -74,7 +76,7 @@ object Preference {
       .groupBy($"user_id", $"event_type")
       .agg(sum($"v_e6").as("tot_e6"))
     // per-user pair expansion: ≤ k rows join ≤ k rows per user
-    val duels = perUserType.as("a")
+    perUserType.as("a")
       .join(perUserType.as("b"),
         col("a.user_id") === col("b.user_id")
           && col("a.event_type") < col("b.event_type"))
@@ -86,8 +88,14 @@ object Preference {
           .otherwise(col("a.event_type")).as("loser"))
       .groupBy($"winner", $"loser")
       .agg(count(lit(1)).as("n_wins"))
+  }
+
+  /** Gated query: one row per event type — wins, games, and the e9
+    * strength after each of the [[Rounds]] MM updates. */
+  def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     // k²-sized collect — the model, not the corpus
-    val w = duels.collect()
+    val w = duelMatrix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val items = w.flatMap(t => Seq(t._1, t._2)).distinct.sorted.toIndexedSeq
     val idx = items.zipWithIndex.toMap

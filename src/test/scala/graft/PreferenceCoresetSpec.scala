@@ -74,6 +74,50 @@ class PreferenceCoresetSpec extends SparkSuite {
       s"2-item MM should approach 3:1, got ${step3(0)}:${step3(1)}")
   }
 
+  test("plan shapes: no cartesian anywhere; coreset round is shuffle-free top-1") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def keyedShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      var keyed = 0
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeLike =>
+          if (s.outputPartitioning.numPartitions > 1) keyed += 1
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      keyed
+    }
+    // t-closeness: the QI×value expansion must be broadcast, never a
+    // partitioned cartesian — BroadcastNestedLoopJoin is the expected
+    // physical form of the dimension-sized cross joins
+    val tc = Pii.tCloseness(spark, gateSf)
+    tc.collect()
+    assert(!tc.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "t-closeness cross joins must broadcast")
+    // bradley-terry corpus fragment: per-user equi-join (no cartesian),
+    // bounded exchange count (agg + join re-partitions + wins agg)
+    val duels = Preference.duelMatrix(spark, gateSf)
+    assert(!duels.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "duel expansion must be an equi-join on user_id")
+    assert(keyedShuffles(duels) <= 4,
+      "duel matrix must stay within the agg + self-join exchange budget")
+    // one coreset round: centers are literals in a single projection —
+    // zero shuffles, argmax via TakeOrderedAndProject (per-partition
+    // heap + driver merge of 1 row, never a global sort)
+    val vq = graft.functions.Coreset.quantFrame(spark, gateSf)
+    val seed = vq.orderBy($"vec_id").limit(1).collect()(0)
+    val pick = graft.functions.Coreset.pickFrame(vq,
+      Seq(seed.getSeq[Long](1)), Seq(seed.getLong(0)))
+    assert(keyedShuffles(pick) == 0, "coreset round must not shuffle")
+    assert(pick.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "coreset argmax must be a top-1 heap, not a sort")
+  }
+
   test("coreset: k+1 rows, distinct ids, non-increasing radii, exact recompute") {
     val k = Coreset.K
     val out = Coreset.kCenter(spark, gateSf, k).collect()
