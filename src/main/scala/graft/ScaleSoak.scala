@@ -79,7 +79,8 @@ object ScaleSoak {
     "q_theta_overlap",       // KMV pair-overlap sketch (rows = source pairs at every m; audit-bounded)
     "q_t_closeness",         // QI-group TVD audit (cells ×m → every tvd_e9 exactly invariant)
     "q_bradley_terry",       // MM preference strengths (user set fixed → duels invariant → output bit-equal)
-    "q_coreset")             // greedy k-center (k+1 rows at every m; radii non-increasing, round-1 monotone in m)
+    "q_coreset",             // greedy k-center (k+1 rows at every m; radii non-increasing, round-1 monotone in m)
+    "q_mg_topk")             // Misra–Gries offset summary (≤ k rows/source; λ(k+1) ≤ n bound at every m)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -214,6 +215,14 @@ object ScaleSoak {
         oneRow(("q_coreset", m)) =
           SparkEntry.queries("q_coreset")(spark, dir)
             .collect().toSeq.drop(1).map(r => String.valueOf(r.getLong(2)))
+      // per-source survivor counts + the λ(k+1) ≤ n bound column, for
+      // the capacity/bound invariants below (the salt multiplies each
+      // source's count MULTISET ×m, so λ and the survivor set move
+      // with m by design — only the capacity and the bound are claims)
+      if (soakQueries.contains("q_mg_topk"))
+        oneRow(("q_mg_topk", m)) =
+          SparkEntry.queries("q_mg_topk")(spark, dir)
+            .collect().toSeq.map(r => s"${r.getString(0)}|${r.getBoolean(5)}")
       // sketch MERGE paths at scale (r8 verdict #8): the build paths
       // above soak the one-shot sketches; here the corpus is split
       // into 8 doc-sharded sub-sketches and merged back — HLL by
@@ -390,6 +399,17 @@ object ScaleSoak {
               s"soak invariant: $q output drifted at m=$m vs m=$m0")
           case _ => ()
         }
+      // Misra–Gries: capacity ≤ k per source and the λ(k+1) ≤ n
+      // guarantee column true for every survivor at every m
+      oneRow.get(("q_mg_topk", m)).foreach { rows9 =>
+        val bySrc = rows9.groupBy(_.split('|')(0))
+        bySrc.foreach { case (src, rs) =>
+          require(rs.length <= graft.functions.CountMin.MgK,
+            s"soak invariant: mg summary for $src over capacity at m=$m: ${rs.length}")
+        }
+        require(rows9.forall(_.endsWith("|true")),
+          s"soak invariant: mg λ(k+1) ≤ n bound broken at m=$m")
+      }
       // t-closeness group sizes scale exactly ×m (orders fan out on
       // unchanged custkeys)
       (oneRow.get(("q_t_closeness_nrows", m0)),

@@ -144,6 +144,8 @@ object SparkEntry {
     // SQL-recomputable, so the oracle replays the greedy matcher)
     "q_wordpiece_counts" -> ((s: SparkSession, d: String) =>
       graft.functions.WordPiece.pieceCounts(s, d)),
+    "q_mg_topk" -> ((s: SparkSession, d: String) =>
+      graft.functions.CountMin.mgTopk(s, d)),
     "q_countmin" -> ((s: SparkSession, d: String) =>
       graft.functions.CountMin.estimateQuery(s, d)),
     "q_nn_graph" -> ((s: SparkSession, d: String) =>
@@ -475,6 +477,7 @@ object SparkEntry {
     "q_unigram_encode" -> graft.functions.Unigram.encodeContractSql,
     "q_wordpiece_counts" -> graft.functions.WordPiece.pieceCountsSql(),
     "q_countmin" -> graft.functions.CountMin.estimateQuerySql(),
+    "q_mg_topk" -> graft.functions.CountMin.mgTopkSql(),
     "q_nn_graph" -> graft.functions.Similarity.nnGraphSql(),
     "q_neardup_editdist" -> graft.functions.Dedup.editDistanceRefineSql(),
     "q_slice_divergence" -> graft.functions.Divergence.sliceDivergenceSql,

@@ -91,4 +91,101 @@ object CountMin {
        |FROM probes p JOIN sketch s ON s.d = p.d AND s.b = p.b
        |GROUP BY p.tok, p.true_cnt ORDER BY p.tok""".stripMargin
   }
+
+  // ---- Misra–Gries canonical offset form (bounded-memory top-k) ----------
+
+  /** Summary capacity: at most [[MgK]] survivors per source. */
+  val MgK = 32
+
+  /** Misra–Gries / Frequent summary in its CANONICAL OFFSET FORM
+    * (Misra & Gries 1982; the offset characterization and merge bounds
+    * are Berinde et al. PODS 2009 / Agarwal et al., "Mergeable
+    * Summaries", PODS 2012): per source, λ = the (k+1)-th largest
+    * token count (0 when the vocabulary fits in k) and the summary
+    * keeps exactly the tokens with count > λ at estimate count − λ.
+    * This is the ORDER-INDEPENDENT fixed point every streaming MG run
+    * is within — and therefore the hash-gateable form: a pure function
+    * of the exact counts, no stream order anywhere.
+    *
+    * Guarantees, each carried as an output column so the gate pins the
+    * algebra and not just the rows: est ≤ true ≤ est + λ (one-sided
+    * undercount — `gap` = λ by construction) and λ ≤ n/(k+1)
+    * (`within_bound`; the k+1 counts ≥ λ already sum past n
+    * otherwise). Summaries MERGE by adding estimates and adding λs —
+    * the union bound est∪ ≤ true ≤ est∪ + Σλ holds at any merge shape
+    * (spec-proven over doc shards; the frequency twin of the HLL
+    * register-MAX / DDSketch bin-add soaks), which is what a 100 TB
+    * deployment ships: k-row partials per shard, k-row merged result,
+    * corpus never re-scanned.
+    *
+    * Scale: ONE map-side-combined (source, tok) count shuffle (the
+    * Zipf-hot tokens collapse in the partials, the heavy-hitters
+    * argument); the λ rank runs in a per-source window over that
+    * already-aggregated vocab table — per-task state is one source's
+    * vocabulary; swap for the fixed-size grouped top-k heap aggregate
+    * (q_topk_heap's machinery) when vocabularies outgrow a task. */
+  /** Canonical offset summary of an exact (source, tok, cnt) table:
+    * (source, tok, est, lambda, n_tokens, within_bound). Shared by the
+    * gate and the spec's shard-merge proof. */
+  private[graft] def mgSummaryOf(counts: DataFrame, k: Int): DataFrame = {
+    import counts.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = counts.groupBy($"source").agg(sum($"cnt").as("n_tokens"))
+    // λ = the (k+1)-th largest count — a tie-stable order statistic
+    // (the value at rank k+1 is the same whatever order ties take; the
+    // tok tiebreak just keeps the PLAN deterministic too)
+    val byCnt = Window.partitionBy($"source")
+      .orderBy($"cnt".desc, $"tok")
+    val lam = counts
+      .withColumn("rn", row_number().over(byCnt))
+      .filter($"rn" === k + 1)
+      .select($"source", $"cnt".as("lambda"))
+    counts
+      .join(broadcast(lam), Seq("source"), "left")
+      .na.fill(0L, Seq("lambda"))
+      .filter($"cnt" > $"lambda")
+      .join(broadcast(n), "source")
+      .select($"source", $"tok", ($"cnt" - $"lambda").as("est"),
+        $"lambda", $"n_tokens",
+        ($"lambda" * (k + 1) <= $"n_tokens").as("within_bound"))
+  }
+
+  private[graft] def mgCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"source", explode(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+  }
+
+  def mgTopk(spark: SparkSession, sfDir: String, k: Int = MgK): DataFrame = {
+    import spark.implicits._
+    mgSummaryOf(mgCounts(spark, sfDir), k)
+      .orderBy($"source", $"tok")
+  }
+
+  def mgTopkSql(k: Int = MgK): String =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT source,
+       |           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |n AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+       |      FROM c GROUP BY 1),
+       |r AS (SELECT source, cnt,
+       |             row_number() OVER (PARTITION BY source
+       |                                ORDER BY cnt DESC, tok) AS rn
+       |      FROM c),
+       |lam AS (SELECT source, cnt AS lambda FROM r WHERE rn = ${k + 1})
+       |SELECT c.source, c.tok,
+       |       c.cnt - COALESCE(l.lambda, 0) AS est,
+       |       COALESCE(l.lambda, 0) AS lambda,
+       |       n.n_tokens,
+       |       COALESCE(l.lambda, 0) * ${k + 1} <= n.n_tokens AS within_bound
+       |FROM c
+       |LEFT JOIN lam l USING (source)
+       |JOIN n USING (source)
+       |WHERE c.cnt > COALESCE(l.lambda, 0)
+       |ORDER BY c.source, c.tok""".stripMargin
 }

@@ -38,4 +38,66 @@ class CountMinSpec extends SparkSuite {
     assert(out.exists(t => t._2 == t._3),
       "no exact estimate among the top tokens — width/depth misconfigured")
   }
+
+  test("mg: canonical form recomputes; merge bound holds over doc shards") {
+    import graft.functions.CountMin
+    val k = CountMin.MgK
+    val out = CountMin.mgTopk(spark, gateSf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    // exact counts to recompute the canonical form against
+    val counts = CountMin.mgCounts(spark, gateSf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bySrc = counts.toSeq.groupBy(_._1._1)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= k, s"$src keeps ${rows.length} > k survivors")
+      val lam = rows.head._4
+      val descending = bySrc(src).map(_._2).sortBy(-_)
+      val expectLam = if (descending.length > k) descending(k) else 0L
+      assert(lam == expectLam, s"$src lambda $lam != (k+1)-th largest $expectLam")
+      rows.foreach { case (_, tok, est, l, n, wb) =>
+        assert(l == lam && est + lam == counts((src, tok)),
+          s"$src/$tok est $est + lambda $lam != true ${counts((src, tok))}")
+        assert(wb && lam * (k + 1) <= n, s"$src bound column wrong")
+      }
+      // completeness: every token with true count > lambda survived
+      val kept = rows.map(_._2).toSet
+      bySrc(src).foreach { case ((_, tok), c) =>
+        assert((c > lam) == kept(tok), s"$src/$tok survival rule broken")
+      }
+    }
+    // MERGE: per-shard canonical summaries, merged by adding estimates
+    // and adding lambdas — est_merged <= true <= est_merged + sum(lambda)
+    // for every surviving token, and any token with true > sum(lambda)
+    // must be in the merged support (Berinde et al. / PODS'12 algebra)
+    val docs = spark.read.parquet(s"$gateSf/documents.parquet")
+      .select($"source", $"doc_id",
+        explode(regexp_extract_all(lower($"text"),
+          lit("[a-z0-9]+"), lit(0))).as("tok"))
+    val shards = (0 until 4).map { s4 =>
+      val cnts = docs.filter($"doc_id" % 4 === s4)
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+      CountMin.mgSummaryOf(cnts, k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }
+    // per-source lambda-sum across shards (each shard has one lambda
+    // per source it saw)
+    val lamSum = shards.flatMap(_.groupBy(_._1).view.mapValues(_.head._4).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val estMerged = shards.flatten.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    estMerged.foreach { case ((src, tok), est) =>
+      val truth = counts((src, tok))
+      val ls = lamSum(src)
+      assert(est <= truth && truth <= est + ls,
+        s"merge bound broken for $src/$tok: est $est true $truth lamSum $ls")
+    }
+    // no false negatives above the summed threshold
+    counts.foreach { case ((src, tok), c) =>
+      if (c > lamSum.getOrElse(src, 0L))
+        assert(estMerged.contains((src, tok)),
+          s"$src/$tok true count $c > lambda-sum yet missing from merge")
+    }
+  }
 }
