@@ -120,14 +120,35 @@ object CountMin {
     *
     * Scale: ONE map-side-combined (source, tok) count shuffle (the
     * Zipf-hot tokens collapse in the partials, the heavy-hitters
-    * argument); the λ rank runs in a per-source window over that
-    * already-aggregated vocab table — per-task state is one source's
-    * vocabulary; swap for the fixed-size grouped top-k heap aggregate
-    * (q_topk_heap's machinery) when vocabularies outgrow a task. */
+    * argument); then TWO physical regimes for the λ rank, spec-pinned
+    * equal (CountMinSpec regime parity, the ChainClusterSpec pattern):
+    *  - window (≤ [[MgHeapVocabLimit]] vocab rows): per-source λ-rank
+    *    window over the aggregated vocab table — per-task state is one
+    *    source's vocabulary;
+    *  - heap (above the limit — the 100 TB Zipf-vocabulary case this
+    *    op exists for): a bounded-buffer top-(k+1) AGGREGATE
+    *    (q_topk_heap's machinery) whose partials are k+1 entries per
+    *    source regardless of vocabulary; correctness is the selection
+    *    monoid — top-(k+1) of a union of distinct (source, tok) rows
+    *    equals top-(k+1) of per-partial top-(k+1)s, and every survivor
+    *    (cnt > λ) sits in the buffer's first k positions by
+    *    construction. */
+  /** Vocab-row threshold for the regime switch (the
+    * [[graft.operators.Graph]] local-limit pattern). The auto switch
+    * prices one extra pass over the counts aggregate (`count()`);
+    * at-scale callers that know their regime call [[mgSummaryHeap]]
+    * directly. Var so the parity spec can force the heap regime on
+    * gate-sized data. */
+  private[graft] var MgHeapVocabLimit: Long = 2L * 1000 * 1000
+
   /** Canonical offset summary of an exact (source, tok, cnt) table:
     * (source, tok, est, lambda, n_tokens, within_bound). Shared by the
     * gate and the spec's shard-merge proof. */
-  private[graft] def mgSummaryOf(counts: DataFrame, k: Int): DataFrame = {
+  private[graft] def mgSummaryOf(counts: DataFrame, k: Int): DataFrame =
+    if (counts.count() > MgHeapVocabLimit) mgSummaryHeap(counts, k)
+    else mgSummaryWindow(counts, k)
+
+  private[graft] def mgSummaryWindow(counts: DataFrame, k: Int): DataFrame = {
     import counts.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val n = counts.groupBy($"source").agg(sum($"cnt").as("n_tokens"))
@@ -148,6 +169,90 @@ object CountMin {
       .select($"source", $"tok", ($"cnt" - $"lambda").as("est"),
         $"lambda", $"n_tokens",
         ($"lambda" * (k + 1) <= $"n_tokens").as("within_bound"))
+  }
+
+  /** Bounded top-`cap` buffer of (cnt, tok) ordered cnt desc, tok asc —
+    * the [[graft.operators.Behavioral]] TopKByValue shape over the
+    * already-distinct (source, tok) vocab rows. Partial state is ≤ cap
+    * entries however large the vocabulary. */
+  private class TopCntAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String, Long), Seq[(Long, String)], Seq[(Long, String)]] {
+    private def order(a: (Long, String), b: (Long, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Long, String)] = Seq.empty
+    def reduce(buf: Seq[(Long, String)], row: (String, String, Long)): Seq[(Long, String)] =
+      ((row._3, row._2) +: buf).sortWith(order).take(cap)
+    def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+      (a ++ b).sortWith(order).take(cap)
+    def finish(buf: Seq[(Long, String)]): Seq[(Long, String)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      bufferEncoder
+  }
+
+  private class SumCntAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String, Long), Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, row: (String, String, Long)): Long = b + row._3
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(b: Long): Long = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Heavy-vocabulary regime: ONE typed aggregate per source carrying a
+    * (k+1)-entry buffer + the exact token total — no window, no
+    * per-task vocabulary. λ = the buffer's (k+1)-th entry's count when
+    * the buffer is full (exactly the window form's rank-(k+1) order
+    * statistic; the (cnt desc, tok) order makes the position value
+    * tie-stable), 0 when the whole vocabulary fit. Survivors
+    * (cnt > λ) are by definition inside the buffer's first k slots. */
+  private[graft] def mgSummaryHeap(counts: DataFrame, k: Int): DataFrame = {
+    import counts.sparkSession.implicits._
+    val ds = counts.select($"source", $"tok", $"cnt")
+      .as[(String, String, Long)]
+    val top = new TopCntAgg(k + 1)
+    val tot = new SumCntAgg
+    ds.groupByKey(_._1)
+      .agg(top.toColumn.name("top"), tot.toColumn.name("n_tokens"))
+      .toDF("source", "top", "n_tokens")
+      .withColumn("lambda",
+        when(size($"top") === k + 1,
+          element_at($"top", k + 1).getField("_1")).otherwise(0L))
+      .select($"source", explode($"top").as("entry"),
+        $"lambda", $"n_tokens")
+      .filter($"entry".getField("_1") > $"lambda")
+      .select($"source", $"entry".getField("_2").as("tok"),
+        ($"entry".getField("_1") - $"lambda").as("est"),
+        $"lambda", $"n_tokens",
+        ($"lambda" * (k + 1) <= $"n_tokens").as("within_bound"))
+  }
+
+  /** Per-source merge metadata — ALWAYS one row per source, survivors
+    * or none (r9 ADVICE: a flat shard whose counts are all ≤ λ has an
+    * EMPTY summary, and a merger reading λ off survivor rows loses
+    * that shard's λ — understating Σλ in the union bound
+    * est ≤ true ≤ est + Σλ). Shipped beside the summary so mergers
+    * always accumulate the full λ sum; spec-exercised in
+    * CountMinSpec's shard-merge proof. */
+  private[graft] def mgMetaOf(counts: DataFrame, k: Int): DataFrame = {
+    import counts.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byCnt = Window.partitionBy($"source")
+      .orderBy($"cnt".desc, $"tok")
+    val lam = counts
+      .withColumn("rn", row_number().over(byCnt))
+      .filter($"rn" === k + 1)
+      .select($"source", $"cnt".as("lambda"))
+    counts.groupBy($"source").agg(sum($"cnt").as("n_tokens"))
+      .join(broadcast(lam), Seq("source"), "left")
+      .na.fill(0L, Seq("lambda"))
+      .select($"source", $"lambda", $"n_tokens")
   }
 
   private[graft] def mgCounts(spark: SparkSession, sfDir: String): DataFrame = {

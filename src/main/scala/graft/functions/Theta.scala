@@ -85,30 +85,7 @@ object Theta {
     // |sources|·k rows — pinned once; sizes, both pair sides and the
     // match flags all read this frame
     val sk = sketches(spark, sfDir, k).localCheckpoint(eager = true)
-    val srcs = sk.select($"source").distinct()
-    // per-pair union entries: A's sketch tagged in_a against every
-    // later source, B's tagged in_b against every earlier one
-    val pe = sk.as("a")
-      .join(srcs.as("sb"), col("a.source") < col("sb.source"))
-      .select(col("a.source").as("source_a"), col("sb.source").as("source_b"),
-        $"pri", lit(1).as("in_a"), lit(0).as("in_b"))
-      .unionByName(sk.as("b")
-        .join(srcs.as("sa"), col("sa.source") < col("b.source"))
-        .select(col("sa.source").as("source_a"), col("b.source").as("source_b"),
-          $"pri", lit(0).as("in_a"), lit(1).as("in_b")))
-    val u = pe.groupBy($"source_a", $"source_b", $"pri")
-      .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
-    val l = u.withColumn("rn", row_number().over(
-      Window.partitionBy($"source_a", $"source_b").orderBy($"pri")))
-      .filter($"rn" <= k)
-    val agg = l.groupBy($"source_a", $"source_b")
-      .agg(count(lit(1)).as("union_k"),
-        sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L)).as("matches"),
-        max($"pri").as("theta"))
-      .withColumn("est_union_raw",
-        when($"union_k" === k,
-          lit((k - 1).toDouble) * lit(HashMax) / $"theta".cast("double"))
-          .otherwise($"union_k".cast("double")))
+    val agg = pairEstimates(sk, k)
     // exact audit (already 6-dp): reuses the staged exact path; absent
     // pairs share zero shingles → exact 0
     val exact = Dedup.sourceOverlap(spark, sfDir)
@@ -132,6 +109,114 @@ object Theta {
           .as("abs_err_e6"))
       .orderBy($"source_a", $"source_b")
   }
+
+  /** The sketch-only pair aggregate both gated forms share: per-pair
+    * union bottom-k stats and the three estimates, computed ENTIRELY
+    * from the |sources|·k sketch table. */
+  private def pairEstimates(sk: DataFrame, k: Int): DataFrame = {
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val srcs = sk.select($"source").distinct()
+    val pe = sk.as("a")
+      .join(srcs.as("sb"), col("a.source") < col("sb.source"))
+      .select(col("a.source").as("source_a"), col("sb.source").as("source_b"),
+        $"pri", lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(sk.as("b")
+        .join(srcs.as("sa"), col("sa.source") < col("b.source"))
+        .select(col("sa.source").as("source_a"), col("b.source").as("source_b"),
+          $"pri", lit(0).as("in_a"), lit(1).as("in_b")))
+    val u = pe.groupBy($"source_a", $"source_b", $"pri")
+      .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+    val l = u.withColumn("rn", row_number().over(
+      Window.partitionBy($"source_a", $"source_b").orderBy($"pri")))
+      .filter($"rn" <= k)
+    l.groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("union_k"),
+        sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L)).as("matches"),
+        max($"pri").as("theta"))
+      .withColumn("est_union_raw",
+        when($"union_k" === k,
+          lit((k - 1).toDouble) * lit(HashMax) / $"theta".cast("double"))
+          .otherwise($"union_k".cast("double")))
+  }
+
+  /** Gated query — THE SCALE PATH ITSELF (r9 verdict #1): estimates
+    * only, no [[Dedup.sourceOverlap]] audit join, no staged shingle
+    * artifact. One corpus pass builds the |sources|·k sketch table;
+    * everything after is sketch-sized arithmetic. ThetaSpec pins the
+    * plan: no shuffled join of any kind appears — the only joins are
+    * the broadcast pair expansions against the |sources|-row list.
+    * The audited [[thetaOverlap]] remains the gate-scale twin. */
+  def thetaOverlapSketch(spark: SparkSession, sfDir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    val sk = sketches(spark, sfDir, k).localCheckpoint(eager = true)
+    pairEstimates(sk, k)
+      .select($"source_a", $"source_b", $"union_k", $"matches", $"theta",
+        floor($"est_union_raw" * lit(1e6)).cast("long").as("est_union_e6"),
+        floor($"matches".cast("double") / $"union_k".cast("double") * lit(1e6))
+          .cast("long").as("est_jaccard_e6"),
+        floor($"matches".cast("double") * $"est_union_raw"
+          / $"union_k".cast("double") * lit(1e6)).cast("long").as("est_inter_e6"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** DuckDB replay of the sketch-only form: the same CTE chain as
+    * [[thetaOverlapSql]] with the exact-audit legs (sh self-join,
+    * sizes) simply absent. */
+  def thetaOverlapSketchSql(k: Int = K): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT d.source, s.shingle
+       |  FROM toks
+       |  JOIN documents d USING (doc_id),
+       |       LATERAL (SELECT unnest(list_distinct(
+       |           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |            FOR i IN range(1, greatest(len(t) - 1, 1))])) AS shingle) s),
+       |pri AS (
+       |  SELECT DISTINCT source,
+       |         CAST(('0x' || substr(md5(shingle || '|$Salt'), 1, 15)) AS BIGINT) AS pri
+       |  FROM sh),
+       |sk AS (
+       |  SELECT source, pri FROM (
+       |    SELECT source, pri,
+       |           row_number() OVER (PARTITION BY source ORDER BY pri) AS rn
+       |    FROM pri) WHERE rn <= $k),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pe AS (
+       |  SELECT a.source AS source_a, s.source AS source_b, a.pri,
+       |         1 AS in_a, 0 AS in_b
+       |  FROM sk a JOIN srcs s ON a.source < s.source
+       |  UNION ALL
+       |  SELECT s.source, b.source, b.pri, 0, 1
+       |  FROM sk b JOIN srcs s ON s.source < b.source),
+       |u AS (
+       |  SELECT source_a, source_b, pri,
+       |         max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM pe GROUP BY 1, 2, 3),
+       |l AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source_a, source_b ORDER BY pri) AS rn
+       |  FROM u),
+       |agg AS (
+       |  SELECT source_a, source_b,
+       |         CAST(count(*) AS BIGINT) AS union_k,
+       |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+       |         CAST(max(pri) AS BIGINT) AS theta
+       |  FROM l WHERE rn <= $k GROUP BY 1, 2),
+       |est AS (
+       |  SELECT *,
+       |         CASE WHEN union_k = $k
+       |              THEN CAST(${k - 1} AS DOUBLE) * 1152921504606846976.0 / CAST(theta AS DOUBLE)
+       |              ELSE CAST(union_k AS DOUBLE) END AS est_union_raw
+       |  FROM agg)
+       |SELECT source_a, source_b, union_k, matches, theta,
+       |       CAST(floor(est_union_raw * 1e6) AS BIGINT) AS est_union_e6,
+       |       CAST(floor(CAST(matches AS DOUBLE) / CAST(union_k AS DOUBLE) * 1e6) AS BIGINT) AS est_jaccard_e6,
+       |       CAST(floor(CAST(matches AS DOUBLE) * est_union_raw / CAST(union_k AS DOUBLE) * 1e6) AS BIGINT) AS est_inter_e6
+       |FROM est
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** DuckDB replay: identical shingle construction ([[Dedup
     * .sourceOverlapSql]]'s CTEs), identical md5 priorities, identical

@@ -75,16 +75,33 @@ class CountMinSpec extends SparkSuite {
       .select($"source", $"doc_id",
         explode(regexp_extract_all(lower($"text"),
           lit("[a-z0-9]+"), lit(0))).as("tok"))
-    val shards = (0 until 4).map { s4 =>
-      val cnts = docs.filter($"doc_id" % 4 === s4)
+    val shardCnts = (0 until 4).map { s4 =>
+      docs.filter($"doc_id" % 4 === s4)
         .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+    }
+    val shards = shardCnts.map { cnts =>
       CountMin.mgSummaryOf(cnts, k).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     }
-    // per-source lambda-sum across shards (each shard has one lambda
-    // per source it saw)
-    val lamSum = shards.flatMap(_.groupBy(_._1).view.mapValues(_.head._4).toSeq)
+    // per-source lambda-sum across shards from the META table — NOT off
+    // survivor rows (r9 ADVICE: a shard where a source has zero
+    // survivors still carries a lambda; reading it off survivors loses
+    // it and understates the union bound). mgMetaOf emits one row per
+    // source unconditionally.
+    val lamSum = shardCnts
+      .flatMap(cnts => CountMin.mgMetaOf(cnts, k).collect()
+        .map(r => (r.getString(0), r.getLong(1))))
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // the meta table covers every source each shard saw, survivors or
+    // not — the lost-lambda gap closed
+    shardCnts.zip(shards).foreach { case (cnts, summ) =>
+      val metaSrcs = CountMin.mgMetaOf(cnts, k).collect()
+        .map(_.getString(0)).toSet
+      val cntSrcs = cnts.select($"source").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(metaSrcs == cntSrcs, "meta table must cover every shard source")
+      assert(summ.map(_._1).toSet.subsetOf(metaSrcs))
+    }
     val estMerged = shards.flatten.groupBy(t => (t._1, t._2))
       .view.mapValues(_.map(_._3).sum).toMap
     estMerged.foreach { case ((src, tok), est) =>
@@ -99,5 +116,25 @@ class CountMinSpec extends SparkSuite {
         assert(estMerged.contains((src, tok)),
           s"$src/$tok true count $c > lambda-sum yet missing from merge")
     }
+  }
+
+  test("mg: heap regime == window regime (ChainClusterSpec parity pattern)") {
+    val k = CountMin.MgK
+    val cnts = CountMin.mgCounts(spark, gateSf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(t => (t._1, t._2))
+    val win = canon(CountMin.mgSummaryWindow(cnts, k))
+    val heap = canon(CountMin.mgSummaryHeap(cnts, k))
+    assert(win.nonEmpty && win.toSeq == heap.toSeq,
+      "bounded-buffer heap aggregate must reproduce the window canonical form")
+    // the auto switch picks the heap on gate data when forced low, and
+    // the GATED query stays oracle-identical through it
+    val prev = CountMin.MgHeapVocabLimit
+    try {
+      CountMin.MgHeapVocabLimit = 0L
+      val forced = canon(CountMin.mgTopk(spark, gateSf))
+      assert(forced.toSeq == win.toSeq)
+    } finally CountMin.MgHeapVocabLimit = prev
   }
 }

@@ -52,6 +52,32 @@ class ThetaSpec extends SparkSuite {
     assert(nlj.nonEmpty, "expected the broadcast pair expansion")
   }
 
+  test("sketch-only twin: estimates agree with the audited form; plan is stage-free (no shuffled join, no shingle self-join)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val sk = Theta.thetaOverlapSketch(spark, sf).cache()
+    // estimate columns are identical to the audited query's (same sketch
+    // table, same arithmetic — the audit legs must change nothing)
+    val audited = Theta.thetaOverlap(spark, sf)
+      .select($"source_a", $"source_b", $"union_k", $"matches", $"theta",
+        $"est_union_e6", $"est_jaccard_e6", $"est_inter_e6")
+    assert(sk.exceptAll(audited).count() == 0 && audited.exceptAll(sk).count() == 0)
+    // THE plan pin (r9 verdict #1): the scale path carries no shuffled
+    // join of any kind — in particular no shingle self-join (the exact
+    // audit's SortMergeJoin) and no staged-artifact scan. The only
+    // joins are the broadcast pair expansions over the source list.
+    val plan = walkPlan(Theta.thetaOverlapSketch(spark, sf))
+    assert(!plan.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "sketch-only plan must not contain the exact audit's shingle self-join")
+    assert(!plan.exists(_.isInstanceOf[ShuffledHashJoinExec]))
+    assert(plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "expected the broadcast pair expansion")
+    assert(!plan.exists(p => p.nodeName.toLowerCase.contains("inmemory") &&
+      p.toString.toLowerCase.contains("staged")),
+      "sketch-only plan must not read a staged exact artifact")
+    sk.unpersist()
+  }
+
   test("sketch state: k rows per source max, priorities strictly increasing per source") {
     val sk = Theta.sketches(spark, sf).cache()
     val over = sk.groupBy($"source").count().filter($"count" > Theta.K)
