@@ -52,6 +52,7 @@ object SparkEntry {
     "q_curriculum" -> ((s: SparkSession, d: String) => Sampling.curriculum(s, d)),
     "q_source_overlap" -> (Dedup.sourceOverlap _),
     "q_theta_overlap" -> ((s: SparkSession, d: String) => graft.functions.Theta.thetaOverlap(s, d)),
+    "q_theta_overlap_sketch" -> ((s: SparkSession, d: String) => graft.functions.Theta.thetaOverlapSketch(s, d)),
     "q_tokenizer_fertility" -> ((s: SparkSession, d: String) => graft.functions.WordPiece.fertility(s, d)),
     "q_mixture_budget" -> ((s: SparkSession, d: String) => Sampling.mixtureBudget(s, d)),
     "q_blocklist_scrub" -> ((s: SparkSession, d: String) => Blocklist.blocklistReport(s, d)),
@@ -216,6 +217,8 @@ object SparkEntry {
       graft.functions.Pii.tCloseness(s, d)),
     "q_bradley_terry" -> ((s: SparkSession, d: String) =>
       graft.functions.Preference.bradleyTerry(s, d)),
+    "q_preference_pairs" -> ((s: SparkSession, d: String) =>
+      graft.functions.Preference.preferencePairs(s, d)),
     "q_coreset" -> ((s: SparkSession, d: String) =>
       graft.functions.Coreset.kCenter(s, d)),
     "q_entity_resolution" -> ((s: SparkSession, d: String) =>
@@ -391,6 +394,7 @@ object SparkEntry {
     "q_curriculum" -> Sampling.curriculumSql(),
     "q_source_overlap" -> Dedup.sourceOverlapSql,
     "q_theta_overlap" -> graft.functions.Theta.thetaOverlapSql(),
+    "q_theta_overlap_sketch" -> graft.functions.Theta.thetaOverlapSketchSql(),
     "q_tokenizer_fertility" -> graft.functions.WordPiece.fertilitySql(),
     "q_mixture_budget" -> Sampling.mixtureBudgetSql(),
     "q_blocklist_scrub" -> Blocklist.blocklistReportSql(),
@@ -462,6 +466,7 @@ object SparkEntry {
     "q_l_diversity" -> Pii.lDiversitySql(),
     "q_t_closeness" -> Pii.tClosenessSql(),
     "q_bradley_terry" -> graft.functions.Preference.bradleyTerrySql,
+    "q_preference_pairs" -> graft.functions.Preference.preferencePairsSql,
     "q_coreset" -> graft.functions.Coreset.kCenterSql(),
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),

@@ -63,39 +63,64 @@ object Preference {
     raw.map(r => (r * E9 / s).toLong)
   }
 
-  /** The corpus-sized part as a plan fragment (spec-pinned shape): one
-    * (user, type) aggregate shuffle, a per-user equi-join with ≤ k
-    * fan-out per key (never a cartesian), and the items²-bounded wins
-    * aggregate. */
-  private[graft] def duelMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** Per-user decisive duels — the row-level judgments both gated
+    * forms share: one row per (user, unordered type pair) where the
+    * exact-integer engagement totals differ; the larger total is
+    * `chosen`. ≤ k rows join ≤ k rows per user (bounded fan-out,
+    * never corpus²). */
+  private[graft] def userDuels(spark: SparkSession, sfDir: String): DataFrame =
+    userDuelsFrom(Tables.events(spark, sfDir))
+
+  /** The same duel construction over an arbitrary events frame — the
+    * soak's user-growth salt feeds a user-remapped frame through
+    * here. */
+  private[graft] def userDuelsFrom(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     // corpus → (user, type) engagement totals: ONE shuffle, exact longs
-    val perUserType = Tables.events(spark, sfDir)
+    val perUserType = events
       .select($"user_id", $"event_type",
         floor($"value" * 1e6).cast("long").as("v_e6"))
       .groupBy($"user_id", $"event_type")
       .agg(sum($"v_e6").as("tot_e6"))
-    // per-user pair expansion: ≤ k rows join ≤ k rows per user
     perUserType.as("a")
       .join(perUserType.as("b"),
         col("a.user_id") === col("b.user_id")
           && col("a.event_type") < col("b.event_type"))
       .filter(col("a.tot_e6") =!= col("b.tot_e6")) // draws carry no signal
-      .select(
+      .select(col("a.user_id").as("user_id"),
         when(col("a.tot_e6") > col("b.tot_e6"), col("a.event_type"))
-          .otherwise(col("b.event_type")).as("winner"),
+          .otherwise(col("b.event_type")).as("chosen"),
         when(col("a.tot_e6") > col("b.tot_e6"), col("b.event_type"))
-          .otherwise(col("a.event_type")).as("loser"))
-      .groupBy($"winner", $"loser")
+          .otherwise(col("a.event_type")).as("rejected"),
+        greatest(col("a.tot_e6"), col("b.tot_e6")).as("chosen_tot_e6"),
+        least(col("a.tot_e6"), col("b.tot_e6")).as("rejected_tot_e6"))
+  }
+
+  /** The corpus-sized part as a plan fragment (spec-pinned shape): one
+    * (user, type) aggregate shuffle, a per-user equi-join with ≤ k
+    * fan-out per key (never a cartesian), and the items²-bounded wins
+    * aggregate. */
+  private[graft] def duelMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    duelMatrixFrom(Tables.events(spark, sfDir))
+
+  private[graft] def duelMatrixFrom(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    userDuelsFrom(events)
+      .groupBy($"chosen".as("winner"), $"rejected".as("loser"))
       .agg(count(lit(1)).as("n_wins"))
   }
 
   /** Gated query: one row per event type — wins, games, and the e9
     * strength after each of the [[Rounds]] MM updates. */
-  def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
+  def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame =
+    bradleyTerryFrom(spark, duelMatrix(spark, sfDir))
+
+  /** The MM fit over an arbitrary (winner, loser, n_wins) duel
+    * matrix — shared by the gate and the soak's user-growth mode. */
+  private[graft] def bradleyTerryFrom(spark: SparkSession, duels: DataFrame): DataFrame = {
     import spark.implicits._
     // k²-sized collect — the model, not the corpus
-    val w = duelMatrix(spark, sfDir).collect()
+    val w = duels.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val items = w.flatMap(t => Seq(t._1, t._2)).distinct.sorted.toIndexedSeq
     val idx = items.zipWithIndex.toMap
@@ -122,62 +147,40 @@ object Preference {
       .orderBy($"event_type")
   }
 
+  /** Training-pair emission — the artifact a reward-model pipeline
+    * actually ships (r9 verdict #5): per-user (chosen, rejected) duel
+    * pairs annotated with the fitted BT strength margin, kept under a
+    * deterministic rule (margin > 0 — the global model confirms the
+    * local judgment; strictly positive so the kept set is invariant to
+    * which side of an equal-strength pair the duel happened to pick).
+    * Margins are e9-integer differences of the round-[[Rounds]]
+    * trajectory strengths, so the oracle replays them exactly off the
+    * same unrolled MM trajectory.
+    *
+    * Scale shape: the duels frame is the one corpus-sized exchange
+    * ([[userDuels]] — bounded per-user fan-out); strengths arrive as a
+    * BROADCAST k-row frame, so pair emission adds no shuffle beyond
+    * the duel construction itself. */
+  def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pis = bradleyTerry(spark, sfDir).select($"event_type", $"pi4_e9")
+    userDuels(spark, sfDir)
+      .join(broadcast(pis.select($"event_type".as("chosen"),
+        $"pi4_e9".as("pi_chosen_e9"))), Seq("chosen"))
+      .join(broadcast(pis.select($"event_type".as("rejected"),
+        $"pi4_e9".as("pi_rejected_e9"))), Seq("rejected"))
+      .withColumn("margin_e9", $"pi_chosen_e9" - $"pi_rejected_e9")
+      .filter($"margin_e9" > 0)
+      .select($"user_id", $"chosen", $"rejected",
+        $"chosen_tot_e6", $"rejected_tot_e6", $"margin_e9")
+      .orderBy($"user_id", $"chosen", $"rejected")
+  }
+
   /** The whole MM trajectory replayed in SQL: duel construction from
     * the same exact-integer engagement totals, then [[Rounds]] unrolled
     * updates in HUGEINT arithmetic. */
-  val bradleyTerrySql: String = {
-    def round(prev: String, cur: String): String =
-      s"""d_$cur AS (
-         |  SELECT s.i AS item,
-         |         SUM((CAST(s.n AS HUGEINT) * 1000000000000000000)
-         |             // (pi.w + pj.w)) AS denom
-         |  FROM sym s
-         |  JOIN $prev pi ON pi.item = s.i
-         |  JOIN $prev pj ON pj.item = s.j
-         |  GROUP BY 1),
-         |r_$cur AS (
-         |  SELECT w.item,
-         |         (CAST(w.wins AS HUGEINT) * 1000000000000000000)
-         |           // d.denom AS raw
-         |  FROM wtot w JOIN d_$cur d ON d.item = w.item),
-         |$cur AS (
-         |  SELECT item,
-         |         CAST((raw * 1000000000) // (SELECT SUM(raw) FROM r_$cur)
-         |              AS BIGINT) AS w
-         |  FROM r_$cur)""".stripMargin
-    s"""WITH put AS (
-       |  SELECT user_id, event_type,
-       |         CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS tot_e6
-       |  FROM events GROUP BY 1, 2),
-       |duel AS (
-       |  SELECT CASE WHEN a.tot_e6 > b.tot_e6 THEN a.event_type
-       |              ELSE b.event_type END AS winner,
-       |         CASE WHEN a.tot_e6 > b.tot_e6 THEN b.event_type
-       |              ELSE a.event_type END AS loser
-       |  FROM put a JOIN put b
-       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
-       |  WHERE a.tot_e6 <> b.tot_e6),
-       |wins AS (
-       |  SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n_wins
-       |  FROM duel GROUP BY 1, 2),
-       |wtot AS (
-       |  SELECT winner AS item, CAST(SUM(n_wins) AS BIGINT) AS wins
-       |  FROM wins GROUP BY 1),
-       |sym AS (
-       |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
-       |    SELECT winner AS i, loser AS j, n_wins AS n FROM wins
-       |    UNION ALL
-       |    SELECT loser AS i, winner AS j, n_wins AS n FROM wins)
-       |  GROUP BY 1, 2),
-       |gtot AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS games
-       |         FROM sym GROUP BY 1),
-       |nitems AS (SELECT COUNT(*) AS k FROM wtot),
-       |p0 AS (
-       |  SELECT w.item, (1000000000 // n.k) AS w FROM wtot w, nitems n),
-       |${round("p0", "p1")},
-       |${round("p1", "p2")},
-       |${round("p2", "p3")},
-       |${round("p3", "p4")}
+  val bradleyTerrySql: String =
+    s"""WITH ${trajectoryCtes(mmRound)}
        |SELECT t.item AS event_type, t.wins, g.games,
        |       p0.w AS pi0_e9, p1.w AS pi1_e9, p2.w AS pi2_e9,
        |       p3.w AS pi3_e9, p4.w AS pi4_e9
@@ -189,5 +192,92 @@ object Preference {
        |JOIN p3 ON p3.item = t.item
        |JOIN p4 ON p4.item = t.item
        |ORDER BY event_type""".stripMargin
-  }
+
+  /** Replay of [[preferencePairs]]: the same trajectory CTEs, then the
+    * per-user duels joined to the round-4 strengths with the identical
+    * margin arithmetic and keep rule. */
+  val preferencePairsSql: String =
+    s"""WITH ${trajectoryCtes(mmRound)}
+       |SELECT d.user_id, d.chosen, d.rejected,
+       |       d.chosen_tot_e6, d.rejected_tot_e6,
+       |       pc.w - pr.w AS margin_e9
+       |FROM duelu d
+       |JOIN p4 pc ON pc.item = d.chosen
+       |JOIN p4 pr ON pr.item = d.rejected
+       |WHERE pc.w - pr.w > 0
+       |ORDER BY d.user_id, d.chosen, d.rejected""".stripMargin
+
+  private def mmRound(prev: String, cur: String): String =
+      s"""d_$cur AS MATERIALIZED (
+         |  SELECT s.i AS item,
+         |         SUM((CAST(s.n AS HUGEINT) * 1000000000000000000)
+         |             // (pi.w + pj.w)) AS denom
+         |  FROM sym s
+         |  JOIN $prev pi ON pi.item = s.i
+         |  JOIN $prev pj ON pj.item = s.j
+         |  GROUP BY 1),
+         |r_$cur AS MATERIALIZED (
+         |  SELECT w.item,
+         |         (CAST(w.wins AS HUGEINT) * 1000000000000000000)
+         |           // d.denom AS raw
+         |  FROM wtot w JOIN d_$cur d ON d.item = w.item),
+         |$cur AS MATERIALIZED (
+         |  SELECT item,
+         |         CAST((raw * 1000000000) // (SELECT SUM(raw) FROM r_$cur)
+         |              AS BIGINT) AS w
+         |  FROM r_$cur)""".stripMargin
+
+  /** The shared CTE chain duels → wins → unrolled MM trajectory, used
+    * by both gated oracles. `wtot` derives its item set from the
+    * SYMMETRIC games table and ERRORS on a zero-win item (r9 ADVICE:
+    * the engine `require`s comparison-graph regularity — the oracle
+    * must fail loudly on the same condition, not silently drop the
+    * item and renormalize over k−1). */
+  private def trajectoryCtes(round: (String, String) => String): String =
+    s"""put AS MATERIALIZED (
+       |  SELECT user_id, event_type,
+       |         CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS tot_e6
+       |  FROM events GROUP BY 1, 2),
+       |duelu AS MATERIALIZED (
+       |  SELECT a.user_id,
+       |         CASE WHEN a.tot_e6 > b.tot_e6 THEN a.event_type
+       |              ELSE b.event_type END AS chosen,
+       |         CASE WHEN a.tot_e6 > b.tot_e6 THEN b.event_type
+       |              ELSE a.event_type END AS rejected,
+       |         greatest(a.tot_e6, b.tot_e6) AS chosen_tot_e6,
+       |         least(a.tot_e6, b.tot_e6) AS rejected_tot_e6
+       |  FROM put a JOIN put b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  WHERE a.tot_e6 <> b.tot_e6),
+       |wins AS MATERIALIZED (
+       |  SELECT chosen AS winner, rejected AS loser,
+       |         CAST(COUNT(*) AS BIGINT) AS n_wins
+       |  FROM duelu GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+       |    SELECT winner AS i, loser AS j, n_wins AS n FROM wins
+       |    UNION ALL
+       |    SELECT loser AS i, winner AS j, n_wins AS n FROM wins)
+       |  GROUP BY 1, 2),
+       |items AS (SELECT DISTINCT i AS item FROM sym),
+       |-- MATERIALIZED: error() is volatile, which blocks DuckDB's
+       |-- auto-materialization and would re-inline the whole chain at
+       |-- every wtot reference (one per MM round) — exponential blowup
+       |wtot AS MATERIALIZED (
+       |  SELECT it.item,
+       |         CASE WHEN w.wins IS NULL THEN CAST(error(concat(
+       |           'bradley_terry: zero-win item (comparison-graph regularity violated): ',
+       |           it.item)) AS BIGINT) ELSE w.wins END AS wins
+       |  FROM items it
+       |  LEFT JOIN (SELECT winner AS item, CAST(SUM(n_wins) AS BIGINT) AS wins
+       |             FROM wins GROUP BY 1) w ON w.item = it.item),
+       |gtot AS MATERIALIZED (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS games
+       |         FROM sym GROUP BY 1),
+       |nitems AS (SELECT COUNT(*) AS k FROM wtot),
+       |p0 AS MATERIALIZED (
+       |  SELECT w.item, (1000000000 // n.k) AS w FROM wtot w, nitems n),
+       |${round("p0", "p1")},
+       |${round("p1", "p2")},
+       |${round("p2", "p3")},
+       |${round("p3", "p4")}""".stripMargin
 }

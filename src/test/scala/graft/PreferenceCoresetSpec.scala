@@ -74,6 +74,33 @@ class PreferenceCoresetSpec extends SparkSuite {
       s"2-item MM should approach 3:1, got ${step3(0)}:${step3(1)}")
   }
 
+  test("preference pairs: margin recompute, anti-symmetry, keep rule") {
+    val pis = Preference.bradleyTerry(spark, gateSf).collect()
+      .map(r => r.getString(0) -> r.getLong(7)).toMap // pi4_e9
+    val out = Preference.preferencePairs(spark, gateSf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, chosen, rejected, ct, rt, margin) =>
+      assert(chosen != rejected)
+      // the local judgment: chosen's engagement total strictly larger
+      assert(ct > rt, s"chosen_tot $ct must exceed rejected_tot $rt")
+      // margin recompute off the gated trajectory's round-4 strengths
+      assert(margin == pis(chosen) - pis(rejected),
+        s"margin $margin != pi4($chosen) - pi4($rejected)")
+      // the keep rule: strictly BT-consistent pairs only
+      assert(margin > 0)
+    }
+    // anti-symmetry: a (user, pair) appears at most once, in one direction
+    val keys = out.map(t => (t._1, Seq(t._2, t._3).sorted))
+    assert(keys.distinct.length == keys.length,
+      "a user's duel pair must be emitted in exactly one direction")
+    // pairs are a subset of the user's decisive duels (no invented rows)
+    val duels = Preference.userDuels(spark, gateSf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out.forall(t => duels((t._1, t._2, t._3))))
+  }
+
   test("plan shapes: no cartesian anywhere; coreset round is shuffle-free top-1") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
