@@ -41,12 +41,17 @@ trait SparkSuite extends AnyFunSuite {
     walk(root)
     out.toSeq
   }
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // bounded-frame windows: see SCALE.md "Sanctioned global windows"
+    GraftSession.muteSanctionedWindowWarns()
+    s
+  }
   val sf = "/root/testdata/sf0.001"
 
   /** Session confs for the duration of `body`, previous values (set or
@@ -407,6 +412,29 @@ class MultimodalSpec extends SparkSuite {
     assert(data.toSeq == src.toSeq)
   }
 
+  test("Y4M round-trip: real header parse, FRAME-marker walk, cycled plane bytes") {
+    val src = (0 until 500).map(i => ((i * 91 + 7) % 256).toByte).toArray
+    val n = src.length
+    val y4m = Multimodal.Y4mCodec.encode(src)
+    // real container: ASCII magic + parameter tags
+    val header = new String(y4m.takeWhile(_ != '\n'.toByte), "US-ASCII")
+    assert(header.startsWith("YUV4MPEG2 W"))
+    val (ew, eh) = Multimodal.Y4mCodec.dims(n.toLong)
+    assert(ew % 2 == 0 && eh % 2 == 0, "YUV convention: even geometry")
+    val (w, h, frames, data) = Multimodal.Y4mCodec.decode(y4m)
+    assert(w == ew && h == eh)
+    assert(frames == Multimodal.Y4mCodec.frameCount(n.toLong))
+    assert(data.length == frames * w * h)
+    // the cycling identity the oracle replays: plane byte j = src[j mod n]
+    (0 until data.length by 37).foreach { j =>
+      assert(data(j) == src(j % n), s"plane byte $j")
+    }
+    // a corrupted marker must fail loudly, not decode garbage
+    val broken = y4m.clone()
+    broken(header.length + 1) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(broken))
+  }
+
   test("real decode path agrees with the encoder parameterization on every asset") {
     import spark.implicits._
     val feats = Multimodal.mediaFeatures(spark, sf).cache()
@@ -420,9 +448,13 @@ class MultimodalSpec extends SparkSuite {
     val badAud = feats.filter($"kind" === "audio")
       .filter($"n_frames" =!= $"n_bytes".cast("long") || $"width" =!= 0)
     assert(badAud.count() == 0)
-    // video rows: the documented synthetic path
+    // video rows: container-parsed geometry/frames equal the staging
+    // formulas; luma_sum real (sampled from the demuxed plane stream)
     val badVid = feats.filter($"kind" === "video")
-      .filter($"n_frames" =!= (lit(1) + pmod($"n_bytes", lit(16))).cast("long"))
+      .filter($"n_frames" =!= (lit(1) + pmod($"n_bytes", lit(16))).cast("long") ||
+        $"width" =!= (lit(16) + lit(2) * pmod($"n_bytes".cast("long") * 7919, lit(24))).cast("int") ||
+        $"height" =!= (lit(16) + lit(2) * pmod($"n_bytes".cast("long") * 104729, lit(24))).cast("int") ||
+        $"luma_sum".isNull)
     assert(badVid.count() == 0)
     feats.unpersist()
   }
