@@ -47,6 +47,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.muteSanctionedWindowWarns() // bounded-frame windows: see SCALE.md "Sanctioned global windows"
 
     // warm-up: exercises scan + shuffle + codegen paths once, un-timed
     SparkEntry.entry(spark).count()

@@ -111,6 +111,7 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.muteSanctionedWindowWarns() // bounded-frame windows: see SCALE.md "Sanctioned global windows"
 
     // un-timed warm-up circuit at the smallest multiplier: the first
     // execution of each query shape absorbs session/codegen/JIT
@@ -207,10 +208,46 @@ object ScaleSoak {
         oneRow(("q_t_closeness_nrows", m)) =
           tc.map(r => String.valueOf(r.getLong(2)))
       }
-      if (soakQueries.contains("q_bradley_terry"))
+      if (soakQueries.contains("q_bradley_terry")) {
         oneRow(("q_bradley_terry", m)) =
           SparkEntry.queries("q_bradley_terry")(spark, dir)
             .collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|"))
+        // USER-GROWTH mode (r9 verdict #6): the fixed-user replication
+        // above never stresses the per-user pair fan-out — engagement
+        // scales ×m on the SAME users, so the duel matrix is the base
+        // matrix by construction. Here the user set itself scales ×m:
+        // replica r of each base user (recovered from event_id mod m —
+        // remap is id·m + rep) replays the base user's judgments under
+        // a fresh user_id. Structural claims asserted below: item set
+        // fixed, duel matrix ≤ items² with wins EXACTLY ×m, and the MM
+        // trajectory within floor-noise of the base fit. The timed
+        // build is the duel-matrix shuffle — the part whose fan-out
+        // grows — feeding the α < 1 summary row as bt_usergrowth.
+        val evu = graft.sources.Tables.events(spark, dir)
+          .withColumn("user_id",
+            col("user_id") * m + pmod(col("event_id"), lit(m.toLong)))
+        val t0u = System.nanoTime()
+        val duelsU = graft.functions.Preference.duelMatrixFrom(evu)
+          .collect().toSeq
+        val dtu = (System.nanoTime() - t0u) / 1e9
+        times(("bt_usergrowth", m)) = dtu
+        rows(("bt_usergrowth", m)) = duelsU.length.toLong
+        println(f"""{"soak":"bt_usergrowth","m":$m,"sec":$dtu%.3f,"rows":${duelsU.length}}""")
+        oneRow(("bt_usergrowth_wins", m)) = duelsU
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2))
+          .map { case (wn, ls, n) =>
+            require(n % m == 0,
+              s"soak invariant: user-growth wins $wn>$ls=$n not divisible by m=$m")
+            s"$wn|$ls|${n / m}"
+          }
+        val duelsDf = spark.createDataFrame(duelsU
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+          .toDF("winner", "loser", "n_wins")
+        oneRow(("bt_usergrowth_pi", m)) =
+          graft.functions.Preference.bradleyTerryFrom(spark, duelsDf)
+            .collect().toSeq.map(r => s"${r.getString(0)}|${r.getLong(7)}")
+      }
       if (soakQueries.contains("q_coreset"))
         oneRow(("q_coreset", m)) =
           SparkEntry.queries("q_coreset")(spark, dir)
@@ -399,6 +436,28 @@ object ScaleSoak {
               s"soak invariant: $q output drifted at m=$m vs m=$m0")
           case _ => ()
         }
+      // Bradley–Terry user-growth: the duel matrix stays items²-bounded
+      // (row count = the base pair set at every m — no pair invented by
+      // user fan-out), per-pair wins/m is bit-equal to the base matrix
+      // (each replica user replays the base judgments exactly), and the
+      // round-4 strengths sit within integer-floor noise of the base
+      // fit (wins and games both scale ×m, so the MM trajectory is
+      // scale-invariant up to the e9 renormalization floor).
+      if (soakQueries.contains("q_bradley_terry")) {
+        require(rows(("bt_usergrowth", m)) == rows(("bt_usergrowth", m0)),
+          s"soak invariant: user-growth duel matrix rows at m=$m: " +
+            s"${rows(("bt_usergrowth", m))} vs ${rows(("bt_usergrowth", m0))}")
+        require(oneRow(("bt_usergrowth_wins", m)) ==
+            oneRow(("bt_usergrowth_wins", m0)),
+          s"soak invariant: user-growth wins/m matrix drifted at m=$m")
+        val basePi = oneRow(("bt_usergrowth_pi", m0))
+          .map(_.split('|')).map(a => a(0) -> a(1).toLong).toMap
+        oneRow(("bt_usergrowth_pi", m)).map(_.split('|')).foreach { a =>
+          val (it, pi) = (a(0), a(1).toLong)
+          require(math.abs(pi - basePi(it)) <= 16L,
+            s"soak invariant: user-growth pi4($it)=$pi drifted from ${basePi(it)} at m=$m")
+        }
+      }
       // Misra–Gries: capacity ≤ k per source and the λ(k+1) ≤ n
       // guarantee column true for every survivor at every m
       oneRow.get(("q_mg_topk", m)).foreach { rows9 =>

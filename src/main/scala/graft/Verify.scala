@@ -26,6 +26,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.muteSanctionedWindowWarns() // bounded-frame windows: see SCALE.md "Sanctioned global windows"
     new java.io.File(outDir).mkdirs()
     // environment-health record for THIS artifact (VERDICT r4 item 6:
     // the verify pass is environment-sensitive too — streaming drains

@@ -540,11 +540,18 @@ object EventsStream {
   }
 
   /** Gated query: the q_upsert CDC batch (every 5th event, value bumped,
-    * type rewritten) delivered as a 4-file change FEED — four separate
-    * micro-batch MERGEs — instead of one batch merge. The touched key
-    * sets are disjoint across feed files, so the final table is
-    * arrival-order independent and equals the single-shot MERGE, which
-    * is exactly what the shared upsert oracle pins. */
+    * type rewritten) delivered as a multi-file change FEED — one
+    * micro-batch MERGE per file — instead of one batch merge. The
+    * touched key sets are disjoint across feed files, so the final
+    * table is arrival-order independent and equals the single-shot
+    * MERGE, which is exactly what the shared upsert oracle pins.
+    *
+    * Two feed files, not four (r9 verdict #8): each MERGE rewrites the
+    * audited table, so the gate's cost is ~(table write) × batches.
+    * Batch-split independence is spec-proven (CorpusOpsSpec drives the
+    * same machinery over a 4-file feed), and two batches already
+    * exercise every gated semantic — multi-batch MERGE, disjoint-key
+    * convergence, per-batch audit/publish. */
   def cdcApplyQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Staged
@@ -565,7 +572,7 @@ object EventsStream {
         Tables.events(spark, sfDir).filter($"event_id" % 5 === 0)
           .withColumn("value", $"value" + 100.0)
           .withColumn("event_type", lit("updated"))
-          .repartition(4)
+          .repartition(2)
           .write.parquet(p)
       }
       Staged.copyInto(tableSeed, s"$work/table")
@@ -1024,7 +1031,10 @@ object EventsStream {
     import graft.functions.Staged
     val work = graft.functions.Staged.scratchDir("graft_recov_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4, not 8: the windowed agg's state is a handful of (window, type)
+    // groups, so the gate's fixed cost is state-store open/commit ×
+    // partitions × (2 lifecycles × 2 batches) — not data (r9 #8)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       // staged read-only feed: the decoded events in 8 files + the
       // sentinel in its own file (schema is OURS — decoded timestamps —

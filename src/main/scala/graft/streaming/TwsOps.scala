@@ -89,7 +89,13 @@ object TwsOps {
       "spark.sql.streaming.stateStore.providerClass")
     val prevChangelog = spark.conf.getOption(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4, not the gate-default 8: each shuffle partition is a RocksDB
+    // store instance, and with tiny per-key state the gate's cost is
+    // store open/commit × partitions × batches, not data (r9 verdict
+    // #8 — profiled: halving partitions halves the fixed cost, results
+    // are key-partitioned and identical). The batch COUNT stays ≥ 4 —
+    // that is the gated semantic (state crossing batch boundaries).
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     // transformWithState requires the RocksDB state store
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
