@@ -256,10 +256,25 @@ object ScaleSoak {
       // the capacity/bound invariants below (the salt multiplies each
       // source's count MULTISET ×m, so λ and the survivor set move
       // with m by design — only the capacity and the bound are claims)
-      if (soakQueries.contains("q_mg_topk"))
+      if (soakQueries.contains("q_mg_topk")) {
+        val mgDefault = SparkEntry.queries("q_mg_topk")(spark, dir)
+          .collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|"))
         oneRow(("q_mg_topk", m)) =
-          SparkEntry.queries("q_mg_topk")(spark, dir)
-            .collect().toSeq.map(r => s"${r.getString(0)}|${r.getBoolean(5)}")
+          mgDefault.map(s => s"${s.split('|')(0)}|${s.split('|')(5)}")
+        // heap-regime parity AT CORPUS SCALE (r10): the unit spec
+        // proves heap == window on gate data; here the same gated
+        // query re-runs through the forced bounded-buffer regime at
+        // every ×m and must be bit-identical to the default run —
+        // the regime switch can never change answers, only plans
+        val prevLim = graft.functions.CountMin.MgHeapVocabLimit
+        try {
+          graft.functions.CountMin.MgHeapVocabLimit = 0L
+          val mgHeap = SparkEntry.queries("q_mg_topk")(spark, dir)
+            .collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|"))
+          require(mgHeap == mgDefault,
+            s"soak invariant: mg heap regime != window regime at m=$m")
+        } finally graft.functions.CountMin.MgHeapVocabLimit = prevLim
+      }
       // sketch MERGE paths at scale (r8 verdict #8): the build paths
       // above soak the one-shot sketches; here the corpus is split
       // into 8 doc-sharded sub-sketches and merged back — HLL by

@@ -301,7 +301,7 @@ object EventsStream {
     // the eviction batch is what bounds state between data arrivals.
     val prevNoData = spark.conf.get(
       "spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // r9 #8: state-store fixed cost scales with partitions x batches, not data
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try runStreamStreamJoinInner(spark, sfDir, queryName)
     finally {
@@ -558,7 +558,7 @@ object EventsStream {
     Tables.prepareEventsDir(spark, sfDir)
     val work = graft.functions.Staged.scratchDir("graft_cdc_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // r9 #8: state-store fixed cost scales with partitions x batches, not data
     try {
       // feed is read-only (staged, shared across invocations); the
       // table is MERGED INTO per batch, so each run takes an OS copy of
@@ -682,7 +682,7 @@ object EventsStream {
     val work = graft.functions.Staged.scratchDir("graft_ivm_stream_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // r9 #8: state-store fixed cost scales with partitions x batches, not data
     // AQE off for the fold loop: every fold is a groups-sized 2-stage
     // job, and AQE's materialize-then-replan round trip per shuffle is
     // pure fixed cost at that size (r8 amortization; A/B-measured)
@@ -798,7 +798,7 @@ object EventsStream {
     Tables.prepareEventsDir(spark, sfDir)
     val work = graft.functions.Staged.scratchDir("graft_sketch_stream_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // r9 #8: state-store fixed cost scales with partitions x batches, not data
     try {
       // seed sketch is folded IN PLACE per batch → per-run OS copy;
       // the 4-file delta feed is the staged one shared with the IVM gate
@@ -951,7 +951,7 @@ object EventsStream {
     Tables.prepareEventsDir(spark, sfDir)
     val work = graft.functions.Staged.scratchDir("graft_snap_").toString
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // r9 #8: state-store fixed cost scales with partitions x batches, not data
     try {
       // the 4 staggered-mtime bucket files are read-only to the stream —
       // staged once per process (mtimes survive with the artifact)
