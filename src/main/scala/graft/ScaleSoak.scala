@@ -77,6 +77,8 @@ object ScaleSoak {
     "q_hll_distinct",        // 256-register sketch (rows = #sources; 3σ tracking at every m)
     "q_ddsketch_quantiles",  // log-γ quantile sketch (rows = 3·#sources; α bound at every m)
     "q_theta_overlap",       // KMV pair-overlap sketch (rows = source pairs at every m; audit-bounded)
+    "q_theta_overlap_sketch",// the audit-free scale path (rows = source pairs at every m; stage-free plan)
+    "q_preference_pairs",    // BT-margin training pairs (fixed users → duels, margins and kept set m-invariant)
     "q_t_closeness",         // QI-group TVD audit (cells ×m → every tvd_e9 exactly invariant)
     "q_bradley_terry",       // MM preference strengths (user set fixed → duels invariant → output bit-equal)
     "q_coreset",             // greedy k-center (k+1 rows at every m; radii non-increasing, round-1 monotone in m)
@@ -375,6 +377,7 @@ object ScaleSoak {
           "q_tokenizer_fertility", "q_mixture_budget",
           "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope",
           "q_hll_distinct", "q_ddsketch_quantiles", "q_theta_overlap",
+          "q_theta_overlap_sketch", "q_preference_pairs",
           "q_t_closeness", "q_bradley_terry", "q_coreset")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
