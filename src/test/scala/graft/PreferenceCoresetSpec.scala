@@ -99,6 +99,14 @@ class PreferenceCoresetSpec extends SparkSuite {
     val duels = Preference.userDuels(spark, gateSf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(out.forall(t => duels((t._1, t._2, t._3))))
+    // plan pin: the strength joins BROADCAST (k-row frames) — pair
+    // emission must add no shuffled join beyond the duel construction
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val plan = walkPlan(Preference.preferencePairs(spark, gateSf))
+    assert(plan.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "strength joins must broadcast")
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "pair emission must not introduce a shuffled join")
   }
 
   test("plan shapes: no cartesian anywhere; coreset round is shuffle-free top-1") {
