@@ -145,6 +145,8 @@ object SparkEntry {
     // SQL-recomputable, so the oracle replays the greedy matcher)
     "q_wordpiece_counts" -> ((s: SparkSession, d: String) =>
       graft.functions.WordPiece.pieceCounts(s, d)),
+    "q_mg_merge" -> ((s: SparkSession, d: String) =>
+      graft.functions.CountMin.mgMerge(s, d)),
     "q_mg_topk" -> ((s: SparkSession, d: String) =>
       graft.functions.CountMin.mgTopk(s, d)),
     "q_countmin" -> ((s: SparkSession, d: String) =>
@@ -483,6 +485,7 @@ object SparkEntry {
     "q_wordpiece_counts" -> graft.functions.WordPiece.pieceCountsSql(),
     "q_countmin" -> graft.functions.CountMin.estimateQuerySql(),
     "q_mg_topk" -> graft.functions.CountMin.mgTopkSql(),
+    "q_mg_merge" -> graft.functions.CountMin.mgMergeSql(),
     "q_nn_graph" -> graft.functions.Similarity.nnGraphSql(),
     "q_neardup_editdist" -> graft.functions.Dedup.editDistanceRefineSql(),
     "q_slice_divergence" -> graft.functions.Divergence.sliceDivergenceSql,

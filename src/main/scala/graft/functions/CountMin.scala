@@ -269,6 +269,108 @@ object CountMin {
       .orderBy($"source", $"tok")
   }
 
+  /** Gated MERGE path — the frequency twin of q_hll_union: the corpus
+    * splits into [[MgShards]] deterministic doc shards, each collapses
+    * to its k-row canonical summary plus its per-source META row
+    * ([[mgMetaOf]] — a shard with zero survivors still contributes its
+    * λ), and the shards merge WITHOUT re-touching the corpus:
+    *
+    *   est_merged = Σ est over shards carrying the token
+    *   lam_sum    = Σ λ over ALL shards that saw the source
+    *
+    * giving the mergeable-summaries union bound
+    * est_merged ≤ true ≤ est_merged + lam_sum (Agarwal et al.
+    * PODS 2012). The exact corpus count rides along as an AUDIT column
+    * with the bound evaluated in-row (`bound_ok` — hash-pinned TRUE for
+    * every merged token, so a broken merge shows as a false cell, not
+    * a silent skew). The audit join is the one corpus-count-sized leg —
+    * the DdSketch/theta audit precedent; at deployment scale the
+    * merge runs on k-row partials alone.
+    *
+    * Scale shape: ONE (shard, source, tok) map-side-combined count
+    * shuffle; summaries/metas are ≤ (k+1)·shards rows per source;
+    * the merge aggregate and λ-sum are summary-sized. */
+  val MgShards = 4
+
+  def mgMerge(spark: SparkSession, sfDir: String, k: Int = MgK): DataFrame = {
+    import spark.implicits._
+    val cnts = Tables.documents(spark, sfDir)
+      .select(pmod($"doc_id", lit(MgShards)).cast("int").as("shard"),
+        $"source", explode(
+          regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .groupBy($"shard", $"source", $"tok").agg(count(lit(1)).as("cnt"))
+      // per-(shard, source) summaries via the shared canonical machinery
+      // (the HLL-merge-soak tag trick: shard rides inside the source key)
+      .withColumn("source", concat_ws(" ", $"shard", $"source"))
+      .select($"source", $"tok", $"cnt")
+      .localCheckpoint(eager = true)
+    val summ = mgSummaryOf(cnts, k)
+      .withColumn("shard", substring_index($"source", " ", 1).cast("int"))
+      .withColumn("source", substring_index($"source", " ", -1))
+    val meta = mgMetaOf(cnts, k)
+      .withColumn("source", substring_index($"source", " ", -1))
+    val merged = summ.groupBy($"source", $"tok")
+      .agg(sum($"est").as("est_merged"),
+        count(lit(1)).as("n_shards_present"))
+    val lam = meta.groupBy($"source")
+      .agg(sum($"lambda").as("lam_sum"), sum($"n_tokens").as("n_tokens"))
+    // audit leg: exact corpus counts for the merged support (the one
+    // corpus-count-sized join — documented above)
+    val exact = mgCounts(spark, sfDir)
+      .withColumnRenamed("cnt", "true_cnt")
+    merged
+      .join(broadcast(lam), "source")
+      .join(exact, Seq("source", "tok"))
+      .select($"source", $"tok", $"est_merged", $"n_shards_present",
+        $"lam_sum", $"n_tokens", $"true_cnt",
+        ($"est_merged" <= $"true_cnt" &&
+          $"true_cnt" <= $"est_merged" + $"lam_sum").as("bound_ok"))
+      .orderBy($"source", $"tok")
+  }
+
+  def mgMergeSql(k: Int = MgK): String =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT CAST(doc_id % $MgShards AS INTEGER) AS shard,
+       |         source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, source,
+       |           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |n AS (SELECT shard, source, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+       |      FROM c GROUP BY 1, 2),
+       |r AS (SELECT shard, source, cnt,
+       |             row_number() OVER (PARTITION BY shard, source
+       |                                ORDER BY cnt DESC, tok) AS rn
+       |      FROM c),
+       |lam AS (SELECT shard, source, cnt AS lambda FROM r WHERE rn = ${k + 1}),
+       |meta AS (
+       |  SELECT n.shard, n.source, COALESCE(l.lambda, 0) AS lambda, n.n_tokens
+       |  FROM n LEFT JOIN lam l ON l.shard = n.shard AND l.source = n.source),
+       |summ AS (
+       |  SELECT c.shard, c.source, c.tok,
+       |         c.cnt - m.lambda AS est
+       |  FROM c JOIN meta m ON m.shard = c.shard AND m.source = c.source
+       |  WHERE c.cnt > m.lambda),
+       |merged AS (
+       |  SELECT source, tok, CAST(SUM(est) AS BIGINT) AS est_merged,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shards_present
+       |  FROM summ GROUP BY 1, 2),
+       |ls AS (
+       |  SELECT source, CAST(SUM(lambda) AS BIGINT) AS lam_sum,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM meta GROUP BY 1),
+       |x AS (
+       |  SELECT source, tok, CAST(SUM(cnt) AS BIGINT) AS true_cnt
+       |  FROM c GROUP BY 1, 2)
+       |SELECT m.source, m.tok, m.est_merged, m.n_shards_present,
+       |       l.lam_sum, l.n_tokens, x.true_cnt,
+       |       m.est_merged <= x.true_cnt
+       |         AND x.true_cnt <= m.est_merged + l.lam_sum AS bound_ok
+       |FROM merged m
+       |JOIN ls l USING (source)
+       |JOIN x ON x.source = m.source AND x.tok = m.tok
+       |ORDER BY m.source, m.tok""".stripMargin
+
   def mgTopkSql(k: Int = MgK): String =
     s"""WITH c AS MATERIALIZED (
        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

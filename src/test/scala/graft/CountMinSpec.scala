@@ -118,6 +118,35 @@ class CountMinSpec extends SparkSuite {
     }
   }
 
+  test("mg merge gate: bound true everywhere; merged support covers heavy tokens; lam_sum covers all shards") {
+    val out = CountMin.mgMerge(spark, gateSf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(out.nonEmpty)
+    // the gated algebra: est <= true <= est + lam_sum for every row,
+    // shards-present within range, n_tokens = full corpus token count
+    out.foreach { case (src, tok, est, nsh, lam, n, truth, ok) =>
+      assert(ok && est <= truth && truth <= est + lam, s"$src/$tok")
+      assert(nsh >= 1 && nsh <= CountMin.MgShards)
+    }
+    val corpusN = CountMin.mgCounts(spark, gateSf).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.head._6 == corpusN(src), s"$src n_tokens != corpus sum")
+      // completeness (PODS'12): any token with true > lam_sum survived
+      // in at least one shard and is therefore in the merged support
+      val lam = rows.head._5
+      val support = rows.map(_._2).toSet
+      CountMin.mgCounts(spark, gateSf).filter(col("source") === src).collect()
+        .foreach { r =>
+          if (r.getLong(2) > lam)
+            assert(support(r.getString(1)),
+              s"$src/${r.getString(1)} true ${r.getLong(2)} > lam_sum $lam missing from merge")
+        }
+    }
+  }
+
   test("mg: heap regime == window regime (ChainClusterSpec parity pattern)") {
     val k = CountMin.MgK
     val cnts = CountMin.mgCounts(spark, gateSf)
