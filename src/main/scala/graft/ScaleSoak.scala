@@ -82,7 +82,11 @@ object ScaleSoak {
     "q_t_closeness",         // QI-group TVD audit (cells ×m → every tvd_e9 exactly invariant)
     "q_bradley_terry",       // MM preference strengths (user set fixed → duels invariant → output bit-equal)
     "q_coreset",             // greedy k-center (k+1 rows at every m; radii non-increasing, round-1 monotone in m)
-    "q_mg_topk")             // Misra–Gries offset summary (≤ k rows/source; λ(k+1) ≤ n bound at every m)
+    "q_mg_topk",             // Misra–Gries offset summary (≤ k rows/source; λ(k+1) ≤ n bound at every m)
+    "q_mg_merge",            // MG shard-merge (union bound enforced at every m; heap-regime parity)
+    "q_countmin",            // CMS point-query audit (topN rows at every m; one-sided error enforced by the gate columns)
+    "q_preference_length_bias", // duel length-bias audit (bucket sums m-invariant; bit-equal under user growth)
+    "q_data_card")           // composed release report (rows = fixed section geometry at every m)
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -250,6 +254,59 @@ object ScaleSoak {
           graft.functions.Preference.bradleyTerryFrom(spark, duelsDf)
             .collect().toSeq.map(r => s"${r.getString(0)}|${r.getLong(7)}")
       }
+      // preference-pair artifact under USER growth (r10 verdict #2):
+      // replica r of each base user replays the base judgments, so the
+      // kept (chosen, rejected, totals, margin) set must appear EXACTLY
+      // ×m — one copy per replica user — and nothing else. Timed as the
+      // α row for the pair-emission path (duel build + broadcast
+      // strength join). The length-bias audit over the same grown frame
+      // must be BIT-EQUAL to the base report (per-replica lengths are
+      // base lengths — unlike the fixed-user mode, nothing scales).
+      if (soakQueries.contains("q_preference_pairs")) {
+        val evp = graft.sources.Tables.events(spark, dir)
+          .withColumn("user_id",
+            col("user_id") * m + pmod(col("event_id"), lit(m.toLong)))
+        val t0p = System.nanoTime()
+        val keptU = graft.functions.Preference.keptPairsFrom(spark, evp)
+          .select(floor(col("user_id") / m).cast("long").as("base_user"),
+            col("chosen"), col("rejected"),
+            col("chosen_tot_e6"), col("rejected_tot_e6"), col("margin_e9"))
+          .groupBy("base_user", "chosen", "rejected",
+            "chosen_tot_e6", "rejected_tot_e6", "margin_e9")
+          .agg(count(lit(1)).as("n_copies"))
+          .collect().toSeq
+        val dtp = (System.nanoTime() - t0p) / 1e9
+        times(("pref_usergrowth", m)) = dtp
+        rows(("pref_usergrowth", m)) = keptU.length.toLong
+        println(f"""{"soak":"pref_usergrowth","m":$m,"sec":$dtp%.3f,"rows":${keptU.length}}""")
+        require(keptU.forall(_.getLong(6) == m.toLong),
+          s"soak invariant: user-growth kept pair not exactly ×$m copies")
+        // pair identity compared EXACTLY; the BT margin separately with
+        // the trajectory's floor-noise band (wins scale ×m, so pi4
+        // drifts ≤ 16 e9-units per item — see bt_usergrowth_pi)
+        oneRow(("pref_usergrowth_set", m)) = keptU
+          .map(r => (0 to 4).map(i => String.valueOf(r.get(i))).mkString("|"))
+          .sorted
+        oneRow(("pref_usergrowth_margin", m)) = keptU
+          .map(r => ((0 to 2).map(i => String.valueOf(r.get(i))).mkString("|"),
+            r.getLong(5)))
+          .sortBy(_._1).map { case (k2, mg) => s"$k2=$mg" }
+        // length-bias report: per-replica lengths are BASE lengths, so
+        // bucket geometry, medians and win rates are bit-equal while
+        // the three COUNT columns scale exactly ×m — normalize them
+        oneRow(("pref_usergrowth_lenbias", m)) =
+          graft.functions.Preference.preferenceLengthBiasFrom(spark, evp)
+            .collect().toSeq.map { r =>
+              val counts = (1 to 3).map { i =>
+                val c = r.getLong(i)
+                require(c % m == 0,
+                  s"soak invariant: user-growth length-bias count col $i=$c not ×$m at m=$m")
+                c / m
+              }
+              (Seq(r.get(0)) ++ counts ++ (4 to 7).map(r.get))
+                .map(String.valueOf).mkString("|")
+            }
+      }
       if (soakQueries.contains("q_coreset"))
         oneRow(("q_coreset", m)) =
           SparkEntry.queries("q_coreset")(spark, dir)
@@ -268,14 +325,52 @@ object ScaleSoak {
         // query re-runs through the forced bounded-buffer regime at
         // every ×m and must be bit-identical to the default run —
         // the regime switch can never change answers, only plans
-        val prevLim = graft.functions.CountMin.MgHeapVocabLimit
-        try {
-          graft.functions.CountMin.MgHeapVocabLimit = 0L
-          val mgHeap = SparkEntry.queries("q_mg_topk")(spark, dir)
-            .collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|"))
-          require(mgHeap == mgDefault,
-            s"soak invariant: mg heap regime != window regime at m=$m")
-        } finally graft.functions.CountMin.MgHeapVocabLimit = prevLim
+        // (regime forced via the heapLimit PARAMETER — r10 ADVICE:
+        // no shared-state mutation, concurrent queries unaffected)
+        val mgHeap = graft.functions.CountMin
+          .mgTopk(spark, dir, heapLimit = 0L)
+          .collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|"))
+        require(mgHeap == mgDefault,
+          s"soak invariant: mg heap regime != window regime at m=$m")
+      }
+      // MG MERGE path (r10 verdict #2): the union bound under the
+      // fattening ×m tail, the merged-capacity bound, the merged-λ
+      // guarantee, and heap-regime parity THROUGH the merge — the
+      // frequency twin of the HLL/DDSketch merge soaks (their merges
+      // are exact; MG's is lossy, so the enforceable algebra is the
+      // mergeable-summaries bound est ≤ true ≤ est + Σλ, which the
+      // query carries in-row as bound_ok)
+      if (soakQueries.contains("q_mg_merge")) {
+        val mgm = SparkEntry.queries("q_mg_merge")(spark, dir)
+          .collect().toSeq
+        require(mgm.forall(_.getAs[Boolean]("bound_ok")),
+          s"soak invariant: MG merge union bound broken at m=$m")
+        val k = graft.functions.CountMin.MgK
+        val shards = graft.functions.CountMin.MgShards
+        mgm.groupBy(_.getString(0)).foreach { case (src, rs) =>
+          require(rs.length <= shards * k,
+            s"soak invariant: MG merge support for $src over shard capacity at m=$m: ${rs.length}")
+          // each shard's λ ≤ n_shard/(k+1), so Σλ ≤ n/(k+1) exactly
+          require(rs.forall(r =>
+              r.getAs[Long]("lam_sum") * (k + 1) <= r.getAs[Long]("n_tokens")),
+            s"soak invariant: MG merged Σλ > n/(k+1) for $src at m=$m")
+        }
+        val mgmHeap = graft.functions.CountMin
+          .mgMerge(spark, dir, heapLimit = 0L)
+          .collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|"))
+        require(mgmHeap == mgm.map(_.toSeq.map(String.valueOf).mkString("|")),
+          s"soak invariant: MG merge heap regime != window regime at m=$m")
+      }
+      // length-bias audit: per-bucket geometry shifts with m (lengths
+      // scale ×m, so digit buckets move) but the length COMPARISONS are
+      // scale-invariant (c·m > r·m iff c > r) — the bucket-summed pair /
+      // longer-chosen / tie masses must be m-invariant
+      if (soakQueries.contains("q_preference_length_bias")) {
+        val lb = SparkEntry.queries("q_preference_length_bias")(spark, dir)
+          .collect().toSeq
+        oneRow(("pref_lenbias_sums", m)) = Seq(
+          lb.map(_.getLong(1)).sum, lb.map(_.getLong(2)).sum,
+          lb.map(_.getLong(3)).sum).map(String.valueOf)
       }
       // sketch MERGE paths at scale (r8 verdict #8): the build paths
       // above soak the one-shot sketches; here the corpus is split
@@ -378,7 +473,8 @@ object ScaleSoak {
           "q_blocklist_scrub", "q_embedding_drift", "q_zipf_slope",
           "q_hll_distinct", "q_ddsketch_quantiles", "q_theta_overlap",
           "q_theta_overlap_sketch", "q_preference_pairs",
-          "q_t_closeness", "q_bradley_terry", "q_coreset")
+          "q_t_closeness", "q_bradley_terry", "q_coreset",
+          "q_countmin", "q_data_card")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
@@ -476,6 +572,31 @@ object ScaleSoak {
             s"soak invariant: user-growth pi4($it)=$pi drifted from ${basePi(it)} at m=$m")
         }
       }
+      // preference pairs under user growth: the deduped kept set is the
+      // base set at every m (the ×m copy count is enforced in-loop),
+      // and the length-bias report over the grown frame is bit-equal
+      if (soakQueries.contains("q_preference_pairs")) {
+        require(oneRow(("pref_usergrowth_set", m)) ==
+            oneRow(("pref_usergrowth_set", m0)),
+          s"soak invariant: user-growth kept-pair set drifted at m=$m")
+        val baseMg = oneRow(("pref_usergrowth_margin", m0))
+          .map(_.split('=')).map(a => a(0) -> a(1).toLong).toMap
+        oneRow(("pref_usergrowth_margin", m)).map(_.split('=')).foreach { a =>
+          require(math.abs(a(1).toLong - baseMg(a(0))) <= 32L,
+            s"soak invariant: user-growth margin ${a(0)}=${a(1)} drifted " +
+              s"from ${baseMg(a(0))} at m=$m")
+        }
+        require(oneRow(("pref_usergrowth_lenbias", m)) ==
+            oneRow(("pref_usergrowth_lenbias", m0)),
+          s"soak invariant: user-growth length-bias report (counts/m) drifted at m=$m")
+      }
+      // fixed-user mode: bucket geometry moves with m but the summed
+      // pair/longer/tie masses are comparison-invariant under ×m
+      if (soakQueries.contains("q_preference_length_bias"))
+        require(oneRow(("pref_lenbias_sums", m)) ==
+            oneRow(("pref_lenbias_sums", m0)),
+          s"soak invariant: length-bias bucket sums drifted at m=$m: " +
+            s"${oneRow(("pref_lenbias_sums", m))} vs ${oneRow(("pref_lenbias_sums", m0))}")
       // Misra–Gries: capacity ≤ k per source and the λ(k+1) ≤ n
       // guarantee column true for every survivor at every m
       oneRow.get(("q_mg_topk", m)).foreach { rows9 =>

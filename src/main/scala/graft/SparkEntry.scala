@@ -221,6 +221,8 @@ object SparkEntry {
       graft.functions.Preference.bradleyTerry(s, d)),
     "q_preference_pairs" -> ((s: SparkSession, d: String) =>
       graft.functions.Preference.preferencePairs(s, d)),
+    "q_preference_length_bias" -> ((s: SparkSession, d: String) =>
+      graft.functions.Preference.preferenceLengthBias(s, d)),
     "q_coreset" -> ((s: SparkSession, d: String) =>
       graft.functions.Coreset.kCenter(s, d)),
     "q_entity_resolution" -> ((s: SparkSession, d: String) =>
@@ -231,6 +233,8 @@ object SparkEntry {
       TextAnalysis.langIdConfusion(s, d)),
     "q_mixture_report" -> ((s: SparkSession, d: String) =>
       graft.operators.Profile.mixtureReport(s, d)),
+    "q_data_card" -> ((s: SparkSession, d: String) =>
+      graft.operators.DataCard.dataCard(s, d)),
     "q_tfidf_terms" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tfidfTopTerms(s, d)),
     "q_bootstrap_ci" -> ((s: SparkSession, d: String) =>
@@ -469,6 +473,8 @@ object SparkEntry {
     "q_t_closeness" -> Pii.tClosenessSql(),
     "q_bradley_terry" -> graft.functions.Preference.bradleyTerrySql,
     "q_preference_pairs" -> graft.functions.Preference.preferencePairsSql,
+    "q_preference_length_bias" ->
+      graft.functions.Preference.preferenceLengthBiasSql,
     "q_coreset" -> graft.functions.Coreset.kCenterSql(),
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_bm25" -> graft.functions.Retrieval.bm25Sql(),
@@ -539,6 +545,7 @@ object SparkEntry {
     "q_dedup_funnel" -> graft.functions.Dedup.dedupFunnelSql(),
     "q_langid_confusion" -> TextAnalysis.langIdConfusionSql,
     "q_mixture_report" -> graft.operators.Profile.mixtureReportSql,
+    "q_data_card" -> graft.operators.DataCard.dataCardSql(),
     "q_tfidf_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "q_bootstrap_ci" -> graft.functions.Sampling.bootstrapCiSql(),
     "q_sample_ess" -> graft.functions.Sampling.sampleEssSql,

@@ -38,8 +38,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // in-band global-window tripwire (the muted-WARN backstop):
+        // an unsanctioned partitionless window fails the query HERE,
+        // which deletes its dump and reads red downstream
+        graft.plans.WindowAudit.assertSanctioned(name, df)
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         // a failed query must not leave a STALE dump from a previous
         // run in place — that reads as a false green downstream

@@ -135,17 +135,22 @@ object CountMin {
     *    construction. */
   /** Vocab-row threshold for the regime switch (the
     * [[graft.operators.Graph]] local-limit pattern). The auto switch
-    * prices one extra pass over the counts aggregate (`count()`);
+    * prices one extra pass over the counts aggregate (`count()` — the
+    * gated callers localCheckpoint the counts frame first so the pass
+    * reads the materialized vocab table, not the corpus twice);
     * at-scale callers that know their regime call [[mgSummaryHeap]]
-    * directly. Var so the parity spec can force the heap regime on
-    * gate-sized data. */
-  private[graft] var MgHeapVocabLimit: Long = 2L * 1000 * 1000
+    * directly. The parity spec and the soak force the heap regime via
+    * the `heapLimit` PARAMETER (r10 ADVICE: mutating a shared var is
+    * not thread-safe and would silently re-regime concurrent
+    * queries). */
+  private[graft] val MgHeapVocabLimit: Long = 2L * 1000 * 1000
 
   /** Canonical offset summary of an exact (source, tok, cnt) table:
     * (source, tok, est, lambda, n_tokens, within_bound). Shared by the
     * gate and the spec's shard-merge proof. */
-  private[graft] def mgSummaryOf(counts: DataFrame, k: Int): DataFrame =
-    if (counts.count() > MgHeapVocabLimit) mgSummaryHeap(counts, k)
+  private[graft] def mgSummaryOf(counts: DataFrame, k: Int,
+      heapLimit: Long = MgHeapVocabLimit): DataFrame =
+    if (counts.count() > heapLimit) mgSummaryHeap(counts, k)
     else mgSummaryWindow(counts, k)
 
   private[graft] def mgSummaryWindow(counts: DataFrame, k: Int): DataFrame = {
@@ -181,8 +186,18 @@ object CountMin {
     private def order(a: (Long, String), b: (Long, String)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     def zero: Seq[(Long, String)] = Seq.empty
-    def reduce(buf: Seq[(Long, String)], row: (String, String, Long)): Seq[(Long, String)] =
-      ((row._3, row._2) +: buf).sortWith(order).take(cap)
+    // buffer kept sorted; a row below a full buffer's minimum is O(1)
+    // rejected (the common case under a Zipf tail), otherwise one
+    // ordered insert — never a full re-sort per input row (r10 ADVICE)
+    def reduce(buf: Seq[(Long, String)], row: (String, String, Long)): Seq[(Long, String)] = {
+      val e = (row._3, row._2)
+      if (buf.lengthCompare(cap) >= 0 && order(buf.last, e)) buf
+      else {
+        val i = buf.indexWhere(b => order(e, b))
+        val ins = if (i < 0) buf :+ e else (buf.take(i) :+ e) ++ buf.drop(i)
+        if (ins.lengthCompare(cap) > 0) ins.take(cap) else ins
+      }
+    }
     def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
       (a ++ b).sortWith(order).take(cap)
     def finish(buf: Seq[(Long, String)]): Seq[(Long, String)] = buf
@@ -263,9 +278,14 @@ object CountMin {
       .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
   }
 
-  def mgTopk(spark: SparkSession, sfDir: String, k: Int = MgK): DataFrame = {
+  def mgTopk(spark: SparkSession, sfDir: String, k: Int = MgK,
+      heapLimit: Long = MgHeapVocabLimit): DataFrame = {
     import spark.implicits._
-    mgSummaryOf(mgCounts(spark, sfDir), k)
+    // vocab-sized pin: the regime switch's count() and the summary both
+    // read the materialized counts — the corpus is tokenized ONCE
+    // (r10 ADVICE; mgMerge already checkpoints its sharded counts)
+    val cnts = mgCounts(spark, sfDir).localCheckpoint(eager = true)
+    mgSummaryOf(cnts, k, heapLimit)
       .orderBy($"source", $"tok")
   }
 
@@ -292,7 +312,14 @@ object CountMin {
     * the merge aggregate and λ-sum are summary-sized. */
   val MgShards = 4
 
-  def mgMerge(spark: SparkSession, sfDir: String, k: Int = MgK): DataFrame = {
+  /** Separator for the shard-inside-source tag trick: NUL can never
+    * occur in a source name (r10 ADVICE — a space separator would
+    * silently mangle a source containing spaces: substring_index
+    * drops the middle tokens). */
+  private val TagSep = "\u0000"
+
+  def mgMerge(spark: SparkSession, sfDir: String, k: Int = MgK,
+      heapLimit: Long = MgHeapVocabLimit): DataFrame = {
     import spark.implicits._
     val cnts = Tables.documents(spark, sfDir)
       .select(pmod($"doc_id", lit(MgShards)).cast("int").as("shard"),
@@ -301,14 +328,14 @@ object CountMin {
       .groupBy($"shard", $"source", $"tok").agg(count(lit(1)).as("cnt"))
       // per-(shard, source) summaries via the shared canonical machinery
       // (the HLL-merge-soak tag trick: shard rides inside the source key)
-      .withColumn("source", concat_ws(" ", $"shard", $"source"))
+      .withColumn("source", concat_ws(TagSep, $"shard", $"source"))
       .select($"source", $"tok", $"cnt")
       .localCheckpoint(eager = true)
-    val summ = mgSummaryOf(cnts, k)
-      .withColumn("shard", substring_index($"source", " ", 1).cast("int"))
-      .withColumn("source", substring_index($"source", " ", -1))
+    val summ = mgSummaryOf(cnts, k, heapLimit)
+      .withColumn("shard", substring_index($"source", TagSep, 1).cast("int"))
+      .withColumn("source", substring_index($"source", TagSep, -1))
     val meta = mgMetaOf(cnts, k)
-      .withColumn("source", substring_index($"source", " ", -1))
+      .withColumn("source", substring_index($"source", TagSep, -1))
     val merged = summ.groupBy($"source", $"tok")
       .agg(sum($"est").as("est_merged"),
         count(lit(1)).as("n_shards_present"))

@@ -76,12 +76,15 @@ object Preference {
     * here. */
   private[graft] def userDuelsFrom(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    // corpus → (user, type) engagement totals: ONE shuffle, exact longs
+    // corpus → (user, type) engagement totals: ONE shuffle, exact longs.
+    // n_ev (the side's event count) rides along as the LENGTH analog
+    // for the r10-directed length-bias audit — same aggregate, no
+    // extra shuffle; preference is still decided by tot_e6 alone.
     val perUserType = events
       .select($"user_id", $"event_type",
         floor($"value" * 1e6).cast("long").as("v_e6"))
       .groupBy($"user_id", $"event_type")
-      .agg(sum($"v_e6").as("tot_e6"))
+      .agg(sum($"v_e6").as("tot_e6"), count(lit(1)).as("n_ev"))
     perUserType.as("a")
       .join(perUserType.as("b"),
         col("a.user_id") === col("b.user_id")
@@ -93,7 +96,11 @@ object Preference {
         when(col("a.tot_e6") > col("b.tot_e6"), col("b.event_type"))
           .otherwise(col("a.event_type")).as("rejected"),
         greatest(col("a.tot_e6"), col("b.tot_e6")).as("chosen_tot_e6"),
-        least(col("a.tot_e6"), col("b.tot_e6")).as("rejected_tot_e6"))
+        least(col("a.tot_e6"), col("b.tot_e6")).as("rejected_tot_e6"),
+        when(col("a.tot_e6") > col("b.tot_e6"), col("a.n_ev"))
+          .otherwise(col("b.n_ev")).as("chosen_n_ev"),
+        when(col("a.tot_e6") > col("b.tot_e6"), col("b.n_ev"))
+          .otherwise(col("a.n_ev")).as("rejected_n_ev"))
   }
 
   /** The corpus-sized part as a plan fragment (spec-pinned shape): one
@@ -163,17 +170,83 @@ object Preference {
     * the duel construction itself. */
   def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pis = bradleyTerry(spark, sfDir).select($"event_type", $"pi4_e9")
-    userDuels(spark, sfDir)
+    keptPairsFrom(spark, Tables.events(spark, sfDir))
+      .select($"user_id", $"chosen", $"rejected",
+        $"chosen_tot_e6", $"rejected_tot_e6", $"margin_e9")
+      .orderBy($"user_id", $"chosen", $"rejected")
+  }
+
+  /** The kept (margin > 0) pair set with every duel column riding
+    * along — shared by [[preferencePairs]], the length-bias audit, and
+    * the soak's user-growth mode. */
+  private[graft] def keptPairsFrom(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pis = bradleyTerryFrom(spark, duelMatrixFrom(events))
+      .select($"event_type", $"pi4_e9")
+    userDuelsFrom(events)
       .join(broadcast(pis.select($"event_type".as("chosen"),
         $"pi4_e9".as("pi_chosen_e9"))), Seq("chosen"))
       .join(broadcast(pis.select($"event_type".as("rejected"),
         $"pi4_e9".as("pi_rejected_e9"))), Seq("rejected"))
       .withColumn("margin_e9", $"pi_chosen_e9" - $"pi_rejected_e9")
       .filter($"margin_e9" > 0)
-      .select($"user_id", $"chosen", $"rejected",
-        $"chosen_tot_e6", $"rejected_tot_e6", $"margin_e9")
-      .orderBy($"user_id", $"chosen", $"rejected")
+  }
+
+  /** Length-bias audit over the kept training pairs — the classic
+    * reward-hacking check (r10 verdict #4): does "chosen" merely track
+    * LENGTH? Here length is the side's event COUNT (`n_ev` — the
+    * engagement-independent size analog; preference itself is decided
+    * by the Σvalue total, so the two can disagree). One row per
+    * decimal-digit bucket of the pair's combined length with
+    *  - n_pairs / n_longer_chosen / n_ties: how often the longer side
+    *    won among decisive-length pairs,
+    *  - longer_win_x1000 = ⌊n_longer_chosen·1000/(n_pairs − n_ties)⌋
+    *    (NULL when every pair ties on length) — ≈500 means no bias,
+    *  - exact LOWER MEDIANS (the value at rank ⌊(n+1)/2⌋ — integer
+    *    order statistics, no interpolated doubles) of chosen length,
+    *    rejected length, and the per-pair delta.
+    * All arithmetic is exact integers over the duel-table-sized kept
+    * set (the BT-fit discipline), so the gate is hash-exact.
+    *
+    * Scale: the kept-pair frame is duel-sized (bounded per-user
+    * fan-out) and is localCheckpointed once; the three median windows
+    * partition by bucket (≤ ~20 buckets, each duel-table-bounded) and
+    * the counts are one combiner group-by. */
+  def preferenceLengthBias(spark: SparkSession, sfDir: String): DataFrame =
+    preferenceLengthBiasFrom(spark, Tables.events(spark, sfDir))
+
+  private[graft] def preferenceLengthBiasFrom(spark: SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val kept = keptPairsFrom(spark, events)
+      .select($"chosen_n_ev", $"rejected_n_ev",
+        length(($"chosen_n_ev" + $"rejected_n_ev").cast("string"))
+          .cast("int").as("len_bucket"))
+      .localCheckpoint(eager = true)
+    def lowerMedian(v: org.apache.spark.sql.Column, out: String): DataFrame =
+      kept.select($"len_bucket", v.as("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"len_bucket").orderBy($"v")))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy($"len_bucket")))
+        .filter($"rn" === floor(($"cnt" + 1) / lit(2)))
+        .select($"len_bucket", $"v".as(out))
+    val agg = kept.groupBy($"len_bucket").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(($"chosen_n_ev" > $"rejected_n_ev").cast("long")).as("n_longer_chosen"),
+      sum(($"chosen_n_ev" === $"rejected_n_ev").cast("long")).as("n_ties"))
+    agg
+      .join(lowerMedian($"chosen_n_ev", "med_chosen_n_ev"), Seq("len_bucket"))
+      .join(lowerMedian($"rejected_n_ev", "med_rejected_n_ev"), Seq("len_bucket"))
+      .join(lowerMedian($"chosen_n_ev" - $"rejected_n_ev", "med_delta_n_ev"),
+        Seq("len_bucket"))
+      .select($"len_bucket", $"n_pairs", $"n_longer_chosen", $"n_ties",
+        when($"n_pairs" > $"n_ties",
+          floor($"n_longer_chosen" * 1000L / ($"n_pairs" - $"n_ties"))
+            .cast("long")).as("longer_win_x1000"),
+        $"med_chosen_n_ev", $"med_rejected_n_ev", $"med_delta_n_ev")
+      .orderBy($"len_bucket")
   }
 
   /** The whole MM trajectory replayed in SQL: duel construction from
@@ -207,6 +280,58 @@ object Preference {
        |WHERE pc.w - pr.w > 0
        |ORDER BY d.user_id, d.chosen, d.rejected""".stripMargin
 
+  /** Replay of [[preferenceLengthBias]]: the same trajectory CTEs to
+    * the kept set, then identical integer bucket/win-rate/lower-median
+    * arithmetic (`rn = (cnt+1)//2` picks the same order statistic). */
+  val preferenceLengthBiasSql: String =
+    s"""WITH ${trajectoryCtes(mmRound)},
+       |kept AS MATERIALIZED (
+       |  SELECT d.chosen_n_ev, d.rejected_n_ev,
+       |         CAST(length(CAST(d.chosen_n_ev + d.rejected_n_ev AS VARCHAR))
+       |              AS INTEGER) AS len_bucket
+       |  FROM duelu d
+       |  JOIN p4 pc ON pc.item = d.chosen
+       |  JOIN p4 pr ON pr.item = d.rejected
+       |  WHERE pc.w - pr.w > 0),
+       |agg AS (
+       |  SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |         CAST(SUM(CASE WHEN chosen_n_ev > rejected_n_ev
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_longer_chosen,
+       |         CAST(SUM(CASE WHEN chosen_n_ev = rejected_n_ev
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+       |  FROM kept GROUP BY 1),
+       |mc AS (
+       |  SELECT len_bucket, v AS med_chosen_n_ev FROM (
+       |    SELECT len_bucket, v,
+       |           row_number() OVER (PARTITION BY len_bucket ORDER BY v) AS rn,
+       |           COUNT(*) OVER (PARTITION BY len_bucket) AS cnt
+       |    FROM (SELECT len_bucket, chosen_n_ev AS v FROM kept))
+       |  WHERE rn = (cnt + 1) // 2),
+       |mr AS (
+       |  SELECT len_bucket, v AS med_rejected_n_ev FROM (
+       |    SELECT len_bucket, v,
+       |           row_number() OVER (PARTITION BY len_bucket ORDER BY v) AS rn,
+       |           COUNT(*) OVER (PARTITION BY len_bucket) AS cnt
+       |    FROM (SELECT len_bucket, rejected_n_ev AS v FROM kept))
+       |  WHERE rn = (cnt + 1) // 2),
+       |md AS (
+       |  SELECT len_bucket, v AS med_delta_n_ev FROM (
+       |    SELECT len_bucket, v,
+       |           row_number() OVER (PARTITION BY len_bucket ORDER BY v) AS rn,
+       |           COUNT(*) OVER (PARTITION BY len_bucket) AS cnt
+       |    FROM (SELECT len_bucket, chosen_n_ev - rejected_n_ev AS v FROM kept))
+       |  WHERE rn = (cnt + 1) // 2)
+       |SELECT a.len_bucket, a.n_pairs, a.n_longer_chosen, a.n_ties,
+       |       CASE WHEN a.n_pairs > a.n_ties THEN
+       |         CAST(a.n_longer_chosen * 1000 // (a.n_pairs - a.n_ties) AS BIGINT)
+       |       END AS longer_win_x1000,
+       |       mc.med_chosen_n_ev, mr.med_rejected_n_ev, md.med_delta_n_ev
+       |FROM agg a
+       |JOIN mc USING (len_bucket)
+       |JOIN mr USING (len_bucket)
+       |JOIN md USING (len_bucket)
+       |ORDER BY a.len_bucket""".stripMargin
+
   private def mmRound(prev: String, cur: String): String =
       s"""d_$cur AS MATERIALIZED (
          |  SELECT s.i AS item,
@@ -236,7 +361,8 @@ object Preference {
   private def trajectoryCtes(round: (String, String) => String): String =
     s"""put AS MATERIALIZED (
        |  SELECT user_id, event_type,
-       |         CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS tot_e6
+       |         CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS tot_e6,
+       |         CAST(COUNT(*) AS BIGINT) AS n_ev
        |  FROM events GROUP BY 1, 2),
        |duelu AS MATERIALIZED (
        |  SELECT a.user_id,
@@ -245,7 +371,11 @@ object Preference {
        |         CASE WHEN a.tot_e6 > b.tot_e6 THEN b.event_type
        |              ELSE a.event_type END AS rejected,
        |         greatest(a.tot_e6, b.tot_e6) AS chosen_tot_e6,
-       |         least(a.tot_e6, b.tot_e6) AS rejected_tot_e6
+       |         least(a.tot_e6, b.tot_e6) AS rejected_tot_e6,
+       |         CASE WHEN a.tot_e6 > b.tot_e6 THEN a.n_ev
+       |              ELSE b.n_ev END AS chosen_n_ev,
+       |         CASE WHEN a.tot_e6 > b.tot_e6 THEN b.n_ev
+       |              ELSE a.n_ev END AS rejected_n_ev
        |  FROM put a JOIN put b
        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
        |  WHERE a.tot_e6 <> b.tot_e6),

@@ -157,13 +157,10 @@ class CountMinSpec extends SparkSuite {
     val heap = canon(CountMin.mgSummaryHeap(cnts, k))
     assert(win.nonEmpty && win.toSeq == heap.toSeq,
       "bounded-buffer heap aggregate must reproduce the window canonical form")
-    // the auto switch picks the heap on gate data when forced low, and
-    // the GATED query stays oracle-identical through it
-    val prev = CountMin.MgHeapVocabLimit
-    try {
-      CountMin.MgHeapVocabLimit = 0L
-      val forced = canon(CountMin.mgTopk(spark, gateSf))
-      assert(forced.toSeq == win.toSeq)
-    } finally CountMin.MgHeapVocabLimit = prev
+    // the auto switch picks the heap on gate data when forced low (via
+    // the heapLimit parameter — no shared-state mutation, r10 ADVICE),
+    // and the GATED query stays oracle-identical through it
+    val forced = canon(CountMin.mgTopk(spark, gateSf, heapLimit = 0L))
+    assert(forced.toSeq == win.toSeq)
   }
 }
