@@ -283,8 +283,11 @@ object CountMin {
     import spark.implicits._
     // vocab-sized pin: the regime switch's count() and the summary both
     // read the materialized counts — the corpus is tokenized ONCE
-    // (r10 ADVICE; mgMerge already checkpoints its sharded counts)
-    val cnts = mgCounts(spark, sfDir).localCheckpoint(eager = true)
+    // (r10 ADVICE; mgMerge already checkpoints its sharded counts).
+    // checkpointAudited: the truncation would hide any upstream global
+    // window from the per-query audit (r11 ADVICE)
+    val cnts = graft.plans.WindowAudit.checkpointAudited(
+      "mgTopk.counts", mgCounts(spark, sfDir))
     mgSummaryOf(cnts, k, heapLimit)
       .orderBy($"source", $"tok")
   }
@@ -330,7 +333,7 @@ object CountMin {
       // (the HLL-merge-soak tag trick: shard rides inside the source key)
       .withColumn("source", concat_ws(TagSep, $"shard", $"source"))
       .select($"source", $"tok", $"cnt")
-      .localCheckpoint(eager = true)
+      .transform(graft.plans.WindowAudit.checkpointAudited("mgMerge.counts", _))
     val summ = mgSummaryOf(cnts, k, heapLimit)
       .withColumn("shard", substring_index($"source", TagSep, 1).cast("int"))
       .withColumn("source", substring_index($"source", TagSep, -1))

@@ -197,21 +197,30 @@ object Preference {
     * LENGTH? Here length is the side's event COUNT (`n_ev` — the
     * engagement-independent size analog; preference itself is decided
     * by the Σvalue total, so the two can disagree). One row per
-    * decimal-digit bucket of the pair's combined length with
+    * TWO-SIGNIFICANT-DIGIT logarithmic bucket of the pair's combined
+    * length — bucket = digits(x)·100 + first-two-digits(x), the
+    * DDSketch-style relative-resolution histogram (≤ 90 buckets per
+    * decade, ≤ ~20 decades of BIGINT range, so the output is
+    * log-bounded at any corpus size; r11 verdict #4 — the previous
+    * digit-count bucket collapsed to ONE row at gate SF, leaving the
+    * hash pin with no bucket geometry to constrain) — with
     *  - n_pairs / n_longer_chosen / n_ties: how often the longer side
     *    won among decisive-length pairs,
-    *  - longer_win_x1000 = ⌊n_longer_chosen·1000/(n_pairs − n_ties)⌋
-    *    (NULL when every pair ties on length) — ≈500 means no bias,
-    *  - exact LOWER MEDIANS (the value at rank ⌊(n+1)/2⌋ — integer
+    *  - longer_win_x1000 = (n_longer_chosen·1000) div (n_pairs −
+    *    n_ties) (NULL when every pair ties on length) — ≈500 means no
+    *    bias,
+    *  - exact LOWER MEDIANS (the value at rank (n+1) div 2 — integer
     *    order statistics, no interpolated doubles) of chosen length,
     *    rejected length, and the per-pair delta.
     * All arithmetic is exact integers over the duel-table-sized kept
-    * set (the BT-fit discipline), so the gate is hash-exact.
+    * set (the BT-fit discipline) — ratios use Spark's integral `div`
+    * to mirror DuckDB's `//` exactly, with no double-division detour
+    * (r11 ADVICE) — so the gate is hash-exact.
     *
     * Scale: the kept-pair frame is duel-sized (bounded per-user
     * fan-out) and is localCheckpointed once; the three median windows
-    * partition by bucket (≤ ~20 buckets, each duel-table-bounded) and
-    * the counts are one combiner group-by. */
+    * partition by bucket (log-bounded bucket count, each bucket
+    * duel-table-bounded) and the counts are one combiner group-by. */
   def preferenceLengthBias(spark: SparkSession, sfDir: String): DataFrame =
     preferenceLengthBiasFrom(spark, Tables.events(spark, sfDir))
 
@@ -219,18 +228,20 @@ object Preference {
       events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val combined = ($"chosen_n_ev" + $"rejected_n_ev").cast("string")
     val kept = keptPairsFrom(spark, events)
       .select($"chosen_n_ev", $"rejected_n_ev",
-        length(($"chosen_n_ev" + $"rejected_n_ev").cast("string"))
+        (length(combined) * 100 + substring(combined, 1, 2).cast("int"))
           .cast("int").as("len_bucket"))
-      .localCheckpoint(eager = true)
+      .transform(graft.plans.WindowAudit.checkpointAudited(
+        "preferenceLengthBias.kept", _))
     def lowerMedian(v: org.apache.spark.sql.Column, out: String): DataFrame =
       kept.select($"len_bucket", v.as("v"))
         .withColumn("rn", row_number().over(
           Window.partitionBy($"len_bucket").orderBy($"v")))
         .withColumn("cnt", count(lit(1)).over(
           Window.partitionBy($"len_bucket")))
-        .filter($"rn" === floor(($"cnt" + 1) / lit(2)))
+        .filter($"rn" === expr("(cnt + 1) div 2"))
         .select($"len_bucket", $"v".as(out))
     val agg = kept.groupBy($"len_bucket").agg(
       count(lit(1)).as("n_pairs"),
@@ -243,8 +254,8 @@ object Preference {
         Seq("len_bucket"))
       .select($"len_bucket", $"n_pairs", $"n_longer_chosen", $"n_ties",
         when($"n_pairs" > $"n_ties",
-          floor($"n_longer_chosen" * 1000L / ($"n_pairs" - $"n_ties"))
-            .cast("long")).as("longer_win_x1000"),
+          expr("(n_longer_chosen * 1000) div (n_pairs - n_ties)"))
+          .as("longer_win_x1000"),
         $"med_chosen_n_ev", $"med_rejected_n_ev", $"med_delta_n_ev")
       .orderBy($"len_bucket")
   }
@@ -287,8 +298,9 @@ object Preference {
     s"""WITH ${trajectoryCtes(mmRound)},
        |kept AS MATERIALIZED (
        |  SELECT d.chosen_n_ev, d.rejected_n_ev,
-       |         CAST(length(CAST(d.chosen_n_ev + d.rejected_n_ev AS VARCHAR))
-       |              AS INTEGER) AS len_bucket
+       |         CAST(length(CAST(d.chosen_n_ev + d.rejected_n_ev AS VARCHAR)) * 100
+       |              + CAST(substr(CAST(d.chosen_n_ev + d.rejected_n_ev AS VARCHAR),
+       |                            1, 2) AS INTEGER) AS INTEGER) AS len_bucket
        |  FROM duelu d
        |  JOIN p4 pc ON pc.item = d.chosen
        |  JOIN p4 pr ON pr.item = d.rejected

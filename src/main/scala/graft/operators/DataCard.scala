@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Decontaminate, Dedup, Divergence, TextAnalysis}
+import graft.functions.{Decontaminate, Dedup, Divergence, Pii, QualityModel, TextAnalysis}
 
 /** Corpus-release data card — the composition report (r10 verdict #3).
   *
@@ -29,20 +29,38 @@ import graft.functions.{Decontaminate, Dedup, Divergence, TextAnalysis}
   *                    ([[graft.functions.Divergence.ksTest]])
   *   - zipf:          per-source rank-frequency OLS
   *                    ([[TextAnalysis.zipfSlope]])
+  * plus the release-evidence sections a corpus card states before
+  * shipping (r11 verdict #1 — present in every Datasheets/Dolma-style
+  * card, previously missing from the composition):
+  *   - pii:           per-family planted-PII hit totals + flagged-doc
+  *                    count ([[graft.functions.Pii.piiScan]])
+  *   - contamination_fuzzy: paraphrase-level (MinHash-LSH) benchmark
+  *                    overlap summary
+  *                    ([[Decontaminate.fuzzyContamination]])
+  *   - quality_calibration: the trained filter's reliability diagram
+  *                    ([[QualityModel.calibration]] — per-bin
+  *                    confidence/accuracy gap, the ECE integrand)
+  *   - quality_auc:   held-out ROC-AUC of the same classifier
+  *                    ([[QualityModel.rocAuc]])
   *
   * Doubles cross the section boundary only as the components' own
-  * quantized integers (entropy_e9, kl_e9, slope_e9) or as one floor of
-  * a bit-exact-cross-engine double (ks_d, at_value — IEEE ops over
-  * exact integers per [[graft.functions.Divergence.ksTestOf]], so the
-  * floored e-units are identical in both engines).
+  * quantized integers (entropy_e9, kl_e9, slope_e9, *_micro) or as one
+  * floor of a bit-exact-cross-engine double (ks_d, at_value, auc,
+  * max_jaccard — IEEE ops over exact integers per
+  * [[graft.functions.Divergence.ksTestOf]] / the hash-gated component
+  * outputs, so the floored e-units are identical in both engines).
+  * Integer ratios use Spark's integral `div`, mirroring DuckDB's `//`
+  * exactly with no double-division detour (r11 ADVICE — floor-of-double
+  * only matches `//` while numerators stay below 2^53).
   *
   * Scale: pure composition — each component keeps its own one-scan /
-  * staged-artifact plan (the funnel re-reads the staged MinHash chain;
-  * nothing here adds a corpus-sized exchange), and every summary this
-  * operator adds on top (the contamination rollup, the confusion
-  * diagonal) aggregates component OUTPUTS, which are doc-, cell- or
-  * source-sized. The report itself is ~tens of rows at any corpus
-  * size. */
+  * staged-artifact plan (the funnel and fuzzy-contamination sections
+  * re-read the staged MinHash chain; the quality sections read the
+  * staged classifier scores; nothing here adds a corpus-sized
+  * exchange), and every summary this operator adds on top (the
+  * contamination/PII rollups, the confusion diagonal) aggregates
+  * component OUTPUTS, which are doc-, cell- or source-sized. The
+  * report itself is ~hundreds of rows at any corpus size. */
 object DataCard {
 
   private def melt(df: DataFrame, section: String, item: Column,
@@ -69,15 +87,16 @@ object DataCard {
       "n_dropped" -> $"n_dropped", "n_final" -> $"n_final",
       "retention_x1000" -> $"retention_x1000")
     // summary over the per-doc contamination hits; max ratio re-derived
-    // from the integer columns (never the rounded double) so the floor
-    // is exact integer arithmetic in both engines
+    // from the integer columns (never the rounded double) via integral
+    // division — the same `div` both engines evaluate exactly
     val contam = melt(
       Decontaminate.contamination(spark, sfDir).agg(
         count(lit(1)).as("n_docs_flagged"),
         coalesce(sum($"n_contaminated".cast("long")), lit(0L))
           .as("n_contaminated_grams"),
-        coalesce(max(floor($"n_contaminated".cast("long") * 1000000L /
-          $"n_grams")), lit(0L)).as("max_ratio_x1e6")),
+        coalesce(max(expr(
+          "(CAST(n_contaminated AS BIGINT) * 1000000) div n_grams")),
+          lit(0L)).as("max_ratio_x1e6")),
       "contamination", lit("src0"),
       "n_docs_flagged" -> $"n_docs_flagged",
       "n_contaminated_grams" -> $"n_contaminated_grams",
@@ -91,7 +110,7 @@ object DataCard {
           .as("n_correct")),
       "lang_id", $"lang_labeled",
       "n_labeled" -> $"n_labeled", "n_correct" -> $"n_correct",
-      "acc_x1000" -> floor($"n_correct" * 1000L / $"n_labeled"))
+      "acc_x1000" -> expr("(n_correct * 1000) div n_labeled"))
     val kl = melt(Divergence.sliceDivergence(spark, sfDir), "drift_kl",
       $"source",
       "n_tokens" -> $"n_tokens", "vocab_used" -> $"vocab_used",
@@ -102,8 +121,46 @@ object DataCard {
     val zipf = melt(TextAnalysis.zipfSlope(spark, sfDir), "zipf", $"source",
       "n_terms" -> $"n_terms", "slope_e9" -> $"slope_e9",
       "r2_e9" -> $"r2_e9")
+    // release evidence (r11 verdict #1): PII exposure, paraphrase-level
+    // benchmark overlap, and classifier trustworthiness — summaries of
+    // the individually-gated component outputs, same as the rest
+    val pii = melt(
+      Pii.piiScan(spark, sfDir).agg(
+        sum($"has_pii".cast("long")).as("n_docs_flagged"),
+        sum($"n_email".cast("long")).as("n_email"),
+        sum($"n_cc".cast("long")).as("n_cc"),
+        sum($"n_ssn".cast("long")).as("n_ssn"),
+        sum($"n_phone".cast("long")).as("n_phone"),
+        sum($"n_ipv4".cast("long")).as("n_ipv4")),
+      "pii", lit("corpus"),
+      "n_docs_flagged" -> $"n_docs_flagged", "n_email" -> $"n_email",
+      "n_cc" -> $"n_cc", "n_ssn" -> $"n_ssn",
+      "n_phone" -> $"n_phone", "n_ipv4" -> $"n_ipv4")
+    // max_jaccard is the component's hash-gated double (identical IEEE
+    // value in both engines), so its floored e6-units match exactly
+    val fuzzy = melt(
+      Decontaminate.fuzzyContamination(spark, sfDir).agg(
+        count(lit(1)).as("n_docs_flagged"),
+        coalesce(sum($"n_bench_matches".cast("long")), lit(0L))
+          .as("n_bench_matches"),
+        coalesce(floor(max($"max_jaccard") * lit(1e6)), lit(0L))
+          .as("max_jaccard_e6")),
+      "contamination_fuzzy", lit("src0"),
+      "n_docs_flagged" -> $"n_docs_flagged",
+      "n_bench_matches" -> $"n_bench_matches",
+      "max_jaccard_e6" -> $"max_jaccard_e6")
+    val cal = melt(QualityModel.calibration(spark, sfDir),
+      "quality_calibration", $"bin",
+      "n" -> $"n", "avg_conf_micro" -> $"avg_conf_micro",
+      "pos_rate_micro" -> $"pos_rate_micro", "gap_micro" -> $"gap_micro")
+    val auc = melt(QualityModel.rocAuc(spark, sfDir),
+      "quality_auc", lit("holdout"),
+      "n_pos" -> $"n_pos", "n_neg" -> $"n_neg", "u2" -> $"u2",
+      "auc_e9" -> floor($"auc" * lit(1e9)))
     mix.unionByName(funnel).unionByName(contam).unionByName(lang)
       .unionByName(kl).unionByName(ks).unionByName(zipf)
+      .unionByName(pii).unionByName(fuzzy).unionByName(cal)
+      .unionByName(auc)
       .orderBy($"section", $"item", $"metric")
   }
 
@@ -135,7 +192,25 @@ object DataCard {
        |  GROUP BY 1),
        |dc_kl AS (SELECT * FROM (${Divergence.sliceDivergenceSql})),
        |dc_ks AS (SELECT * FROM (${Divergence.ksTestSql})),
-       |dc_zipf AS (SELECT * FROM (${TextAnalysis.zipfSlopeSql()}))
+       |dc_zipf AS (SELECT * FROM (${TextAnalysis.zipfSlopeSql()})),
+       |dc_pii AS (
+       |  SELECT CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_docs_flagged,
+       |         CAST(SUM(n_email) AS BIGINT) AS n_email,
+       |         CAST(SUM(n_cc) AS BIGINT) AS n_cc,
+       |         CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+       |         CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+       |         CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4
+       |  FROM (${Pii.piiScanSql})),
+       |dc_fuzzy AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_flagged,
+       |         COALESCE(CAST(SUM(n_bench_matches) AS BIGINT), 0)
+       |           AS n_bench_matches,
+       |         COALESCE(CAST(FLOOR(MAX(max_jaccard) * 1e6) AS BIGINT), 0)
+       |           AS max_jaccard_e6
+       |  FROM (${Decontaminate.fuzzyContaminationSql()})),
+       |dc_cal AS (SELECT * FROM (${QualityModel.calibrationSql()})),
+       |dc_auc AS (SELECT * FROM (${QualityModel.rocAucSql()}))
        |${m("dc_mix", "mixture", "axis", Seq(
             "n_rows" -> "n_rows", "n_cells" -> "n_cells",
             "entropy_e9" -> "entropy_e9", "simpson_e9" -> "simpson_e9"))}
@@ -168,6 +243,25 @@ object DataCard {
        |${m("dc_zipf", "zipf", "source", Seq(
             "n_terms" -> "n_terms", "slope_e9" -> "slope_e9",
             "r2_e9" -> "r2_e9"))}
+       |UNION ALL
+       |${m("dc_pii", "pii", "'corpus'", Seq(
+            "n_docs_flagged" -> "n_docs_flagged", "n_email" -> "n_email",
+            "n_cc" -> "n_cc", "n_ssn" -> "n_ssn",
+            "n_phone" -> "n_phone", "n_ipv4" -> "n_ipv4"))}
+       |UNION ALL
+       |${m("dc_fuzzy", "contamination_fuzzy", "'src0'", Seq(
+            "n_docs_flagged" -> "n_docs_flagged",
+            "n_bench_matches" -> "n_bench_matches",
+            "max_jaccard_e6" -> "max_jaccard_e6"))}
+       |UNION ALL
+       |${m("dc_cal", "quality_calibration", "bin", Seq(
+            "n" -> "n", "avg_conf_micro" -> "avg_conf_micro",
+            "pos_rate_micro" -> "pos_rate_micro",
+            "gap_micro" -> "gap_micro"))}
+       |UNION ALL
+       |${m("dc_auc", "quality_auc", "'holdout'", Seq(
+            "n_pos" -> "n_pos", "n_neg" -> "n_neg", "u2" -> "u2",
+            "auc_e9" -> "FLOOR(auc * 1e9)"))}
        |ORDER BY section, item, metric""".stripMargin
   }
 }

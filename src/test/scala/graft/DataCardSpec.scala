@@ -23,10 +23,11 @@ class DataCardSpec extends SparkSuite {
     card.find(t => t._1 == section && t._2 == item && t._3 == metric)
       .getOrElse(fail(s"missing $section/$item/$metric"))._4.longValue()
 
-  test("structure: all seven sections, unique keys, total order") {
+  test("structure: all eleven sections, unique keys, total order") {
     val sections = card.map(_._1).distinct.sorted.toSeq
-    assert(sections == Seq("contamination", "dedup_funnel", "drift_kl",
-      "drift_ks", "lang_id", "mixture", "zipf"))
+    assert(sections == Seq("contamination", "contamination_fuzzy",
+      "dedup_funnel", "drift_kl", "drift_ks", "lang_id", "mixture",
+      "pii", "quality_auc", "quality_calibration", "zipf"))
     val keys = card.map(t => (t._1, t._2, t._3)).toSeq
     assert(keys.distinct.length == keys.length, "(section,item,metric) unique")
     assert(keys == keys.sorted, "report carries its total order")
@@ -65,5 +66,31 @@ class DataCardSpec extends SparkSuite {
     // zipf: slope straight off the OLS gate
     val z0 = TextAnalysis.zipfSlope(spark, gateSf).collect().head
     assert(v("zipf", z0.getString(0), "slope_e9") == z0.getLong(2))
+    // pii: per-family totals off the per-doc scan (r12: release sections)
+    val pii = graft.functions.Pii.piiScan(spark, gateSf).collect()
+    assert(v("pii", "corpus", "n_docs_flagged") ==
+      pii.count(_.getBoolean(6)).toLong)
+    assert(v("pii", "corpus", "n_email") ==
+      pii.map(_.getInt(1).toLong).sum)
+    assert(v("pii", "corpus", "n_ssn") == pii.map(_.getInt(3).toLong).sum)
+    // fuzzy contamination: rollup of the LSH-mined kill list
+    val fz = Decontaminate.fuzzyContamination(spark, gateSf).collect()
+    assert(v("contamination_fuzzy", "src0", "n_docs_flagged") ==
+      fz.length.toLong)
+    assert(v("contamination_fuzzy", "src0", "max_jaccard_e6") ==
+      (if (fz.isEmpty) 0L
+       else math.floor(fz.map(_.getDouble(2)).max * 1e6).toLong))
+    // quality: calibration bins + AUC straight off the classifier gates
+    val cal = graft.functions.QualityModel.calibration(spark, gateSf)
+      .collect()
+    cal.foreach { b =>
+      assert(v("quality_calibration", b.getLong(0).toString, "gap_micro")
+        == b.getLong(4))
+    }
+    val auc = graft.functions.QualityModel.rocAuc(spark, gateSf)
+      .collect().head
+    assert(v("quality_auc", "holdout", "n_pos") == auc.getLong(0))
+    assert(v("quality_auc", "holdout", "auc_e9") ==
+      math.floor(auc.getDouble(3) * 1e9).toLong)
   }
 }

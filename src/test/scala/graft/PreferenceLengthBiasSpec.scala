@@ -30,15 +30,16 @@ class PreferenceLengthBiasSpec extends SparkSuite {
         Seq((11L, "B", 2.0, 5), (11L, "A", 1.0, 1),
           (12L, "A", 3.0, 3), (12L, "B", 1.0, 3)))
     val out = Preference.preferenceLengthBiasFrom(spark, ev).collect()
-    // combined lengths: 12 (2 digits) for users 1..10; 6 (1 digit) for
-    // user 12; user 11's pair is B-chosen with margin < 0 → dropped
+    // combined lengths: 12 for users 1..10 (two-sig-digit bucket
+    // 2·100+12 = 212); 6 for user 12 (bucket 1·100+6 = 106); user 11's
+    // pair is B-chosen with margin < 0 → dropped
     assert(out.length == 2, s"expected 2 buckets, got ${out.length}")
-    val b1 = out.find(_.getInt(0) == 1).get
+    val b1 = out.find(_.getInt(0) == 106).get
     assert(b1.getLong(1) == 1 && b1.getLong(2) == 0 && b1.getLong(3) == 1,
       "bucket 1 must hold the single all-tie pair")
     assert(b1.isNullAt(4), "all-tie bucket has no longer-win rate")
     assert(b1.getLong(5) == 3 && b1.getLong(6) == 3 && b1.getLong(7) == 0)
-    val b2 = out.find(_.getInt(0) == 2).get
+    val b2 = out.find(_.getInt(0) == 212).get
     assert(b2.getLong(1) == 10 && b2.getLong(2) == 10 && b2.getLong(3) == 0)
     assert(b2.getLong(4) == 1000, "planted bias must read as 1000/1000")
     assert(b2.getLong(5) == 10 && b2.getLong(6) == 2 && b2.getLong(7) == 8,
@@ -62,7 +63,10 @@ class PreferenceLengthBiasSpec extends SparkSuite {
   test("gate corpus: buckets partition the kept pairs; rates bounded") {
     val pairs = Preference.preferencePairs(spark, gateSf).count()
     val out = Preference.preferenceLengthBias(spark, gateSf).collect()
-    assert(out.nonEmpty)
+    // r11 verdict #4: the gate must pin real bucket geometry — the
+    // two-sig-digit log buckets give ≥5 rows at gate SF (vs the old
+    // digit-count bucket's 1)
+    assert(out.length >= 5, s"expected >=5 buckets, got ${out.length}")
     assert(out.map(_.getLong(1)).sum == pairs,
       "bucket pair counts must partition the kept set")
     out.foreach { r =>
