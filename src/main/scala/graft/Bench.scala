@@ -326,6 +326,58 @@ object Bench {
       errors("bench_bloom_experiment") = sanitize(e)
     }
 
+    // manifest-index experiment (r11 verdict #2 — the Iceberg mechanic):
+    // orders published as year-clustered batch files with a footer-stats
+    // manifest; the one-year query plans from the manifest and reads 1
+    // of 7 files WITHOUT listing the table. The pruning evidence is the
+    // files-read counter vs the manifest-less read of the same layout —
+    // at 100 TB the avoided work is ~1M footer RPCs per query, which is
+    // what makes the reference's 92 ms catalog-pruned query possible.
+    try {
+      val mDir = s"/tmp/graft_manifest_${new java.io.File(sfDir).getName}"
+      // publish() is append-versioned: clear prior bench runs' snapshots
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mDir))
+      import org.apache.spark.sql.functions.{col => fcol, year => fyear, date_format => fdate_format, count => fcount, lit => flit, sum => fsum, to_date => fto_date}
+      val orders = graft.sources.Tables.orders(spark, sfDir)
+        .select(fcol("o_orderkey"),
+          fto_date(fcol("o_orderdate")).as("o_orderdate"),
+          fcol("o_totalprice"))
+      val years = orders.select(fyear(fcol("o_orderdate")).as("y"))
+        .distinct().orderBy(fcol("y")).collect().map(_.getInt(0)).toSeq
+      results("bench_manifest_publish") = time {
+        graft.sources.ManifestIndex.publish(spark, mDir,
+          Seq("o_orderdate", "o_orderkey")) { dataDir =>
+          years.foreach { y =>
+            orders.filter(fyear(fcol("o_orderdate")) === y).coalesce(1)
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dataDir)
+          }
+        }
+        ()
+      }
+      val lo = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+      val hi = java.time.LocalDate.of(1998, 1, 1).toEpochDay - 1L
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .filter(fyear(fcol("o_orderdate")) === 1997)
+        .groupBy(fdate_format(fcol("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(fcount(flit(1)).as("n"),
+          fsum(fcol("o_totalprice").cast("decimal(27,6)")).as("rev"))
+      def prunedQ = rollup(graft.sources.ManifestIndex
+        .readPruned(spark, mDir, "o_orderdate", lo, hi)._1)
+      val pQ1 = prunedQ
+      results("bench_manifest_pruned") = time(pQ1.collect())
+      results("bench_manifest_files_read") =
+        scanMetric(pQ1, "numFiles").toDouble
+      def fullQ = rollup(spark.read.parquet(s"$mDir/v=0"))
+      val fQ1 = fullQ
+      results("bench_manifest_unpruned") = time(fQ1.collect())
+      results("bench_manifest_unpruned_files_read") =
+        scanMetric(fQ1, "numFiles").toDouble
+      results("bench_manifest_pruned_hot") = minOf(3)(prunedQ.collect())
+      results("bench_manifest_unpruned_hot") = minOf(3)(fullQ.collect())
+    } catch { case e: Throwable =>
+      errors("bench_manifest_experiment") = sanitize(e)
+    }
+
     // MV auto-rewrite experiment: the same rollup served from the base
     // scan vs from the registered daily MV (plans/MvRewrite). Wall
     // clock at sf0.1 is mostly fixed overhead — the scale evidence is

@@ -338,6 +338,9 @@ object SparkEntry {
     "q_json_source" -> (graft.sources.Ingest.jsonSourceQuery _),
     "q_orc_source" -> (graft.sources.Ingest.orcSourceQuery _),
     "q_time_travel" -> (graft.sources.Versioned.timeTravelQuery _),
+    // file-stats manifest: planning prunes files from footer-derived
+    // min/max stats without listing the table (the Iceberg mechanic)
+    "q_manifest_prune" -> (graft.sources.ManifestIndex.manifestPruneQuery _),
     "q_stream_snapshots" -> (graft.streaming.EventsStream.snapshotStreamQuery _),
     "q_bfs_hops" -> (Graph.bfsQuery _),
     "q_pagerank" -> (Graph.pageRankQuery _),
@@ -453,6 +456,7 @@ object SparkEntry {
     "q_json_source" -> graft.sources.Ingest.jsonSourceSql,
     "q_orc_source" -> graft.sources.Ingest.orcSourceSql,
     "q_time_travel" -> graft.sources.Versioned.timeTravelSql,
+    "q_manifest_prune" -> graft.sources.ManifestIndex.manifestPruneSql,
     "q_stream_snapshots" -> graft.streaming.EventsStream.snapshotStreamSql,
     "q_bfs_hops" -> Graph.bfsSql,
     "q_pagerank" -> Graph.pageRankSql,
