@@ -72,6 +72,10 @@ object SparkEntry {
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfQuant(s, d)),
     "q_knn_ivfpq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
     "q_knn_quantized" -> ((s: SparkSession, d: String) => Similarity.knnQuantized(s, d)),
+    // incremental index maintenance: staged base cells + batch-only
+    // assignment must be bit-identical to the full rebuild (same oracle)
+    "q_knn_ivf_incremental" -> ((s: SparkSession, d: String) =>
+      Similarity.knnIvfIncremental(s, d)),
     // hash-exact gate: deterministic-sketch stats (KMV median +
     // register HLL); the engine-internal approx builtins stay
     // error-envelope-gated in GraftSpec
@@ -529,6 +533,9 @@ object SparkEntry {
     "q_mmr_rerank" -> graft.functions.Retrieval.mmrRerankQuantSql(),
     "q_knn_lsh" -> Similarity.knnLshQuantSql(),
     "q_knn_ivf" -> Similarity.knnIvfQuantSql(),
+    // the maintained index must be indistinguishable from the rebuilt
+    // one — same oracle string as q_knn_ivf by design
+    "q_knn_ivf_incremental" -> Similarity.knnIvfQuantSql(),
     "q_knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "q_approx_stats" -> Analytics.approxStatsSketchSql,
     "q_hll_union" -> Analytics.hllUnionGateSql,
