@@ -86,7 +86,9 @@ object ScaleSoak {
     "q_mg_merge",            // MG shard-merge (union bound enforced at every m; heap-regime parity)
     "q_countmin",            // CMS point-query audit (topN rows at every m; one-sided error enforced by the gate columns)
     "q_preference_length_bias", // duel length-bias audit (bucket sums m-invariant; bit-equal under user growth)
-    "q_data_card")           // composed release report (rows = fixed section geometry at every m)
+    "q_data_card",           // composed release report (rows = fixed section geometry at every m)
+    "q_manifest_prune",      // footer-stats manifest prune (12 month rows at every m; 1-of-7 files enforced in-band)
+    "q_knn_ivf_incremental") // staged-base + batch-assign ANN maintenance (== full rebuild at every m; step cost O(batch))
   // q_nn_graph is soaked OUTSIDE the fixed-default loop: fixed-width
   // banding is inherently n²·2^-r, so the corpus-sized variant
   // (nnGraphParams: r ≈ log₂ n) is what scale runs — see the
@@ -361,6 +363,28 @@ object ScaleSoak {
         require(mgmHeap == mgm.map(_.toSeq.map(String.valueOf).mkString("|")),
           s"soak invariant: MG merge heap regime != window regime at m=$m")
       }
+      // incremental IVF maintenance (r11 verdict #6): the generic timed
+      // row above paid the one-time staged-base build; THIS row times
+      // the maintenance round alone — batch assignment + probe against
+      // the hot artifact — which is the recurring cost a growing corpus
+      // pays per batch (batch scales ×m ⇒ α ≈ 1 is the claim; a base
+      // re-scan would read as the build cost and blow the slope). The
+      // invariant is the maintenance contract itself: the maintained
+      // index answers BIT-IDENTICALLY to a full rebuild at every m.
+      if (soakQueries.contains("q_knn_ivf_incremental")) {
+        val t0i = System.nanoTime()
+        val incRows = SparkEntry.queries("q_knn_ivf_incremental")(spark, dir)
+          .collect().toSeq
+        val dti = (System.nanoTime() - t0i) / 1e9
+        times(("ivf_incr_step", m)) = dti
+        rows(("ivf_incr_step", m)) = incRows.length.toLong
+        println(f"""{"soak":"ivf_incr_step","m":$m,"sec":$dti%.3f,"rows":${incRows.length}}""")
+        val fullRows = graft.functions.Similarity.knnIvfQuant(spark, dir)
+          .collect().toSeq
+        require(incRows.map(_.toSeq.map(String.valueOf)) ==
+            fullRows.map(_.toSeq.map(String.valueOf)),
+          s"soak invariant: incremental IVF != full rebuild at m=$m")
+      }
       // length-bias audit: per-bucket geometry shifts with m (lengths
       // scale ×m, so digit buckets move) but the length COMPARISONS are
       // scale-invariant (c·m > r·m iff c > r) — the bucket-summed pair /
@@ -474,7 +498,10 @@ object ScaleSoak {
           "q_hll_distinct", "q_ddsketch_quantiles", "q_theta_overlap",
           "q_theta_overlap_sketch", "q_preference_pairs",
           "q_t_closeness", "q_bradley_terry", "q_coreset",
-          "q_countmin", "q_data_card")
+          "q_countmin", "q_data_card",
+          // 12 month rows / 10·k neighbor rows at every m: dates and
+          // the query+centroid prefix replicate unchanged
+          "q_manifest_prune", "q_knn_ivf_incremental")
           .filter(soakQueries.contains))
         require(rows((q, m)) == rows((q, m0)),
           s"soak invariant: $q rows at m=$m: ${rows((q, m))} vs ${rows((q, m0))} at m=$m0")
