@@ -41,12 +41,17 @@ def table_hash(df: pd.DataFrame):
         h.update(("|".join(cell(v) for v in row) + "\n").encode())
     return h.hexdigest()
 
-def main(sf_dir: str, out_dir: str, json_out: str = None):
+def main(sf_dir: str, out_dir: str, json_out: str = None, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        unknown = set(only) - set(oracle)
+        if unknown:
+            sys.exit(f"--only names not in oracle_sql.json: {sorted(unknown)}")
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     report = {}
     def rec(name, ok, rows, why=""):
@@ -92,7 +97,15 @@ def main(sf_dir: str, out_dir: str, json_out: str = None):
     return 1 if failures else 0
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    jo = sys.argv[3] if len(sys.argv) > 3 else None
-    sys.exit(main(sf, out, jo))
+    # dev-only filter for filtered Verify runs (the driver always passes
+    # at most 3 positional args, so its full-surface gate is unchanged):
+    #   check_oracle.py <sf> <out> [json] --only q_a,q_b
+    argv, only = list(sys.argv[1:]), None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out = argv[1] if len(argv) > 1 else "/tmp/verify_out"
+    jo = argv[2] if len(argv) > 2 else None
+    sys.exit(main(sf, out, jo, only))
