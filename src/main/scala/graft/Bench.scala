@@ -342,15 +342,18 @@ object Bench {
         .select(fcol("o_orderkey"),
           fto_date(fcol("o_orderdate")).as("o_orderdate"),
           fcol("o_totalprice"))
-      val years = orders.select(fyear(fcol("o_orderdate")).as("y"))
-        .distinct().orderBy(fcol("y")).collect().map(_.getInt(0)).toSeq
       results("bench_manifest_publish") = time {
+        // one partitioned write (hash-repartition on the derived year →
+        // one file per year dir) instead of one sequential
+        // filter+coalesce(1) job per year — same 7-file layout, same
+        // manifest, one pass over orders (r12; mirrors
+        // ManifestIndex.manifestPruneQuery's publish)
         graft.sources.ManifestIndex.publish(spark, mDir,
           Seq("o_orderdate", "o_orderkey")) { dataDir =>
-          years.foreach { y =>
-            orders.filter(fyear(fcol("o_orderdate")) === y).coalesce(1)
-              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dataDir)
-          }
+          orders.withColumn("y", fyear(fcol("o_orderdate")))
+            .repartition(fcol("y"))
+            .write.partitionBy("y")
+            .mode(org.apache.spark.sql.SaveMode.Append).parquet(dataDir)
         }
         ()
       }

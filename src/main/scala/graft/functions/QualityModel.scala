@@ -126,22 +126,29 @@ object QualityModel {
     * same hash shuffle a groupBy would pay, but the per-row x·r
     * gradient term falls out without a second feature join/scan), then
     * the D+1-wide gradient aggregate. Two bounded exchanges per round. */
-  private def fit(feat: DataFrame, lab: DataFrame): Map[Long, Long] = {
-    val spark = feat.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+  private def fit(feat0: DataFrame, lab0: DataFrame): Map[Long, Long] = {
     // GD rounds shuffle D+1-bounded aggregates of a modest feature
     // table — 32-way rounds are pure task overhead at gate scale, so
     // scope the loop to a few partitions (the pageRankQuery pattern);
     // at real corpus scale the session default applies upstream where
-    // the feature build runs
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // the feature build runs. r12: the narrowed conf lives on a CLONED
+    // session (shared SparkContext, private SQLConf) instead of a
+    // set/restore on the caller's session — no conf leak on an
+    // exceptional exit, and two fits may now run CONCURRENTLY (the
+    // guide-§2.6 overlap [[prebuild]] uses) without racing a shared
+    // conf. The frames are re-bound to the clone by logical plan; each
+    // round is a fixed 2-exchange plan over a cached table, so AQE's
+    // per-stage re-planning would only add scheduling latency × rounds.
+    val spark = feat0.sparkSession.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // each round is a fixed 2-exchange plan over a cached table: AQE's
-    // per-stage re-planning only adds scheduling latency × 8 rounds
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    val feat = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(
+      spark, feat0.queryExecution.logical)
+    val lab = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(
+      spark, lab0.queryExecution.logical)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    locally {
       val n = lab.count() // control-plane scalar (the lr normalizer)
       // label lands on every feature row once; the round loop then
       // never touches a second table. Memory-pinned: 16 round scans
@@ -178,9 +185,6 @@ object QualityModel {
         }
         w
       } finally { featY.unpersist(); () }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
@@ -203,8 +207,20 @@ object QualityModel {
     * once, explicitly — the [[graft.operators.BasketStage.prebuild]]
     * convention). */
   def prebuild(spark: SparkSession, sfDir: String): Unit = {
-    trainAndScore(spark, sfDir).count()
-    evalHoldout(spark, sfDir).count()
+    // the two fits (full corpus / train split) are independent GD loops
+    // whose rounds are latency-, not throughput-, bound (each is a
+    // 2-stage job over ~8 small partitions on a 32-core box) — overlap
+    // them from two driver threads (guide §2.6: concurrent jobs
+    // back-fill idle executors; [[fit]] is thread-safe since each fit
+    // runs on its own cloned session, and [[Staged]] locks per key).
+    // The shared feature/label artifacts are built ONCE up front so the
+    // two threads don't both pay a wait on the same cell.
+    prepare(spark, sfDir)
+    val threads = Seq(
+      new Thread(() => { trainAndScore(spark, sfDir).count(); () }),
+      new Thread(() => { evalHoldout(spark, sfDir).count(); () }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
     ()
   }
 

@@ -16,7 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Staged {
 
-  private val staged = scala.collection.mutable.HashMap[String, String]()
+  /** key → build cell. Per-KEY locking (r12 optimization round): the
+    * cell's lazy `path` synchronizes builders of the SAME key, while
+    * builders of DIFFERENT keys proceed concurrently — the guide-§2.6
+    * overlap that lets independent stage builds (the two quality-model
+    * fits, the band index next to the cluster chain) back-fill an
+    * otherwise idle box. The old single `staged.synchronized` held the
+    * global lock for the whole build, serializing every artifact. */
+  private final class Cell(build: () => String) {
+    lazy val path: String = build() // lazy-val init = per-cell monitor
+  }
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
   /** Ephemeral scratch allocation for gate work dirs (streaming
     * checkpoints, merge-target table copies, WAP staging, snapshot
@@ -52,7 +63,7 @@ object Staged {
     * attributable per stage from the artifact alone (r4's 181 s
     * dedup-stage anomaly was only visible as an opaque lump sum). */
   private val buildSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-  def buildTimes: Map[String, Double] = staged.synchronized { buildSecs.toMap }
+  def buildTimes: Map[String, Double] = buildSecs.synchronized { buildSecs.toMap }
   private lazy val stageRoot = {
     // same scratch tier as the gate work dirs (sf0.1 artifacts total
     // tens of MB — RAM-residency is free at gate scale)
@@ -64,24 +75,26 @@ object Staged {
     dir.toString
   }
 
-  /** Compute-once-then-read-parquet. Synchronized: concurrent test
-    * suites must not race to build the same artifact. */
+  /** Compute-once-then-read-parquet. Per-key synchronized: concurrent
+    * test suites must not race to build the SAME artifact, but
+    * different artifacts may build at once. A build that THROWS leaves
+    * its cell's lazy un-initialized, so a later request retries the
+    * build (the old remove-on-failure semantic, preserved by lazy-val
+    * initialization rules). */
   def materialize(key: String, spark: SparkSession)
       (build: => DataFrame): DataFrame = {
-    val path = staged.synchronized {
-      staged.getOrElseUpdate(key, {
-        val p = s"$stageRoot/$key"
-        val t0 = System.nanoTime()
-        build.write.mode("overwrite").parquet(p)
-        val secs = (System.nanoTime() - t0) / 1e9
-        buildSecs(key) = secs
-        // stdout breadcrumb for perf triage (Bench/Verify parse tagged
-        // lines only, so this is inert to both contracts)
-        println(f"[stage] built $key in $secs%.2f s")
-        p
-      })
-    }
-    spark.read.parquet(path)
+    val cell = staged.computeIfAbsent(key, _ => new Cell(() => {
+      val p = s"$stageRoot/$key"
+      val t0 = System.nanoTime()
+      build.write.mode("overwrite").parquet(p)
+      val secs = (System.nanoTime() - t0) / 1e9
+      buildSecs.synchronized { buildSecs(key) = secs }
+      // stdout breadcrumb for perf triage (Bench/Verify parse tagged
+      // lines only, so this is inert to both contracts)
+      println(f"[stage] built $key in $secs%.2f s")
+      p
+    }))
+    spark.read.parquet(cell.path)
   }
 
   /** Compute-once-per-JVM DIRECTORY artifact — the [[materialize]]
@@ -93,24 +106,22 @@ object Staged {
     * per-process temp root as the frame artifacts, so there is no
     * cross-run staleness and the shutdown hook reclaims everything. */
   def materializeDir(key: String)(build: String => Unit): String = {
-    staged.synchronized {
-      staged.getOrElseUpdate(s"dir_$key", {
-        val p = s"$stageRoot/dir_$key"
-        // a build that threw midway (cancelled job, disk full) leaves a
-        // partial tree at the fixed path and is never recorded in
-        // `staged` — clear it first so the RETRY re-runs against a
-        // clean slate instead of dying on 'path already exists'
-        // (directory builders write with the default ErrorIfExists;
-        // the frame twin above is overwrite-mode and needs no sweep)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-        val t0 = System.nanoTime()
-        build(p)
-        val secs = (System.nanoTime() - t0) / 1e9
-        buildSecs(s"dir_$key") = secs
-        println(f"[stage] built dir $key in $secs%.2f s")
-        p
-      })
-    }
+    staged.computeIfAbsent(s"dir_$key", _ => new Cell(() => {
+      val p = s"$stageRoot/dir_$key"
+      // a build that threw midway (cancelled job, disk full) leaves a
+      // partial tree at the fixed path with its cell's lazy
+      // un-initialized — clear it first so the RETRY re-runs against a
+      // clean slate instead of dying on 'path already exists'
+      // (directory builders write with the default ErrorIfExists;
+      // the frame twin above is overwrite-mode and needs no sweep)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val t0 = System.nanoTime()
+      build(p)
+      val secs = (System.nanoTime() - t0) / 1e9
+      buildSecs.synchronized { buildSecs(s"dir_$key") = secs }
+      println(f"[stage] built dir $key in $secs%.2f s")
+      p
+    })).path
   }
 
   /** Copy a staged directory artifact into a consumer-owned path (for
@@ -131,5 +142,5 @@ object Staged {
 
   /** Test hook: drop all staged artifacts so a suite can measure or
     * re-exercise the build path deterministically. */
-  private[graft] def reset(): Unit = staged.synchronized { staged.clear() }
+  private[graft] def reset(): Unit = staged.clear()
 }

@@ -211,13 +211,19 @@ object ManifestIndex {
       val orders = Tables.orders(spark, sfDir)
         .select($"o_orderkey", to_date($"o_orderdate").as("o_orderdate"),
           $"o_totalprice")
-      val years = orders.select(year($"o_orderdate").as("y"))
-        .distinct().orderBy($"y").collect().map(_.getInt(0)).toSeq
+      // ONE job writes every year-batch file (r12 optimization round,
+      // guide §2.6/§2.4): the old shape ran one filter+coalesce(1) job
+      // PER year — 7 sequential scans of orders per publish. Hash-
+      // repartitioning on the derived year sends each year to exactly
+      // one task, and partitionBy splits a task that holds two
+      // colliding years into one file per year directory — so the
+      // published layout is still exactly one data file per order
+      // year (the ManifestIndexSpec-pinned 1-of-7 prune geometry),
+      // written in a single pass over orders.
       publish(spark, tbl, Seq("o_orderdate", "o_orderkey")) { dataDir =>
-        years.foreach { y =>
-          orders.filter(year($"o_orderdate") === y).coalesce(1)
-            .write.mode(SaveMode.Append).parquet(dataDir)
-        }
+        orders.withColumn("y", year($"o_orderdate"))
+          .repartition($"y")
+          .write.partitionBy("y").mode(SaveMode.Append).parquet(dataDir)
       }
       // dates land as epoch-day INT32: the 1997 window in epoch days
       val (pruned, nKept, nTotal) = readPruned(spark, tbl, "o_orderdate",
