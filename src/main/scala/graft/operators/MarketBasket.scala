@@ -36,7 +36,16 @@ object MarketBasket {
     * (antecedent, consequent, support, confidence, lift). */
   def assocRules(spark: SparkSession, sfDir: String, minSupport: Long = 2): DataFrame = {
     import spark.implicits._
-    val baskets = orderBaskets(spark, sfDir)
+    // eager pin (r12, guide §2.4/§7.2): the basket distinct feeds FOUR
+    // consumers (total, item counts, both self-join sides) and the
+    // undirected pair table feeds both union branches — un-pinned, the
+    // executed plan recomputed the distinct 4× and the full
+    // join+2.39M-row pair aggregate TWICE (probed plan metrics:
+    // duplicate HashAggregate[numOutputRows=2392000] subtrees, ~4 s of
+    // pipeline each). Checkpoints are row-bounded: baskets is the
+    // distinct (order, item) table, undirected is the support-filtered
+    // pair list (~3.6 k rows at sf0.1).
+    val baskets = orderBaskets(spark, sfDir).localCheckpoint(eager = true)
     val total = baskets.agg(countDistinct($"bk").as("n_baskets"))
     val itemN = baskets.groupBy($"item").agg(count(lit(1)).as("n_item"))
     // (the lossless n_item ≥ minSupport prune used in itemNeighbors is
@@ -48,6 +57,7 @@ object MarketBasket {
       .groupBy($"a.item".as("pa"), $"b.item".as("pb"))
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= minSupport)
+      .localCheckpoint(eager = true)
     val directed = undirected
       .unionByName(undirected.select($"pb".as("pa"), $"pa".as("pb"), $"support"))
     directed
