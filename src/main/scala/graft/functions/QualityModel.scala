@@ -121,71 +121,106 @@ object QualityModel {
     * train-filtered) feature/label frames. Model state lives on the
     * driver: D+1 longs (the k-means control shape).
     *
-    * Round shape: ONE scan of the label-carrying feature rows —
-    * broadcast-join the weights, window-sum the margin per doc (the
-    * same hash shuffle a groupBy would pay, but the per-row x·r
-    * gradient term falls out without a second feature join/scan), then
-    * the D+1-wide gradient aggregate. Two bounded exchanges per round. */
+    * Round shape (r12 optimization, guide §1.2/§2.4 — fix the
+    * algorithm before the per-task work): the SparkLR pattern. The
+    * label-carrying feature rows are packed ONCE into cached per-doc
+    * primitive arrays (one shuffle, paid once), and every round is a
+    * single map-only job — each task folds its docs into a local
+    * D+1-long gradient array against the closure-shipped weights, and
+    * the driver sums the per-partition partials. Zero per-round
+    * shuffles, zero per-round broadcasts, zero window sorts — the
+    * previous plan paid a broadcast weight join + doc-window + D+1
+    * hash aggregate per round (16 rounds × 2 fits ≈ 10.5 + 11.6 s at
+    * sf0.1; see OPTIMIZATION_r12.md "quality-model fit").
+    *
+    * Bit-parity: every sum this loop computes (the per-doc margin z,
+    * the per-bucket gradient g) is a sum of the SAME long terms the
+    * SQL plan summed — long addition is commutative/associative with
+    * identical wrap semantics, the hard sigmoid replays the oracle's
+    * floor(z / 4.0) double-division exactly, and the weight update
+    * keeps the floor-of-double-quotient form — so the returned map is
+    * bit-identical to the previous plan and to the DuckDB oracle's
+    * unrolled rounds (QualityModelSpec's single-threaded differential
+    * pins this).
+    *
+    * Scale: per round one map pass over the cached packed corpus and
+    * (#partitions · (D+1)) longs to the driver — strictly less traffic
+    * than the per-round model-sized exchanges of the SQL form; at real
+    * corpus scale swap the collect for treeReduce to keep the driver
+    * fan-in logarithmic. */
   private def fit(feat0: DataFrame, lab0: DataFrame): Map[Long, Long] = {
-    // GD rounds shuffle D+1-bounded aggregates of a modest feature
-    // table — 32-way rounds are pure task overhead at gate scale, so
-    // scope the loop to a few partitions (the pageRankQuery pattern);
-    // at real corpus scale the session default applies upstream where
-    // the feature build runs. r12: the narrowed conf lives on a CLONED
-    // session (shared SparkContext, private SQLConf) instead of a
-    // set/restore on the caller's session — no conf leak on an
-    // exceptional exit, and two fits may now run CONCURRENTLY (the
-    // guide-§2.6 overlap [[prebuild]] uses) without racing a shared
-    // conf. The frames are re-bound to the clone by logical plan; each
-    // round is a fixed 2-exchange plan over a cached table, so AQE's
-    // per-stage re-planning would only add scheduling latency × rounds.
-    val spark = feat0.sparkSession.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val feat = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(
-      spark, feat0.queryExecution.logical)
-    val lab = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(
-      spark, lab0.queryExecution.logical)
+    val spark = feat0.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    locally {
-      val n = lab.count() // control-plane scalar (the lr normalizer)
-      // label lands on every feature row once; the round loop then
-      // never touches a second table. Memory-pinned: 16 round scans
-      // read columnar cache, not parquet. Pre-partitioned AND
-      // pre-sorted on doc_id BEFORE caching: InMemoryTableScan
-      // advertises the cached plan's partitioning/ordering, and the
-      // broadcast weight join preserves both, so every round's margin
-      // window reuses them instead of paying its own exchange + sort
-      // (8 rounds × 2 variants of pure overhead otherwise; falls back
-      // harmlessly to a per-round sort if a future cache
-      // implementation stops advertising order)
-      val featY = feat.join(lab, "doc_id")
-        .repartition($"doc_id").sortWithinPartitions($"doc_id").cache()
-      featY.count()
-      try {
-        var w = Map.empty[Long, Long].withDefaultValue(0L)
-        val byDoc = Window.partitionBy($"doc_id")
-        for (_ <- 1 to Iters) {
-          val grad = withWeights(featY, w)
-            .withColumn("z", sum($"x" * $"w").over(byDoc))
-            .withColumn("r", sMicro($"z") - $"y" * Micro)
-            .groupBy($"j").agg(sum($"x" * $"r").as("g"))
-            .collect() // D+1 rows — the model-sized exchange
-          w = grad.foldLeft(w) { (acc, row) =>
-            val j = row.getLong(0)
-            // floor of the DOUBLE quotient, not Math.floorDiv: the
-            // oracle's unrolled rounds divide in double space
-            // (floor(g / (16.0 · n))), and the two only agree while
-            // |g| stays clear of 2^53 — same-expression-both-engines
-            // is the house parity discipline (Scheduler.dueRuns)
-            acc.updated(j, acc(j) -
-              math.floor(row.getLong(1).toDouble / (LrDen.toDouble * n)).toLong)
+    val n = lab0.count() // control-plane scalar (the lr normalizer)
+    // pack per doc: (y, feature buckets as array index j+1, counts).
+    // collect_list order is nondeterministic — harmless, the loop only
+    // ever SUMS over the arrays. 8 partitions: rounds are map-only, so
+    // partition count is pure task-scheduling overhead at gate scale
+    // (the pageRankQuery rationale); at 100 TB size it from the input.
+    val packed = feat0.join(lab0, "doc_id")
+      .groupBy($"doc_id")
+      .agg(first($"y").as("y"),
+        collect_list(struct($"j", $"x")).as("fx"))
+      .select($"y", $"fx.j".as("js"), $"fx.x".as("xs"))
+      .as[(Long, Array[Long], Array[Long])]
+      .rdd.map { case (y, js, xs) =>
+        (y, js.map(j => (j + 1L).toInt), xs)
+      }
+      .coalesce(8) // narrow — no second shuffle after the pack groupBy
+      .persist()
+    packed.count()
+    try {
+      val w = new Array[Long](Dim + 1) // index j+1; j = -1 is the bias
+      val observed = new Array[Boolean](Dim + 1)
+      for (round <- 1 to Iters) {
+        val wB = w.clone() // ship a stable copy in the task closure
+        val parts = packed.mapPartitions { it =>
+          val g = new Array[Long](Dim + 1)
+          val seen = new Array[Boolean](Dim + 1)
+          it.foreach { case (y, js, xs) =>
+            var z = 0L
+            var i = 0
+            while (i < js.length) { z += xs(i) * wB(js(i)); i += 1 }
+            // hard sigmoid: floor of the DOUBLE quotient, exactly the
+            // oracle's floor(z / 4.0) (sMicro's integer image)
+            val s = math.min(math.max(
+              math.floor(z.toDouble / 4.0).toLong + Micro / 2, 0L), Micro)
+            val r = s - y * Micro
+            i = 0
+            while (i < js.length) {
+              g(js(i)) += xs(i) * r
+              seen(js(i)) = true
+              i += 1
+            }
+          }
+          Iterator((g, seen))
+        }.collect()
+        val g = new Array[Long](Dim + 1)
+        parts.foreach { case (pg, pSeen) =>
+          var j = 0
+          while (j <= Dim) {
+            g(j) += pg(j)
+            if (round == 1 && pSeen(j)) observed(j) = true
+            j += 1
           }
         }
-        w
-      } finally { featY.unpersist(); () }
-    }
+        var j = 0
+        while (j <= Dim) {
+          // floor of the DOUBLE quotient, not Math.floorDiv: the
+          // oracle's unrolled rounds divide in double space
+          // (floor(g / (16.0 · n))), and the two only agree while
+          // |g| stays clear of 2^53 — same-expression-both-engines
+          // is the house parity discipline (Scheduler.dueRuns)
+          w(j) -= math.floor(g(j).toDouble / (LrDen.toDouble * n)).toLong
+          j += 1
+        }
+      }
+      // same key set as the previous plan's gradient rows: exactly the
+      // OBSERVED buckets (unobserved j never surfaced from groupBy(j))
+      (0 to Dim).collect {
+        case j if observed(j) => (j - 1L) -> w(j)
+      }.toMap.withDefaultValue(0L)
+    } finally { packed.unpersist(); () }
   }
 
   /** The trained model as a staged artifact (dbt-table semantics: fit
