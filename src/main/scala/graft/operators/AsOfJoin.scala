@@ -40,13 +40,19 @@ object AsOfJoin {
       .select($"event_id", $"user_id", to_date($"ts").as("event_day"))
     val daily = dailyRollup(spark, sfDir)
       .select($"user_id".as("d_user"), $"day", $"day_value")
-    val w = Window.partitionBy($"event_id").orderBy($"day".desc)
+    // latest day ≤ event_day as max(struct(day, …)) — a map-side-
+    // combinable argmax instead of the former rank-1 window (r12, guide
+    // §2.3 "aggregate before you shuffle"): the join fan-out (~14×
+    // events at sf0.1) partial-aggregates before the exchange, and the
+    // window's full sort of the joined rows disappears. `day` is unique
+    // per (user, day) rollup row, so the argmax is tie-free and equals
+    // the old rn = 1 row exactly.
     events
       .join(daily, $"user_id" === $"d_user" && $"day" <= $"event_day")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+      .groupBy($"event_id", $"user_id", $"event_day")
+      .agg(max(struct($"day", $"day_value")).as("m"))
       .select($"event_id", $"user_id", $"event_day",
-        $"day".as("matched_day"), $"day_value")
+        $"m.day".as("matched_day"), $"m.day_value".as("day_value"))
       .orderBy($"event_id")
   }
 
@@ -67,13 +73,15 @@ object AsOfJoin {
     val daily = dailyRollup(spark, sfDir)
       .filter(dayofmonth($"day") % 3 === 0)
       .select($"user_id".as("d_user"), $"day", $"day_value")
-    val w = Window.partitionBy($"event_id").orderBy($"day".asc)
+    // earliest day ≥ event_day as min(struct(day, …)) — the argmin
+    // twin of the backward join's aggregate rewrite (same §2.3
+    // rationale, same tie-free uniqueness of `day` per user)
     events
       .join(daily, $"user_id" === $"d_user" && $"day" >= $"event_day")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+      .groupBy($"event_id", $"user_id", $"event_day")
+      .agg(min(struct($"day", $"day_value")).as("m"))
       .select($"event_id", $"user_id", $"event_day",
-        $"day".as("matched_day"), $"day_value")
+        $"m.day".as("matched_day"), $"m.day_value".as("day_value"))
       .orderBy($"event_id")
   }
 
