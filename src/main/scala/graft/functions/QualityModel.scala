@@ -65,12 +65,26 @@ object QualityModel {
   private def hashBucket(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % Dim
 
-  /** (doc_id, j, x): hashed token counts + the j = −1 bias feature. */
+  /** (doc_id, j, x): hashed token counts + the j = −1 bias feature.
+    *
+    * r12 optimization (guide §1.2 "per-task work" after the shape is
+    * right): md5 + base-16 string conv per TOKEN OCCURRENCE was the
+    * dominant cost of the feature build (~1M evaluations at sf0.1 for
+    * a ~2.5k vocabulary). Count per (doc, token) first (map-side
+    * combinable), hash only the DISTINCT tokens, and broadcast the
+    * tiny token→bucket dictionary back — the fastText dictionary
+    * shape. Counts regroup by (doc, bucket) afterwards, so the output
+    * rows are bit-identical (sum of per-token counts per bucket ==
+    * direct per-bucket count). At 100 TB the vocabulary is still
+    * megabytes — the dictionary broadcast holds. */
   private def features(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", explode($"t").as("tok"))
-      .select($"doc_id", hashBucket($"tok").as("j"))
-      .groupBy($"doc_id", $"j").agg(count(lit(1)).as("x"))
+    val docTok = docs.select($"doc_id", explode($"t").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("x0"))
+    val vocab = docTok.select($"tok").distinct()
+      .select($"tok", hashBucket($"tok").as("j"))
+    docTok.join(broadcast(vocab), "tok")
+      .groupBy($"doc_id", $"j").agg(sum($"x0").as("x"))
       .unionByName(docs.select($"doc_id", lit(-1L).as("j"), lit(1L).as("x")))
   }
 
@@ -88,13 +102,26 @@ object QualityModel {
     import spark.implicits._
     def docs = Tables.documents(spark, sfDir)
       .select($"doc_id", toks($"text").as("t"))
-    val feat = Staged.materialize(
-      s"qm_feat_${Staged.sfKey(sfDir)}", spark)(features(docs))
-    val lab = Staged.materialize(s"qm_lab_${Staged.sfKey(sfDir)}", spark)(
-      docs.select($"doc_id",
-        (size(filter($"t", tk => tk === "row")) >
-          size(filter($"t", tk => tk === "key"))).cast("long").as("y")))
-    (feat, lab)
+    // label via exploded codegen sums instead of two non-codegen HOF
+    // array filters per doc (r12, guide §4.1 — prefer built-ins with
+    // codegen): COUNT(tok = 'row') > COUNT(tok = 'key') per doc is the
+    // same integer comparison (split() never yields an empty array, so
+    // explode drops no doc). The two independent staged builds overlap
+    // from two driver threads (guide §2.6), shaving the shorter build
+    // off the stage wall; Staged's per-key cells make this safe.
+    def featF = features(docs)
+    def labF = docs.select($"doc_id", explode($"t").as("tok"))
+      .groupBy($"doc_id")
+      .agg((sum(when($"tok" === "row", 1L).otherwise(0L)) >
+        sum(when($"tok" === "key", 1L).otherwise(0L))).cast("long").as("y"))
+    val featK = s"qm_feat_${Staged.sfKey(sfDir)}"
+    val labK = s"qm_lab_${Staged.sfKey(sfDir)}"
+    val threads = Seq(
+      new Thread(() => { Staged.materialize(featK, spark)(featF); () }),
+      new Thread(() => { Staged.materialize(labK, spark)(labF); () }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (Staged.materialize(featK, spark)(featF),
+      Staged.materialize(labK, spark)(labF))
   }
 
   /** Attach the broadcast weight column (`w`, default 0) — the ONE
